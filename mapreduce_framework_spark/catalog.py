@@ -1,0 +1,42 @@
+"""Loaders for the synthetic test tables (see TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table per scale factor.
+
+The reference's only "catalog" is a list of input filenames passed on the
+command line (``src/main/mrcoordinator.go:23``, ``src/mr/coordinator.go:237-251``);
+here tables are parquet reads so Catalyst gets pushdown + pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view so ``spark.sql`` can be used."""
+    for name in TABLES:
+        table(spark, name, sf_dir).createOrReplaceTempView(name)

@@ -1,0 +1,32 @@
+"""Tokenization matching the reference word-count semantics.
+
+``src/mrapps/wc.go:23-26`` splits contents on runs of non-letters
+(``unicode.IsLetter``), case-sensitive, empty tokens dropped. The synthetic
+corpus is ASCII so ``[^a-zA-Z]+`` is the exact equivalent (and what the
+DuckDB oracle uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WORD_SPLIT_RE = "[^a-zA-Z]+"
+
+
+def tokenize(col: str | Column) -> Column:
+    """Array of non-empty word tokens (JVM-side split + filter)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, WORD_SPLIT_RE), lambda w: w != "")
+
+
+def tokenize_words(df, col: str, out: str = "word"):
+    """Explode a text column into one row per token (reference map fn F2)."""
+    return df.select("*", F.explode(tokenize(col)).alias(out))
+
+
+def tokenize_duckdb(expr: str) -> str:
+    """DuckDB twin: list of non-empty tokens."""
+    return (
+        f"list_filter(string_split_regex({expr}, '{WORD_SPLIT_RE}'), w -> w <> '')"
+    )

@@ -1,0 +1,130 @@
+"""Differential comparison: Spark DataFrame vs DuckDB oracle SQL.
+
+Mirrors the driver's t2 gate (CORRECTNESS_r{N}.json): row count, schema
+arity, and an order-insensitive value comparison with columns sorted by
+name — but stricter: exact cell equality (with optional per-query float
+tolerance) instead of a hash, so mismatches are debuggable.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+from decimal import Decimal
+
+import duckdb
+
+TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, Decimal):
+        return ("num", str(v.normalize()))
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("float", "nan")
+        return ("float", v)
+    if isinstance(v, int):
+        return ("num", str(Decimal(v).normalize()))
+    if isinstance(v, dt.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, dt.date):
+        return ("ts", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("arr", tuple(_norm_cell(x) for x in v))
+    if isinstance(v, bytearray):
+        return ("bin", bytes(v))
+    return (type(v).__name__, v)
+
+
+def _normalize(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        out.append(tuple(_norm_cell(r[i]) for i in order))
+    out.sort(key=repr)
+    return out, [colnames[i] for i in order]
+
+
+def compare(spark_df, sql: str, sf_dir: str, float_rtol: float | None = None) -> None:
+    """Assert the Spark result equals the DuckDB result. Raises AssertionError."""
+    spark_cols = spark_df.columns
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+
+    con = duckdb_conn(sf_dir)
+    try:
+        res = con.execute(sql)
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = res.fetchall()
+    finally:
+        con.close()
+
+    assert len(spark_rows) == len(duck_rows), (
+        f"row count mismatch: spark={len(spark_rows)} duckdb={len(duck_rows)}"
+    )
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"column mismatch: spark={sorted(spark_cols)} duckdb={sorted(duck_cols)}"
+    )
+
+    s_norm, cols = _normalize(spark_rows, spark_cols)
+    d_norm, _ = _normalize(duck_rows, duck_cols)
+
+    mismatches = []
+    for i, (sr, dr) in enumerate(zip(s_norm, d_norm)):
+        if sr == dr:
+            continue
+        if float_rtol is not None and _close(sr, dr, float_rtol):
+            continue
+        mismatches.append((i, sr, dr))
+        if len(mismatches) >= 5:
+            break
+    assert not mismatches, _render(mismatches, cols)
+
+
+def _close(sr, dr, rtol) -> bool:
+    if len(sr) != len(dr):
+        return False
+    for a, b in zip(sr, dr):
+        if a == b:
+            continue
+        if a[0] in ("float", "num") and b[0] in ("float", "num"):
+            try:
+                fa, fb = float(a[1]), float(b[1])
+            except (TypeError, ValueError):
+                return False
+            if not math.isclose(fa, fb, rel_tol=rtol, abs_tol=rtol):
+                return False
+        else:
+            return False
+    return True
+
+
+def _render(mismatches, cols) -> str:
+    lines = [f"value mismatch (cols sorted by name: {cols}); first {len(mismatches)}:"]
+    for i, sr, dr in mismatches:
+        lines.append(f"  row#{i} spark ={sr}")
+        lines.append(f"  row#{i} duckdb={dr}")
+    return "\n".join(lines)

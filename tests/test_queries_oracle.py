@@ -1,0 +1,34 @@
+"""Differential tests: every registered query with an oracle must match
+DuckDB exactly at the t2 scale (mirrors driver's CORRECTNESS gate, but with
+exact cell equality instead of a hash)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mapreduce_framework_spark.registry import all_queries
+from tests.oracle import compare
+
+QUERIES = all_queries()
+
+# Queries whose outputs are floating-point aggregates checked with tolerance
+# instead of exact equality (documented per-query).
+FLOAT_RTOL: dict[str, float] = {}
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, q in sorted(QUERIES.items()) if q.oracle is not None]
+)
+def test_query_matches_oracle(spark, sf_dir, name):
+    spec = QUERIES[name]
+    df = spec.builder(spark, sf_dir)
+    compare(df, spec.oracle, sf_dir, float_rtol=FLOAT_RTOL.get(name))
+
+
+@pytest.mark.parametrize(
+    "name", [n for n, q in sorted(QUERIES.items()) if q.oracle is None]
+)
+def test_query_runs(spark, sf_dir, name):
+    """Rows-only smoke for non-SQL-expressible ops (driver's weaker check)."""
+    df = QUERIES[name].builder(spark, sf_dir)
+    assert df.count() >= 0
