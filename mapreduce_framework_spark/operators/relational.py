@@ -1,0 +1,445 @@
+"""Relational operator surface — Q11–Q23 (SURVEY §2.5, all [EXT]).
+
+The reference has **no** relational operators (SURVEY §2.4): no joins,
+windows, sorts-as-operator, set ops, distinct, rollup, or scalar function
+library. These queries are the north-star extension surface, expressed
+purely with Spark built-ins so Catalyst plans them (predicate pushdown,
+column pruning, broadcast selection, AQE) with zero custom planner work —
+per SURVEY §4.2 "Custom Catalyst work needed: none".
+
+Cross-engine determinism notes (the driver value-hashes against DuckDB):
+
+- Raw column passthrough (doubles, timestamps) is bit-exact in parquet, so
+  projections/filters/top-k compare exactly.
+- SUM/AVG over doubles is order-dependent; every aggregated money/quantity
+  column is cast to DECIMAL **before** aggregation, making the sum exact
+  and engine-order-independent.
+- AVG is computed as ``CAST(CAST(sum AS DOUBLE)/count AS DECIMAL)`` on both
+  sides: identical IEEE division on identical inputs, then identical
+  rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.catalog import table
+from mapreduce_framework_spark.registry import register
+
+DEC = "decimal(38,6)"
+
+
+@register(
+    "q11_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("ext", "scan"),
+)
+def q11_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + project with full pushdown: the parquet scan must show
+    PushedFilters on l_shipdate and a 5-column ReadSchema (verified in
+    tests/test_plans.py)."""
+    li = table(spark, "lineitem", sf_dir)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "q12_join_revenue_per_nation",
+    oracle=f"""
+    SELECT n.n_name,
+           SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC})) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+    tags=("ext", "join"),
+)
+def q12_join_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way equi-join + agg (TPC-H Q5 shape). nation (25 rows) and
+    customer are broadcast by AQE/size automatically; the lineitem⋈orders
+    join shuffles on the order key — the only unavoidable shuffle."""
+    c = table(spark, "customer", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    li = table(spark, "lineitem", sf_dir)
+    n = table(spark, "nation", sf_dir)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q13_broadcast_join",
+    oracle=f"""
+    SELECT p.p_partkey,
+           COUNT(*) AS n_items,
+           SUM(CAST(l.l_quantity AS {DEC})) AS sum_qty
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 5
+    GROUP BY p.p_partkey ORDER BY p.p_partkey
+    """,
+    tags=("ext", "join", "broadcast"),
+)
+def q13_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the small filtered dim (reference has no joins;
+    this is the 100 TB pattern: never shuffle the fact table for a dim that
+    fits in memory)."""
+    li = table(spark, "lineitem", sf_dir)
+    p = table(spark, "part", sf_dir).where(F.col("p_size") <= 5)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q14_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+    tags=("ext", "join", "semi"),
+)
+def q14_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with ≥1 order."""
+    c = table(spark, "customer", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q14_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+    tags=("ext", "join", "anti"),
+)
+def q14_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders."""
+    c = table(spark, "customer", sf_dir)
+    o = table(spark, "orders", sf_dir)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q15_tpch_q1_shape",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS {DEC})) AS sum_qty,
+           SUM(CAST(l_extendedprice AS {DEC})) AS sum_base_price,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS sum_disc_price,
+           SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS {DEC})) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("ext", "agg"),
+)
+def q15_tpch_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary. All sums over DECIMAL for cross-engine
+    exactness; map-side partial aggregation keeps the shuffle tiny (6 groups)."""
+    li = table(spark, "lineitem", sf_dir)
+    agg = (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias("sum_disc_price"),
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ).cast(DEC)
+            ).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        (F.col("sum_qty").cast("double") / F.col("count_order")).cast("decimal(18,6)").alias("avg_qty"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+@register(
+    "q16_count_distinct",
+    oracle="""
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("ext", "agg", "distinct"),
+)
+def q16_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) — Spark plans expand+two-phase agg; the approx
+    variant is q29."""
+    o = table(spark, "orders", sf_dir)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_custs"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q17_rollup",
+    oracle=f"""
+    SELECT n.n_name, o.o_orderpriority,
+           SUM(CAST(o.o_totalprice AS {DEC})) AS total,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP(n.n_name, o.o_orderpriority)
+    ORDER BY n_name NULLS LAST, o_orderpriority NULLS LAST
+    """,
+    tags=("ext", "agg", "rollup"),
+)
+def q17_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals: (nation, priority) → nation subtotal → grand
+    total. Spark's rollup is one shuffle with an Expand node, not three
+    passes over the fact table."""
+    o = table(spark, "orders", sf_dir)
+    c = table(spark, "customer", sf_dir)
+    n = table(spark, "nation", sf_dir)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(
+            F.col("n_name").asc_nulls_last(), F.col("o_orderpriority").asc_nulls_last()
+        )
+    )
+
+
+@register(
+    "q18_window_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    tags=("ext", "window"),
+)
+def q18_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number. Catalyst inserts a window
+    group limit (rank pushdown) before the shuffle on recent Spark versions."""
+    o = table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "q19_window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+    FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    tags=("ext", "window"),
+)
+def q19_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer total with an explicit ROWS frame. Decimal so the
+    prefix sums are exact (window sum over double is engine-order-dependent)."""
+    o = table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).alias("running_total"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+@register(
+    "q20_global_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+    tags=("ext", "topk"),
+)
+def q20_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 with deterministic tie-breaks. Spark plans TakeOrderedAndProject:
+    per-partition heap + driver merge of 20 rows — no global sort at any scale."""
+    li = table(spark, "lineitem", sf_dir)
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+@register(
+    "q21_set_ops",
+    oracle="""
+    WITH a AS (SELECT c_custkey FROM customer WHERE c_custkey < 1000),
+         b AS (SELECT c_custkey FROM customer WHERE c_custkey >= 500)
+    SELECT 'union_all' AS op, count(*) AS cnt FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'intersect', count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+    UNION ALL
+    SELECT 'except', count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+    ORDER BY op
+    """,
+    tags=("ext", "setop"),
+)
+def q21_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL / INTERSECT / EXCEPT over two key ranges, as labeled counts."""
+    c = table(spark, "customer", sf_dir)
+    a = c.where(F.col("c_custkey") < 1000).select("c_custkey")
+    b = c.where(F.col("c_custkey") >= 500).select("c_custkey")
+    spark_rows = [
+        a.unionAll(b).agg(F.count(F.lit(1)).alias("cnt")).select(F.lit("union_all").alias("op"), "cnt"),
+        a.intersect(b).agg(F.count(F.lit(1)).alias("cnt")).select(F.lit("intersect").alias("op"), "cnt"),
+        a.exceptAll(b).distinct().agg(F.count(F.lit(1)).alias("cnt")).select(F.lit("except").alias("op"), "cnt"),
+    ]
+    out = spark_rows[0]
+    for part in spark_rows[1:]:
+        out = out.unionAll(part)
+    return out.orderBy("op")
+
+
+@register(
+    "q22_scalar_battery",
+    oracle="""
+    SELECT o_orderkey,
+           substr(o_orderpriority, 1, 1) AS prio_code,
+           upper(o_orderstatus) AS status_u,
+           length(o_orderpriority) AS prio_len,
+           o_orderstatus || '/' || o_orderpriority AS status_prio,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+           round(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS price_r1,
+           abs(o_custkey - 750) AS key_dist,
+           o_orderkey % 7 AS key_mod
+    FROM orders ORDER BY o_orderkey
+    """,
+    tags=("ext", "scalar"),
+)
+def q22_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function battery: string, date, math — all whole-stage-codegen
+    built-ins (the reference's apps use raw Go stdlib for this, SURVEY §2.4)."""
+    o = table(spark, "orders", sf_dir)
+    return o.select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.upper("o_orderstatus").alias("status_u"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.concat_ws("/", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)"), 1).alias("price_r1"),
+        F.abs(F.col("o_custkey") - 750).alias("key_dist"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "q23_array_functions",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[^a-zA-Z]+'), w -> w <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           list_contains(toks, 'data') AS has_data,
+           array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3
+    FROM t ORDER BY doc_id
+    """,
+    tags=("ext", "array"),
+)
+def q23_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function battery over tokenized documents: size, distinct,
+    contains, sort+slice+join."""
+    docs = table(spark, "documents", sf_dir)
+    toks = F.filter(F.split("text", "[^a-zA-Z]+"), lambda w: w != "")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ",").alias("first3"),
+    ).orderBy("doc_id")
