@@ -30,9 +30,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_wordcount(spark, "/root/testdata/sf0.001")
 
 
+def _with_deploy(builder):
+    """Ship the package to executor Python workers before any builder that
+    may use Python-side operators (applyInPandas/mapInPandas) runs — the
+    external driver's process doesn't have this repo on the executors'
+    PYTHONPATH."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from mapreduce_framework_spark.deploy import ensure_package_on_executors
+
+        ensure_package_on_executors(spark)
+        return builder(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.builder for name, spec in all_queries().items()}
+    return {name: _with_deploy(spec.builder) for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

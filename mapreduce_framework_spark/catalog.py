@@ -30,9 +30,26 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# events.parquet stores TIMESTAMP(NANOS); Spark has no nanosecond timestamp
+# type, so it is read as a long (nanosAsLong) and truncated to microseconds.
+# The DuckDB oracles apply the same truncation (EVENTS_US_SQL) so both
+# engines see identical µs timestamps.
+EVENTS_US_SQL = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+
+
 def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # runtime-settable; must not rely on session-construction config
+        # because the external driver builds its own SparkSession
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        from pyspark.sql import functions as F
+
+        return df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts div 1000 AS LONG))")
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

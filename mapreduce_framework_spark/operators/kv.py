@@ -1,0 +1,205 @@
+"""KV-store semantics as event-log replay — Q06–Q08, Q28 (SURVEY §2.3).
+
+The reference declares (via client contract + porcupine model, servers are
+stubs) a linearizable string KV store:
+
+- ``Get(key) -> value`` ('' if absent)            src/kvraft/client.go:27-43
+- ``Put(key, value)``  overwrite                  src/kvraft/client.go:59-61
+- ``Append(key, value)`` state ← state ⧺ value    src/kvraft/client.go:62-64
+  (model step fn: src/models/kv.go:40-54)
+- shard(key) = int(first byte) mod 10             src/shardkv/client.go:22-29
+
+For an analytics engine the linearization order *is given* (a deterministic
+total order over the op log), so the whole KV semantics reduce to an ordered
+per-key fold — consensus/replication is out of scope (SURVEY §7 risk 6).
+
+There is no ``kv_ops`` table in the driver's testdata, so the op log is
+**derived deterministically from the `events` table** with the exact same
+expression in Spark and in the DuckDB oracle (both engines read the same
+parquet, so the derivation cancels out and only the fold semantics are under
+test). Values use the reference testers' grammar ``"x <id> <seq> y"``
+(src/kvraft/test_test.go:141).
+
+Scale design: everything is partitioned by key — the row_number, the fold,
+and the streaming state (q28) — so there is no global-order bottleneck; a
+key's history must fit in one executor (same memory model as the reference,
+which holds all values of a key in RAM, src/mr/worker.go:148-177).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.catalog import table
+from mapreduce_framework_spark.registry import register
+
+MID_TS = "2024-01-16 00:00:00"
+
+# DuckDB twin of kv_ops(): keep both textually parallel.
+KV_OPS_SQL = """
+    SELECT ts, event_id,
+           chr(97 + CAST(user_id % 26 AS INT)) || CAST(user_id % 50 AS VARCHAR) AS key,
+           CASE event_type
+             WHEN 'view' THEN 'get'
+             WHEN 'purchase' THEN 'put'
+             WHEN 'signup' THEN 'put'
+             ELSE 'append'
+           END AS op,
+           CASE event_type
+             WHEN 'view' THEN ''
+             ELSE 'x ' || CAST(user_id AS VARCHAR) || ' ' || CAST(event_id AS VARCHAR) || ' y'
+           END AS value
+    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) ev_us
+"""
+
+
+def kv_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived KV op log: (ts, event_id, key, op, value).
+
+    (ts, event_id) is the linearization order (event_id breaks ts ties).
+    Key construction covers all 10 shard buckets (first chars a..z).
+    """
+    ev = table(spark, "events", sf_dir)
+    key = F.concat(
+        F.expr("char(97 + CAST(user_id % 26 AS INT))"),
+        (F.col("user_id") % 50).cast("string"),
+    )
+    op = (
+        F.when(F.col("event_type") == "view", "get")
+        .when(F.col("event_type").isin("purchase", "signup"), "put")
+        .otherwise("append")
+    )
+    value = F.when(F.col("event_type") == "view", F.lit("")).otherwise(
+        F.concat_ws(" ", F.lit("x"), F.col("user_id"), F.col("event_id"), F.lit("y"))
+    )
+    return ev.select(
+        "ts", "event_id", key.alias("key"), op.alias("op"), value.alias("value")
+    )
+
+
+def _fold_sql(where: str = "") -> str:
+    """Final state per key: value of last put ('' if none) ⧺ all appends
+    after it, in linearization order (src/models/kv.go:40-54)."""
+    return f"""
+    WITH ops AS ({KV_OPS_SQL}),
+    w AS (
+      SELECT key, op, value,
+             ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts, event_id) AS ord
+      FROM ops WHERE op <> 'get' {where}
+    ),
+    lp AS (
+      SELECT key, MAX(CASE WHEN op = 'put' THEN ord ELSE 0 END) AS last_put
+      FROM w GROUP BY key
+    )
+    SELECT w.key,
+           COALESCE(string_agg(value, '' ORDER BY ord)
+                    FILTER (WHERE (op = 'put' AND ord = lp.last_put)
+                               OR (op = 'append' AND ord > lp.last_put)), '') AS value
+    FROM w JOIN lp ON w.key = lp.key
+    GROUP BY w.key ORDER BY w.key
+    """
+
+
+def _fold_spark(ops: DataFrame) -> DataFrame:
+    """DataFrame-native per-key fold: last-put + ordered append concat.
+
+    No applyInPandas, no global sort — one shuffle on key; the per-key
+    history is folded with JVM-side array functions.
+    """
+    wk = Window.partitionBy("key").orderBy("ts", "event_id")
+    w = ops.where(F.col("op") != "get").withColumn("ord", F.row_number().over(wk))
+    grouped = w.groupBy("key").agg(
+        F.max(F.when(F.col("op") == "put", F.col("ord")).otherwise(0)).alias("last_put"),
+        F.array_sort(F.collect_list(F.struct("ord", "op", "value"))).alias("items"),
+    )
+    applied = F.filter(
+        F.col("items"),
+        lambda x: ((x.op == "put") & (x.ord == F.col("last_put")))
+        | ((x.op == "append") & (x.ord > F.col("last_put"))),
+    )
+    return grouped.select(
+        "key",
+        F.array_join(F.transform(applied, lambda x: x.value), "").alias("value"),
+    ).orderBy("key")
+
+
+@register(
+    "q06_kv_final_state",
+    oracle=_fold_sql(),
+    tags=("ref", "K1", "K2", "K3"),
+)
+def q06_kv_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final KV state after replaying the whole op log in linearization
+    order: put=assign, append=concat, get=no-op (src/models/kv.go:40-54)."""
+    return _fold_spark(kv_ops(spark, sf_dir))
+
+
+@register(
+    "q07_kv_point_in_time",
+    oracle=_fold_sql(where=f"AND ts <= TIMESTAMP '{MID_TS}'"),
+    tags=("ref", "K1"),
+)
+def q07_kv_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State as of a mid-stream timestamp T — a linearizable read at T
+    (the reference's Get contract, src/kvraft/client.go:27-43)."""
+    ops = kv_ops(spark, sf_dir).where(F.col("ts") <= F.lit(MID_TS).cast("timestamp"))
+    return _fold_spark(ops)
+
+
+@register(
+    "q08_shard_histogram",
+    oracle=f"""
+    WITH ops AS ({KV_OPS_SQL}),
+    keys AS (SELECT DISTINCT key FROM ops)
+    SELECT CAST(unicode(substr(key, 1, 1)) % 10 AS INT) AS shard, count(*) AS cnt
+    FROM keys GROUP BY 1 ORDER BY shard
+    """,
+    tags=("ref", "K4"),
+)
+def q08_shard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """key2shard routing (src/shardkv/client.go:22-29): shard = first byte
+    mod NShards(=10); count of distinct keys per shard."""
+    from mapreduce_framework_spark.functions.hashing import key2shard
+
+    keys = kv_ops(spark, sf_dir).select("key").distinct()
+    return (
+        keys.select(key2shard("key").alias("shard"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("shard")
+    )
+
+
+def fold_kv_history(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Imperative per-key fold (shared by q28 batch and the streaming state
+    handler): replay ops sorted by (ts, event_id)."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    state = ""
+    for op, value in zip(pdf["op"], pdf["value"]):
+        if op == "put":
+            state = value
+        elif op == "append":
+            state = state + value
+    return pd.DataFrame({"key": [pdf["key"].iloc[0]], "value": [state]})
+
+
+@register(
+    "q28_kv_stateful_replay",
+    oracle=_fold_sql(),
+    tags=("ext", "stateful"),
+)
+def q28_kv_stateful_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same fold as q06 computed through the *custom stateful operator*
+    path: groupBy(key).applyInPandas with an imperative replay — the batch
+    twin of the Structured Streaming applyInPandasWithState operator
+    (streaming/state.py), sharing fold_kv_history. Checked against the
+    same SQL oracle as q06, plus batch-vs-streaming parity in tests."""
+    ops = kv_ops(spark, sf_dir).where(F.col("op") != "get")
+    folded = ops.groupBy("key").applyInPandas(
+        lambda pdf: fold_kv_history(pdf), schema="key string, value string"
+    )
+    return folded.orderBy("key")

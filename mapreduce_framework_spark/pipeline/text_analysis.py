@@ -1,0 +1,158 @@
+"""Text-analysis operators for LLM training-data pipelines (SURVEY §7 M5).
+
+Language-ID, quality scoring, token counting, and document fingerprinting
+over the `documents` table — each a pure JVM-side DataFrame query (no
+Python in the hot path) with an exact DuckDB oracle. At 100 TB these are
+embarrassingly parallel scans: no shuffle except the final tiny aggregates.
+
+The reference has no text analytics beyond wc/indexer tokenization
+(src/mrapps/wc.go:23-26); these are [EXT] north-star operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.catalog import table
+from mapreduce_framework_spark.functions.hashing import fnv1a32, fnv1a32_duckdb
+from mapreduce_framework_spark.functions.text import tokenize, tokenize_duckdb
+from mapreduce_framework_spark.registry import register
+
+# Tiny deterministic English stopword list for the n-gram/stopword heuristic.
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+_SW_SPARK = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "q40_lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {tokenize_duckdb('lower(text)')} AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, w -> list_contains({_SW_SQL}, w))) AS n_stop
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN n_tokens > 0 AND CAST(n_stop AS DOUBLE) / n_tokens > 0.05
+                THEN 'en' ELSE 'unknown' END AS lang_guess,
+           lang AS lang_label
+    FROM s ORDER BY doc_id
+    """,
+    tags=("ext", "text", "langid"),
+)
+def q40_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language heuristic (the n-gram-profile family of
+    detectors reduced to its simplest deterministic form): docs whose
+    lowercase stopword ratio exceeds 5% are tagged 'en'."""
+    docs = table(spark, "documents", sf_dir)
+    toks = tokenize(F.lower(F.col("text")))
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: F.expr(f"array_contains(array({_SW_SPARK}), w)").alias("c") if False else w.isin(*STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        F.when(
+            (n_tokens > 0) & (n_stop.cast("double") / n_tokens > 0.05), "en"
+        )
+        .otherwise("unknown")
+        .alias("lang_guess"),
+        F.col("lang").alias("lang_label"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q41_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {tokenize_duckdb('text')} AS toks FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks) AS n_tokens,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+           CAST(len(list_filter(toks, w -> length(w) >= 4)) AS DOUBLE)
+             / greatest(len(toks), 1) AS long_word_ratio,
+           CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) AS punct_ratio
+    FROM t ORDER BY doc_id
+    """,
+    tags=("ext", "text", "quality"),
+)
+def q41_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal battery: length, token count, whitespace count,
+    long-word ratio, punctuation ratio — the standard cheap filters an LLM
+    data pipeline applies before expensive dedup."""
+    docs = table(spark, "documents", sf_dir)
+    toks = tokenize("text")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        (F.length("text") - F.length(F.regexp_replace("text", " ", "")))
+        .cast("bigint")
+        .alias("n_spaces"),
+        (
+            F.size(F.filter(toks, lambda w: F.length(w) >= 4)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("long_word_ratio"),
+        (
+            F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q42_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), w -> w <> '')) AS ws_tokens,
+           len({tokenize_duckdb('text')}) AS word_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_ish_tokens
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("ext", "text", "tokens"),
+)
+def q42_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, letter-run words, and a
+    BPE-ish lexer regex (letter runs | digit runs | single punctuation) —
+    the cheap proxy pipelines use to budget LLM token counts."""
+    docs = table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("ws_tokens"),
+        F.size(tokenize("text")).alias("word_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)")
+        ).alias("bpe_ish_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q43_fingerprint",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, {fnv1a32_duckdb('text')} AS fingerprint FROM documents
+    )
+    SELECT f.doc_id, f.fingerprint, c.n_same
+    FROM fp f
+    JOIN (SELECT fingerprint, count(*) AS n_same FROM fp GROUP BY fingerprint) c
+      USING (fingerprint)
+    ORDER BY doc_id
+    """,
+    tags=("ext", "text", "fingerprint"),
+)
+def q43_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document rolling-hash fingerprint (FNV-1a over the byte stream,
+    the same hash family as the reference partitioner src/mr/worker.go:16-20)
+    plus the collision-group size — the primitive exact-dedup builds on."""
+    docs = table(spark, "documents", sf_dir)
+    fp = docs.select("doc_id", fnv1a32("text").alias("fingerprint"))
+    counts = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n_same"))
+    return fp.join(counts, "fingerprint").select(
+        "doc_id", "fingerprint", "n_same"
+    ).orderBy("doc_id")

@@ -1,0 +1,89 @@
+"""Structured Streaming window operators over the events stream.
+
+The reference engine is strictly batch (hard map→reduce barrier,
+src/mr/coordinator.go:143-155); streaming is [EXT] surface. These helpers
+run the *same* ``window()`` expressions as the batch queries in
+operators/windows.py through ``readStream`` → watermark → windowed agg →
+sink, so batch-vs-streaming parity is testable (SURVEY §7 M4/M5).
+
+Design for scale: watermark + append output keeps state bounded (closed
+windows are evicted); the parquet file source here stands in for
+Kafka/object-store streams — swap ``readStream.format``.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# events schema after µs-normalization (catalog.table handles batch; the
+# stream reads the raw nanos column as long and converts identically)
+RAW_EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos (read with nanosAsLong)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream of the events table with µs timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts div 1000 AS LONG))"))
+
+
+def streaming_tumbling_counts(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """1-hour tumbling count per event_type with a late-data watermark —
+    the streaming twin of q25_tumbling_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "append",
+    timeout_s: int = 120,
+) -> DataFrame:
+    """Drive a streaming DataFrame with availableNow into a memory sink and
+    return the materialized result as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option(
+            "checkpointLocation",
+            os.path.join("/tmp", f"ckpt_{name}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.table(name)

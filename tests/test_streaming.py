@@ -1,0 +1,140 @@
+"""Structured Streaming parity + watermark semantics.
+
+The reference is batch-only; its KV semantics (per-key linearizable fold)
+map to keyed streaming state (SURVEY §2.3, §7 M4). These tests check:
+
+1. streaming tumbling window == batch q25 (same window() expression),
+2. applyInPandasWithState KV fold across multiple micro-batches == batch
+   q06 fold (the q28 parity contract),
+3. watermark actually drops data later than the lateness bound.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.operators.kv import kv_ops, q06_kv_final_state
+from mapreduce_framework_spark.operators.windows import q25_tumbling_window
+from mapreduce_framework_spark.streaming.state import streaming_kv_state
+from mapreduce_framework_spark.streaming.windows import (
+    read_events_stream,
+    run_stream_to_memory,
+    streaming_tumbling_counts,
+)
+
+
+def test_tumbling_window_streaming_matches_batch(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
+
+    stream = streaming_tumbling_counts(read_events_stream(spark, src))
+    # single file -> single micro-batch; update mode emits every window once
+    got = run_stream_to_memory(stream, spark, output_mode="update")
+    got_rows = {
+        (r["window_start"], r["event_type"]): r["cnt"]
+        for r in got.collect()
+    }
+
+    batch = q25_tumbling_window(spark, sf_dir)
+    batch_rows = {
+        (r["window_start"], r["event_type"]): r["cnt"] for r in batch.collect()
+    }
+    assert got_rows == batch_rows
+
+
+def test_kv_state_across_microbatches_matches_batch(spark, sf_dir, tmp_path):
+    """Time-slice the op log into 3 files → 3 micro-batches in ts order; the
+    keyed state must accumulate across batches to the same final state as
+    the batch fold (q06)."""
+    ops = kv_ops(spark, sf_dir).where(F.col("op") != "get")
+    rows = ops.orderBy("ts", "event_id").collect()
+    src = str(tmp_path / "ops_src")
+    os.makedirs(src)
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third]
+        if not chunk:
+            continue
+        spark.createDataFrame(chunk, schema=ops.schema).coalesce(1).write.parquet(
+            os.path.join(src, f"slice_{i}")
+        )
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    stream_ops = (
+        spark.readStream.schema(ops.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "slice_*"))
+    )
+    result = run_stream_to_memory(
+        streaming_kv_state(stream_ops), spark, output_mode="update", timeout_s=180
+    )
+    # update-mode memory sink: the final state of a key is its value after
+    # the highest batch that touched it; appends only extend and puts reset,
+    # so take the row from the last emit = the one for the max batch ordinal.
+    # The sink appends per batch in order; use the last occurrence per key.
+    pdf = result.toPandas()
+    final = {}
+    for _, r in pdf.iterrows():
+        final[r["key"]] = r["value"]  # later batches appended later
+
+    batch_rows = {r["key"]: r["value"] for r in q06_kv_final_state(spark, sf_dir).collect()}
+    assert final == batch_rows
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """File 1 sets the event-time high mark (12:00 → watermark 11:00); the
+    watermark becomes effective for late-row filtering one batch after it is
+    recorded, so file 3 carries the late 09:30 event — it must be dropped
+    (numRowsDroppedByWatermark), and its window must never be emitted."""
+    import pandas as pd
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+
+    def write(name, ts_list, base):
+        ns = [int(pd.Timestamp(t).value) for t in ts_list]
+        pdf = pd.DataFrame(
+            {
+                "event_id": [base + i for i in range(len(ns))],
+                "ts": ns,
+                "user_id": [1] * len(ns),
+                "event_type": ["click"] * len(ns),
+                "value": [1.0] * len(ns),
+                "props": ["{}"] * len(ns),
+            }
+        )
+        pdf.to_parquet(os.path.join(src, name))
+
+    write("f1.parquet", ["2024-01-01 10:05", "2024-01-01 11:05", "2024-01-01 12:00"], 0)
+    time.sleep(1.1)
+    write("f2.parquet", ["2024-01-01 12:10"], 10)
+    time.sleep(1.1)
+    write("f3.parquet", ["2024-01-01 09:30", "2024-01-01 12:30"], 20)
+
+    stream = streaming_tumbling_counts(
+        read_events_stream(spark, src), watermark="1 hour"
+    )
+    name = "late_sink"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark") or 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    emitted = {r["window_start"].hour for r in spark.table(name).collect()}
+    assert dropped >= 1, f"late row was not dropped by the watermark: {emitted}"
+    assert 9 not in emitted, f"late window leaked into output: {emitted}"
