@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver collect). Session uses the package defaults (AQE on, Arrow on).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mapreduce_framework_spark.deploy import ensure_package_on_executors
+from mapreduce_framework_spark.registry import all_queries
+from mapreduce_framework_spark.session import get_spark
+
+# Representative slice of SURVEY §2.5: one per operator family.
+HEADLINE = [
+    "q01_wordcount",            # tokenize+flatMap+agg (A1)
+    "q02_inverted_index",       # per-doc distinct + holistic concat (A2)
+    "q06_kv_final_state",       # per-key ordered fold (K1-K3)
+    "q11_filter_project",       # pushdown scan
+    "q12_join_revenue_per_nation",  # multi-join + agg
+    "q15_tpch_q1_shape",        # wide agg
+    "q17_rollup",               # grouping sets
+    "q18_window_topk_per_group",  # window rank
+    "q20_global_topk",          # TakeOrderedAndProject
+    "q25_tumbling_window",      # time windows
+    "q28_kv_stateful_replay",   # applyInPandas custom stateful
+    "q30_ngram_jaccard_neardup",  # exact near-dup self-join
+    "q31_minhash_lsh_neardup",  # minhash-LSH scale path
+    "q34_ann_bruteforce",       # similarity search
+    "q37_multimodal_features",  # mapInPandas binary featurizer
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="mfs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_package_on_executors(spark)
+
+    specs = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = specs[name].builder(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

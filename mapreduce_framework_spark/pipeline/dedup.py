@@ -1,0 +1,274 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY §7 M5).
+
+Four dedup families over `documents`, each Spark-first and JVM-side:
+
+- exact dedup (hash groupBy) ............................ q33
+- n-gram Jaccard near-dup, exact (shingle self-join) .... q30
+- MinHash + LSH near-dup (band/bucket join) ............. q31
+- SimHash fingerprint ................................... q32
+
+Scale notes (100 TB):
+- q30's shingle self-join is quadratic in per-shingle document frequency —
+  it is the *exact oracle*, not the scale path. q31 (MinHash-LSH) is the
+  scale path: cost is O(docs × 64 perms) + band-bucket joins, and the final
+  exact verification only touches candidate pairs.
+- All hashing is FNV-1a32 as pure JVM higher-order-function expressions
+  (the same hash family the reference partitioner uses,
+  src/mr/worker.go:16-20) — no Python round-trip anywhere.
+- MinHash permutations are fixed, seed-derived constants, so results are
+  fully deterministic (required by the oracle hash check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.catalog import table
+from mapreduce_framework_spark.functions.hashing import (
+    FNV_OFFSET_BASIS,
+    FNV_PRIME,
+    TWO32,
+    fnv1a32_py,
+)
+from mapreduce_framework_spark.registry import register
+
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.8
+N_PERMS = 64
+N_BANDS = 16  # 16 bands x 4 rows; P(miss | J>=0.9) ~ 4e-8 per pair
+
+# Deterministic MinHash permutation constants: x -> (a*x + b) mod p, with
+# a odd and < 2^31 so a*h + b stays within int64 for h < 2^32.
+MERSENNE_P = (1 << 61) - 1  # large prime; (a*h+b) < 2^63 so plain mod is safe
+PERM_A = [(fnv1a32_py(f"minhash-a-{i}") & 0x7FFFFFFF) | 1 for i in range(N_PERMS)]
+PERM_B = [fnv1a32_py(f"minhash-b-{i}") for i in range(N_PERMS)]
+
+
+def _fnv_sql(expr: str) -> str:
+    """Spark SQL FNV-1a32 of an arbitrary string expression (ASCII)."""
+    return (
+        f"CASE WHEN length({expr}) = 0 THEN CAST({FNV_OFFSET_BASIS} AS BIGINT) "
+        f"ELSE aggregate(sequence(1, length({expr})), CAST({FNV_OFFSET_BASIS} AS BIGINT), "
+        f"(acc, i) -> ((acc ^ CAST(ascii(substring({expr}, i, 1)) AS BIGINT)) * {FNV_PRIME}) % {TWO32}) END"
+    )
+
+
+def _fnv_duck(expr: str) -> str:
+    return (
+        f"CASE WHEN length({expr}) = 0 THEN CAST({FNV_OFFSET_BASIS} AS BIGINT) "
+        f"ELSE list_reduce(list_prepend(CAST({FNV_OFFSET_BASIS} AS BIGINT), "
+        f"list_transform(range(1, length({expr}) + 1), i -> CAST(unicode(substr({expr}, i, 1)) AS BIGINT))), "
+        f"(acc, b) -> ((xor(acc, b) * {FNV_PRIME}) % {TWO32})) END"
+    )
+
+
+TOKS_SPARK = "filter(split(text, '[^a-zA-Z]+'), w -> w != '')"
+TOKS_DUCK = "list_filter(string_split_regex(text, '[^a-zA-Z]+'), w -> w <> '')"
+
+SHINGLES_SPARK = (
+    f"CASE WHEN size(toks) >= {SHINGLE_K} THEN "
+    f"transform(sequence(1, size(toks) - {SHINGLE_K - 1}), "
+    f"i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))) "
+    f"ELSE array() END"
+)
+SHINGLES_DUCK = (
+    f"CASE WHEN len(toks) >= {SHINGLE_K} THEN "
+    f"list_transform(range(1, len(toks) - {SHINGLE_K - 2}), "
+    f"i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) "
+    f"ELSE [] END"
+)
+
+_SHINGLE_PAIRS_DUCK = f"""
+    t AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK}) AS s FROM t),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT id1, id2,
+             CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
+      FROM pairs JOIN sz x ON pairs.id1 = x.doc_id JOIN sz y ON pairs.id2 = y.doc_id
+    )
+"""
+
+_JACCARD_ORACLE = f"""
+    WITH {_SHINGLE_PAIRS_DUCK}
+    SELECT id1, id2, jaccard FROM jac
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+    ORDER BY id1, id2
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs — word 3-gram shingling."""
+    docs = table(spark, "documents", sf_dir)
+    return (
+        docs.withColumn("toks", F.expr(TOKS_SPARK))
+        .select("doc_id", F.explode(F.array_distinct(F.expr(SHINGLES_SPARK))).alias("s"))
+    )
+
+
+def _exact_jaccard_pairs(sh: DataFrame) -> DataFrame:
+    """All-pairs exact Jaccard over shingle sets (id1 < id2)."""
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    x = sz.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
+    y = sz.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
+    return pairs.join(x, "id1").join(y, "id2").select(
+        "id1",
+        "id2",
+        (F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common"))).alias(
+            "jaccard"
+        ),
+    )
+
+
+@register("q30_ngram_jaccard_neardup", oracle=_JACCARD_ORACLE, tags=("ext", "dedup", "jaccard"))
+def q30_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (word 3-shingle) Jaccard near-duplicate pairs at
+    J ≥ 0.8. This is the exact formulation; q31 is the LSH scale path."""
+    pairs = _exact_jaccard_pairs(_doc_shingles(spark, sf_dir))
+    return pairs.where(F.col("jaccard") >= JACCARD_THRESHOLD).orderBy("id1", "id2")
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig array<bigint>[N_PERMS]) — MinHash over shingle FNV hashes,
+    entirely JVM-side: transform over constant permutation arrays."""
+    sh = _doc_shingles(spark, sf_dir).select(
+        "doc_id", F.expr(_fnv_sql("s")).alias("h")
+    )
+    hashes = sh.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+    a_arr = "array(" + ",".join(str(a) for a in PERM_A) + ")"
+    b_arr = "array(" + ",".join(str(b) for b in PERM_B) + ")"
+    sig = (
+        f"transform(sequence(0, {N_PERMS - 1}), "
+        f"i -> array_min(transform(hs, h -> (element_at({a_arr}, i + 1) * h "
+        f"+ element_at({b_arr}, i + 1)) % {MERSENNE_P})))"
+    )
+    return hashes.select("doc_id", F.expr(sig).alias("sig"))
+
+
+@register(
+    "q31_minhash_lsh_neardup",
+    # Deterministic: fixed permutations; at J>=0.8 the per-pair miss
+    # probability of 16x4 banding is <1e-7, and every surfaced candidate is
+    # exact-verified, so the result equals the exact Jaccard pairs (q30).
+    oracle=_JACCARD_ORACLE,
+    tags=("ext", "dedup", "minhash", "lsh"),
+)
+def q31_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64 perms) + LSH(16 bands × 4 rows) near-dup pairs, exact-
+    verified at J ≥ 0.8 — the 100 TB dedup path: signatures are one scan,
+    candidates come from equi-joins on (band, band-signature), and the
+    quadratic exact check runs only inside buckets."""
+    sigs = minhash_signatures(spark, sf_dir)
+    rows_per_band = N_PERMS // N_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), "
+                f"b -> struct(b AS band, "
+                f"hash(slice(sig, b * {rows_per_band} + 1, {rows_per_band})) AS bsig))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bsig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    # exact verification on candidates only
+    sh = _doc_shingles(spark, sf_dir)
+    sets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
+    s1 = sets.select(F.col("doc_id").alias("id1"), F.col("ss").alias("ss1"))
+    s2 = sets.select(F.col("doc_id").alias("id2"), F.col("ss").alias("ss2"))
+    verified = (
+        candidates.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.size(F.array_intersect("ss1", "ss2")).cast("double")
+                / (F.size("ss1") + F.size("ss2") - F.size(F.array_intersect("ss1", "ss2")))
+            ).alias("jaccard"),
+        )
+    )
+    return verified.where(F.col("jaccard") >= JACCARD_THRESHOLD).orderBy("id1", "id2")
+
+
+_SIMHASH_SPARK = (
+    "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) -> acc + "
+    "IF(aggregate(hs, CAST(0 AS BIGINT), (a2, h) -> a2 + (2 * ((h >> j) & 1) - 1)) > 0, "
+    "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
+)
+_SIMHASH_DUCK = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 32)), (acc, j) -> acc + "
+    "CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), hs), "
+    "(a2, h) -> a2 + (2 * ((h >> j) & 1) - 1)) > 0 "
+    "THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)"
+)
+
+
+@register(
+    "q32_simhash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+    h AS (SELECT doc_id, list_transform(toks, t -> {_fnv_duck('t')}) AS hs FROM t)
+    SELECT doc_id, {_SIMHASH_DUCK} AS simhash
+    FROM h WHERE len(hs) > 0 ORDER BY doc_id
+    """,
+    tags=("ext", "dedup", "simhash"),
+)
+def q32_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (token-frequency-weighted bit votes over
+    FNV token hashes). Near-dup detection = small Hamming distance; the
+    fingerprint itself is oracle-checked bit-exactly."""
+    docs = table(spark, "documents", sf_dir)
+    return (
+        docs.withColumn("toks", F.expr(TOKS_SPARK))
+        .withColumn("hs", F.expr(f"transform(toks, t -> {_fnv_sql('t')})"))
+        .where(F.size("hs") > 0)
+        .select("doc_id", F.expr(_SIMHASH_SPARK).alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q33_exact_dedup_docs",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT text) AS n_unique,
+           count(*) - count(DISTINCT text) AS n_dups
+    FROM documents
+    """,
+    tags=("ext", "dedup", "exact"),
+)
+def q33_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup stats: total vs distinct text. The 100 TB form
+    groups by a content hash (q43's fingerprint) instead of the raw text to
+    keep shuffle rows narrow."""
+    docs = table(spark, "documents", sf_dir)
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("text").alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct("text")).alias("n_dups"),
+    )

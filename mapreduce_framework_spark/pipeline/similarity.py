@@ -1,0 +1,208 @@
+"""Similarity search over the `embeddings` table (SURVEY §7 M5).
+
+- q34: brute-force cosine top-k (the exact baseline; oracle-checked)
+- q35: random-hyperplane LSH-bucketed ANN (the scale path; recall measured
+       against q34 in tests)
+- q36: embedding-cosine near-duplicate pairs (oracle-checked)
+
+Numeric determinism: cosine is computed with explicitly ordered
+float→double folds (``aggregate``/``list_reduce`` are both left-to-right
+with a 0.0 seed), so Spark and DuckDB produce bit-identical doubles and the
+driver's value-hash matches without tolerance.
+
+Scale notes (100 TB): brute force is O(Q × N); the LSH variant bounds
+work to per-bucket candidates — both avoid any Python UDF. For real
+corpora swap the hyperplane count/tables per recall target; an IVF variant
+would replace the hash join with a centroid assignment join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.catalog import table
+from mapreduce_framework_spark.functions.hashing import fnv1a32_py
+from mapreduce_framework_spark.registry import register
+
+TOP_K = 5
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+NEARDUP_COS = 0.45
+DIM = 64
+LSH_TABLES = 8
+LSH_PLANES = 4  # per table -> 16 buckets/table
+
+_DOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _dot_duck(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, v) -> acc + v)"
+    )
+
+
+def _norms_spark(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    return df.withColumn(
+        "norm", F.sqrt(F.expr(_DOT_SPARK.format(a=vec, b=vec)))
+    )
+
+
+_NORM_DUCK = f"sqrt({_dot_duck('embedding', 'embedding')})"
+
+_PAIR_COS_DUCK = f"""
+    e AS (SELECT vec_id, embedding, {_NORM_DUCK} AS norm FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             {_dot_duck('q.embedding', 'c.embedding')} / (q.norm * c.norm) AS cos
+      FROM e q, e c
+      WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    )
+"""
+
+
+@register(
+    "q34_ann_bruteforce",
+    oracle=f"""
+    WITH {_PAIR_COS_DUCK}
+    SELECT qid, cid, cos, rank FROM (
+      SELECT qid, cid, cos,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+      FROM pairs
+    ) WHERE rank <= {TOP_K}
+    ORDER BY qid, rank
+    """,
+    tags=("ext", "similarity", "ann"),
+)
+def q34_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query vectors against the corpus —
+    one scan of the corpus, no shuffle except the per-query top-k."""
+    e = _norms_spark(table(spark, "embeddings", sf_dir))
+    q = e.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cnorm"),
+    )
+    pairs = F.broadcast(q).crossJoin(c).where(F.col("qid") != F.col("cid"))
+    cos = (
+        F.expr(_DOT_SPARK.format(a="qe", b="ce")) / (F.col("qnorm") * F.col("cnorm"))
+    ).alias("cos")
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        pairs.select("qid", "cid", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("qid", "rank")
+    )
+
+
+def _hyperplanes() -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplanes from FNV seeds:
+    tables × planes × dims, values in [-1000, 1000]."""
+    return [
+        [
+            [float((fnv1a32_py(f"plane-{t}-{j}-{d}") % 2001) - 1000) for d in range(DIM)]
+            for j in range(LSH_PLANES)
+        ]
+        for t in range(LSH_TABLES)
+    ]
+
+
+def lsh_buckets(df: DataFrame) -> DataFrame:
+    """(vec_id, table, bucket): sign-of-projection bits per hash table —
+    pure JVM expressions over constant plane arrays."""
+    planes = _hyperplanes()
+    out = []
+    for t in range(LSH_TABLES):
+        bits = []
+        for j in range(LSH_PLANES):
+            arr = "array(" + ",".join(f"{v:.1f}D" for v in planes[t][j]) + ")"
+            dot = _DOT_SPARK.format(a="embedding", b=arr)
+            bits.append(f"IF({dot} > 0, {1 << j}, 0)")
+        out.append(f"struct({t} AS tbl, ({' + '.join(bits)}) AS bucket)")
+    return df.select(
+        "vec_id", F.explode(F.expr("array(" + ",".join(out) + ")")).alias("tb")
+    ).select("vec_id", "tb.tbl", "tb.bucket")
+
+
+@register(
+    "q35_ann_lsh",
+    oracle=None,  # probabilistic candidate set; recall vs q34 checked in tests
+    tags=("ext", "similarity", "ann", "lsh"),
+)
+def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: 8 tables × 4-bit buckets generate
+    candidates (equi-join on (table, bucket)), exact cosine re-ranks them.
+    Recall vs the exact q34 is asserted in tests/test_pipeline.py."""
+    e = _norms_spark(table(spark, "embeddings", sf_dir))
+    buckets = lsh_buckets(e)
+    qb = buckets.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "tbl", "bucket"
+    )
+    cb = buckets.select(F.col("vec_id").alias("cid"), "tbl", "bucket")
+    cand = (
+        F.broadcast(qb)
+        .join(cb, ["tbl", "bucket"])
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+        .distinct()
+    )
+    q = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("norm").alias("qnorm"))
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), F.col("norm").alias("cnorm"))
+    scored = (
+        cand.join(F.broadcast(q), "qid")
+        .join(c, "cid")
+        .select(
+            "qid",
+            "cid",
+            (
+                F.expr(_DOT_SPARK.format(a="qe", b="ce"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("qid", "rank")
+    )
+
+
+@register(
+    "q36_embedding_neardup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, {_NORM_DUCK} AS norm FROM embeddings)
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           {_dot_duck('a.embedding', 'b.embedding')} / (a.norm * b.norm) AS cos
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND {_dot_duck('a.embedding', 'b.embedding')} / (a.norm * b.norm) >= {NEARDUP_COS}
+    ORDER BY id1, id2
+    """,
+    tags=("ext", "similarity", "neardup"),
+)
+def q36_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold), brute force.
+    The LSH bucketing of q35 is the scale path for this too."""
+    e = _norms_spark(table(spark, "embeddings", sf_dir))
+    a = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"), F.col("norm").alias("n1"))
+    b = e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"), F.col("norm").alias("n2"))
+    pairs = a.crossJoin(b).where(F.col("id1") < F.col("id2"))
+    cos = (
+        F.expr(_DOT_SPARK.format(a="e1", b="e2")) / (F.col("n1") * F.col("n2"))
+    ).alias("cos")
+    return (
+        pairs.select("id1", "id2", cos)
+        .where(F.col("cos") >= NEARDUP_COS)
+        .orderBy("id1", "id2")
+    )

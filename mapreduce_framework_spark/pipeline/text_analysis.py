@@ -52,7 +52,7 @@ def q40_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, "documents", sf_dir)
     toks = tokenize(F.lower(F.col("text")))
     n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda w: F.expr(f"array_contains(array({_SW_SPARK}), w)").alias("c") if False else w.isin(*STOPWORDS)))
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
     return docs.select(
         "doc_id",
         F.when(

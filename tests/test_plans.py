@@ -1,0 +1,74 @@
+"""Physical-plan quality gates — the 100 TB design checks.
+
+Correctness says nothing about scale: these tests pin the *plan shapes*
+that make the queries survive a 1000-executor / 100 TB deployment —
+predicate pushdown reaching the parquet scan, column pruning, broadcast
+joins for small dims, map-side partial aggregation, and top-k without a
+global sort."""
+
+from __future__ import annotations
+
+from mapreduce_framework_spark.operators.mr_queries import q01_wordcount
+from mapreduce_framework_spark.operators.relational import (
+    q11_filter_project,
+    q12_join_revenue_per_nation,
+    q13_broadcast_join,
+    q14_semi_join,
+    q20_global_topk,
+)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q11_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(q11_filter_project(spark, sf_dir))
+    assert "PushedFilters:" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].splitlines()[0]
+    # column pruning: the scan must not read all 11 lineitem columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema, f"no pruning: {read_schema}"
+
+
+def test_q13_broadcasts_the_dim(spark, sf_dir):
+    plan = _plan(q13_broadcast_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the filter on the dim side must be pushed to its scan
+    assert "p_size" in plan.split("PushedFilters:")[1]
+
+
+def test_q12_small_dims_broadcast(spark, sf_dir):
+    plan = _plan(q12_join_revenue_per_nation(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # nation (25 rows) must never shuffle
+
+
+def test_q14_semi_join_stays_semi(spark, sf_dir):
+    plan = _plan(q14_semi_join(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_q01_partial_aggregation(spark, sf_dir):
+    """Word count must plan a map-side partial count before the shuffle —
+    the algebraic advantage over the reference's holistic reduce."""
+    plan = _plan(q01_wordcount(spark, sf_dir))
+    assert "partial_count" in plan or "Partial" in plan, plan
+
+
+def test_q20_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(q20_global_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "top-k planned as a full sort"
+
+
+def test_whole_stage_codegen_on_scan_paths(spark, sf_dir):
+    # AQE shows codegen spans only in the final (executed) plan
+    df = q11_filter_project(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    # formatted mode marks whole-stage-codegen operators with a '*' prefix
+    import re
+
+    assert re.search(r"\* (Filter|Project|ColumnarToRow|Sort)", plan), plan
