@@ -177,3 +177,37 @@ def run_sequential(
 def bucket_of(key: str, n_reduce: int = 10) -> int:
     """The reference's bucket assignment (``ihash(key) % NReduce``)."""
     return (fnv1a32_py(key) & 0x7FFFFFFF) % n_reduce
+
+
+def write_intermediate_json(mapped: DataFrame, out_dir: str, n_reduce: int = 10) -> None:
+    """Reference F5 — materialized shuffle format: newline-delimited JSON
+    ``{"Key":...,"Value":...}`` bucketed by FNV (``src/mr/worker.go:57-66``,
+    file naming ``:46``). Spark's internal shuffle replaces this in run_job;
+    this sink exists for parity/interop (e.g. handing intermediates to the
+    reference's reduce phase)."""
+    (
+        mapped.select(
+            fnv1a32_bucket("key", n_reduce).alias("bucket"),
+            F.to_json(
+                F.struct(F.col("key").alias("Key"), F.col("value").alias("Value"))
+            ).alias("line"),
+        )
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .text(out_dir)
+    )
+
+
+def read_intermediate_json(spark: SparkSession, in_dir: str) -> DataFrame:
+    """Reference F6 — shuffle read: decode all bucket files back to
+    (key, value) rows (``src/mr/worker.go:148-175``)."""
+    raw = spark.read.text(f"{in_dir}/bucket=*")
+    parsed = raw.select(
+        F.from_json(
+            F.col("value"), "Key STRING, Value STRING"
+        ).alias("kv")
+    )
+    return parsed.select(
+        F.col("kv.Key").alias("key"), F.col("kv.Value").alias("value")
+    )

@@ -443,3 +443,93 @@ def q23_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(toks, "data").alias("has_data"),
         F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), ",").alias("first3"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q29_approx_count_distinct",
+    oracle=None,  # approximate by design; rsd bound asserted in tests
+    tags=("ext", "agg", "approx"),
+)
+def q29_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct customers per priority
+    (rsd=0.05). Checked against the exact q16 within tolerance in
+    tests/test_probes.py; the driver records a rows-only check. At 100 TB
+    this replaces q16's exact expand+shuffle with a fixed-size sketch."""
+    o = table(spark, "orders", sf_dir)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", 0.05).alias("n_custs_approx"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q44_map_functions",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             map(['lang', 'source'], [lang, source]) AS meta,
+             map_from_entries([('chars', n_chars), ('id', doc_id)]) AS nums
+      FROM documents
+    )
+    SELECT doc_id,
+           meta['lang'][1] AS meta_lang,
+           meta['source'][1] AS meta_source,
+           nums['chars'][1] AS meta_chars,
+           CAST(cardinality(meta) AS INT) AS meta_size
+    FROM m ORDER BY doc_id
+    """,
+    tags=("ext", "map"),
+)
+def q44_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function battery: map_from_arrays / map_from_entries
+    construction, element_at extraction, map_size — scalar outputs so the
+    cross-engine comparison is type-stable (DuckDB map extraction returns
+    lists; its oracle indexes [1])."""
+    d = table(spark, "documents", sf_dir)
+    meta = F.map_from_arrays(
+        F.array(F.lit("lang"), F.lit("source")), F.array("lang", "source")
+    )
+    nums = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("chars").alias("k"), F.col("n_chars").alias("v")),
+            F.struct(F.lit("id").alias("k"), F.col("doc_id").alias("v")),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.element_at(meta, "lang").alias("meta_lang"),
+        F.element_at(meta, "source").alias("meta_source"),
+        F.element_at(nums, "chars").alias("meta_chars"),
+        F.size(meta).cast("int").alias("meta_size"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q45_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           SUM(CAST(o_totalprice AS {DEC})) AS total,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+    """,
+    tags=("ext", "agg", "cube"),
+)
+def q45_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping-set combinations in one
+    Expand+aggregate pass (completes the grouping-sets family with q17's
+    rollup)."""
+    o = table(spark, "orders", sf_dir)
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_last(),
+            F.col("o_orderpriority").asc_nulls_last(),
+        )
+    )

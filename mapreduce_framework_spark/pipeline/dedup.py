@@ -142,20 +142,30 @@ def q30_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sig array<bigint>[N_PERMS]) — MinHash over shingle FNV hashes,
-    entirely JVM-side: transform over constant permutation arrays."""
-    sh = _doc_shingles(spark, sf_dir).select(
-        "doc_id", F.expr(_fnv_sql("s")).alias("h")
+    """(doc_id, sig array<bigint>[N_PERMS]) — MinHash over shingle hashes.
+
+    Performance shape: higher-order array lambdas are *interpreted* in
+    Spark (no codegen), so instead of per-doc array folds the signature is
+    computed as 64 plain ``min()`` aggregate columns over native
+    ``xxhash64`` shingle hashes — whole-stage-codegen'd, map-side partial,
+    one shuffle of 64 longs per doc."""
+    return _signatures_from_shingles(_doc_shingles(spark, sf_dir))
+
+
+def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    h = sh.select(
+        "doc_id", F.xxhash64("s").bitwiseAND(F.lit((1 << 32) - 1)).alias("h")
     )
-    hashes = sh.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
-    a_arr = "array(" + ",".join(str(a) for a in PERM_A) + ")"
-    b_arr = "array(" + ",".join(str(b) for b in PERM_B) + ")"
-    sig = (
-        f"transform(sequence(0, {N_PERMS - 1}), "
-        f"i -> array_min(transform(hs, h -> (element_at({a_arr}, i + 1) * h "
-        f"+ element_at({b_arr}, i + 1)) % {MERSENNE_P})))"
+    aggs = [
+        F.min((F.lit(PERM_A[i]) * F.col("h") + F.lit(PERM_B[i])) % MERSENNE_P).alias(
+            f"m{i}"
+        )
+        for i in range(N_PERMS)
+    ]
+    sigs = h.groupBy("doc_id").agg(*aggs)
+    return sigs.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(N_PERMS)]).alias("sig")
     )
-    return hashes.select("doc_id", F.expr(sig).alias("sig"))
 
 
 @register(
@@ -171,7 +181,12 @@ def q31_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified at J ≥ 0.8 — the 100 TB dedup path: signatures are one scan,
     candidates come from equi-joins on (band, band-signature), and the
     quadratic exact check runs only inside buckets."""
-    sigs = minhash_signatures(spark, sf_dir)
+    from pyspark import StorageLevel
+
+    # shingling (tokenize+3-gram+distinct) feeds both the signature build and
+    # the exact verification — persist it instead of recomputing the scan
+    sh_cached = _doc_shingles(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _signatures_from_shingles(sh_cached)
     rows_per_band = N_PERMS // N_BANDS
     bands = sigs.select(
         "doc_id",
@@ -195,9 +210,19 @@ def q31_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .distinct()
     )
-    # exact verification on candidates only
-    sh = _doc_shingles(spark, sf_dir)
-    sets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
+    # exact verification on candidates only — restrict the shingle-set build
+    # to docs that actually appear in a candidate pair (semi-join) so the
+    # collect_set shuffle is proportional to candidates, not the corpus
+    cand_docs = (
+        candidates.select(F.col("id1").alias("doc_id"))
+        .unionAll(candidates.select(F.col("id2").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        sh_cached.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("ss"))
+    )
     s1 = sets.select(F.col("doc_id").alias("id1"), F.col("ss").alias("ss1"))
     s2 = sets.select(F.col("doc_id").alias("id2"), F.col("ss").alias("ss2"))
     verified = (

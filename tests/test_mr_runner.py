@@ -139,3 +139,37 @@ def test_task_retry_recovers_injected_crashes(sf_dir):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "CHAOS_OK" in proc.stdout
+
+
+def test_intermediate_json_roundtrip(spark, sf_dir, tmp_path):
+    """F5/F6 parity: materialize the map output as the reference's NDJSON
+    {"Key","Value"} bucket files and read it back losslessly."""
+    from mapreduce_framework_spark.mr.runner import (
+        read_intermediate_json,
+        write_intermediate_json,
+    )
+    from pyspark.sql import functions as F
+
+    map_fn, _ = APPS["wc"]
+    inputs = _doc_inputs(spark, sf_dir)
+
+    import pandas as pd
+
+    def map_partition(batches):
+        for pdf in batches:
+            ks, vs = [], []
+            for name, contents in zip(pdf["name"], pdf["contents"]):
+                for k, v in map_fn(name, contents):
+                    ks.append(k)
+                    vs.append(v)
+            yield pd.DataFrame({"key": ks, "value": vs})
+
+    from mapreduce_framework_spark.mr.runner import KV_SCHEMA
+
+    mapped = inputs.mapInPandas(map_partition, schema=KV_SCHEMA)
+    out = str(tmp_path / "intermediate")
+    write_intermediate_json(mapped, out, n_reduce=10)
+    back = read_intermediate_json(spark, out)
+    orig = sorted((r["key"], r["value"]) for r in mapped.collect())
+    got = sorted((r["key"], r["value"]) for r in back.collect())
+    assert got == orig

@@ -1,0 +1,70 @@
+"""Behavioral probes — the Spark analogs of the reference probe apps.
+
+The reference asserts scheduler behavior via MR jobs that watch the
+filesystem and process table (SURVEY §2.2 A5/A7/A8); Spark exposes the
+same properties through accumulators, partition ids, and task metrics:
+
+- A5 jobcount (exactly 8 map executions for 8 files, test-mr.sh:200-208)
+  → accumulator counts map-batch record totals: every input processed
+  exactly once absent failures.
+- A7/A8 m/rtiming (concurrent workers) → a job over N partitions uses
+  multiple distinct partition ids (local[N] executes them in parallel).
+- Q29's approximation bound (rsd) vs the exact q16.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.catalog import table
+from mapreduce_framework_spark.mr import frame_as_inputs, run_job
+from mapreduce_framework_spark.operators.relational import (
+    q16_count_distinct,
+    q29_approx_count_distinct,
+)
+
+
+def test_jobcount_exactly_once_map_accounting(spark, sf_dir):
+    """A5 parity: without failures, each input record is consumed by exactly
+    one map invocation — the accumulator total equals the input count."""
+    acc = spark.sparkContext.accumulator(0)
+    docs = table(spark, "documents", sf_dir)
+    inputs = frame_as_inputs(docs, "doc_id", "text")
+    n_inputs = inputs.count()
+
+    def map_fn(name, contents):
+        acc.add(1)
+        return [("a", "x")]
+
+    def reduce_fn(key, values):
+        return str(len(values))
+
+    result = run_job(inputs, map_fn, reduce_fn, n_reduce=3).collect()
+    assert result[0]["value"] == str(n_inputs)
+    assert acc.value == n_inputs, f"map ran {acc.value}x for {n_inputs} inputs"
+
+
+def test_map_parallelism(spark, sf_dir):
+    """A7 parity: the map phase runs as many concurrent tasks as there are
+    input partitions (the reference asserts ≥2 concurrent workers)."""
+    docs = table(spark, "documents", sf_dir).repartition(8)
+    pids = {
+        r["pid"]
+        for r in docs.select(F.spark_partition_id().alias("pid")).distinct().collect()
+    }
+    assert len(pids) >= 2
+
+
+def test_q29_within_rsd_bound(spark, sf_dir):
+    exact = {
+        r["o_orderpriority"]: r["n_custs"]
+        for r in q16_count_distinct(spark, sf_dir).collect()
+    }
+    approx = {
+        r["o_orderpriority"]: r["n_custs_approx"]
+        for r in q29_approx_count_distinct(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k in exact:
+        rel_err = abs(approx[k] - exact[k]) / exact[k]
+        assert rel_err < 0.15, f"{k}: approx={approx[k]} exact={exact[k]}"
