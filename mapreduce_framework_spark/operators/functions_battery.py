@@ -1,0 +1,169 @@
+"""Extended function coverage — window analytics battery, pivot,
+vectorized pandas UDF path, and null-handling semantics (all [EXT];
+the reference's scalar surface is raw Go stdlib inside map/reduce fns,
+SURVEY §2.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.catalog import table
+from mapreduce_framework_spark.registry import register
+
+
+@register(
+    "q50_window_battery",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderkey) OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           first_value(o_orderkey) OVER w AS first_order,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    tags=("ext", "window"),
+)
+def q50_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first_value/ntile/partition-count in one windowed pass."""
+    o = table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_custkey")).alias("n_orders"),
+    ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
+
+
+@register(
+    "q51_pivot",
+    oracle="""
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("ext", "pivot"),
+)
+def q51_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts to one column per type. With explicit pivot values
+    Spark skips the extra distinct-values job — at 100 TB always pass the
+    value list."""
+    ev = table(spark, "events", sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot yields nulls for absent combos; the CASE oracle yields 0
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    ).orderBy("user_id")
+
+
+def _zscore_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic per-row transform in vectorized Python: scaled price.
+    (Stateless — safe to run per Arrow batch.)"""
+    for pdf in batches:
+        out = pdf[["o_orderkey"]].copy()
+        out["price_scaled"] = (pdf["o_totalprice"] * 100.0).astype("int64")
+        yield out
+
+
+@register(
+    "q52_pandas_udf_path",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(trunc(o_totalprice * 100.0) AS BIGINT) AS price_scaled
+    FROM orders ORDER BY o_orderkey
+    """,
+    tags=("ext", "udf", "arrow"),
+)
+def q52_pandas_udf_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sanctioned Python escape hatch: Arrow-batched mapInPandas doing a
+    vectorized numpy transform, oracle-checked against the equivalent SQL.
+    (int64 cast of double*100 == SQL trunc: both truncate toward zero on
+    identical IEEE products.)"""
+    o = table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    return o.mapInPandas(
+        _zscore_batches, schema="o_orderkey long, price_scaled long"
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "q53_null_handling",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+      FROM customer c
+      LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        ON c.c_custkey = o.o_custkey
+    )
+    SELECT c_custkey,
+           coalesce(o_orderkey, -1) AS order_or_default,
+           (o_orderkey IS NULL) AS has_no_big_order,
+           nullif(CAST(c_acctbal AS DECIMAL(18,2)), 0.00) AS bal_nullable,
+           CASE WHEN o_totalprice IS NULL THEN 'none' ELSE 'big' END AS bucket
+    FROM j ORDER BY c_custkey, order_or_default
+    """,
+    tags=("ext", "nulls"),
+)
+def q53_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics battery over an outer join: coalesce, IS NULL,
+    nullif, CASE on nullable columns."""
+    c = table(spark, "customer", sf_dir)
+    o = table(spark, "orders", sf_dir).where(F.col("o_totalprice") > 400000)
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce("o_orderkey", F.lit(-1)).alias("order_or_default"),
+        F.col("o_orderkey").isNull().alias("has_no_big_order"),
+        F.nullif(F.col("c_acctbal").cast("decimal(18,2)"), F.lit(0.00).cast("decimal(18,2)")).alias(
+            "bal_nullable"
+        ),
+        F.when(F.col("o_totalprice").isNull(), "none").otherwise("big").alias("bucket"),
+    ).orderBy("c_custkey", "order_or_default")
+
+
+@register(
+    "q54_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.75) AS p75_price,
+           quantile_cont(l_extendedprice, 0.99) AS p99_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("ext", "agg", "percentile"),
+)
+def q54_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles with linear interpolation (Spark `percentile` ==
+    DuckDB `quantile_cont`, verified bit-exact). At 100 TB swap for
+    approx_percentile (t-digest) — exact percentile sorts each group."""
+    li = table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.expr("percentile(l_extendedprice, 0.25)").alias("p25_price"),
+            F.expr("percentile(l_extendedprice, 0.75)").alias("p75_price"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99_price"),
+        )
+        .orderBy("l_returnflag")
+    )

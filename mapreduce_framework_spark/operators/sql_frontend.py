@@ -1,0 +1,74 @@
+"""Declarative SQL front end (absent from the reference — SURVEY §2.4
+lists "any SQL/declarative front end" as a category with no reference
+implementation; this engine gets one for free from Spark SQL).
+
+Queries here run through ``spark.sql`` over registered views — proving a
+user can drive the whole engine with ANSI SQL text, not just the DataFrame
+API. Results are oracle-checked like every other query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mapreduce_framework_spark.catalog import register_views
+from mapreduce_framework_spark.registry import register
+
+
+@register(
+    "q46_sql_frontend_join",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_orders,
+           SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+    tags=("ext", "sql"),
+)
+def q46_sql_frontend_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A join+agg written as SQL text — the exact statement also runs on
+    DuckDB, demonstrating ANSI-portable surface."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               COUNT(*) AS n_orders,
+               SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS total
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY n.n_name ORDER BY n.n_name
+        """
+    )
+
+
+@register(
+    "q47_sql_frontend_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) t WHERE rnk <= 2
+    ORDER BY o_custkey, rnk, o_orderkey
+    """,
+    tags=("ext", "sql", "window"),
+)
+def q47_sql_frontend_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function via SQL text (RANK, vs q18's row_number)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, rnk FROM (
+          SELECT o_custkey, o_orderkey,
+                 RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders
+        ) t WHERE rnk <= 2
+        ORDER BY o_custkey, rnk, o_orderkey
+        """
+    )

@@ -1,0 +1,65 @@
+"""Scale-pattern behavior tests: bucketed co-located joins (no shuffle),
+CSV/JSON source-sink roundtrips, and salted-agg equivalence plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.catalog import table
+from mapreduce_framework_spark.sources import (
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+)
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Pre-bucketing both join sides on the key (the 100 TB co-location
+    pattern) must produce a join plan with NO Exchange — the shuffle happens
+    once at write time, then every subsequent join is free."""
+    o = table(spark, "orders", sf_dir)
+    c = table(spark, "customer", sf_dir)
+    # external tables under tmp_path (warehouse dir is a static conf)
+    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").option(
+        "path", str(tmp_path / "orders_bkt")
+    ).mode("overwrite").saveAsTable("orders_bkt")
+    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").option(
+        "path", str(tmp_path / "customer_bkt")
+    ).mode("overwrite").saveAsTable("customer_bkt")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("orders_bkt").join(
+            spark.table("customer_bkt"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple"
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # and it is correct
+        assert j.count() == o.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS customer_bkt")
+
+
+@pytest.mark.parametrize("fmt", ["csv", "jsonl"])
+def test_source_sink_roundtrip(spark, sf_dir, tmp_path, fmt):
+    """CSV/JSON-lines sinks+sources must be lossless for typed rows
+    (incl. timestamps at µs precision)."""
+    orig = table(spark, "orders", sf_dir).limit(500)
+    path = str(tmp_path / f"orders_{fmt}")
+    if fmt == "csv":
+        write_csv(orig, path)
+        back = read_csv(spark, path, orig.schema)
+    else:
+        write_jsonl(orig, path)
+        back = read_jsonl(spark, path, orig.schema)
+    a = sorted(tuple(r) for r in orig.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
