@@ -297,3 +297,38 @@ def q33_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("text").alias("n_unique"),
         (F.count(F.lit(1)) - F.count_distinct("text")).alias("n_dups"),
     )
+
+
+HAMMING_MAX = 6
+
+
+@register(
+    "q55_simhash_neardup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+    h AS (SELECT doc_id, list_transform(toks, t -> {_fnv_duck('t')}) AS hs FROM t),
+    s AS (SELECT doc_id, {_SIMHASH_DUCK} AS simhash FROM h WHERE len(hs) > 0)
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    ORDER BY id1, id2
+    """,
+    tags=("ext", "dedup", "simhash"),
+)
+def q55_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance ≤ {HAMMING_MAX} between
+    32-bit fingerprints. All-pairs here (the exact oracle form); at scale,
+    band the fingerprint into 4 bytes and equi-join on any-equal-byte
+    (pigeonhole: hamming ≤ 6 over 4 bands ⇒ some band is ≤ 1 bit off) —
+    same candidate-generation idea as q31."""
+    sims = q32_simhash(spark, sf_dir)
+    a = sims.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("h1"))
+    b = sims.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("h2"))
+    pairs = a.join(b, F.col("id1") < F.col("id2"))
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int")
+    return (
+        pairs.select("id1", "id2", hamming.alias("hamming"))
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("id1", "id2")
+    )

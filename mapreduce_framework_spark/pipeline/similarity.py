@@ -206,3 +206,73 @@ def q36_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos") >= NEARDUP_COS)
         .orderBy("id1", "id2")
     )
+
+
+IVF_CENTROID_STRIDE = 97  # vec_id % stride == 0 -> deterministic centroids
+IVF_NPROBE = 2
+
+
+@register(
+    "q56_ann_ivf",
+    oracle=None,  # probabilistic recall; measured vs exact q34 in tests
+    tags=("ext", "similarity", "ann", "ivf"),
+)
+def q56_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic centroids (every {IVF_CENTROID_STRIDE}th
+    vector), corpus assigned to its nearest centroid (one broadcast join),
+    queries probe their {IVF_NPROBE} nearest cells, exact cosine re-ranks
+    within the probed cells. The inverted-file counterpart to q35's LSH —
+    at 100 TB the assignment join is the only corpus-wide pass."""
+    e = _norms_spark(table(spark, "embeddings", sf_dir))
+    cents = e.where((F.col("vec_id") % IVF_CENTROID_STRIDE) == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent"),
+        F.col("norm").alias("cent_norm"),
+    )
+
+    def nearest_cells(df, id_col, k):
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col),
+            "cent_id",
+            (
+                F.expr(_DOT_SPARK.format(a="embedding", b="cent"))
+                / (F.col("norm") * F.col("cent_norm"))
+            ).alias("ccos"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cent_id"))
+        return scored.withColumn("r", F.row_number().over(w)).where(F.col("r") <= k)
+
+    assign = nearest_cells(e, "vec_id", 1).select(
+        F.col("vec_id").alias("cid"), "cent_id"
+    )
+    queries = e.where(F.col("vec_id") < N_QUERIES)
+    probes = nearest_cells(queries, "vec_id", IVF_NPROBE).select(
+        F.col("vec_id").alias("qid"), "cent_id"
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cent_id")
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid")
+        .distinct()
+    )
+    q = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("norm").alias("qnorm"))
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), F.col("norm").alias("cnorm"))
+    scored = (
+        cand.join(F.broadcast(q), "qid")
+        .join(c, "cid")
+        .select(
+            "qid",
+            "cid",
+            (
+                F.expr(_DOT_SPARK.format(a="qe", b="ce"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .orderBy("qid", "rank")
+    )

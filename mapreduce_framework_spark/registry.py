@@ -51,6 +51,7 @@ def all_queries() -> dict[str, QuerySpec]:
     import mapreduce_framework_spark.operators.skew  # noqa: F401
     import mapreduce_framework_spark.operators.graph  # noqa: F401
     import mapreduce_framework_spark.operators.functions_battery  # noqa: F401
+    import mapreduce_framework_spark.operators.temporal  # noqa: F401
     import mapreduce_framework_spark.pipeline.dedup  # noqa: F401
     import mapreduce_framework_spark.pipeline.similarity  # noqa: F401
     import mapreduce_framework_spark.pipeline.text_analysis  # noqa: F401

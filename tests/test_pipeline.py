@@ -61,3 +61,20 @@ def test_multimodal_decode_stubs_are_marked():
             fn(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         sample_video_frames(b"\x00")
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from mapreduce_framework_spark.pipeline.similarity import q56_ann_ivf
+
+    exact = {}
+    for r in q34_ann_bruteforce(spark, sf_dir).collect():
+        exact.setdefault(r["qid"], set()).add(r["cid"])
+    ivf = {}
+    for r in q56_ann_ivf(spark, sf_dir).collect():
+        ivf.setdefault(r["qid"], set()).add(r["cid"])
+    hits = sum(len(exact[q] & ivf.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    # nprobe=2 of ~5 cells on uniform data: partial recall by design
+    assert recall >= 0.2, f"IVF recall collapsed: {recall:.2f}"
+    assert all(len(v) <= 5 for v in ivf.values())

@@ -63,3 +63,27 @@ def test_source_sink_roundtrip(spark, sf_dir, tmp_path, fmt):
     a = sorted(tuple(r) for r in orig.collect())
     b = sorted(tuple(r) for r in back.collect())
     assert a == b
+
+
+def test_partition_pruning_on_date_partitioned_sink(spark, sf_dir, tmp_path):
+    """Writing events partitioned by day and querying one day must prune at
+    planning time (PartitionFilters), reading only that day's files — the
+    bedrock 100 TB layout pattern."""
+    ev = table(spark, "events", sf_dir)
+    out = str(tmp_path / "events_by_day")
+    (
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .write.partitionBy("day")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    one_day = back.where(F.col("day") == "2024-01-05")
+    plan = one_day._sc._jvm.PythonSQLUtils.explainString(
+        one_day._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert "2024-01-05" in plan.split("PartitionFilters")[1].splitlines()[0]
+    # correctness of the pruned read
+    expected = ev.where(F.date_format("ts", "yyyy-MM-dd") == "2024-01-05").count()
+    assert one_day.count() == expected > 0

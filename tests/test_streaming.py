@@ -211,3 +211,35 @@ def test_session_window_streaming_matches_batch_closed_sessions(
     missing = must_emit - set(got_rows)
     assert not missing, f"{len(missing)} closed sessions not emitted"
     assert len(got_rows) >= len(must_emit) > 0
+
+
+def test_streaming_parquet_sink_exactly_once_on_restart(spark, sf_dir, tmp_path):
+    """Exactly-once output parity (the property the reference's early-exit/
+    jobcount tests pin, test-mr.sh:188-267): re-running a checkpointed
+    streaming query over already-processed data must write no duplicates."""
+    src = str(tmp_path / "eo_src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
+    out = str(tmp_path / "eo_out")
+    ckpt = str(tmp_path / "eo_ckpt")
+
+    def run_once():
+        events = read_events_stream(spark, src)
+        q = (
+            events.select("event_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    run_once()  # restart with same checkpoint: no new input -> no new rows
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2
+    ids = spark.read.parquet(out).groupBy("event_id").count()
+    assert ids.where(F.col("count") > 1).count() == 0, "duplicate outputs"
