@@ -38,6 +38,8 @@ HEADLINE = [
     "q31_minhash_lsh_neardup",  # minhash-LSH scale path
     "q34_ann_bruteforce",       # similarity search
     "q37_multimodal_features",  # mapInPandas binary featurizer
+    "q48_salted_skew_agg",      # skew-resilient two-stage agg
+    "q57_asof_join",            # as-of join (merge-sorted-streams form)
 ]
 
 

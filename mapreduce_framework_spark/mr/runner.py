@@ -99,6 +99,11 @@ def run_job(
     scheduling, the phase barrier (stage boundary), straggler re-execution
     (``spark.task.maxFailures`` / speculation) and shuffle.
     """
+    from mapreduce_framework_spark.deploy import ensure_package_on_executors
+
+    # user map/reduce fns may live in importable modules (pickled by
+    # reference) — ship the package so executors can resolve them
+    ensure_package_on_executors(inputs.sparkSession)
 
     def map_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -99,6 +99,9 @@ def q52_pandas_udf_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized numpy transform, oracle-checked against the equivalent SQL.
     (int64 cast of double*100 == SQL trunc: both truncate toward zero on
     identical IEEE products.)"""
+    from mapreduce_framework_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
     o = table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
     return o.mapInPandas(
         _zscore_batches, schema="o_orderkey long, price_scaled long"
@@ -167,3 +170,36 @@ def q54_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q59_string_battery",
+    oracle="""
+    SELECT c_custkey,
+           levenshtein(c_mktsegment, 'MACHINERY') AS seg_dist,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+           rpad(c_mktsegment, 12, '.') AS seg_padded,
+           translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lowervowel,
+           repeat('*', CAST(c_custkey % 4 AS INT)) AS stars,
+           reverse(c_mktsegment) AS seg_rev,
+           split_part(c_name, '#', 2) AS name_num,
+           trim(concat(' ', c_mktsegment, ' ')) AS seg_trim
+    FROM customer ORDER BY c_custkey
+    """,
+    tags=("ext", "scalar", "string"),
+)
+def q59_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string battery: edit distance, padding, translate, repeat,
+    reverse, split_part, trim — all codegen'd built-ins."""
+    c = table(spark, "customer", sf_dir)
+    return c.select(
+        "c_custkey",
+        F.levenshtein("c_mktsegment", F.lit("MACHINERY")).alias("seg_dist"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.rpad("c_mktsegment", 12, ".").alias("seg_padded"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_lowervowel"),
+        F.repeat(F.lit("*"), (F.col("c_custkey") % 4).cast("int")).alias("stars"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.split_part("c_name", F.lit("#"), F.lit(2)).alias("name_num"),
+        F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
+    ).orderBy("c_custkey")

@@ -33,7 +33,14 @@ def connected_components(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
     eager localCheckpoint so iteration N+1 doesn't replan/recompute rounds
     1..N. Converges in O(graph diameter) rounds.
     """
-    sym = edges.select("u", "v").unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # materialize the edge list once — without this every iteration's join
+    # AND the convergence check would recompute the (possibly expensive)
+    # upstream plan that produced the edges
+    sym = (
+        edges.select("u", "v")
+        .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=True)
+    )
     nodes = sym.select(F.col("u").alias("id")).distinct()
     comp = nodes.withColumn("comp", F.col("id")).localCheckpoint(eager=True)
     for _ in range(max_iters):

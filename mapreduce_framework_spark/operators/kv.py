@@ -198,6 +198,9 @@ def q28_kv_stateful_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of the Structured Streaming applyInPandasWithState operator
     (streaming/state.py), sharing fold_kv_history. Checked against the
     same SQL oracle as q06, plus batch-vs-streaming parity in tests."""
+    from mapreduce_framework_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
     ops = kv_ops(spark, sf_dir).where(F.col("op") != "get")
     folded = ops.groupBy("key").applyInPandas(
         lambda pdf: fold_kv_history(pdf), schema="key string, value string"

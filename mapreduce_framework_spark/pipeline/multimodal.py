@@ -118,6 +118,9 @@ def q37_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: binary payload column → Arrow-batched
     mapInPandas featurizer → typed feature frame. The Python-side FNV must
     agree with the SQL oracle byte-for-byte (ASCII corpus ⇒ unicode()==byte)."""
+    from mapreduce_framework_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
     media = media_frame(spark, sf_dir)
     feats = media.mapInPandas(extract_byte_features, schema=FEATURE_SCHEMA)
     return feats.orderBy("doc_id")
