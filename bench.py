@@ -50,6 +50,9 @@ def main() -> None:
     ensure_package_on_executors(spark)
 
     specs = all_queries()
+    # warm the session (JVM/codegen/FS init) so q01 doesn't absorb startup
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         df = specs[name].builder(spark, sf_dir)

@@ -203,3 +203,131 @@ def q59_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part("c_name", F.lit("#"), F.lit(2)).alias("name_num"),
         F.trim(F.concat(F.lit(" "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "q60_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+    """,
+    tags=("ext", "agg", "grouping-sets"),
+)
+def q60_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither pure rollup nor cube): per-status,
+    per-priority, and grand total in one Expand pass."""
+    from mapreduce_framework_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+        """
+    )
+
+
+@register(
+    "q61_correlated_subqueries",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+      AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    ORDER BY c_custkey
+    """,
+    tags=("ext", "sql", "subquery"),
+)
+def q61_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + scalar subquery — Catalyst decorrelates to a
+    semi-join + broadcast scalar, no per-row re-execution."""
+    from mapreduce_framework_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+          AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+        ORDER BY c_custkey
+        """
+    )
+
+
+@register(
+    "q63_posexplode",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[^a-zA-Z]+'), w -> w <> '') AS toks
+      FROM documents WHERE doc_id < 20
+    ),
+    p AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) + 1),
+                                   i -> {'pos': i - 1, 'word': toks[i]})) AS u
+      FROM t
+    )
+    SELECT doc_id, CAST(u.pos AS INT) AS pos, u.word AS word
+    FROM p ORDER BY doc_id, pos
+    """,
+    tags=("ext", "explode"),
+)
+def q63_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (lateral view): token with its 0-based position
+    (oracle builds {pos, word} structs and unnests — this DuckDB build has
+    no WITH ORDINALITY)."""
+    docs = table(spark, "documents", sf_dir).where(F.col("doc_id") < 20)
+    toks = F.filter(F.split("text", "[^a-zA-Z]+"), lambda w: w != "")
+    return (
+        docs.select("doc_id", F.posexplode(toks).alias("pos", "word"))
+        .select("doc_id", F.col("pos").cast("int"), "word")
+        .orderBy("doc_id", "pos")
+    )
+
+
+@register(
+    "q64_summary_stats",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sx,
+             SUM(CAST(l_quantity AS DECIMAL(38,6)) * CAST(l_quantity AS DECIMAL(38,6))) AS sxx,
+             MIN(l_quantity) AS min_qty,
+             MAX(l_quantity) AS max_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, min_qty, max_qty,
+           CAST((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                / (n - 1) AS DECIMAL(18,6)) AS var_qty
+    FROM s ORDER BY l_returnflag
+    """,
+    tags=("ext", "agg", "stats"),
+)
+def q64_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summary statistics with a cross-engine-exact variance: decimal sums
+    of x and x² (order-independent), variance assembled in identical IEEE
+    double ops — the pattern for any moment-based statistic where naive
+    stddev_samp would be engine-order-dependent."""
+    li = table(spark, "lineitem", sf_dir)
+    dec = F.col("l_quantity").cast("decimal(38,6)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("sx"),
+        F.sum(dec * dec).alias("sxx"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+    var = (
+        (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n"))
+        / (F.col("n") - 1)
+    ).cast("decimal(18,6)")
+    return s.select(
+        "l_returnflag", "n", "min_qty", "max_qty", var.alias("var_qty")
+    ).orderBy("l_returnflag")

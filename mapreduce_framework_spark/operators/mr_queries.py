@@ -20,7 +20,7 @@ from mapreduce_framework_spark.functions.hashing import (
     fnv1a32,
     fnv1a32_duckdb,
 )
-from mapreduce_framework_spark.functions.text import tokenize, tokenize_duckdb
+from mapreduce_framework_spark.functions.text import explode_tokens, tokenize_duckdb
 from mapreduce_framework_spark.registry import register
 
 _TOK_SQL = tokenize_duckdb("text")
@@ -43,7 +43,7 @@ def q01_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial_count before the shuffle, unlike the reference's holistic reduce."""
     docs = table(spark, "documents", sf_dir)
     return (
-        docs.select(F.explode(tokenize("text")).alias("word"))
+        explode_tokens(docs, "text")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("word")
@@ -67,7 +67,7 @@ def q02_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     words, then per word: doc frequency + comma-joined doc list sorted by
     doc id (the reference sorts values inside reduce, indexer.go:37)."""
     docs = table(spark, "documents", sf_dir)
-    pairs = docs.select("doc_id", F.explode(tokenize("text")).alias("word"))
+    pairs = explode_tokens(docs, "text", keep=["doc_id"])
     return (
         pairs.groupBy("word")
         .agg(
@@ -140,7 +140,7 @@ def q04_per_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     map records are the word tokens, so: tokens per document."""
     docs = table(spark, "documents", sf_dir)
     return (
-        docs.select("doc_id", F.explode(tokenize("text")).alias("word"))
+        explode_tokens(docs, "text", keep=["doc_id"])
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("doc_id")
@@ -174,7 +174,7 @@ def q09_fnv_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket (mod 10) histogram over the distinct words of Q01. The hash is a
     JVM-side ``aggregate`` expression — no Python UDF."""
     docs = table(spark, "documents", sf_dir)
-    words = docs.select(F.explode(tokenize("text")).alias("word")).distinct()
+    words = explode_tokens(docs, "text").distinct()
     bucket = (fnv1a32("word").bitwiseAND(F.lit(0x7FFFFFFF)) % 10).cast("int")
     return (
         words.select(bucket.alias("bucket"))
@@ -199,7 +199,7 @@ def q10_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark plans a range-partitioned sort — no single-node bottleneck."""
     docs = table(spark, "documents", sf_dir)
     return (
-        docs.select(F.explode(tokenize("text")).alias("word"))
+        explode_tokens(docs, "text")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("word").asc())

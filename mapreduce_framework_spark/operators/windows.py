@@ -120,3 +120,43 @@ def q27_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "q65_hierarchical_rollup",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             count(*) AS cnt,
+             SUM(CAST(value AS DECIMAL(38,6))) AS val
+      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e
+      GROUP BY 1, 2
+    )
+    SELECT CAST(date_trunc('day', h) AS DATE) AS day, event_type,
+           SUM(cnt) AS cnt, SUM(val) AS val
+    FROM hourly GROUP BY 1, 2 ORDER BY day, event_type
+    """,
+    tags=("ext", "rollup", "hypertable"),
+)
+def q65_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: daily totals computed FROM the
+    hourly rollup (sum-of-sums), not from raw events — the pattern that lets
+    a 100 TB store answer coarse queries from a tiny pre-aggregated table.
+    The oracle aggregates the same two levels; equality proves the rollup
+    is losslessly composable (algebraic aggregates only)."""
+    from mapreduce_framework_spark.catalog import table as _table
+
+    ev = _table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("val"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "h").cast("date").alias("day"), "event_type"
+        )
+        .agg(F.sum("cnt").alias("cnt"), F.sum("val").alias("val"))
+        .orderBy("day", "event_type")
+    )

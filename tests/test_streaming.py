@@ -243,3 +243,47 @@ def test_streaming_parquet_sink_exactly_once_on_restart(spark, sf_dir, tmp_path)
     assert n1 == n2
     ids = spark.read.parquet(out).groupBy("event_id").count()
     assert ids.where(F.col("count") > 1).count() == 0, "duplicate outputs"
+
+
+def test_stream_stream_interval_self_join(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (purchases ⋈ clicks within the previous
+    hour, both watermarked): total matched pairs must equal the batch
+    interval join."""
+    from mapreduce_framework_spark.catalog import table
+
+    src = str(tmp_path / "ss_src")
+    os.makedirs(src)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
+
+    events = read_events_stream(spark, src)
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withWatermark("ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user AND c_ts >= ts - INTERVAL 1 HOUR AND c_ts < ts"
+        ),
+    )
+    got = run_stream_to_memory(joined, spark, output_mode="append", timeout_s=180)
+    n_stream = got.count()
+
+    ev = table(spark, "events", sf_dir)
+    cb = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    pb = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    n_batch = pb.join(
+        cb,
+        (pb.user_id == cb.c_user)
+        & (cb.c_ts >= pb.ts - F.expr("INTERVAL 1 HOUR"))
+        & (cb.c_ts < pb.ts),
+    ).count()
+    assert n_stream == n_batch > 0
