@@ -331,3 +331,63 @@ def q64_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag", "n", "min_qty", "max_qty", var.alias("var_qty")
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q66_json_functions",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("ext", "json"),
+)
+def q66_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column handling: extract a field from the
+    `props` JSON payload and aggregate it (integer path ⇒ exact)."""
+    ev = table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q67_multiset_ops",
+    oracle="""
+    WITH a AS (SELECT user_id % 20 AS k FROM events WHERE event_type = 'click'),
+         b AS (SELECT user_id % 20 AS k FROM events WHERE event_type = 'view')
+    SELECT 'union_all' AS op, count(*) AS cnt FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'intersect_all', count(*) FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'except_all', count(*) FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    ORDER BY op
+    """,
+    tags=("ext", "setop", "multiset"),
+)
+def q67_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (multiset) semantics: INTERSECT ALL / EXCEPT ALL preserve
+    duplicate multiplicities (q21 covered the distinct-set forms)."""
+    ev = table(spark, "events", sf_dir)
+    a = ev.where(F.col("event_type") == "click").select((F.col("user_id") % 20).alias("k"))
+    b = ev.where(F.col("event_type") == "view").select((F.col("user_id") % 20).alias("k"))
+    parts = [
+        a.unionAll(b).agg(F.count(F.lit(1)).alias("cnt")).select(F.lit("union_all").alias("op"), "cnt"),
+        a.intersectAll(b).agg(F.count(F.lit(1)).alias("cnt")).select(F.lit("intersect_all").alias("op"), "cnt"),
+        a.exceptAll(b).agg(F.count(F.lit(1)).alias("cnt")).select(F.lit("except_all").alias("op"), "cnt"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("op")
