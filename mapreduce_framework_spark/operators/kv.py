@@ -28,7 +28,6 @@ which holds all values of a key in RAM, src/mr/worker.go:148-177).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window

@@ -14,7 +14,7 @@ use ``time_bucket`` with an explicit epoch origin so bucket boundaries agree.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_framework_spark.catalog import table

@@ -24,7 +24,6 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
 )
 
 # events schema after µs-normalization (catalog.table handles batch; the
