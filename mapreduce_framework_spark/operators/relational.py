@@ -533,3 +533,76 @@ def q45_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_last(),
         )
     )
+
+
+@register(
+    "q68_merge_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id * 8 AS c_custkey,
+             SUM(CAST(value AS DECIMAL(38,6))) AS new_bal
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(b.c_custkey, ch.c_custkey) AS c_custkey,
+           COALESCE(b.c_name, 'NEW#' || CAST(ch.c_custkey AS VARCHAR)) AS c_name,
+           CASE WHEN ch.c_custkey IS NOT NULL THEN CAST(ch.new_bal AS DECIMAL(18,2))
+                ELSE CAST(b.c_acctbal AS DECIMAL(18,2)) END AS c_acctbal,
+           CASE WHEN b.c_custkey IS NULL THEN 'insert'
+                WHEN ch.c_custkey IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM customer b FULL OUTER JOIN changes ch ON b.c_custkey = ch.c_custkey
+    ORDER BY c_custkey
+    """,
+    tags=("ext", "merge", "upsert"),
+)
+def q68_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert as a full-outer join + coalesce: apply a changes table
+    (per-user purchase totals, keys deliberately straddling the existing
+    range so both updates and inserts occur) onto the customer base —
+    matched rows update, unmatched-source rows insert, unmatched-target
+    rows keep. The lakehouse MERGE INTO pattern without a table format."""
+    from mapreduce_framework_spark.catalog import table as _t
+
+    ev = _t(spark, "events", sf_dir)
+    base = _t(spark, "customer", sf_dir)
+    changes = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy((F.col("user_id") * 8).alias("ch_key"))
+        .agg(F.sum(F.col("value").cast("decimal(38,6)")).alias("new_bal"))
+    )
+    j = base.join(changes, base.c_custkey == changes.ch_key, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "ch_key").alias("c_custkey"),
+        F.coalesce(
+            "c_name", F.concat(F.lit("NEW#"), F.col("ch_key").cast("string"))
+        ).alias("c_name"),
+        F.when(
+            F.col("ch_key").isNotNull(), F.col("new_bal").cast("decimal(18,2)")
+        )
+        .otherwise(F.col("c_acctbal").cast("decimal(18,2)"))
+        .alias("c_acctbal"),
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("ch_key").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "q69_approx_percentiles",
+    oracle=None,  # sketch-based; bounds asserted in tests/test_probes.py
+    tags=("ext", "agg", "approx", "percentile"),
+)
+def q69_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch): the 100 TB replacement
+    for q54's exact per-group sort — fixed-memory, mergeable."""
+    li = table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)"
+            ).alias("p50_p99")
+        )
+        .orderBy("l_returnflag")
+    )

@@ -68,3 +68,21 @@ def test_q29_within_rsd_bound(spark, sf_dir):
     for k in exact:
         rel_err = abs(approx[k] - exact[k]) / exact[k]
         assert rel_err < 0.15, f"{k}: approx={approx[k]} exact={exact[k]}"
+
+
+def test_q69_approx_percentiles_within_bounds(spark, sf_dir):
+    from mapreduce_framework_spark.operators.relational import q69_approx_percentiles
+    from mapreduce_framework_spark.operators.functions_battery import q54_percentiles
+
+    exact = {
+        r["l_returnflag"]: (r["p25_price"], r["p75_price"], r["p99_price"])
+        for r in q54_percentiles(spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["p50_p99"] for r in q69_approx_percentiles(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, (p25, p75, p99) in exact.items():
+        a50, a99 = approx[flag]
+        assert p25 <= a50 <= p75, f"{flag}: p50 approx {a50} outside IQR"
+        assert abs(a99 - p99) / p99 < 0.05, f"{flag}: p99 approx {a99} vs {p99}"
