@@ -71,7 +71,11 @@ def read_whole_files(spark: SparkSession, paths: Iterable[str]) -> DataFrame:
         spark.read.format("binaryFile")
         .load(files)
         .select(
-            F.col("path").alias("name"),
+            # basename, not the file:/ URI — matches the reference (bare
+            # filenames on the command line, src/main/mrcoordinator.go:23)
+            # and the sequential oracle, so golden diffs line up for apps
+            # whose emits embed the name (indexer, crash, early_exit)
+            F.regexp_extract(F.col("path"), "([^/]+)$", 1).alias("name"),
             F.col("content").cast("string").alias("contents"),
         )
     )
@@ -120,10 +124,15 @@ def run_job(
     def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf["key"].iloc[0]
         out = reduce_fn(key, pdf["value"].tolist())
-        return pd.DataFrame({"key": [key], "value": [out]})
+        # bucket in Python (FNV over UTF-8 bytes, bucket_of) — the JVM
+        # expression hashes code points and diverges on non-ASCII keys
+        return pd.DataFrame(
+            {"key": [key], "value": [out], "bucket": [bucket_of(key, n_reduce)]}
+        )
 
-    reduced = mapped.groupBy("key").applyInPandas(reduce_group, schema=KV_SCHEMA)
-    return reduced.withColumn("bucket", fnv1a32_bucket("key", n_reduce))
+    return mapped.groupBy("key").applyInPandas(
+        reduce_group, schema="key string, value string, bucket int"
+    )
 
 
 def write_text_output(result: DataFrame, out_dir: str) -> None:
@@ -189,7 +198,9 @@ def write_intermediate_json(mapped: DataFrame, out_dir: str, n_reduce: int = 10)
     ``{"Key":...,"Value":...}`` bucketed by FNV (``src/mr/worker.go:57-66``,
     file naming ``:46``). Spark's internal shuffle replaces this in run_job;
     this sink exists for parity/interop (e.g. handing intermediates to the
-    reference's reduce phase)."""
+    reference's reduce phase). Bucket ids use the JVM code-point FNV —
+    exact for ASCII keys (the reference corpus); run_job's output buckets
+    use the byte-exact Python FNV."""
     (
         mapped.select(
             fnv1a32_bucket("key", n_reduce).alias("bucket"),

@@ -66,6 +66,11 @@ def connected_components(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
         comp = new
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters)"
+        )
     return comp.select(F.col("id").alias("doc_id"), F.col("comp").alias("component"))
 
 

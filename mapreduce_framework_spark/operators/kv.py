@@ -33,13 +33,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mapreduce_framework_spark.catalog import table
+from mapreduce_framework_spark.catalog import EVENTS_US_SQL, table
 from mapreduce_framework_spark.registry import register
 
 MID_TS = "2024-01-16 00:00:00"
 
 # DuckDB twin of kv_ops(): keep both textually parallel.
-KV_OPS_SQL = """
+KV_OPS_SQL = f"""
     SELECT ts, event_id,
            chr(97 + CAST(user_id % 26 AS INT)) || CAST(user_id % 50 AS VARCHAR) AS key,
            CASE event_type
@@ -52,7 +52,7 @@ KV_OPS_SQL = """
              WHEN 'view' THEN ''
              ELSE 'x ' || CAST(user_id AS VARCHAR) || ' ' || CAST(event_id AS VARCHAR) || ' y'
            END AS value
-    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) ev_us
+    FROM {EVENTS_US_SQL} ev_us
 """
 
 
@@ -173,17 +173,25 @@ def q08_shard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def fold_kv_history(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Imperative per-key fold (shared by q28 batch and the streaming state
-    handler): replay ops sorted by (ts, event_id)."""
+def fold_ops(state: str, pdf: pd.DataFrame) -> str:
+    """THE imperative KV fold (src/models/kv.go:40-54): replay a batch of
+    ops sorted by (ts, event_id) onto a prior state. Single definition
+    shared by q28 (batch, initial state '') and the streaming keyed-state
+    handler (streaming/state.py, carrying state across micro-batches)."""
     pdf = pdf.sort_values(["ts", "event_id"])
-    state = ""
     for op, value in zip(pdf["op"], pdf["value"]):
         if op == "put":
             state = value
         elif op == "append":
             state = state + value
-    return pd.DataFrame({"key": [pdf["key"].iloc[0]], "value": [state]})
+    return state
+
+
+def fold_kv_history(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Whole-history fold of one key's ops (the q28 batch path)."""
+    return pd.DataFrame(
+        {"key": [pdf["key"].iloc[0]], "value": [fold_ops("", pdf)]}
+    )
 
 
 @register(

@@ -367,7 +367,7 @@ def q21_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark_rows = [
         a.unionAll(b).agg(F.count(F.lit(1)).alias("cnt")).select(F.lit("union_all").alias("op"), "cnt"),
         a.intersect(b).agg(F.count(F.lit(1)).alias("cnt")).select(F.lit("intersect").alias("op"), "cnt"),
-        a.exceptAll(b).distinct().agg(F.count(F.lit(1)).alias("cnt")).select(F.lit("except").alias("op"), "cnt"),
+        a.subtract(b).agg(F.count(F.lit(1)).alias("cnt")).select(F.lit("except").alias("op"), "cnt"),
     ]
     out = spark_rows[0]
     for part in spark_rows[1:]:
@@ -561,10 +561,8 @@ def q68_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     range so both updates and inserts occur) onto the customer base —
     matched rows update, unmatched-source rows insert, unmatched-target
     rows keep. The lakehouse MERGE INTO pattern without a table format."""
-    from mapreduce_framework_spark.catalog import table as _t
-
-    ev = _t(spark, "events", sf_dir)
-    base = _t(spark, "customer", sf_dir)
+    ev = table(spark, "events", sf_dir)
+    base = table(spark, "customer", sf_dir)
     changes = (
         ev.where(F.col("event_type") == "purchase")
         .groupBy((F.col("user_id") * 8).alias("ch_key"))

@@ -22,10 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mapreduce_framework_spark.catalog import table
+from mapreduce_framework_spark.catalog import EVENTS_US_SQL, table
 from mapreduce_framework_spark.registry import register
 
-_EV_US = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+_EV_US = EVENTS_US_SQL
 
 
 @register(

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_framework_spark.catalog import table
+from mapreduce_framework_spark.catalog import EVENTS_US_SQL, table
 from mapreduce_framework_spark.registry import register
 
 EPOCH = "TIMESTAMP '1970-01-01 00:00:00'"
@@ -25,8 +25,8 @@ EPOCH = "TIMESTAMP '1970-01-01 00:00:00'"
 
 @register(
     "q24_exact_dedup",
-    oracle="""
-    WITH deduped AS (SELECT DISTINCT user_id, event_type FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) ev_us)
+    oracle=f"""
+    WITH deduped AS (SELECT DISTINCT user_id, event_type FROM {EVENTS_US_SQL} ev_us)
     SELECT event_type, count(*) AS cnt
     FROM deduped GROUP BY event_type ORDER BY event_type
     """,
@@ -50,7 +50,7 @@ def q24_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT time_bucket(INTERVAL '1 hour', ts, {EPOCH}) AS window_start,
            event_type, count(*) AS cnt
-    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) ev_us GROUP BY 1, 2 ORDER BY window_start, event_type
+    FROM {EVENTS_US_SQL} ev_us GROUP BY 1, 2 ORDER BY window_start, event_type
     """,
     tags=("ext", "window", "streaming-equiv"),
 )
@@ -72,7 +72,7 @@ def q25_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT time_bucket(INTERVAL '15 minutes', ts, {EPOCH})
                - k * INTERVAL '15 minutes' AS window_start,
              event_type
-      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) ev_us, (SELECT unnest([0, 1, 2, 3]) AS k)
+      FROM {EVENTS_US_SQL} ev_us, (SELECT unnest([0, 1, 2, 3]) AS k)
     )
     SELECT window_start, event_type, count(*) AS cnt
     FROM slid GROUP BY 1, 2 ORDER BY window_start, event_type
@@ -93,11 +93,11 @@ def q26_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q27_session_window",
-    oracle="""
+    oracle=f"""
     WITH x AS (
       SELECT user_id, ts,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) ev_us
+      FROM {EVENTS_US_SQL} ev_us
     )
     SELECT user_id,
            SUM(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '30 minutes'
@@ -124,12 +124,12 @@ def q27_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q65_hierarchical_rollup",
-    oracle="""
+    oracle=f"""
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS h, event_type,
              count(*) AS cnt,
              SUM(CAST(value AS DECIMAL(38,6))) AS val
-      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e
+      FROM {EVENTS_US_SQL} e
       GROUP BY 1, 2
     )
     SELECT CAST(date_trunc('day', h) AS DATE) AS day, event_type,
@@ -144,9 +144,7 @@ def q65_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100 TB store answer coarse queries from a tiny pre-aggregated table.
     The oracle aggregates the same two levels; equality proves the rollup
     is losslessly composable (algebraic aggregates only)."""
-    from mapreduce_framework_spark.catalog import table as _table
-
-    ev = _table(spark, "events", sf_dir)
+    ev = table(spark, "events", sf_dir)
     hourly = ev.groupBy(
         F.date_trunc("hour", "ts").alias("h"), "event_type"
     ).agg(

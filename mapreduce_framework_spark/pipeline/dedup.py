@@ -181,11 +181,11 @@ def q31_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified at J ≥ 0.8 — the 100 TB dedup path: signatures are one scan,
     candidates come from equi-joins on (band, band-signature), and the
     quadratic exact check runs only inside buckets."""
-    from pyspark import StorageLevel
-
-    # shingling (tokenize+3-gram+distinct) feeds both the signature build and
-    # the exact verification — persist it instead of recomputing the scan
-    sh_cached = _doc_shingles(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    # shingling (tokenize+3-gram+distinct) feeds both the signature build
+    # and the exact verification — materialize it once (localCheckpoint:
+    # eager, lineage-truncating, and reclaimed by the ContextCleaner when
+    # the plan is garbage-collected, unlike a never-unpersisted cache)
+    sh_cached = _doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
     sigs = _signatures_from_shingles(sh_cached)
     rows_per_band = N_PERMS // N_BANDS
     bands = sigs.select(

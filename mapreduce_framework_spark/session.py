@@ -51,7 +51,6 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.spill.compress", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -26,23 +26,15 @@ OUTPUT_SCHEMA = StructType(
 STATE_SCHEMA = StructType([StructField("value", StringType())])
 
 
-def _fold_ops(state_value: str, pdf: pd.DataFrame) -> str:
-    pdf = pdf.sort_values(["ts", "event_id"])
-    for op, value in zip(pdf["op"], pdf["value"]):
-        if op == "put":
-            state_value = value
-        elif op == "append":
-            state_value = state_value + value
-    return state_value
-
-
 def kv_fold_with_state(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    from mapreduce_framework_spark.operators.kv import fold_ops
+
     (k,) = key
     current = state.get[0] if state.exists else ""
     for pdf in pdfs:
-        current = _fold_ops(current, pdf)
+        current = fold_ops(current, pdf)
     state.update((current,))
     yield pd.DataFrame({"key": [k], "value": [current]})
 

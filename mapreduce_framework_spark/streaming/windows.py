@@ -84,5 +84,10 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name} did not finish within {timeout_s}s"
+        )
     return spark.table(name)

@@ -96,3 +96,45 @@ def test_cli_rejects_unknown_app(tmp_path):
     )
     assert proc.returncode == 2
     assert "unknown app" in proc.stderr
+
+
+def test_cli_indexer_name_parity(tmp_path):
+    """indexer embeds the input *name* in its output (doc lists), so this
+    pins distributed-vs-sequential filename agreement (basename, not URI)."""
+    src = _write_corpus(tmp_path)
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "4"}
+
+    def run(extra, out):
+        return subprocess.run(
+            [
+                sys.executable,
+                "-m",
+                "mapreduce_framework_spark.cli",
+                "indexer",
+                f"{src}/*.txt",
+                str(out),
+                *extra,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd="/root/repo",
+            env=env,
+        )
+
+    seq_out = tmp_path / "seq_idx"
+    assert run(["--sequential"], seq_out).returncode == 0
+    golden = sorted((seq_out / "mr-out-0").read_text().splitlines())
+
+    dist_out = tmp_path / "dist_idx"
+    proc = run([], dist_out)
+    assert proc.returncode == 0, proc.stderr[-1500:]
+
+    import glob as _glob
+
+    lines = []
+    for path in _glob.glob(str(dist_out / "bucket=*" / "part-*")):
+        with open(path, encoding="utf-8") as fh:
+            lines.extend(ln.rstrip("\n") for ln in fh if ln)
+    assert sorted(lines) == golden
+    assert any("a.txt" in ln for ln in lines)  # names are basenames

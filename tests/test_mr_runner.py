@@ -173,3 +173,23 @@ def test_intermediate_json_roundtrip(spark, sf_dir, tmp_path):
     orig = sorted((r["key"], r["value"]) for r in mapped.collect())
     got = sorted((r["key"], r["value"]) for r in back.collect())
     assert got == orig
+
+
+def test_run_job_bucket_is_byte_exact_for_unicode_keys(spark):
+    """Bucket ids must come from FNV over UTF-8 bytes (bucket_of), not JVM
+    code points — they diverge on non-ASCII keys like 'café'."""
+    from mapreduce_framework_spark.mr.runner import bucket_of
+
+    inputs = spark.createDataFrame(
+        [("f1", "ignored")], schema="name string, contents string"
+    )
+
+    def map_fn(name, contents):
+        return [("café", "1"), ("naïve", "1"), ("ascii", "1")]
+
+    def reduce_fn(key, values):
+        return str(len(values))
+
+    rows = run_job(inputs, map_fn, reduce_fn, n_reduce=10).collect()
+    got = {r["key"]: r["bucket"] for r in rows}
+    assert got == {k: bucket_of(k, 10) for k in got}
