@@ -25,3 +25,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+# module-scope alias usable inside hypothesis @given tests (function-scoped
+# fixtures clash with hypothesis; the session fixture does not)
+@pytest.fixture(scope="session")
+def spark_global():
+    return get_spark(app_name="mfs-tests")
