@@ -391,3 +391,44 @@ def q67_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("op")
+
+
+@register(
+    "q70_grouped_agg_pandas_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                / SUM(CAST(l_quantity AS BIGINT)) AS DECIMAL(18,4)) AS wavg_price_cents
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("ext", "udf", "udaf", "arrow"),
+)
+def q70_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate (UDAF) as a GROUPED_AGG pandas UDF: quantity-
+    weighted average price in integer cents. Completes the Python UDF
+    taxonomy (scalar mapInPandas=q52, grouped-map applyInPandas=q28,
+    grouped-agg=this). Integer accumulation in numpy ⇒ engine-exact; the
+    final division is one IEEE op on identical ints."""
+    import pandas as pd  # noqa: F401  (pandas_udf type resolution)
+    from pyspark.sql.functions import pandas_udf
+
+    from mapreduce_framework_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+
+    @pandas_udf("double")
+    def wavg_cents(price: pd.Series, qty: pd.Series) -> float:
+        cents = (price * 100).round().astype("int64")
+        q = qty.astype("int64")
+        return float((cents * q).sum()) / float(q.sum())
+
+    li = table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            wavg_cents("l_extendedprice", "l_quantity")
+            .cast("decimal(18,4)")
+            .alias("wavg_price_cents")
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,94 @@
+"""foreachBatch sink: incremental KV-state materialization to parquet.
+
+The third streaming output pattern (alongside the memory/file sinks and
+applyInPandasWithState): ``foreachBatch`` hands each micro-batch to
+arbitrary batch code, here a MERGE of the batch's per-key fold into a
+persisted state table — the standard lakehouse "streaming upsert" shape.
+
+State versions are written as ``state_v{batch_id}`` directories (write-new
+then read-latest), which keeps each batch's write atomic-by-directory the
+same way the reference commits via temp-file + rename
+(src/mr/worker.go:68-75); a table format (Delta/Iceberg) would replace the
+versioned directories with a real MERGE INTO.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _latest_state(spark: SparkSession, state_root: str) -> DataFrame | None:
+    if not os.path.isdir(state_root):
+        return None
+    versions = sorted(
+        (d for d in os.listdir(state_root) if d.startswith("state_v")),
+        key=lambda d: int(d.split("state_v")[1]),
+    )
+    if not versions:
+        return None
+    return spark.read.parquet(os.path.join(state_root, versions[-1]))
+
+
+def make_kv_merge_batch_fn(spark: SparkSession, state_root: str):
+    """Returns the foreachBatch function: fold the batch's ops per key on
+    top of the previous persisted state and write the next state version."""
+    from mapreduce_framework_spark.operators.kv import fold_ops
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import pandas as pd
+
+        prev = _latest_state(spark, state_root)
+
+        def fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            initial = ""
+            if pdf["prev_value"].notna().any():
+                initial = pdf["prev_value"].dropna().iloc[0]
+            ops = pdf[pdf["op"].notna()]
+            return pd.DataFrame(
+                {"key": [pdf["key"].iloc[0]], "value": [fold_ops(initial, ops)]}
+            )
+
+        if prev is None:
+            withprev = batch_df.withColumn("prev_value", F.lit(None).cast("string"))
+        else:
+            withprev = batch_df.join(
+                prev.select("key", F.col("value").alias("prev_value")), "key", "left"
+            )
+        folded = withprev.groupBy("key").applyInPandas(
+            fold_group, schema="key string, value string"
+        )
+        new_state = folded if prev is None else (
+            prev.join(folded, "key", "left_anti").unionByName(folded)
+        )
+        out = os.path.join(state_root, f"state_v{batch_id}")
+        new_state.write.mode("overwrite").parquet(out)
+
+    return apply_batch
+
+
+def run_kv_merge_stream(
+    ops_stream: DataFrame,
+    spark: SparkSession,
+    state_root: str,
+    checkpoint: str,
+    timeout_s: int = 180,
+) -> DataFrame:
+    """Drive the ops stream through the foreachBatch merge sink and return
+    the final persisted state."""
+    q = (
+        ops_stream.writeStream.foreachBatch(
+            make_kv_merge_batch_fn(spark, state_root)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"kv merge stream did not finish in {timeout_s}s")
+    state = _latest_state(spark, state_root)
+    assert state is not None, "stream produced no state version"
+    return state

@@ -287,3 +287,39 @@ def test_stream_stream_interval_self_join(spark, sf_dir, tmp_path):
         & (cb.c_ts < pb.ts),
     ).count()
     assert n_stream == n_batch > 0
+
+
+def test_foreach_batch_incremental_merge_matches_batch(spark, sf_dir, tmp_path):
+    """foreachBatch merge sink: 3 time-sliced micro-batches incrementally
+    merged into versioned parquet state must converge to the batch q06
+    fold."""
+    from mapreduce_framework_spark.streaming.foreach_batch import run_kv_merge_stream
+
+    ops = kv_ops(spark, sf_dir).where(F.col("op") != "get")
+    rows = ops.orderBy("ts", "event_id").collect()
+    src = str(tmp_path / "fb_src")
+    os.makedirs(src)
+    third = (len(rows) + 2) // 3
+    for i in range(3):
+        chunk = rows[i * third : (i + 1) * third]
+        if not chunk:
+            continue
+        spark.createDataFrame(chunk, schema=ops.schema).coalesce(1).write.parquet(
+            os.path.join(src, f"slice_{i}")
+        )
+        time.sleep(1.1)
+
+    stream_ops = (
+        spark.readStream.schema(ops.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "slice_*"))
+    )
+    state = run_kv_merge_stream(
+        stream_ops,
+        spark,
+        state_root=str(tmp_path / "fb_state"),
+        checkpoint=str(tmp_path / "fb_ckpt"),
+    )
+    got = {r["key"]: r["value"] for r in state.collect()}
+    expected = {r["key"]: r["value"] for r in q06_kv_final_state(spark, sf_dir).collect()}
+    assert got == expected
