@@ -96,12 +96,18 @@ def run_job(
     map_fn: MapFn,
     reduce_fn: ReduceFn,
     n_reduce: int = 10,
+    observation=None,
 ) -> DataFrame:
     """Distributed MR job → DataFrame(key, value, bucket).
 
     Mirrors the reference job pipeline F1→F2→F4→F7→F8 with Spark owning
     scheduling, the phase barrier (stage boundary), straggler re-execution
     (``spark.task.maxFailures`` / speculation) and shuffle.
+
+    Pass a ``pyspark.sql.Observation`` to get map-output accounting with
+    the result (``observation.get["map_output_records"]`` after an action)
+    — the built-in form of the reference's jobcount/timing probe apps
+    (src/mrapps/jobcount.go, SURVEY §2.2 A5/A7/A8).
     """
     from mapreduce_framework_spark.deploy import ensure_package_on_executors
 
@@ -120,6 +126,13 @@ def run_job(
             yield pd.DataFrame({"key": keys, "value": vals})
 
     mapped = inputs.mapInPandas(map_partition, schema=KV_SCHEMA)
+    if observation is not None:
+        mapped = mapped.observe(
+            observation,
+            F.count(F.lit(1)).alias("map_output_records"),
+            # DISTINCT is not allowed in observed metrics; HLL sketch is
+            F.approx_count_distinct("key").alias("approx_distinct_keys"),
+        )
 
     def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
         key = pdf["key"].iloc[0]

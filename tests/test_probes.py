@@ -86,3 +86,26 @@ def test_q69_approx_percentiles_within_bounds(spark, sf_dir):
         a50, a99 = approx[flag]
         assert p25 <= a50 <= p75, f"{flag}: p50 approx {a50} outside IQR"
         assert abs(a99 - p99) / p99 < 0.05, f"{flag}: p99 approx {a99} vs {p99}"
+
+
+def test_run_job_observation_metrics(spark, sf_dir):
+    """A5/A7 accounting via the built-in Observation hook: map-output record
+    and distinct-key counts arrive with the job result."""
+    from pyspark.sql import Observation
+
+    docs = table(spark, "documents", sf_dir)
+    inputs = frame_as_inputs(docs, "doc_id", "text")
+    n_docs = inputs.count()
+
+    def map_fn(name, contents):
+        return [("k1", name), ("k2", name)]
+
+    def reduce_fn(key, values):
+        return str(len(values))
+
+    obs = Observation("mr-metrics")
+    result = run_job(inputs, map_fn, reduce_fn, n_reduce=3, observation=obs)
+    rows = {r["key"]: r["value"] for r in result.collect()}
+    assert rows == {"k1": str(n_docs), "k2": str(n_docs)}
+    assert obs.get["map_output_records"] == 2 * n_docs
+    assert obs.get["approx_distinct_keys"] == 2  # exact at tiny cardinality
