@@ -332,3 +332,102 @@ def q55_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= HAMMING_MAX)
         .orderBy("id1", "id2")
     )
+
+
+@register(
+    "q71_dedup_corpus_output",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SHINGLE_PAIRS_DUCK},
+    nd AS (SELECT id1, id2 FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+    edges AS (SELECT id1 AS u, id2 AS v FROM nd UNION SELECT id2, id1 FROM nd),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    drop_list AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_list)
+    ORDER BY d.doc_id
+    """,
+    tags=("ext", "dedup", "pipeline"),
+)
+def q71_dedup_corpus_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup deliverable: the corpus with near-duplicates
+    removed — one canonical doc (min doc_id) kept per q49 component, via a
+    broadcast anti-join of the (tiny) drop list against the full corpus.
+    At 100 TB this is the final stage of the near-dedup pipeline:
+    LSH pairs → components → anti-join; only the drop list is ever small
+    enough to broadcast, the corpus itself streams through."""
+    from mapreduce_framework_spark.operators.graph import q49_neardup_components
+
+    comps = q49_neardup_components(spark, sf_dir)
+    drop = comps.where(F.col("doc_id") != F.col("component")).select("doc_id")
+    docs = table(spark, "documents", sf_dir)
+    return (
+        docs.join(F.broadcast(drop), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+CHAR_NGRAM_K = 8
+CHAR_JACCARD_THRESHOLD = 0.75
+
+# bounded to doc_id < 500: char shingles from the tiny synthetic
+# vocabulary are shared across most docs, so the exact self-join is
+# quadratic-heavy at larger SFs — the cap keeps the exact form tractable
+# everywhere (q31's LSH is the unbounded scale path).
+CHAR_DOC_CAP = 500
+
+_CHAR_SHINGLES_DUCK = f"""
+    csh AS (
+      SELECT DISTINCT doc_id,
+             substr(text, i, {CHAR_NGRAM_K}) AS s
+      FROM documents, (SELECT unnest(range(1, 5000)) AS i) r
+      WHERE doc_id < {CHAR_DOC_CAP} AND i <= length(text) - {CHAR_NGRAM_K} + 1
+    ),
+    csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
+    cpairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+      FROM csh a JOIN csh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "q72_char_ngram_jaccard",
+    oracle=f"""
+    WITH {_CHAR_SHINGLES_DUCK}
+    SELECT id1, id2,
+           CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
+    FROM cpairs JOIN csz x ON cpairs.id1 = x.doc_id JOIN csz y ON cpairs.id2 = y.doc_id
+    WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {CHAR_JACCARD_THRESHOLD}
+    ORDER BY id1, id2
+    """,
+    tags=("ext", "dedup", "jaccard", "char-ngram"),
+)
+def q72_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 8-gram Jaccard near-dup pairs — the tokenizer-free variant
+    of q30 (robust to whitespace/punctuation edits that word shingles
+    miss). Same self-join structure; q31's MinHash-LSH applies unchanged
+    as the scale path (hash the char shingles instead)."""
+    docs = table(spark, "documents", sf_dir).where(F.col("doc_id") < CHAR_DOC_CAP)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(text) - {CHAR_NGRAM_K} + 1, 1)), "
+                    f"i -> substring(text, i, {CHAR_NGRAM_K}))"
+                )
+            )
+        ).alias("s"),
+    ).where(F.length("s") == CHAR_NGRAM_K)
+    pairs = _exact_jaccard_pairs(sh)
+    return pairs.where(F.col("jaccard") >= CHAR_JACCARD_THRESHOLD).orderBy("id1", "id2")
