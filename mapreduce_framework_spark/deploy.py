@@ -16,12 +16,15 @@ import zipfile
 
 from pyspark.sql import SparkSession
 
-_ADDED: set[int] = set()
+_ADDED: set[str] = set()
 
 
 def ensure_package_on_executors(spark: SparkSession) -> None:
     sc = spark.sparkContext
-    key = id(sc)
+    # applicationId is stable per context and never reused by a successor
+    # context at the same interpreter address (id(sc) could be — a stopped
+    # context's address can be recycled, silently skipping the deploy).
+    key = sc.applicationId
     if key in _ADDED:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))

@@ -50,11 +50,11 @@ def q50_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q51_pivot",
     oracle="""
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
     FROM events GROUP BY user_id ORDER BY user_id
     """,
     tags=("ext", "pivot"),
@@ -120,7 +120,7 @@ def q52_pandas_udf_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey,
            coalesce(o_orderkey, -1) AS order_or_default,
            (o_orderkey IS NULL) AS has_no_big_order,
-           nullif(CAST(c_acctbal AS DECIMAL(18,2)), 0.00) AS bal_nullable,
+           CAST(nullif(CAST(c_acctbal AS DECIMAL(18,2)), 0.00) AS DOUBLE) AS bal_nullable,
            CASE WHEN o_totalprice IS NULL THEN 'none' ELSE 'big' END AS bucket
     FROM j ORDER BY c_custkey, order_or_default
     """,
@@ -136,9 +136,9 @@ def q53_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.coalesce("o_orderkey", F.lit(-1)).alias("order_or_default"),
         F.col("o_orderkey").isNull().alias("has_no_big_order"),
-        F.nullif(F.col("c_acctbal").cast("decimal(18,2)"), F.lit(0.00).cast("decimal(18,2)")).alias(
-            "bal_nullable"
-        ),
+        F.nullif(F.col("c_acctbal").cast("decimal(18,2)"), F.lit(0.00).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("bal_nullable"),
         F.when(F.col("o_totalprice").isNull(), "none").otherwise("big").alias("bucket"),
     ).orderBy("c_custkey", "order_or_default")
 
@@ -304,8 +304,8 @@ def q63_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n, min_qty, max_qty,
-           CAST((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-                / (n - 1) AS DECIMAL(18,6)) AS var_qty
+           CAST(CAST((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                / (n - 1) AS DECIMAL(18,6)) AS DOUBLE) AS var_qty
     FROM s ORDER BY l_returnflag
     """,
     tags=("ext", "agg", "stats"),
@@ -327,7 +327,7 @@ def q64_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (
         (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n"))
         / (F.col("n") - 1)
-    ).cast("decimal(18,6)")
+    ).cast("decimal(18,6)").cast("double")
     return s.select(
         "l_returnflag", "n", "min_qty", "max_qty", var.alias("var_qty")
     ).orderBy("l_returnflag")
@@ -338,7 +338,7 @@ def q64_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type ORDER BY event_type
@@ -397,8 +397,8 @@ def q67_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q70_grouped_agg_pandas_udf",
     oracle="""
     SELECT l_returnflag,
-           CAST(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
-                / SUM(CAST(l_quantity AS BIGINT)) AS DECIMAL(18,4)) AS wavg_price_cents
+           CAST(CAST(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                / SUM(CAST(l_quantity AS BIGINT)) AS DECIMAL(18,4)) AS DOUBLE) AS wavg_price_cents
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     tags=("ext", "udf", "udaf", "arrow"),
@@ -428,6 +428,7 @@ def q70_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             wavg_cents("l_extendedprice", "l_quantity")
             .cast("decimal(18,4)")
+            .cast("double")
             .alias("wavg_price_cents")
         )
         .orderBy("l_returnflag")

@@ -17,6 +17,13 @@ Cross-engine determinism notes (the driver value-hashes against DuckDB):
 - AVG is computed as ``CAST(CAST(sum AS DOUBLE)/count AS DECIMAL)`` on both
   sides: identical IEEE division on identical inputs, then identical
   rounding.
+- **Terminal outputs are canonicalization-stable**: the driver compares via
+  pandas, where Spark DECIMAL surfaces as ``Decimal`` objects but DuckDB
+  DECIMAL/HUGEINT surface as float64 — numerically equal, hash-different.
+  So every DECIMAL output column is cast to DOUBLE *after* the exact
+  decimal aggregation (the same exact value, correctly rounded once, on
+  both engines), and DuckDB integer SUMs are wrapped in CAST(.. AS BIGINT)
+  to match Spark's LongType. tools/driver_check.py verifies this class.
 """
 
 from __future__ import annotations
@@ -59,7 +66,7 @@ def q11_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_join_revenue_per_nation",
     oracle=f"""
     SELECT n.n_name,
-           SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC})) AS revenue,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS {DEC})) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -83,7 +90,9 @@ def q12_join_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias("revenue"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("n_name")
@@ -95,7 +104,7 @@ def q12_join_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT p.p_partkey,
            COUNT(*) AS n_items,
-           SUM(CAST(l.l_quantity AS {DEC})) AS sum_qty
+           CAST(SUM(CAST(l.l_quantity AS {DEC})) AS DOUBLE) AS sum_qty
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_size <= 5
@@ -114,7 +123,7 @@ def q13_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
         )
         .orderBy("p_partkey")
     )
@@ -164,11 +173,11 @@ def q14_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q15_tpch_q1_shape",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS {DEC})) AS sum_qty,
-           SUM(CAST(l_extendedprice AS {DEC})) AS sum_base_price,
-           SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS sum_disc_price,
-           SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS {DEC})) AS sum_charge,
-           CAST(CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS avg_qty,
+           CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS {DEC})) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS {DEC})) AS DOUBLE) AS sum_charge,
+           CAST(CAST(CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(*) AS DECIMAL(18,6)) AS DOUBLE) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -201,11 +210,14 @@ def q15_tpch_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_returnflag",
         "l_linestatus",
-        "sum_qty",
-        "sum_base_price",
-        "sum_disc_price",
-        "sum_charge",
-        (F.col("sum_qty").cast("double") / F.col("count_order")).cast("decimal(18,6)").alias("avg_qty"),
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_base_price").cast("double").alias("sum_base_price"),
+        F.col("sum_disc_price").cast("double").alias("sum_disc_price"),
+        F.col("sum_charge").cast("double").alias("sum_charge"),
+        (F.col("sum_qty").cast("double") / F.col("count_order"))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("avg_qty"),
         "count_order",
     ).orderBy("l_returnflag", "l_linestatus")
 
@@ -236,7 +248,7 @@ def q16_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q17_rollup",
     oracle=f"""
     SELECT n.n_name, o.o_orderpriority,
-           SUM(CAST(o.o_totalprice AS {DEC})) AS total,
+           CAST(SUM(CAST(o.o_totalprice AS {DEC})) AS DOUBLE) AS total,
            COUNT(*) AS n_orders
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -258,7 +270,7 @@ def q17_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .rollup("n_name", "o_orderpriority")
         .agg(
-            F.sum(F.col("o_totalprice").cast(DEC)).alias("total"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(
@@ -300,9 +312,9 @@ def q18_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q19_window_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
     FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
     """,
     tags=("ext", "window"),
@@ -320,7 +332,7 @@ def q19_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).alias("running_total"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_total"),
     ).orderBy("o_custkey", "o_orderdate", "o_orderkey")
 
 
@@ -386,7 +398,7 @@ def q21_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(year(o_orderdate) AS INT) AS yr,
            CAST(month(o_orderdate) AS INT) AS mo,
            CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
-           round(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS price_r1,
+           CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r1,
            abs(o_custkey - 750) AS key_dist,
            o_orderkey % 7 AS key_mod
     FROM orders ORDER BY o_orderkey
@@ -408,7 +420,7 @@ def q22_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
         .cast("int")
         .alias("days_since"),
-        F.round(F.col("o_totalprice").cast("decimal(18,2)"), 1).alias("price_r1"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)"), 1).cast("double").alias("price_r1"),
         F.abs(F.col("o_custkey") - 750).alias("key_dist"),
         (F.col("o_orderkey") % 7).alias("key_mod"),
     ).orderBy("o_orderkey")
@@ -509,7 +521,7 @@ def q44_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q45_cube",
     oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
-           SUM(CAST(o_totalprice AS {DEC})) AS total,
+           CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS total,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
@@ -525,7 +537,7 @@ def q45_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
-            F.sum(F.col("o_totalprice").cast(DEC)).alias("total"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(
@@ -545,8 +557,8 @@ def q45_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COALESCE(b.c_custkey, ch.c_custkey) AS c_custkey,
            COALESCE(b.c_name, 'NEW#' || CAST(ch.c_custkey AS VARCHAR)) AS c_name,
-           CASE WHEN ch.c_custkey IS NOT NULL THEN CAST(ch.new_bal AS DECIMAL(18,2))
-                ELSE CAST(b.c_acctbal AS DECIMAL(18,2)) END AS c_acctbal,
+           CAST(CASE WHEN ch.c_custkey IS NOT NULL THEN CAST(ch.new_bal AS DECIMAL(18,2))
+                ELSE CAST(b.c_acctbal AS DECIMAL(18,2)) END AS DOUBLE) AS c_acctbal,
            CASE WHEN b.c_custkey IS NULL THEN 'insert'
                 WHEN ch.c_custkey IS NULL THEN 'keep'
                 ELSE 'update' END AS action
@@ -578,6 +590,7 @@ def q68_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ch_key").isNotNull(), F.col("new_bal").cast("decimal(18,2)")
         )
         .otherwise(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
         .alias("c_acctbal"),
         F.when(F.col("c_custkey").isNull(), "insert")
         .when(F.col("ch_key").isNull(), "keep")
@@ -593,14 +606,85 @@ def q68_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q69_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch): the 100 TB replacement
-    for q54's exact per-group sort — fixed-memory, mergeable."""
+    for q54's exact per-group sort — fixed-memory, mergeable. Emitted as
+    two scalar columns (not one ARRAY column): the driver's rows-only
+    canonicalizer sorts cell values and dies on unhashable lists."""
+    li = table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("p50"),
+            F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q74_hll_error_bound",
+    # The tolerance gate is computed Spark-side as a boolean; the oracle
+    # pins the exact counts and asserts the boolean is TRUE — giving the
+    # approximate-aggregate family a *hard* driver correctness row instead
+    # of a rows-only check (the driver cannot express numeric tolerance).
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           TRUE AS hll_within_15pct
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("ext", "agg", "approx", "sketch-bound"),
+)
+def q74_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ validity gate: exact COUNT(DISTINCT) next to a boolean
+    asserting the rsd=0.05 sketch landed within 15% of it. If the sketch
+    ever drifts outside the bound the boolean flips and the driver's hash
+    check fails — tolerance checking expressed in exact arithmetic."""
+    o = table(spark, "orders", sf_dir)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_custs"),
+            (
+                F.abs(
+                    F.approx_count_distinct("o_custkey", 0.05)
+                    - F.count_distinct("o_custkey")
+                )
+                <= F.count_distinct("o_custkey") * 0.15
+            ).alias("hll_within_15pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q75_percentile_sketch_bound",
+    oracle="""
+    SELECT l_returnflag,
+           TRUE AS p50_in_iqr,
+           TRUE AS p99_within_5pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("ext", "agg", "approx", "percentile", "sketch-bound"),
+)
+def q75_percentile_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna sketch validity gate (q69's driver-checkable twin):
+    booleans asserting the approximate p50 lies inside the exact IQR and
+    the approximate p99 is within 5% of the exact p99. Both percentiles
+    (exact and sketch) are computed in the same single aggregation pass."""
     li = table(spark, "lineitem", sf_dir)
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.expr(
-                "approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)"
-            ).alias("p50_p99")
+                "approx_percentile(l_extendedprice, 0.5, 1000) "
+                "BETWEEN percentile(l_extendedprice, 0.25) "
+                "AND percentile(l_extendedprice, 0.75)"
+            ).alias("p50_in_iqr"),
+            F.expr(
+                "abs(approx_percentile(l_extendedprice, 0.99, 1000) "
+                "- percentile(l_extendedprice, 0.99)) "
+                "<= 0.05 * percentile(l_extendedprice, 0.99)"
+            ).alias("p99_within_5pct"),
         )
         .orderBy("l_returnflag")
     )

@@ -39,7 +39,7 @@ def salted_agg(
         F.count(F.lit(1)).alias("pcnt"),
     )
     return partial.groupBy(key).agg(
-        F.sum("psum").alias("total_value"),
+        F.sum("psum").cast("double").alias("total_value"),
         F.sum("pcnt").alias("n_events"),
     )
 
@@ -48,7 +48,7 @@ def salted_agg(
     "q48_salted_skew_agg",
     oracle="""
     SELECT event_type,
-           SUM(CAST(value AS DECIMAL(38,6))) AS total_value,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
            COUNT(*) AS n_events
     FROM events GROUP BY event_type ORDER BY event_type
     """,

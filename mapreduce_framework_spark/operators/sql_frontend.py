@@ -20,7 +20,7 @@ from mapreduce_framework_spark.registry import register
     oracle="""
     SELECT n.n_name,
            COUNT(*) AS n_orders,
-           SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS total
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -37,7 +37,7 @@ def q46_sql_frontend_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT n.n_name,
                COUNT(*) AS n_orders,
-               SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS total
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey

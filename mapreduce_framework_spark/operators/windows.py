@@ -100,8 +100,8 @@ def q26_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM {EVENTS_US_SQL} ev_us
     )
     SELECT user_id,
-           SUM(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '30 minutes'
-                    THEN 1 ELSE 0 END) AS n_sessions
+           CAST(SUM(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
     FROM x GROUP BY user_id ORDER BY user_id
     """,
     tags=("ext", "window", "session"),
@@ -132,8 +132,8 @@ def q27_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM {EVENTS_US_SQL} e
       GROUP BY 1, 2
     )
-    SELECT CAST(date_trunc('day', h) AS DATE) AS day, event_type,
-           SUM(cnt) AS cnt, SUM(val) AS val
+    SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS day, event_type,
+           CAST(SUM(cnt) AS BIGINT) AS cnt, CAST(SUM(val) AS DOUBLE) AS val
     FROM hourly GROUP BY 1, 2 ORDER BY day, event_type
     """,
     tags=("ext", "rollup", "hypertable"),
@@ -152,9 +152,12 @@ def q65_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(38,6)")).alias("val"),
     )
     return (
+        # day stays TIMESTAMP on both engines: a DATE column surfaces as
+        # datetime.date objects from Spark but datetime64 from DuckDB's
+        # pandas path — same value, different driver-hash rendering.
         hourly.groupBy(
-            F.date_trunc("day", "h").cast("date").alias("day"), "event_type"
+            F.date_trunc("day", "h").alias("day"), "event_type"
         )
-        .agg(F.sum("cnt").alias("cnt"), F.sum("val").alias("val"))
+        .agg(F.sum("cnt").alias("cnt"), F.sum("val").cast("double").alias("val"))
         .orderBy("day", "event_type")
     )

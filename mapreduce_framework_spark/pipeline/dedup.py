@@ -318,10 +318,9 @@ HAMMING_MAX = 6
 )
 def q55_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: Hamming distance ≤ {HAMMING_MAX} between
-    32-bit fingerprints. All-pairs here (the exact oracle form); at scale,
-    band the fingerprint into 4 bytes and equi-join on any-equal-byte
-    (pigeonhole: hamming ≤ 6 over 4 bands ⇒ some band is ≤ 1 bit off) —
-    same candidate-generation idea as q31."""
+    32-bit fingerprints. All-pairs here — kept as the exact oracle twin of
+    q73_simhash_banded_neardup, which computes the identical result through
+    banded (pigeonhole) candidate generation and is the scale path."""
     sims = q32_simhash(spark, sf_dir)
     a = sims.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("h1"))
     b = sims.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("h2"))
@@ -329,6 +328,77 @@ def q55_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int")
     return (
         pairs.select("id1", "id2", hamming.alias("hamming"))
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("id1", "id2")
+    )
+
+
+SIMHASH_BANDS = 4  # 4 bytes of the 32-bit fingerprint
+_SIMHASH_NEARDUP_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+    h AS (SELECT doc_id, list_transform(toks, t -> {_fnv_duck('t')}) AS hs FROM t),
+    s AS (SELECT doc_id, {_SIMHASH_DUCK} AS simhash FROM h WHERE len(hs) > 0)
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    ORDER BY id1, id2
+    """
+
+
+@register(
+    "q73_simhash_banded_neardup",
+    # Same exact result as q55: candidate generation is provably complete
+    # (pigeonhole over 4 byte-bands: hamming <= 6 < 2*4 means some band
+    # differs by <= 1 bit) and every candidate is exact-verified.
+    oracle=_SIMHASH_NEARDUP_ORACLE,
+    tags=("ext", "dedup", "simhash", "lsh"),
+)
+def q73_simhash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via *banded* candidate generation — the 100 TB
+    replacement for q55's all-pairs join. Split the 32-bit fingerprint into
+    4 byte-bands; if hamming(a, b) <= 6 then at least one band differs by
+    at most 1 bit (pigeonhole: 4 bands x 2 bits each would already be 8).
+    Build side emits, per band, the byte plus its 8 single-bit flips
+    (9 keys/band); probe side emits the exact byte; an equi-join on
+    (band, key) then finds every pair with a <=1-bit band — a shuffle join
+    on a 36-rows-per-doc key table, never a cross join. Exact Hamming
+    verification runs only on candidates."""
+    sims = q32_simhash(spark, sf_dir).localCheckpoint(eager=True)
+    bands = F.expr(
+        f"transform(sequence(0, {SIMHASH_BANDS - 1}), "
+        f"b -> struct(b AS band, shiftright(simhash, 8 * b) & 255 AS byte))"
+    )
+    probe = (
+        sims.select("doc_id", F.explode(bands).alias("bb"))
+        .select("doc_id", "bb.band", F.col("bb.byte").alias("key"))
+    )
+    # byte ^ 0 (exact) plus the 8 single-bit flips
+    variants = F.expr(
+        "transform(sequence(0, 8), f -> IF(f = 0, byte, byte ^ shiftleft(1, f - 1)))"
+    )
+    build = (
+        probe.withColumnRenamed("key", "byte")
+        .select("doc_id", "band", F.explode(variants).alias("key"))
+    )
+    candidates = (
+        build.alias("a")
+        .join(
+            probe.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    h1 = sims.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("h1"))
+    h2 = sims.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("h2"))
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int")
+    return (
+        candidates.join(h1, "id1")
+        .join(h2, "id2")
+        .select("id1", "id2", hamming.alias("hamming"))
         .where(F.col("hamming") <= HAMMING_MAX)
         .orderBy("id1", "id2")
     )
@@ -385,11 +455,14 @@ CHAR_JACCARD_THRESHOLD = 0.75
 CHAR_DOC_CAP = 500
 
 _CHAR_SHINGLES_DUCK = f"""
+    cpos AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(length(text) - {CHAR_NGRAM_K} + 2, 1))) AS i
+      FROM documents WHERE doc_id < {CHAR_DOC_CAP}
+    ),
     csh AS (
-      SELECT DISTINCT doc_id,
-             substr(text, i, {CHAR_NGRAM_K}) AS s
-      FROM documents, (SELECT unnest(range(1, 5000)) AS i) r
-      WHERE doc_id < {CHAR_DOC_CAP} AND i <= length(text) - {CHAR_NGRAM_K} + 1
+      SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {CHAR_NGRAM_K}) AS s
+      FROM cpos
     ),
     csz AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY doc_id),
     cpairs AS (

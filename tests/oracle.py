@@ -4,6 +4,16 @@ Mirrors the driver's t2 gate (CORRECTNESS_r{N}.json): row count, schema
 arity, and an order-insensitive value comparison with columns sorted by
 name — but stricter: exact cell equality (with optional per-query float
 tolerance) instead of a hash, so mismatches are debuggable.
+
+Additionally enforces the driver's *pandas canonicalization* contract: the
+driver hashes pandas-rendered values (Spark via ``toPandas``, DuckDB via
+``.df()``), where a Spark DECIMAL surfaces as ``Decimal`` objects but a
+DuckDB DECIMAL/HUGEINT surfaces as float64 — numerically equal cells that
+hash differently. ``_check_driver_dtypes`` derives the dtype class each
+engine would surface (Spark from its schema — no re-execution; DuckDB from
+a cheap ``.df()`` fetch) and fails on any class mismatch, so this failure
+class is caught locally without re-running the Spark plan. The full
+pandas-level comparison lives in tools/driver_check.py.
 """
 
 from __future__ import annotations
@@ -69,6 +79,67 @@ def _normalize(rows, colnames):
     return out, [colnames[i] for i in order]
 
 
+def _spark_dtype_class(dt) -> str:
+    """pandas dtype class a Spark column surfaces as under toPandas()."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        return "decimal-obj"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.TimestampType):
+        return "ts"
+    if isinstance(dt, T.DateType):
+        return "date-obj"  # datetime.date objects — NOT datetime64
+    return "other"
+
+
+def _duck_dtype_class(dtype, sample) -> str:
+    """pandas dtype class a DuckDB column surfaces as under .df()."""
+    import datetime as _dt
+    from decimal import Decimal as _D
+
+    k = dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "ts"
+    if sample is None:
+        return "other"
+    if isinstance(sample, _D):
+        return "decimal-obj"
+    if isinstance(sample, _dt.datetime):
+        return "ts"
+    if isinstance(sample, _dt.date):
+        return "date-obj"
+    return "other"
+
+
+def _check_driver_dtypes(spark_df, duck_pdf) -> list[str]:
+    spark_cls = {f.name: _spark_dtype_class(f.dataType) for f in spark_df.schema.fields}
+    problems = []
+    for col in duck_pdf.columns:
+        s = duck_pdf[col]
+        nn = s.dropna()
+        d_cls = _duck_dtype_class(s.dtype, nn.iloc[0] if len(nn) else None)
+        s_cls = spark_cls.get(col, "other")
+        if s_cls != d_cls and "other" not in (s_cls, d_cls):
+            problems.append(
+                f"driver-canonicalization dtype mismatch on {col!r}: "
+                f"spark toPandas would give {s_cls}, duckdb .df() gives {d_cls} "
+                f"(numerically-equal cells would hash differently at the driver)"
+            )
+    return problems
+
+
 def compare(spark_df, sql: str, sf_dir: str, float_rtol: float | None = None) -> None:
     """Assert the Spark result equals the DuckDB result. Raises AssertionError."""
     spark_cols = spark_df.columns
@@ -79,8 +150,10 @@ def compare(spark_df, sql: str, sf_dir: str, float_rtol: float | None = None) ->
         res = con.execute(sql)
         duck_cols = [d[0] for d in res.description]
         duck_rows = res.fetchall()
+        dtype_problems = _check_driver_dtypes(spark_df, con.execute(sql).df())
     finally:
         con.close()
+    assert not dtype_problems, "\n".join(dtype_problems)
 
     assert len(spark_rows) == len(duck_rows), (
         f"row count mismatch: spark={len(spark_rows)} duckdb={len(duck_rows)}"

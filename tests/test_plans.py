@@ -63,6 +63,33 @@ def test_q20_topk_avoids_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, "top-k planned as a full sort"
 
 
+def test_dedup_pipeline_no_cartesian_product(spark, sf_dir):
+    """The scale-path dedup queries must generate candidates via equi-joins
+    (band/bucket keys), never a cross join — the difference between O(n·b)
+    and O(n²) at 100 TB. Pins the shape before any refactor regresses it."""
+    from mapreduce_framework_spark.pipeline.dedup import (
+        q31_minhash_lsh_neardup,
+        q71_dedup_corpus_output,
+        q73_simhash_banded_neardup,
+    )
+
+    for builder in (q31_minhash_lsh_neardup, q71_dedup_corpus_output, q73_simhash_banded_neardup):
+        plan = _plan(builder(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{builder.__name__}: cross join in plan"
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{builder.__name__}: nested-loop join in plan"
+        )
+
+
+def test_q71_drop_list_anti_join_is_broadcast(spark, sf_dir):
+    """q71 removes near-duplicates by anti-joining the (tiny) drop list;
+    at 100 TB the corpus side must stream — the drop list broadcasts."""
+    from mapreduce_framework_spark.pipeline.dedup import q71_dedup_corpus_output
+
+    plan = _plan(q71_dedup_corpus_output(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
 def test_whole_stage_codegen_on_scan_paths(spark, sf_dir):
     # AQE shows codegen spans only in the final (executed) plan
     df = q11_filter_project(spark, sf_dir)

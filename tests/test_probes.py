@@ -79,7 +79,8 @@ def test_q69_approx_percentiles_within_bounds(spark, sf_dir):
         for r in q54_percentiles(spark, sf_dir).collect()
     }
     approx = {
-        r["l_returnflag"]: r["p50_p99"] for r in q69_approx_percentiles(spark, sf_dir).collect()
+        r["l_returnflag"]: (r["p50"], r["p99"])
+        for r in q69_approx_percentiles(spark, sf_dir).collect()
     }
     assert set(exact) == set(approx)
     for flag, (p25, p75, p99) in exact.items():
