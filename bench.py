@@ -40,6 +40,15 @@ HEADLINE = [
     "q37_multimodal_features",  # mapInPandas binary featurizer
     "q48_salted_skew_agg",      # skew-resilient two-stage agg
     "q57_asof_join",            # as-of join (merge-sorted-streams form)
+    # similarity / text / dedup-scale families (driver-checked from r2 on;
+    # benched so regressions in them are visible round-over-round)
+    "q35_ann_lsh",              # hyperplane-LSH ANN
+    "q56_ann_ivf",              # IVF ANN (centroid broadcast join)
+    "q36_embedding_neardup",    # embedding-cosine near-dup
+    "q40_lang_id",              # text analysis: n-gram language ID
+    "q42_token_stats",          # text analysis: token counting
+    "q73_simhash_banded_neardup",  # banded SimHash (no cross join)
+    "q70_grouped_agg_pandas_udf",  # GROUPED_AGG pandas UDF path
 ]
 
 

@@ -465,8 +465,10 @@ def q23_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q29_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct customers per priority
     (rsd=0.05). Checked against the exact q16 within tolerance in
-    tests/test_probes.py; the driver records a rows-only check. At 100 TB
-    this replaces q16's exact expand+shuffle with a fixed-size sketch."""
+    tests/test_probes.py; the driver records a rows-only check here — the
+    *hard* driver gate for this sketch is q74_hll_error_bound, which
+    encodes the tolerance as an exact boolean oracle. At 100 TB this
+    replaces q16's exact expand+shuffle with a fixed-size sketch."""
     o = table(spark, "orders", sf_dir)
     return (
         o.groupBy("o_orderpriority")
@@ -608,7 +610,8 @@ def q69_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch): the 100 TB replacement
     for q54's exact per-group sort — fixed-memory, mergeable. Emitted as
     two scalar columns (not one ARRAY column): the driver's rows-only
-    canonicalizer sorts cell values and dies on unhashable lists."""
+    canonicalizer sorts cell values and dies on unhashable lists. The hard
+    driver gate for this sketch is q75_percentile_sketch_bound."""
     li = table(spark, "lineitem", sf_dir)
     return (
         li.groupBy("l_returnflag")

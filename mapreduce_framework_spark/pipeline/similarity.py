@@ -178,6 +178,57 @@ def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pair_cos_batches(sf_dir: str, threshold: float):
+    """mapInPandas generator factory: for each Arrow batch of (vec_id,
+    embedding) rows, cosine against the whole corpus (read once per task
+    from parquet) and emit (id1, id2, cos) pairs with id1 < id2 above the
+    threshold.
+
+    Exactness contract: the oracle computes ``fold(+, 0.0, a[d]*b[d])``
+    left-to-right in doubles. Accumulating ``C += A[:,d] * B[:,d]`` for
+    d = 0..DIM-1 performs the *same* IEEE adds in the same order for every
+    pair (0.0 + x == x exactly), so the resulting doubles — and the
+    threshold comparison — are bit-identical to the SQL fold."""
+
+    def gen(batches):
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        cids = tbl.column("vec_id").to_numpy()
+        corpus = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+
+        def fold_norms(m: np.ndarray) -> np.ndarray:
+            acc = np.zeros(m.shape[0])
+            for d in range(m.shape[1]):
+                acc += m[:, d] * m[:, d]
+            return np.sqrt(acc)
+
+        cnorm = fold_norms(corpus)
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            aids = pdf["vec_id"].to_numpy()
+            A = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+            anorm = fold_norms(A)
+            dots = np.zeros((len(A), len(corpus)))
+            for d in range(A.shape[1]):
+                dots += A[:, d : d + 1] * corpus[None, :, d]
+            cos = dots / (anorm[:, None] * cnorm[None, :])
+            ii, jj = np.nonzero((aids[:, None] < cids[None, :]) & (cos >= threshold))
+            yield pd.DataFrame(
+                {"id1": aids[ii], "id2": cids[jj], "cos": cos[ii, jj]}
+            )
+
+    return gen
+
+
 @register(
     "q36_embedding_neardup",
     oracle=f"""
@@ -193,19 +244,27 @@ def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q36_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold), brute force.
-    The LSH bucketing of q35 is the scale path for this too."""
-    e = _norms_spark(table(spark, "embeddings", sf_dir))
-    a = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"), F.col("norm").alias("n1"))
-    b = e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"), F.col("norm").alias("n2"))
-    pairs = a.crossJoin(b).where(F.col("id1") < F.col("id2"))
-    cos = (
-        F.expr(_DOT_SPARK.format(a="e1", b="e2")) / (F.col("n1") * F.col("n2"))
-    ).alias("cos")
-    return (
-        pairs.select("id1", "id2", cos)
-        .where(F.col("cos") >= NEARDUP_COS)
-        .orderBy("id1", "id2")
+    The LSH bucketing of q35 is the scale path for this too.
+
+    This is the one sanctioned dense-linear-algebra Python path: an O(N²)
+    pair loop through SQL expressions pays ~µs of expression-interpretation
+    per pair (array HOFs are interpreted; a 64-term unrolled product-sum
+    blows past the codegen method limit), while Arrow-batched numpy does
+    the same block at memory bandwidth. Each task computes its slice of
+    rows against the (small) corpus side, which it reads directly from
+    parquet — no driver collect, no Python broadcast; at 100 TB the corpus
+    side becomes blocked tiles, same shape. Bit-exactness vs the DuckDB
+    fold oracle is preserved by accumulating dimension-by-dimension in
+    fold order (see _pair_cos_batches) — identical IEEE op sequence."""
+    from mapreduce_framework_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    e = table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    out = e.mapInPandas(
+        _pair_cos_batches(sf_dir, NEARDUP_COS),
+        schema="id1 long, id2 long, cos double",
     )
+    return out.orderBy("id1", "id2")
 
 
 IVF_CENTROID_STRIDE = 97  # vec_id % stride == 0 -> deterministic centroids
