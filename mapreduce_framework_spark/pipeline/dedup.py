@@ -266,15 +266,31 @@ _SIMHASH_DUCK = (
 def q32_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (token-frequency-weighted bit votes over
     FNV token hashes). Near-dup detection = small Hamming distance; the
-    fingerprint itself is oracle-checked bit-exactly."""
+    fingerprint itself is oracle-checked bit-exactly.
+
+    Plan shape: the per-character FNV fold is an interpreted HOF, so it
+    runs once per *distinct* token (the dictionary — vocabulary ≪ token
+    instances at any scale), broadcast-joined back onto the exploded token
+    stream. The 32 bit votes are plain codegen'd sums: per doc and bit j,
+    ``Σ_tokens (2·bit_j − 1) > 0  ⇔  2·Σ bit_j − n_tokens > 0`` — the
+    identical fingerprint the naive per-token fold produces (docs with no
+    tokens drop out of the explode, matching the len(hs)>0 filter)."""
     docs = table(spark, "documents", sf_dir)
-    return (
-        docs.withColumn("toks", F.expr(TOKS_SPARK))
-        .withColumn("hs", F.expr(f"transform(toks, t -> {_fnv_sql('t')})"))
-        .where(F.size("hs") > 0)
-        .select("doc_id", F.expr(_SIMHASH_SPARK).alias("simhash"))
-        .orderBy("doc_id")
+    toks = docs.select("doc_id", F.explode(F.expr(TOKS_SPARK)).alias("t"))
+    vocab = toks.select("t").distinct().withColumn("h", F.expr(_fnv_sql("t")))
+    h = toks.join(F.broadcast(vocab), "t").select("doc_id", "h")
+    aggs = [
+        F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"s{j}")
+        for j in range(32)
+    ]
+    g = h.groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt"), *aggs)
+    simhash = F.expr(
+        " + ".join(
+            f"IF(2 * s{j} - cnt > 0, CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))"
+            for j in range(32)
+        )
     )
+    return g.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
 
 
 @register(

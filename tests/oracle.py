@@ -123,14 +123,23 @@ def _duck_dtype_class(dtype, sample) -> str:
     return "other"
 
 
-def _check_driver_dtypes(spark_df, duck_pdf) -> list[str]:
+def _check_driver_dtypes(spark_df, duck_pdf, spark_rows=None, spark_cols=None) -> list[str]:
     spark_cls = {f.name: _spark_dtype_class(f.dataType) for f in spark_df.schema.fields}
+    # An int column that contains NULLs surfaces as float64 under pandas on
+    # BOTH engines (pandas int64 can't hold NA) — not a divergence.
+    null_int_cols = set()
+    if spark_rows is not None and spark_cols is not None:
+        for i, col in enumerate(spark_cols):
+            if spark_cls.get(col) == "int" and any(r[i] is None for r in spark_rows):
+                null_int_cols.add(col)
     problems = []
     for col in duck_pdf.columns:
         s = duck_pdf[col]
         nn = s.dropna()
         d_cls = _duck_dtype_class(s.dtype, nn.iloc[0] if len(nn) else None)
         s_cls = spark_cls.get(col, "other")
+        if s_cls == "int" and d_cls == "float" and col in null_int_cols:
+            continue
         if s_cls != d_cls and "other" not in (s_cls, d_cls):
             problems.append(
                 f"driver-canonicalization dtype mismatch on {col!r}: "
@@ -150,7 +159,9 @@ def compare(spark_df, sql: str, sf_dir: str, float_rtol: float | None = None) ->
         res = con.execute(sql)
         duck_cols = [d[0] for d in res.description]
         duck_rows = res.fetchall()
-        dtype_problems = _check_driver_dtypes(spark_df, con.execute(sql).df())
+        dtype_problems = _check_driver_dtypes(
+            spark_df, con.execute(sql).df(), spark_rows, spark_cols
+        )
     finally:
         con.close()
     assert not dtype_problems, "\n".join(dtype_problems)
