@@ -124,3 +124,140 @@ def q37_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_frame(spark, sf_dir)
     feats = media.mapInPandas(extract_byte_features, schema=FEATURE_SCHEMA)
     return feats.orderBy("doc_id")
+
+
+# --- frame sampling (video-shaped payloads) ---------------------------------
+
+FRAME_SIZE = 16  # bytes per "frame" of the stand-in video payload
+FRAME_EVERY = 4  # keep every 4th frame
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_len", LongType()),
+        StructField("fingerprint", LongType()),
+    ]
+)
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame-sampler seam: treat the payload as fixed-size frames and keep
+    every FRAME_EVERY-th one (the decode step a real video pipeline would
+    run per kept frame is `sample_video_frames`, stubbed here). One-to-many:
+    each Arrow batch of payloads yields a batch of sampled frames."""
+    for pdf in batches:
+        doc, idx, ln, fp = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n_frames = (len(b) + FRAME_SIZE - 1) // FRAME_SIZE
+            for i in range(0, n_frames, FRAME_EVERY):
+                frame = b[i * FRAME_SIZE : (i + 1) * FRAME_SIZE]
+                doc.append(doc_id)
+                idx.append(i)
+                ln.append(len(frame))
+                fp.append(fnv1a32_py(frame))
+        yield pd.DataFrame(
+            {"doc_id": doc, "frame_idx": idx, "frame_len": ln, "fingerprint": fp},
+            dtype="int64",
+        )
+
+
+_FNV_OVER = (
+    "list_reduce(list_prepend(CAST(2166136261 AS BIGINT), "
+    "list_transform({positions}, "
+    "i -> CAST(unicode(substr({s}, i, 1)) AS BIGINT))), "
+    "(acc, b) -> ((xor(acc, b) * 16777619) % 4294967296))"
+)
+
+
+@register(
+    "q76_multimodal_frame_sample",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(length(text) / {FRAME_SIZE}.0) AS BIGINT),
+                          {FRAME_EVERY})) AS frame_idx
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, frame_idx,
+             substr(text, CAST(frame_idx * {FRAME_SIZE} + 1 AS INT), {FRAME_SIZE}) AS s
+      FROM f
+    )
+    SELECT doc_id, frame_idx,
+           CAST(length(s) AS BIGINT) AS frame_len,
+           {_FNV_OVER.format(positions="range(1, length(s) + 1)", s="s")} AS fingerprint
+    FROM fr ORDER BY doc_id, frame_idx
+    """,
+    tags=("ext", "multimodal"),
+)
+def q76_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a video-shaped binary column: payload → fixed-size
+    frames → keep every Nth → per-frame features, one-to-many through
+    mapInPandas. At 100 TB the payload column is a pointer into object
+    storage and the frame loop calls the real decoder; the Spark plumbing
+    (schema, Arrow batching, fan-out row counts) is identical."""
+    from mapreduce_framework_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    media = media_frame(spark, sf_dir)
+    return media.mapInPandas(sample_frames, schema=FRAME_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+# --- resize (byte-stride downsample) ----------------------------------------
+
+RESIZE_STRIDE = 2
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orig_len", LongType()),
+        StructField("resized_len", LongType()),
+        StructField("fingerprint", LongType()),
+    ]
+)
+
+
+def resize_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Resize seam: stride-RESIZE_STRIDE byte downsample — the deterministic
+    stand-in for an image resize (real pipelines decode → resize → re-encode
+    inside this same Arrow batch loop)."""
+    for pdf in batches:
+        doc, orig, rlen, fp = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            r = b[::RESIZE_STRIDE]
+            doc.append(doc_id)
+            orig.append(len(b))
+            rlen.append(len(r))
+            fp.append(fnv1a32_py(r))
+        yield pd.DataFrame(
+            {"doc_id": doc, "orig_len": orig, "resized_len": rlen, "fingerprint": fp},
+            dtype="int64",
+        )
+
+
+@register(
+    "q77_multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS orig_len,
+           CAST(ceil(length(text) / {RESIZE_STRIDE}.0) AS BIGINT) AS resized_len,
+           CASE WHEN length(text) = 0 THEN CAST(2166136261 AS BIGINT)
+           ELSE {_FNV_OVER.format(positions=f"range(1, length(text) + 1, {RESIZE_STRIDE})", s="text")}
+           END AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("ext", "multimodal"),
+)
+def q77_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload resize plumbing: binary column → strided downsample →
+    (orig_len, resized_len, fingerprint of the resized bytes), Arrow-batched
+    via mapInPandas; fingerprints agree with the SQL oracle byte-for-byte."""
+    from mapreduce_framework_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    media = media_frame(spark, sf_dir)
+    return media.mapInPandas(resize_payloads, schema=RESIZE_SCHEMA).orderBy("doc_id")

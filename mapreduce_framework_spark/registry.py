@@ -75,10 +75,8 @@ CURATED_ORDER = [
     "q74_hll_error_bound",
     "q75_percentile_sketch_bound",
     # KV semantics
-    "q06_kv_final_state",
     "q28_kv_stateful_replay",
     # windows / temporal
-    "q24_exact_dedup",
     "q27_session_window",
     "q65_hierarchical_rollup",
     "q57_asof_join",
@@ -109,7 +107,12 @@ CURATED_ORDER = [
     "q42_token_stats",
     "q43_fingerprint",
     "q37_multimodal_features",
+    "q76_multimodal_frame_sample",
+    "q77_multimodal_resize",
     # ---- position 51+: stable since round 1, pytest-swept every run ----
+    # (q06/q24 rotated out this round: green in r1, unchanged since)
+    "q06_kv_final_state",
+    "q24_exact_dedup",
     "q03_crash_emits",
     "q04_per_doc_counts",
     "q05_global_count",

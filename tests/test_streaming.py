@@ -323,3 +323,96 @@ def test_foreach_batch_incremental_merge_matches_batch(spark, sf_dir, tmp_path):
     got = {r["key"]: r["value"] for r in state.collect()}
     expected = {r["key"]: r["value"] for r in q06_kv_final_state(spark, sf_dir).collect()}
     assert got == expected
+
+
+def test_streaming_exact_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Duplicate documents injected into a 2-batch stream: the streaming
+    dedup's kept set must equal the batch distinct-by-content set, with
+    duplicates in the *second* micro-batch suppressed by state from the
+    first (the incremental-ingest contract)."""
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.streaming.dedup import streaming_exact_dedup
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    n_docs = docs.count()
+    # batch 1: the corpus; batch 2: 100 re-crawled copies under new doc_ids
+    dups = (
+        docs.where(F.col("doc_id") < 100)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    docs.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    time.sleep(1.1)
+    dups.coalesce(1).write.parquet(os.path.join(src, "b1"))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "b*"))
+    )
+    kept = run_stream_to_memory(
+        streaming_exact_dedup(stream), spark, output_mode="append", timeout_s=180
+    )
+    # every original content kept exactly once; no re-crawled copy survives
+    # (their hashes were already in state from batch 1)
+    assert kept.count() == docs.select("text").distinct().count()
+    assert kept.where(F.col("doc_id") >= 1_000_000).count() == 0
+    got_hashes = {r["content_hash"] for r in kept.select("content_hash").collect()}
+    want_hashes = {
+        r["h"] for r in docs.select(F.xxhash64("text").alias("h")).distinct().collect()
+    }
+    assert got_hashes == want_hashes
+
+
+def test_streaming_dedup_within_watermark_evicts_old_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics end-to-end: duplicates inside
+    the delay are suppressed; once the watermark passes first_seen + delay
+    the state is evicted and a far-later duplicate is re-admitted. This is
+    the bounded-state trade documented in streaming/dedup.py."""
+    import datetime as dt
+
+    from mapreduce_framework_spark.streaming.dedup import (
+        streaming_dedup_within_watermark,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def mk(ids, minutes):
+        ts = t0 + dt.timedelta(minutes=minutes)
+        return [(i, ts) for i in ids]
+
+    # The watermark recorded at the end of batch N only becomes *effective*
+    # in batch N+1 (same lag as the late-data tests), so an extra
+    # watermark-advancing batch sits between the advance and the re-probe.
+    batches = [
+        mk([1, 2, 3, 4, 5], 0),    # first sight; state expires at 10:20
+        mk([1, 2, 3, 4, 5], 10),   # dups within 20-min delay -> suppressed
+        mk([6], 60),               # records watermark 10:40
+        mk([7], 70),               # 10:40 now effective -> ids 1-5 evicted
+        mk([1, 2, 3, 4, 5], 80),   # re-admitted: state is gone
+    ]
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src)
+    schema = "id LONG, ts TIMESTAMP"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema=schema).coalesce(1).write.parquet(
+            os.path.join(src, f"b{i}")
+        )
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "b*"))
+    )
+    out = run_stream_to_memory(
+        streaming_dedup_within_watermark(stream, ["id"], "ts", "20 minutes"),
+        spark,
+        output_mode="append",
+        timeout_s=180,
+    )
+    pdf = out.toPandas()
+    # 5 first-sight + 2 fresh + 5 re-admitted after eviction = 12
+    assert len(pdf) == 12, pdf.sort_values(["ts", "id"]).to_string()
+    assert sorted(pdf["id"]) == [1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 7]
