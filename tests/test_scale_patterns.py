@@ -13,6 +13,7 @@ from mapreduce_framework_spark.sources import (
     write_csv,
     write_jsonl,
 )
+from mapreduce_framework_spark.storage import write_bucketed, write_partitioned
 
 
 def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
@@ -22,12 +23,8 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     o = table(spark, "orders", sf_dir)
     c = table(spark, "customer", sf_dir)
     # external tables under tmp_path (warehouse dir is a static conf)
-    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").option(
-        "path", str(tmp_path / "orders_bkt")
-    ).mode("overwrite").saveAsTable("orders_bkt")
-    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").option(
-        "path", str(tmp_path / "customer_bkt")
-    ).mode("overwrite").saveAsTable("customer_bkt")
+    write_bucketed(o, "orders_bkt", str(tmp_path / "orders_bkt"), ["o_custkey"], 8)
+    write_bucketed(c, "customer_bkt", str(tmp_path / "customer_bkt"), ["c_custkey"], 8)
     old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -71,11 +68,8 @@ def test_partition_pruning_on_date_partitioned_sink(spark, sf_dir, tmp_path):
     bedrock 100 TB layout pattern."""
     ev = table(spark, "events", sf_dir)
     out = str(tmp_path / "events_by_day")
-    (
-        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
-        .write.partitionBy("day")
-        .mode("overwrite")
-        .parquet(out)
+    write_partitioned(
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd")), out, "day"
     )
     back = spark.read.parquet(out)
     one_day = back.where(F.col("day") == "2024-01-05")
