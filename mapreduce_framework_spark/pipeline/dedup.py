@@ -380,14 +380,18 @@ def q73_simhash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, key) then finds every pair with a <=1-bit band — a shuffle join
     on a 36-rows-per-doc key table, never a cross join. Exact Hamming
     verification runs only on candidates."""
+    # localCheckpoint: probe and build both branch off the fingerprints —
+    # materialize them once instead of recomputing the q32 DAG per branch
     sims = q32_simhash(spark, sf_dir).localCheckpoint(eager=True)
     bands = F.expr(
         f"transform(sequence(0, {SIMHASH_BANDS - 1}), "
         f"b -> struct(b AS band, shiftright(simhash, 8 * b) & 255 AS byte))"
     )
+    # the fingerprint rides along with the band keys, so the exact Hamming
+    # check runs inside the band join itself — no re-join to fetch it
     probe = (
-        sims.select("doc_id", F.explode(bands).alias("bb"))
-        .select("doc_id", "bb.band", F.col("bb.byte").alias("key"))
+        sims.select("doc_id", "simhash", F.explode(bands).alias("bb"))
+        .select("doc_id", "simhash", "bb.band", F.col("bb.byte").alias("key"))
     )
     # byte ^ 0 (exact) plus the 8 single-bit flips
     variants = F.expr(
@@ -395,9 +399,12 @@ def q73_simhash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     build = (
         probe.withColumnRenamed("key", "byte")
-        .select("doc_id", "band", F.explode(variants).alias("key"))
+        .select("doc_id", "simhash", "band", F.explode(variants).alias("key"))
     )
-    candidates = (
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast(
+        "int"
+    )
+    return (
         build.alias("a")
         .join(
             probe.alias("b"),
@@ -405,17 +412,13 @@ def q73_simhash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .where(hamming <= HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            hamming.alias("hamming"),
+        )
         .distinct()
-    )
-    h1 = sims.select(F.col("doc_id").alias("id1"), F.col("simhash").alias("h1"))
-    h2 = sims.select(F.col("doc_id").alias("id2"), F.col("simhash").alias("h2"))
-    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int")
-    return (
-        candidates.join(h1, "id1")
-        .join(h2, "id2")
-        .select("id1", "id2", hamming.alias("hamming"))
-        .where(F.col("hamming") <= HAMMING_MAX)
         .orderBy("id1", "id2")
     )
 
