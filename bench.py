@@ -49,6 +49,8 @@ HEADLINE = [
     "q42_token_stats",          # text analysis: token counting
     "q73_simhash_banded_neardup",  # banded SimHash (no cross join)
     "q70_grouped_agg_pandas_udf",  # GROUPED_AGG pandas UDF path
+    "q79_sequence_packing",        # corpus shaping: per-source window pack
+    "q80_contamination_check",     # corpus shaping: broadcast shingle join
 ]
 
 

@@ -1,0 +1,171 @@
+"""Corpus-shaping operators for LLM training-data pipelines: deterministic
+stratified sampling, sequence packing, and benchmark-contamination checks.
+
+These are the operations that turn a deduped corpus into a training mix,
+and each is built to the 100 TB shape:
+
+- **Stratified hash sampling (q78)** — per-language keep rates applied via
+  a *deterministic* content-independent hash of the doc_id (FNV-1a32, the
+  same JVM expression family as the dedup stack). No RNG: the sample is
+  reproducible across runs, engines, and partitionings (``sample()``/
+  ``TABLESAMPLE`` are partition-order-dependent and can't be
+  oracle-checked). Narrow scan, zero shuffles.
+- **Sequence packing (q79)** — assign documents to fixed-token-budget
+  training sequences by running token count. Packing is per-source
+  (PARTITION BY source), not global: a global running sum serializes on
+  one task, while per-shard packing parallelizes and matches how corpora
+  ship (per-source shards). One window shuffle on source.
+- **Contamination check (q80)** — documents sharing word-3-gram shingles
+  with a benchmark set (here: the lowest doc_ids stand in for the eval
+  set). The benchmark side is tiny and broadcasts; the corpus side
+  streams through one shuffle-free shingle explode + broadcast join.
+
+The reference has no sampling/packing surface (batch MR only); these are
+[EXT] operators required by the training-pipeline target (SURVEY §7 M5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.catalog import table
+from mapreduce_framework_spark.pipeline.dedup import (
+    SHINGLES_DUCK,
+    SHINGLES_SPARK,
+    TOKS_DUCK,
+    TOKS_SPARK,
+    _fnv_duck,
+    _fnv_sql,
+)
+from mapreduce_framework_spark.registry import register
+
+# per-language keep rates out of 100 — the up/down-sampling a training mix
+# applies per stratum (keep all English, half the mid-resource languages,
+# a quarter of zh in this synthetic corpus)
+LANG_RATES = {"en": 100, "de": 50, "fr": 50, "es": 50, "zh": 25}
+_SALT = "'sample-'"  # hash domain separator; keeps q78 independent of q09
+
+_RATE_CASE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in LANG_RATES.items())
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "q78_stratified_hash_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           CAST({_fnv_duck(f"concat({_SALT}, CAST(doc_id AS VARCHAR))")} % 100 AS BIGINT) AS bucket
+    FROM documents
+    WHERE {_fnv_duck(f"concat({_SALT}, CAST(doc_id AS VARCHAR))")} % 100 < {_RATE_CASE_SQL}
+    ORDER BY doc_id
+    """,
+    tags=("ext", "sampling"),
+)
+def q78_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: keep a doc iff
+    FNV(salt || doc_id) mod 100 < rate(lang). Reproducible by construction
+    — rerunning over a grown corpus keeps exactly the same decisions for
+    old docs (the property incremental training-data pipelines need)."""
+    docs = table(spark, "documents", sf_dir)
+    h = F.expr(_fnv_sql(f"concat({_SALT}, CAST(doc_id AS STRING))"))
+    return (
+        docs.withColumn("bucket", (h % 100).cast("long"))
+        .where(F.col("bucket") < F.expr(_RATE_CASE_SQL))
+        .select("doc_id", "lang", "source", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+SEQ_LEN = 128  # token budget per packed training sequence
+
+
+@register(
+    "q79_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len({TOKS_DUCK}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(start_tok // {SEQ_LEN} AS BIGINT) AS seq_id
+    FROM c ORDER BY doc_id
+    """,
+    tags=("ext", "sampling", "packing"),
+)
+def q79_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-token-budget sequences: a doc starts in
+    the sequence its cumulative token offset falls into (per source, in
+    doc_id order — the deterministic contiguous-packing rule). seq_id is
+    per-source; (source, seq_id) is the training-sequence key."""
+    docs = table(spark, "documents", sf_dir)
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = docs.select(
+        "doc_id", "source", F.size(F.expr(TOKS_SPARK)).cast("long").alias("n_tokens")
+    )
+    return (
+        t.withColumn("start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr(f"start_tok div {SEQ_LEN}").alias("seq_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BENCHMARK_MAX_ID = 50  # docs below this id stand in for the eval set
+
+
+@register(
+    "q80_contamination_check",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK}) AS s FROM t),
+    bench AS (SELECT doc_id, s FROM sh WHERE doc_id < {BENCHMARK_MAX_ID}),
+    corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= {BENCHMARK_MAX_ID})
+    SELECT c.doc_id,
+           CAST(count(DISTINCT c.s) AS BIGINT) AS n_shared_shingles,
+           CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_benchmark_docs
+    FROM corpus c JOIN bench b ON c.s = b.s
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+    tags=("ext", "sampling", "contamination"),
+)
+def q80_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: for each corpus doc, how many of its word
+    3-gram shingles appear in the benchmark set, and how many benchmark
+    docs it overlaps. The benchmark shingle set broadcasts (eval sets are
+    tiny); the corpus side never self-joins."""
+    docs = table(spark, "documents", sf_dir)
+    sh = docs.withColumn("toks", F.expr(TOKS_SPARK)).select(
+        "doc_id", F.explode(F.array_distinct(F.expr(SHINGLES_SPARK))).alias("s")
+    )
+    bench = sh.where(F.col("doc_id") < BENCHMARK_MAX_ID).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    corpus = sh.where(F.col("doc_id") >= BENCHMARK_MAX_ID)
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_shared_shingles"),
+            F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+        .orderBy("doc_id")
+    )

@@ -50,11 +50,9 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # (they remain covered by the local pytest oracle sweep, which runs all of
 # them). Rotate per round so every query periodically re-enters the window.
 CURATED_ORDER = [
-    # MR framework flagships
+    # MR framework flagship
     "q01_wordcount",
-    "q02_inverted_index",
     # relational core (dtype-canonicalization fixes this round)
-    "q11_filter_project",
     "q12_join_revenue_per_nation",
     "q13_broadcast_join",
     "q15_tpch_q1_shape",
@@ -90,7 +88,6 @@ CURATED_ORDER = [
     "q67_multiset_ops",
     "q70_grouped_agg_pandas_udf",
     # dedup pipeline
-    "q30_ngram_jaccard_neardup",
     "q31_minhash_lsh_neardup",
     "q49_neardup_components",
     "q71_dedup_corpus_output",
@@ -109,10 +106,17 @@ CURATED_ORDER = [
     "q37_multimodal_features",
     "q76_multimodal_frame_sample",
     "q77_multimodal_resize",
+    # corpus shaping (new this round)
+    "q78_stratified_hash_sample",
+    "q79_sequence_packing",
+    "q80_contamination_check",
     # ---- position 51+: stable since round 1, pytest-swept every run ----
-    # (q06/q24 rotated out this round: green in r1, unchanged since)
+    # (rotated out this round: green in r1, unchanged since)
     "q06_kv_final_state",
     "q24_exact_dedup",
+    "q02_inverted_index",
+    "q11_filter_project",
+    "q30_ngram_jaccard_neardup",
     "q03_crash_emits",
     "q04_per_doc_counts",
     "q05_global_count",
@@ -157,6 +161,7 @@ def all_queries() -> dict[str, QuerySpec]:
     import mapreduce_framework_spark.pipeline.similarity  # noqa: F401
     import mapreduce_framework_spark.pipeline.text_analysis  # noqa: F401
     import mapreduce_framework_spark.pipeline.multimodal  # noqa: F401
+    import mapreduce_framework_spark.pipeline.sampling  # noqa: F401
 
     missing = set(REGISTRY) - set(CURATED_ORDER)
     extra = set(CURATED_ORDER) - set(REGISTRY)
