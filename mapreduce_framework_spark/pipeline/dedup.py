@@ -103,13 +103,16 @@ _JACCARD_ORACLE = f"""
 """
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shingles_of(docs: DataFrame) -> DataFrame:
     """Distinct (doc_id, shingle) pairs — word 3-gram shingling."""
-    docs = table(spark, "documents", sf_dir)
     return (
         docs.withColumn("toks", F.expr(TOKS_SPARK))
         .select("doc_id", F.explode(F.array_distinct(F.expr(SHINGLES_SPARK))).alias("s"))
     )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingles_of(table(spark, "documents", sf_dir))
 
 
 def _exact_jaccard_pairs(sh: DataFrame) -> DataFrame:
@@ -181,11 +184,17 @@ def q31_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified at J ≥ 0.8 — the 100 TB dedup path: signatures are one scan,
     candidates come from equi-joins on (band, band-signature), and the
     quadratic exact check runs only inside buckets."""
+    return lsh_neardup_pairs(table(spark, "documents", sf_dir))
+
+
+def lsh_neardup_pairs(docs: DataFrame) -> DataFrame:
+    """Library form of q31: MinHash-LSH near-dup pairs of any documents
+    frame with (doc_id, text)."""
     # shingling (tokenize+3-gram+distinct) feeds both the signature build
     # and the exact verification — materialize it once (localCheckpoint:
     # eager, lineage-truncating, and reclaimed by the ContextCleaner when
     # the plan is garbage-collected, unlike a never-unpersisted cache)
-    sh_cached = _doc_shingles(spark, sf_dir).localCheckpoint(eager=True)
+    sh_cached = shingles_of(docs).localCheckpoint(eager=True)
     sigs = _signatures_from_shingles(sh_cached)
     rows_per_band = N_PERMS // N_BANDS
     bands = sigs.select(
@@ -275,7 +284,11 @@ def q32_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``Σ_tokens (2·bit_j − 1) > 0  ⇔  2·Σ bit_j − n_tokens > 0`` — the
     identical fingerprint the naive per-token fold produces (docs with no
     tokens drop out of the explode, matching the len(hs)>0 filter)."""
-    docs = table(spark, "documents", sf_dir)
+    return simhash_of(table(spark, "documents", sf_dir))
+
+
+def simhash_of(docs: DataFrame) -> DataFrame:
+    """Library form of q32: 32-bit SimHash of any (doc_id, text) frame."""
     toks = docs.select("doc_id", F.explode(F.expr(TOKS_SPARK)).alias("t"))
     vocab = toks.select("t").distinct().withColumn("h", F.expr(_fnv_sql("t")))
     h = toks.join(F.broadcast(vocab), "t").select("doc_id", "h")
@@ -380,9 +393,15 @@ def q73_simhash_banded_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, key) then finds every pair with a <=1-bit band — a shuffle join
     on a 36-rows-per-doc key table, never a cross join. Exact Hamming
     verification runs only on candidates."""
+    return simhash_banded_pairs(table(spark, "documents", sf_dir))
+
+
+def simhash_banded_pairs(docs: DataFrame) -> DataFrame:
+    """Library form of q73: banded SimHash near-dup pairs of any
+    (doc_id, text) frame."""
     # localCheckpoint: probe and build both branch off the fingerprints —
-    # materialize them once instead of recomputing the q32 DAG per branch
-    sims = q32_simhash(spark, sf_dir).localCheckpoint(eager=True)
+    # materialize them once instead of recomputing the simhash DAG per branch
+    sims = simhash_of(docs).localCheckpoint(eager=True)
     bands = F.expr(
         f"transform(sequence(0, {SIMHASH_BANDS - 1}), "
         f"b -> struct(b AS band, shiftright(simhash, 8 * b) & 255 AS byte))"

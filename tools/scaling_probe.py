@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Measured scaling for the LLM-pipeline families (SCALING.md evidence).
+
+Amplifies the documents corpus by self-union with shifted doc_ids (the
+same no-synthetic-data methodology as the relational probe in SCALING.md)
+and measures wall-clock for the scale-path operators:
+
+- MinHash-LSH near-dup (lsh_neardup_pairs)       — the q31 path
+- banded SimHash near-dup (simhash_banded_pairs) — the q73 path
+- SimHash fingerprints (simhash_of)              — the q32 scan
+- contamination check shape (broadcast shingle join)
+
+Amplified copies are *exact* duplicates of each other, so near-dup pair
+counts grow with copies² × planted-pairs + copies-choose-2 × corpus —
+realistic for dedup (that's what it exists to find); the number to watch
+is wall-clock vs input rows on the signature/banding stages, which must
+stay ~linear.
+
+Usage: python tools/scaling_probe.py [sf_dir]   (default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.catalog import table
+from mapreduce_framework_spark.deploy import ensure_package_on_executors
+from mapreduce_framework_spark.pipeline.dedup import (
+    lsh_neardup_pairs,
+    shingles_of,
+    simhash_banded_pairs,
+    simhash_of,
+)
+from mapreduce_framework_spark.session import get_spark
+
+
+def amplify(docs, factor: int):
+    span = 10_000_000
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * span)).alias("doc_id"),
+            "text",
+        )
+        for i in range(factor)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def timed(df) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n = df.count()
+    return round(time.perf_counter() - t0, 2), n
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="mfs-scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_package_on_executors(spark)
+    base = table(spark, "documents", sf_dir).select("doc_id", "text")
+    base.count()  # warm
+
+    print(f"| docs | simhash wall | banded-pairs wall (rows) | lsh-pairs wall (rows) | contamination wall |")
+    print("|---|---|---|---|---|")
+    for factor in (1, 2, 4):
+        docs = amplify(base, factor).localCheckpoint(eager=True)
+        n_docs = docs.count()
+        t_sim, _ = timed(simhash_of(docs))
+        t_band, n_band = timed(simhash_banded_pairs(docs))
+        t_lsh, n_lsh = timed(lsh_neardup_pairs(docs))
+        sh = shingles_of(docs)
+        bench = sh.where(F.col("doc_id") < 50).select(
+            F.col("doc_id").alias("bench_id"), "s"
+        )
+        contam = (
+            sh.where(F.col("doc_id") >= 50)
+            .join(F.broadcast(bench), "s")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("s").alias("n"))
+        )
+        t_con, _ = timed(contam)
+        print(
+            f"| {n_docs} | {t_sim} s | {t_band} s ({n_band}) | "
+            f"{t_lsh} s ({n_lsh}) | {t_con} s |"
+        )
+
+
+if __name__ == "__main__":
+    main()
