@@ -21,6 +21,29 @@ from mapreduce_framework_spark.deploy import ensure_package_on_executors
 from mapreduce_framework_spark.registry import all_queries
 from mapreduce_framework_spark.session import get_spark
 
+# The 17 queries benched in round 1 — their sum is the like-for-like
+# round-over-round comparison (the suite below has since widened; see
+# BASELINE.md "Round 2").
+R1_SUBSET = {
+    "q01_wordcount",
+    "q02_inverted_index",
+    "q06_kv_final_state",
+    "q11_filter_project",
+    "q12_join_revenue_per_nation",
+    "q15_tpch_q1_shape",
+    "q17_rollup",
+    "q18_window_topk_per_group",
+    "q20_global_topk",
+    "q25_tumbling_window",
+    "q28_kv_stateful_replay",
+    "q30_ngram_jaccard_neardup",
+    "q31_minhash_lsh_neardup",
+    "q34_ann_bruteforce",
+    "q37_multimodal_features",
+    "q48_salted_skew_agg",
+    "q57_asof_join",
+}
+
 # Representative slice of SURVEY §2.5: one per operator family.
 HEADLINE = [
     "q01_wordcount",            # tokenize+flatMap+agg (A1)
@@ -80,6 +103,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_dir,
+                "n_queries": len(timings),
+                # like-for-like vs round 1's 17-query suite (~26-30 s);
+                # the full-suite total is not comparable across rounds
+                # because the suite widens as families land
+                "r1_subset_sec": round(
+                    sum(t for q, t in timings.items() if q in R1_SUBSET), 3
+                ),
             }
         )
     )
