@@ -673,7 +673,13 @@ def q75_percentile_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna sketch validity gate (q69's driver-checkable twin):
     booleans asserting the approximate p50 lies inside the exact IQR and
     the approximate p99 is within 5% of the exact p99. Both percentiles
-    (exact and sketch) are computed in the same single aggregation pass."""
+    (exact and sketch) are computed in the same single aggregation pass.
+
+    Determinism: GK sketch merge order varies with shuffle arrival, but
+    the algorithm's invariant bounds rank error at N/accuracy = 0.1% for
+    ANY valid merge — orders of magnitude inside both margins here (the
+    full IQR for p50; 5% of value for p99 on this smooth distribution).
+    The booleans therefore cannot flip across runs."""
     li = table(spark, "lineitem", sf_dir)
     return (
         li.groupBy("l_returnflag")

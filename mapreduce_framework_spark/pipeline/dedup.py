@@ -249,11 +249,9 @@ def lsh_neardup_pairs(docs: DataFrame) -> DataFrame:
     return verified.where(F.col("jaccard") >= JACCARD_THRESHOLD).orderBy("id1", "id2")
 
 
-_SIMHASH_SPARK = (
-    "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) -> acc + "
-    "IF(aggregate(hs, CAST(0 AS BIGINT), (a2, h) -> a2 + (2 * ((h >> j) & 1) - 1)) > 0, "
-    "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
-)
+# Spark computes the identical fingerprint via the dictionary-encoded
+# explode/vocab-join in simhash_of() — see its docstring for the vote-sum
+# equivalence proof against this fold form.
 _SIMHASH_DUCK = (
     "list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 32)), (acc, j) -> acc + "
     "CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), hs), "

@@ -100,7 +100,10 @@ def parquet_file_column_ranges(path: str, column: str) -> list[tuple]:
         mins, maxs = [], []
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                continue  # stats absent (e.g. binary cols, stats disabled)
             mins.append(st.min)
             maxs.append(st.max)
-        ranges.append((min(mins), max(maxs)))
+        if mins:  # skip empty files / files with no usable stats
+            ranges.append((min(mins), max(maxs)))
     return ranges

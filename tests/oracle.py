@@ -159,6 +159,12 @@ def compare(spark_df, sql: str, sf_dir: str, float_rtol: float | None = None) ->
         res = con.execute(sql)
         duck_cols = [d[0] for d in res.description]
         duck_rows = res.fetchall()
+        # Deliberately a SECOND execution: the dtype gate needs the dtypes
+        # .df() would materialize (DECIMAL/HUGEINT -> float64, nullable
+        # BIGINT -> float64), which are derivable neither from the DBAPI
+        # description (everything numeric is 'NUMBER') nor from fetchall
+        # values (BIGINT and HUGEINT are both plain int), and fetching rows
+        # FROM the pandas frame would corrupt null handling (None -> NaN).
         dtype_problems = _check_driver_dtypes(
             spark_df, con.execute(sql).df(), spark_rows, spark_cols
         )
