@@ -74,6 +74,7 @@ HEADLINE = [
     "q70_grouped_agg_pandas_udf",  # GROUPED_AGG pandas UDF path
     "q79_sequence_packing",        # corpus shaping: per-source window pack
     "q80_contamination_check",     # corpus shaping: broadcast shingle join
+    "q81_training_corpus",         # composed dedup->filter->sample->pack
 ]
 
 

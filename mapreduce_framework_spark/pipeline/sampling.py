@@ -31,12 +31,14 @@ from pyspark.sql import functions as F
 
 from mapreduce_framework_spark.catalog import table
 from mapreduce_framework_spark.pipeline.dedup import (
+    JACCARD_THRESHOLD,
     SHINGLES_DUCK,
     SHINGLES_SPARK,
     TOKS_DUCK,
     TOKS_SPARK,
     _fnv_duck,
     _fnv_sql,
+    _SHINGLE_PAIRS_DUCK,
 )
 from mapreduce_framework_spark.registry import register
 
@@ -166,6 +168,111 @@ def q80_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("s").alias("n_shared_shingles"),
             F.countDistinct("bench_id").alias("n_benchmark_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# quality gate in pure integer arithmetic (cross-engine exact by
+# construction): enough tokens, and punctuation under 30% of characters
+MIN_TOKENS = 5
+_PUNCT_SPARK = "length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))"
+
+
+@register(
+    "q81_training_corpus",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SHINGLE_PAIRS_DUCK},
+    nd AS (SELECT id1, id2 FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+    edges AS (SELECT id1 AS u, id2 AS v FROM nd UNION SELECT id2, id1 FROM nd),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    drop_list AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+    kept AS (
+      SELECT * FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM drop_list)
+    ),
+    q AS (
+      SELECT doc_id, lang, source,
+             CAST(len({TOKS_DUCK}) AS BIGINT) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+             length(text) AS n_chars
+      FROM kept
+    ),
+    f AS (
+      SELECT * FROM q
+      WHERE n_tokens >= {MIN_TOKENS} AND 10 * n_punct <= 3 * n_chars
+        AND {_fnv_duck(f"concat({_SALT}, CAST(doc_id AS VARCHAR))")} % 100 < {_RATE_CASE_SQL}
+    ),
+    c AS (
+      SELECT doc_id, lang, source, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      FROM f
+    )
+    SELECT doc_id, lang, source, n_tokens,
+           CAST(start_tok // {SEQ_LEN} AS BIGINT) AS seq_id
+    FROM c ORDER BY doc_id
+    """,
+    tags=("ext", "sampling", "pipeline", "flagship"),
+)
+def q81_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data deliverable — near-dedup, quality filter,
+    stratified sample, sequence pack, in one plan:
+
+    1. drop near-duplicates (q49 components; broadcast anti-join of the
+       tiny drop list — the corpus streams),
+    2. quality-filter in pure integer arithmetic (>= {MIN_TOKENS} tokens,
+       punctuation <= 30% of chars),
+    3. per-language deterministic hash sampling (the q78 rule),
+    4. pack survivors into {SEQ_LEN}-token sequences per source (q79).
+
+    One broadcast join + one window shuffle beyond the dedup stage; every
+    stage is the scale shape its standalone query pins in test_plans."""
+    from mapreduce_framework_spark.operators.graph import q49_neardup_components
+
+    comps = q49_neardup_components(spark, sf_dir)
+    drop = comps.where(F.col("doc_id") != F.col("component")).select("doc_id")
+    docs = table(spark, "documents", sf_dir)
+    kept = docs.join(F.broadcast(drop), "doc_id", "left_anti")
+
+    n_punct = (F.length("text") - F.expr(_PUNCT_SPARK)).cast("long")
+    q = kept.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.expr(TOKS_SPARK)).cast("long").alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    h = F.expr(_fnv_sql(f"concat({_SALT}, CAST(doc_id AS STRING))"))
+    f = q.where(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (10 * F.col("n_punct") <= 3 * F.col("n_chars"))
+        & ((h % 100) < F.expr(_RATE_CASE_SQL))
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        f.withColumn("start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            F.expr(f"start_tok div {SEQ_LEN}").alias("seq_id"),
         )
         .orderBy("doc_id")
     )

@@ -89,7 +89,6 @@ CURATED_ORDER = [
     "q70_grouped_agg_pandas_udf",
     # dedup pipeline
     "q31_minhash_lsh_neardup",
-    "q49_neardup_components",
     "q71_dedup_corpus_output",
     "q72_char_ngram_jaccard",
     "q73_simhash_banded_neardup",
@@ -110,6 +109,7 @@ CURATED_ORDER = [
     "q78_stratified_hash_sample",
     "q79_sequence_packing",
     "q80_contamination_check",
+    "q81_training_corpus",
     # ---- position 51+: stable since round 1, pytest-swept every run ----
     # (rotated out this round: green in r1, unchanged since)
     "q06_kv_final_state",
@@ -117,6 +117,7 @@ CURATED_ORDER = [
     "q02_inverted_index",
     "q11_filter_project",
     "q30_ngram_jaccard_neardup",
+    "q49_neardup_components",
     "q03_crash_emits",
     "q04_per_doc_counts",
     "q05_global_count",

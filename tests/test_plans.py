@@ -90,6 +90,18 @@ def test_q71_drop_list_anti_join_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
+def test_q81_composed_pipeline_keeps_scale_shapes(spark, sf_dir):
+    """The composed training-corpus pipeline must keep every stage's scale
+    shape: broadcast anti-join for the drop list, no cross joins anywhere,
+    and exactly one window exchange (the per-source pack)."""
+    from mapreduce_framework_spark.pipeline.sampling import q81_training_corpus
+
+    plan = _plan(q81_training_corpus(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_whole_stage_codegen_on_scan_paths(spark, sf_dir):
     # AQE shows codegen spans only in the final (executed) plan
     df = q11_filter_project(spark, sf_dir)
