@@ -2,8 +2,10 @@
 
 - q34: brute-force cosine top-k (the exact baseline; oracle-checked)
 - q35: random-hyperplane LSH-bucketed ANN (the scale path; recall measured
-       against q34 in tests)
+       against q34 in tests, and the deterministic pipeline itself is
+       oracle-checked bit-exactly — FNV-derived planes, fold-order dots)
 - q36: embedding-cosine near-duplicate pairs (oracle-checked)
+- q56: IVF ANN (deterministic stride centroids; oracle-checked likewise)
 
 Numeric determinism: cosine is computed with explicitly ordered
 float→double folds (``aggregate``/``list_reduce`` are both left-to-right
@@ -134,15 +136,64 @@ def lsh_buckets(df: DataFrame) -> DataFrame:
     ).select("vec_id", "tb.tbl", "tb.bucket")
 
 
+def _bucket_cte_duck() -> str:
+    """DuckDB twin of lsh_buckets(): one UNION ALL branch per hash table,
+    same FNV-derived plane constants, same fold-order dots, same sign
+    bits — so buckets (and therefore candidates, scores, and ranks) are
+    bit-identical to the Spark side."""
+    planes = _hyperplanes()
+    branches = []
+    for t in range(LSH_TABLES):
+        bits = []
+        for j in range(LSH_PLANES):
+            lit = "[" + ",".join(f"{v:.1f}" for v in planes[t][j]) + "]"
+            dot = _dot_duck("embedding", lit)
+            bits.append(f"CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END")
+        branches.append(
+            f"SELECT vec_id, {t} AS tbl, ({' + '.join(bits)}) AS bucket FROM e"
+        )
+    return " UNION ALL ".join(branches)
+
+
+_RANKED_TOPK_DUCK = f"""
+    SELECT qid, cid, cos, rank FROM (
+      SELECT qid, cid, cos,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+      FROM scored
+    ) WHERE rank <= {TOP_K}
+    ORDER BY qid, rank
+"""
+
+
 @register(
     "q35_ann_lsh",
-    oracle=None,  # probabilistic candidate set; recall vs q34 checked in tests
+    # Exact oracle: every stage (FNV planes, fold-order dots, sign bits,
+    # candidate equi-join, cosine re-rank, cid tie-break) is deterministic
+    # and reproduced verbatim in SQL — approximate-by-design vs q34, but
+    # bit-exactly reproducible, so hash-checkable.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, {_NORM_DUCK} AS norm FROM embeddings),
+    b AS ({_bucket_cte_duck()}),
+    qb AS (SELECT vec_id AS qid, tbl, bucket FROM b WHERE vec_id < {N_QUERIES}),
+    cb AS (SELECT vec_id AS cid, tbl, bucket FROM b),
+    cand AS (
+      SELECT DISTINCT qid, cid FROM qb JOIN cb USING (tbl, bucket)
+      WHERE qid <> cid
+    ),
+    scored AS (
+      SELECT cand.qid, cand.cid,
+             {_dot_duck("q.embedding", "c.embedding")} / (q.norm * c.norm) AS cos
+      FROM cand JOIN e q ON cand.qid = q.vec_id JOIN e c ON cand.cid = c.vec_id
+    )
+    {_RANKED_TOPK_DUCK}
+    """,
     tags=("ext", "similarity", "ann", "lsh"),
 )
 def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH: 8 tables × 4-bit buckets generate
     candidates (equi-join on (table, bucket)), exact cosine re-ranks them.
-    Recall vs the exact q34 is asserted in tests/test_pipeline.py."""
+    Recall vs the exact q34 is asserted in tests/test_pipeline.py; the
+    DuckDB oracle replays the identical deterministic pipeline."""
     e = _norms_spark(table(spark, "embeddings", sf_dir))
     buckets = lsh_buckets(e)
     qb = buckets.where(F.col("vec_id") < N_QUERIES).select(
@@ -271,9 +322,48 @@ IVF_CENTROID_STRIDE = 97  # vec_id % stride == 0 -> deterministic centroids
 IVF_NPROBE = 2
 
 
+_CENT_COS_DUCK = (
+    f"{_dot_duck('e.embedding', 'cents.cent')} / (e.norm * cents.cent_norm)"
+)
+
 @register(
     "q56_ann_ivf",
-    oracle=None,  # probabilistic recall; measured vs exact q34 in tests
+    # Exact oracle, same reasoning as q35: deterministic stride centroids,
+    # fold-order cosines, cent_id/cid tie-breaks — the approximate
+    # algorithm itself is bit-exactly reproducible in SQL.
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, {_NORM_DUCK} AS norm FROM embeddings),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent, norm AS cent_norm
+      FROM e WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+    ),
+    asg AS (
+      SELECT cid, cent_id FROM (
+        SELECT e.vec_id AS cid, cents.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_CENT_COS_DUCK} DESC, cents.cent_id) AS r
+        FROM e, cents
+      ) WHERE r <= 1
+    ),
+    probes AS (
+      SELECT qid, cent_id FROM (
+        SELECT e.vec_id AS qid, cents.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_CENT_COS_DUCK} DESC, cents.cent_id) AS r
+        FROM e, cents WHERE e.vec_id < {N_QUERIES}
+      ) WHERE r <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT DISTINCT qid, cid FROM probes JOIN asg USING (cent_id)
+      WHERE qid <> cid
+    ),
+    scored AS (
+      SELECT cand.qid, cand.cid,
+             {_dot_duck("q.embedding", "c.embedding")} / (q.norm * c.norm) AS cos
+      FROM cand JOIN e q ON cand.qid = q.vec_id JOIN e c ON cand.cid = c.vec_id
+    )
+    {_RANKED_TOPK_DUCK}
+    """,
     tags=("ext", "similarity", "ann", "ivf"),
 )
 def q56_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
