@@ -155,7 +155,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures_from_shingles(_doc_shingles(spark, sf_dir))
 
 
-def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
+def _minhash_columns(sh: DataFrame) -> DataFrame:
+    """(doc_id, m0..m63): the 64 MinHash values as plain codegen'd min()
+    aggregate columns (see minhash_signatures docstring)."""
     h = sh.select(
         "doc_id", F.xxhash64("s").bitwiseAND(F.lit((1 << 32) - 1)).alias("h")
     )
@@ -165,8 +167,11 @@ def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
         )
         for i in range(N_PERMS)
     ]
-    sigs = h.groupBy("doc_id").agg(*aggs)
-    return sigs.select(
+    return h.groupBy("doc_id").agg(*aggs)
+
+
+def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
+    return _minhash_columns(sh).select(
         "doc_id", F.array(*[f"m{i}" for i in range(N_PERMS)]).alias("sig")
     )
 
@@ -195,18 +200,25 @@ def lsh_neardup_pairs(docs: DataFrame) -> DataFrame:
     # eager, lineage-truncating, and reclaimed by the ContextCleaner when
     # the plan is garbage-collected, unlike a never-unpersisted cache)
     sh_cached = shingles_of(docs).localCheckpoint(eager=True)
-    sigs = _signatures_from_shingles(sh_cached)
     rows_per_band = N_PERMS // N_BANDS
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {N_BANDS - 1}), "
-                f"b -> struct(b AS band, "
-                f"hash(slice(sig, b * {rows_per_band} + 1, {rows_per_band})) AS bsig))"
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bsig")
+    # band signature = hash of the band's minhash tuple, straight off the
+    # 64 aggregate columns (no array build, no interpreted slice lambda);
+    # equal tuples hash equal, so candidate completeness is unaffected,
+    # and any hash collision only ADDS candidates — all exact-verified
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.hash(
+                *[f"m{b * rows_per_band + j}" for j in range(rows_per_band)]
+            ).alias("bsig"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = (
+        _minhash_columns(sh_cached)
+        .select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
+        .select("doc_id", "bb.band", "bb.bsig")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
