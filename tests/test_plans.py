@@ -90,6 +90,31 @@ def test_q71_drop_list_anti_join_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
+def test_ann_candidate_joins_are_equi_joins(spark, sf_dir):
+    """q35/q56 candidate generation must be hash equi-joins on
+    (table, bucket) / cent_id — the whole point of LSH/IVF is never
+    scanning Q x N pairs. (q34 brute force is the sanctioned exception:
+    its broadcast nested-loop IS the algorithm.)"""
+    from mapreduce_framework_spark.pipeline.similarity import (
+        q35_ann_lsh,
+        q56_ann_ivf,
+    )
+
+    for builder in (q35_ann_lsh, q56_ann_ivf):
+        plan = _plan(builder(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, f"{builder.__name__}:\n{plan}"
+        assert "CartesianProduct" not in plan, f"{builder.__name__}: cross join"
+
+
+def test_q80_benchmark_side_broadcasts(spark, sf_dir):
+    """Contamination check: the benchmark shingle set must broadcast so
+    the corpus side streams without a shuffle."""
+    from mapreduce_framework_spark.pipeline.sampling import q80_contamination_check
+
+    plan = _plan(q80_contamination_check(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_q81_composed_pipeline_keeps_scale_shapes(spark, sf_dir):
     """The composed training-corpus pipeline must keep every stage's scale
     shape: broadcast anti-join for the drop list, no cross joins anywhere,
