@@ -90,8 +90,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = specs[name].builder(spark, sf_dir)
+        # timer wraps builder + execution: several builders do eager work
+        # (localCheckpoint materialization, iterative components), which
+        # must be charged to the query or regressions there are invisible
         t0 = time.perf_counter()
+        df = specs[name].builder(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 

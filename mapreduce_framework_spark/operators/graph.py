@@ -17,8 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_framework_spark.pipeline.dedup import (
-    JACCARD_THRESHOLD,
-    _SHINGLE_PAIRS_DUCK,
+    _DROP_LIST_DUCK,
     q30_ngram_jaccard_neardup,
 )
 from mapreduce_framework_spark.registry import register
@@ -76,19 +75,12 @@ def connected_components(edges: DataFrame, max_iters: int = MAX_ITERS) -> DataFr
 
 @register(
     "q49_neardup_components",
+    # shares the single drop-list CTE definition (dedup._DROP_LIST_DUCK);
+    # the unused drop_list CTE is never materialized by DuckDB
     oracle=f"""
     WITH RECURSIVE
-    {_SHINGLE_PAIRS_DUCK},
-    nd AS (SELECT id1, id2 FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
-    edges AS (SELECT id1 AS u, id2 AS v FROM nd UNION SELECT id2, id1 FROM nd),
-    nodes AS (SELECT DISTINCT u AS id FROM edges),
-    reach(id, r) AS (
-      SELECT id, id FROM nodes
-      UNION
-      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
-    )
-    SELECT id AS doc_id, min(r) AS component
-    FROM reach GROUP BY id ORDER BY doc_id
+    {_DROP_LIST_DUCK}
+    SELECT doc_id, component FROM comp ORDER BY doc_id
     """,
     tags=("ext", "graph", "iterative", "dedup"),
 )

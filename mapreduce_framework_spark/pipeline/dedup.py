@@ -102,6 +102,23 @@ _JACCARD_ORACLE = f"""
     ORDER BY id1, id2
 """
 
+# Shared by the q71/q81 oracles (and mirroring q49's components CTE): the
+# set of non-canonical near-dup docs to drop. Single definition so the
+# component rule can never silently diverge between consumers.
+_DROP_LIST_DUCK = f"""
+    {_SHINGLE_PAIRS_DUCK},
+    nd AS (SELECT id1, id2 FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
+    edges AS (SELECT id1 AS u, id2 AS v FROM nd UNION SELECT id2, id1 FROM nd),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    drop_list AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+"""
+
 
 def shingles_of(docs: DataFrame) -> DataFrame:
     """Distinct (doc_id, shingle) pairs — word 3-gram shingling."""
@@ -452,21 +469,26 @@ def simhash_banded_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+def neardup_drop_list(docs: DataFrame) -> DataFrame:
+    """doc_ids of non-canonical near-dup component members — the list a
+    dedup pipeline removes. Derived through the LSH scale path (q31),
+    whose pairs equal the exact q30 pairs (shared oracle), then the
+    iterative components operator. Single definition for every consumer
+    (q71, q81)."""
+    from mapreduce_framework_spark.operators.graph import connected_components
+
+    pairs = lsh_neardup_pairs(docs).select(
+        F.col("id1").alias("u"), F.col("id2").alias("v")
+    )
+    comps = connected_components(pairs)
+    return comps.where(F.col("doc_id") != F.col("component")).select("doc_id")
+
+
 @register(
     "q71_dedup_corpus_output",
     oracle=f"""
     WITH RECURSIVE
-    {_SHINGLE_PAIRS_DUCK},
-    nd AS (SELECT id1, id2 FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
-    edges AS (SELECT id1 AS u, id2 AS v FROM nd UNION SELECT id2, id1 FROM nd),
-    nodes AS (SELECT DISTINCT u AS id FROM edges),
-    reach(id, r) AS (
-      SELECT id, id FROM nodes
-      UNION
-      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
-    ),
-    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
-    drop_list AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+    {_DROP_LIST_DUCK}
     SELECT d.doc_id, d.lang, d.source, d.n_chars
     FROM documents d
     WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_list)
@@ -476,16 +498,13 @@ def simhash_banded_pairs(docs: DataFrame) -> DataFrame:
 )
 def q71_dedup_corpus_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end dedup deliverable: the corpus with near-duplicates
-    removed — one canonical doc (min doc_id) kept per q49 component, via a
+    removed — one canonical doc (min doc_id) kept per component, via a
     broadcast anti-join of the (tiny) drop list against the full corpus.
     At 100 TB this is the final stage of the near-dedup pipeline:
     LSH pairs → components → anti-join; only the drop list is ever small
     enough to broadcast, the corpus itself streams through."""
-    from mapreduce_framework_spark.operators.graph import q49_neardup_components
-
-    comps = q49_neardup_components(spark, sf_dir)
-    drop = comps.where(F.col("doc_id") != F.col("component")).select("doc_id")
     docs = table(spark, "documents", sf_dir)
+    drop = neardup_drop_list(docs)
     return (
         docs.join(F.broadcast(drop), "doc_id", "left_anti")
         .select("doc_id", "lang", "source", "n_chars")

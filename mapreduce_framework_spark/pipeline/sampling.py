@@ -31,14 +31,13 @@ from pyspark.sql import functions as F
 
 from mapreduce_framework_spark.catalog import table
 from mapreduce_framework_spark.pipeline.dedup import (
-    JACCARD_THRESHOLD,
     SHINGLES_DUCK,
     SHINGLES_SPARK,
     TOKS_DUCK,
     TOKS_SPARK,
+    _DROP_LIST_DUCK,
     _fnv_duck,
     _fnv_sql,
-    _SHINGLE_PAIRS_DUCK,
 )
 from mapreduce_framework_spark.registry import register
 
@@ -83,6 +82,27 @@ def q78_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEQ_LEN = 128  # token budget per packed training sequence
 
+# the packing rule, shared by q79/q81 on both engines: a doc's sequence is
+# the one its cumulative token offset (per source, doc_id order) falls in
+_PACK_START_DUCK = """COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"""
+
+
+def pack_sequences(df: DataFrame) -> DataFrame:
+    """Assign (doc_id, source, n_tokens, ...) rows to fixed-token-budget
+    sequences: adds seq_id = running-token-offset div SEQ_LEN per source."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return df.withColumn(
+        "start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    ).withColumn("seq_id", F.expr(f"start_tok div {SEQ_LEN}"))
+
 
 @register(
     "q79_sequence_packing",
@@ -91,10 +111,7 @@ SEQ_LEN = 128  # token budget per packed training sequence
       SELECT doc_id, source, CAST(len({TOKS_DUCK}) AS BIGINT) AS n_tokens
       FROM documents
     ), c AS (
-      SELECT doc_id, source, n_tokens,
-             COALESCE(sum(n_tokens) OVER (
-               PARTITION BY source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      SELECT doc_id, source, n_tokens, {_PACK_START_DUCK} AS start_tok
       FROM t
     )
     SELECT doc_id, source, n_tokens,
@@ -109,26 +126,12 @@ def q79_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id order — the deterministic contiguous-packing rule). seq_id is
     per-source; (source, seq_id) is the training-sequence key."""
     docs = table(spark, "documents", sf_dir)
-    from pyspark.sql.window import Window
-
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     t = docs.select(
         "doc_id", "source", F.size(F.expr(TOKS_SPARK)).cast("long").alias("n_tokens")
     )
-    return (
-        t.withColumn("start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-        .select(
-            "doc_id",
-            "source",
-            "n_tokens",
-            F.expr(f"start_tok div {SEQ_LEN}").alias("seq_id"),
-        )
-        .orderBy("doc_id")
-    )
+    return pack_sequences(t).select(
+        "doc_id", "source", "n_tokens", "seq_id"
+    ).orderBy("doc_id")
 
 
 BENCHMARK_MAX_ID = 50  # docs below this id stand in for the eval set
@@ -183,17 +186,7 @@ _PUNCT_SPARK = "length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))"
     "q81_training_corpus",
     oracle=f"""
     WITH RECURSIVE
-    {_SHINGLE_PAIRS_DUCK},
-    nd AS (SELECT id1, id2 FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
-    edges AS (SELECT id1 AS u, id2 AS v FROM nd UNION SELECT id2, id1 FROM nd),
-    nodes AS (SELECT DISTINCT u AS id FROM edges),
-    reach(id, r) AS (
-      SELECT id, id FROM nodes
-      UNION
-      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
-    ),
-    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
-    drop_list AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+    {_DROP_LIST_DUCK},
     kept AS (
       SELECT * FROM documents
       WHERE doc_id NOT IN (SELECT doc_id FROM drop_list)
@@ -211,10 +204,7 @@ _PUNCT_SPARK = "length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))"
         AND {_fnv_duck(f"concat({_SALT}, CAST(doc_id AS VARCHAR))")} % 100 < {_RATE_CASE_SQL}
     ),
     c AS (
-      SELECT doc_id, lang, source, n_tokens,
-             COALESCE(sum(n_tokens) OVER (
-               PARTITION BY source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      SELECT doc_id, lang, source, n_tokens, {_PACK_START_DUCK} AS start_tok
       FROM f
     )
     SELECT doc_id, lang, source, n_tokens,
@@ -227,21 +217,21 @@ def q81_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data deliverable — near-dedup, quality filter,
     stratified sample, sequence pack, in one plan:
 
-    1. drop near-duplicates (q49 components; broadcast anti-join of the
-       tiny drop list — the corpus streams),
+    1. drop near-duplicates (LSH-path drop list, neardup_drop_list;
+       broadcast anti-join — the corpus streams),
     2. quality-filter in pure integer arithmetic (>= {MIN_TOKENS} tokens,
        punctuation <= 30% of chars),
     3. per-language deterministic hash sampling (the q78 rule),
-    4. pack survivors into {SEQ_LEN}-token sequences per source (q79).
+    4. pack survivors into {SEQ_LEN}-token sequences per source (q79's
+       pack_sequences).
 
-    One broadcast join + one window shuffle beyond the dedup stage; every
-    stage is the scale shape its standalone query pins in test_plans."""
-    from mapreduce_framework_spark.operators.graph import q49_neardup_components
+    One broadcast join + exactly one window shuffle beyond the dedup
+    stage (pinned in test_plans); every stage is the scale shape of its
+    standalone query."""
+    from mapreduce_framework_spark.pipeline.dedup import neardup_drop_list
 
-    comps = q49_neardup_components(spark, sf_dir)
-    drop = comps.where(F.col("doc_id") != F.col("component")).select("doc_id")
     docs = table(spark, "documents", sf_dir)
-    kept = docs.join(F.broadcast(drop), "doc_id", "left_anti")
+    kept = docs.join(F.broadcast(neardup_drop_list(docs)), "doc_id", "left_anti")
 
     n_punct = (F.length("text") - F.expr(_PUNCT_SPARK)).cast("long")
     q = kept.select(
@@ -258,21 +248,6 @@ def q81_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (10 * F.col("n_punct") <= 3 * F.col("n_chars"))
         & ((h % 100) < F.expr(_RATE_CASE_SQL))
     )
-    from pyspark.sql.window import Window
-
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        f.withColumn("start_tok", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-        .select(
-            "doc_id",
-            "lang",
-            "source",
-            "n_tokens",
-            F.expr(f"start_tok div {SEQ_LEN}").alias("seq_id"),
-        )
-        .orderBy("doc_id")
-    )
+    return pack_sequences(f).select(
+        "doc_id", "lang", "source", "n_tokens", "seq_id"
+    ).orderBy("doc_id")

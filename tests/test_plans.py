@@ -100,10 +100,22 @@ def test_ann_candidate_joins_are_equi_joins(spark, sf_dir):
         q56_ann_ivf,
     )
 
-    for builder in (q35_ann_lsh, q56_ann_ivf):
-        plan = _plan(builder(spark, sf_dir))
-        assert "BroadcastHashJoin" in plan, f"{builder.__name__}:\n{plan}"
-        assert "CartesianProduct" not in plan, f"{builder.__name__}: cross join"
+    plan = _plan(q35_ann_lsh(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    # losing the (tbl, bucket) equi keys would plan a nested-loop join,
+    # not a CartesianProduct — forbid it explicitly
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    plan = _plan(q56_ann_ivf(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    # q56's centroid-assignment crossJoin against the tiny centroid set IS
+    # the algorithm, so exactly the two nested-loop joins it plans
+    # (corpus x cents, queries x cents) are allowed — no more
+    import re
+
+    assert len(re.findall(r"\) BroadcastNestedLoopJoin\b", plan)) <= 2, plan
 
 
 def test_q80_benchmark_side_broadcasts(spark, sf_dir):
@@ -118,13 +130,17 @@ def test_q80_benchmark_side_broadcasts(spark, sf_dir):
 def test_q81_composed_pipeline_keeps_scale_shapes(spark, sf_dir):
     """The composed training-corpus pipeline must keep every stage's scale
     shape: broadcast anti-join for the drop list, no cross joins anywhere,
-    and exactly one window exchange (the per-source pack)."""
+    and exactly one Window operator (the per-source pack) — a second
+    window (e.g. a global running sum) would add a serializing shuffle."""
+    import re
+
     from mapreduce_framework_spark.pipeline.sampling import q81_training_corpus
 
     plan = _plan(q81_training_corpus(spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\) Window\b", plan)) == 1, plan
 
 
 def test_whole_stage_codegen_on_scan_paths(spark, sf_dir):
