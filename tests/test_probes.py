@@ -89,6 +89,25 @@ def test_q69_approx_percentiles_within_bounds(spark, sf_dir):
         assert abs(a99 - p99) / p99 < 0.05, f"{flag}: p99 approx {a99} vs {p99}"
 
 
+def test_all_query_schemas_stable_across_sf(spark):
+    """Driver contract: a query's schema must not depend on the scale
+    factor — the driver smoke-checks entry() at sf0.001 but records
+    correctness at sf0.01, and bench runs at sf0.1. Builds every
+    registered query at two SFs and compares schemas (lazy for most
+    builders; the eager dedup-pipeline builders run their small jobs)."""
+    import os
+
+    from mapreduce_framework_spark.registry import all_queries
+
+    root = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    a_dir = os.path.join(root, "sf0.001")
+    b_dir = os.path.join(root, "sf0.01")
+    for name, spec in all_queries().items():
+        sa = spec.builder(spark, a_dir).schema
+        sb = spec.builder(spark, b_dir).schema
+        assert sa == sb, f"{name}: schema differs across SFs\n  {sa}\n  {sb}"
+
+
 def test_run_job_observation_metrics(spark, sf_dir):
     """A5/A7 accounting via the built-in Observation hook: map-output record
     and distinct-key counts arrive with the job result."""
