@@ -54,6 +54,17 @@ _RATE_CASE_SQL = (
 )
 
 
+def stratified_sample(docs: DataFrame) -> DataFrame:
+    """Library form of the q78 rule over any (doc_id, lang, ...) frame:
+    keep a row iff FNV(salt || doc_id) mod 100 < rate(lang), with the
+    bucket column attached. Per-row decisions depend only on the row, so
+    sampling a subset equals restricting the sample of the superset."""
+    h = F.expr(_fnv_sql(f"concat({_SALT}, CAST(doc_id AS STRING))"))
+    return docs.withColumn("bucket", (h % 100).cast("long")).where(
+        F.col("bucket") < F.expr(_RATE_CASE_SQL)
+    )
+
+
 @register(
     "q78_stratified_hash_sample",
     oracle=f"""
@@ -71,10 +82,8 @@ def q78_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     — rerunning over a grown corpus keeps exactly the same decisions for
     old docs (the property incremental training-data pipelines need)."""
     docs = table(spark, "documents", sf_dir)
-    h = F.expr(_fnv_sql(f"concat({_SALT}, CAST(doc_id AS STRING))"))
     return (
-        docs.withColumn("bucket", (h % 100).cast("long"))
-        .where(F.col("bucket") < F.expr(_RATE_CASE_SQL))
+        stratified_sample(docs)
         .select("doc_id", "lang", "source", "bucket")
         .orderBy("doc_id")
     )
