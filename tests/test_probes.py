@@ -108,6 +108,30 @@ def test_all_query_schemas_stable_across_sf(spark):
         assert sa == sb, f"{name}: schema differs across SFs\n  {sa}\n  {sb}"
 
 
+def test_bad_sf_dir_fails_cleanly(spark):
+    """A nonexistent data directory must surface as a clean
+    AnalysisException (PATH_NOT_FOUND) at build time — not a hang, not a
+    partial result — for every operator family's entry table read."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from mapreduce_framework_spark.operators.mr_queries import q01_wordcount
+    from mapreduce_framework_spark.operators.relational import (
+        q12_join_revenue_per_nation,
+    )
+    from mapreduce_framework_spark.pipeline.dedup import q31_minhash_lsh_neardup
+    from mapreduce_framework_spark.pipeline.similarity import q34_ann_bruteforce
+
+    for builder in (
+        q01_wordcount,
+        q12_join_revenue_per_nation,
+        q31_minhash_lsh_neardup,
+        q34_ann_bruteforce,
+    ):
+        with pytest.raises(AnalysisException):
+            builder(spark, "/root/testdata/sf_does_not_exist")
+
+
 def test_run_job_observation_metrics(spark, sf_dir):
     """A5/A7 accounting via the built-in Observation hook: map-output record
     and distinct-key counts arrive with the job result."""
