@@ -19,9 +19,51 @@ Layout
                    tokenizer, shard expr) kept JVM-side where possible.
 - ``operators``  : relational query builders (joins, aggs, windows, ...)
                    and the KV event-log replay operators.
-- ``streaming``  : Structured Streaming variants (windows, keyed state).
+- ``streaming``  : Structured Streaming variants (windows, keyed state,
+                   incremental dedup).
 - ``pipeline``   : LLM-training-data operators (dedup, similarity
-                   search, text analysis, multimodal columns).
+                   search, text analysis, multimodal columns, corpus
+                   shaping).
+- ``storage``    : data-layout levers (partitioning, bucketing,
+                   compaction, range-sorted writes).
+
+The DataFrame-in/DataFrame-out library surface (everything a pipeline
+composes without going through the query registry) is re-exported here.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name):
+    # Lazy re-exports: importing the package must not pull in pyspark
+    # submodule graphs eagerly (deploy.py zips this package for executors
+    # at session start, before any operator module is needed).
+    from importlib import import_module
+
+    _EXPORTS = {
+        "get_spark": "mapreduce_framework_spark.session",
+        "table": "mapreduce_framework_spark.catalog",
+        "run_job": "mapreduce_framework_spark.mr",
+        "run_sequential": "mapreduce_framework_spark.mr",
+        # dedup library surface
+        "shingles_of": "mapreduce_framework_spark.pipeline.dedup",
+        "simhash_of": "mapreduce_framework_spark.pipeline.dedup",
+        "simhash_banded_pairs": "mapreduce_framework_spark.pipeline.dedup",
+        "lsh_neardup_pairs": "mapreduce_framework_spark.pipeline.dedup",
+        "neardup_drop_list": "mapreduce_framework_spark.pipeline.dedup",
+        "connected_components": "mapreduce_framework_spark.operators.graph",
+        # corpus shaping
+        "stratified_sample": "mapreduce_framework_spark.pipeline.sampling",
+        "pack_sequences": "mapreduce_framework_spark.pipeline.sampling",
+        # storage layout
+        "write_partitioned": "mapreduce_framework_spark.storage",
+        "write_bucketed": "mapreduce_framework_spark.storage",
+        "compact_parquet": "mapreduce_framework_spark.storage",
+        "write_range_sorted": "mapreduce_framework_spark.storage",
+        # streaming
+        "streaming_exact_dedup": "mapreduce_framework_spark.streaming.dedup",
+        "streaming_dedup_within_watermark": "mapreduce_framework_spark.streaming.dedup",
+    }
+    if name in _EXPORTS:
+        return getattr(import_module(_EXPORTS[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
