@@ -37,6 +37,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 EVENTS_US_SQL = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
 
 
+def parquet_path(sf_dir: str, name: str) -> str:
+    """The on-disk path of a table — the single place the layout
+    convention lives (executor-side readers must use this too)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
 def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -44,13 +52,13 @@ def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataF
         # runtime-settable; must not rely on session-construction config
         # because the external driver builds its own SparkSession
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        df = spark.read.parquet(parquet_path(sf_dir, "events"))
         from pyspark.sql import functions as F
 
         return df.withColumn(
             "ts", F.expr("timestamp_micros(CAST(ts div 1000 AS LONG))")
         )
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return spark.read.parquet(parquet_path(sf_dir, name))
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:

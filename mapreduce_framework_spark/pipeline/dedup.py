@@ -357,19 +357,23 @@ def q33_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HAMMING_MAX = 6
 
-
-@register(
-    "q55_simhash_neardup",
-    oracle=f"""
+# one oracle for both q55 (all-pairs) and q73 (banded) — they are exact
+# twins by construction, and a single SQL string keeps them from drifting
+_SIMHASH_NEARDUP_ORACLE = f"""
     WITH t AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
-    h AS (SELECT doc_id, list_transform(toks, t -> {_fnv_duck('t')}) AS hs FROM t),
+    h AS (SELECT doc_id, list_transform(toks, t -> {_fnv_duck("t")}) AS hs FROM t),
     s AS (SELECT doc_id, {_SIMHASH_DUCK} AS simhash FROM h WHERE len(hs) > 0)
     SELECT a.doc_id AS id1, b.doc_id AS id2,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
     FROM s a JOIN s b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
     ORDER BY id1, id2
-    """,
+    """
+
+
+@register(
+    "q55_simhash_neardup",
+    oracle=_SIMHASH_NEARDUP_ORACLE,
     tags=("ext", "dedup", "simhash"),
 )
 def q55_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,16 +394,6 @@ def q55_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_BANDS = 4  # 4 bytes of the 32-bit fingerprint
-_SIMHASH_NEARDUP_ORACLE = f"""
-    WITH t AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
-    h AS (SELECT doc_id, list_transform(toks, t -> {_fnv_duck('t')}) AS hs FROM t),
-    s AS (SELECT doc_id, {_SIMHASH_DUCK} AS simhash FROM h WHERE len(hs) > 0)
-    SELECT a.doc_id AS id1, b.doc_id AS id2,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM s a JOIN s b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
-    ORDER BY id1, id2
-    """
 
 
 @register(

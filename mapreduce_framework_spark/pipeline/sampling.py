@@ -32,7 +32,6 @@ from pyspark.sql import functions as F
 from mapreduce_framework_spark.catalog import table
 from mapreduce_framework_spark.pipeline.dedup import (
     SHINGLES_DUCK,
-    SHINGLES_SPARK,
     TOKS_DUCK,
     TOKS_SPARK,
     _DROP_LIST_DUCK,
@@ -166,10 +165,10 @@ def q80_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-gram shingles appear in the benchmark set, and how many benchmark
     docs it overlaps. The benchmark shingle set broadcasts (eval sets are
     tiny); the corpus side never self-joins."""
+    from mapreduce_framework_spark.pipeline.dedup import shingles_of
+
     docs = table(spark, "documents", sf_dir)
-    sh = docs.withColumn("toks", F.expr(TOKS_SPARK)).select(
-        "doc_id", F.explode(F.array_distinct(F.expr(SHINGLES_SPARK))).alias("s")
-    )
+    sh = shingles_of(docs)
     bench = sh.where(F.col("doc_id") < BENCHMARK_MAX_ID).select(
         F.col("doc_id").alias("bench_id"), "s"
     )

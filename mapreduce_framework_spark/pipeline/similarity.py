@@ -242,13 +242,13 @@ def _pair_cos_batches(sf_dir: str, threshold: float):
     threshold comparison — are bit-identical to the SQL fold."""
 
     def gen(batches):
-        import os
-
         import numpy as np
         import pyarrow.parquet as pq
 
+        from mapreduce_framework_spark.catalog import parquet_path
+
         tbl = pq.read_table(
-            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+            parquet_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
         )
         cids = tbl.column("vec_id").to_numpy()
         corpus = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)

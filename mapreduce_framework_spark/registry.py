@@ -170,4 +170,9 @@ def all_queries() -> dict[str, QuerySpec]:
         raise RuntimeError(
             f"CURATED_ORDER out of sync: missing={sorted(missing)} extra={sorted(extra)}"
         )
+    if len(CURATED_ORDER) != len(set(CURATED_ORDER)):
+        # a duplicate passes the set checks but shifts every later entry,
+        # silently rotating position 50 out of the driver window
+        dupes = sorted({n for n in CURATED_ORDER if CURATED_ORDER.count(n) > 1})
+        raise RuntimeError(f"CURATED_ORDER has duplicates: {dupes}")
     return {name: REGISTRY[name] for name in CURATED_ORDER}

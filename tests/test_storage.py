@@ -19,12 +19,7 @@ from mapreduce_framework_spark.storage import (
     parquet_file_column_ranges,
     write_range_sorted,
 )
-
-
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from tests.test_plans import _plan
 
 
 def test_compaction_bounds_file_count(spark, sf_dir, tmp_path):
