@@ -1,0 +1,80 @@
+"""Driver-checkable Structured Streaming replays.
+
+The streaming operators (streaming/windows.py, streaming/state.py) are
+pytest-verified for batch parity, but a streaming query can't be
+hash-compared by the external driver directly — so these builders *run*
+the stream to completion (``availableNow`` into a memory sink) inside a
+normal ``(spark, sf_dir) -> DataFrame`` builder and return the
+materialized result. Because streaming-equals-batch is the operators'
+contract, the batch twins' DuckDB oracles apply verbatim: the driver now
+hash-checks the streaming execution path itself.
+
+At scale the same topology runs continuously (file source → watermark →
+windowed agg / keyed state → sink); availableNow is just the bounded
+replay of it.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# batch twins must be registered first — their oracles are reused
+import mapreduce_framework_spark.operators.kv  # noqa: F401
+import mapreduce_framework_spark.operators.windows  # noqa: F401
+from mapreduce_framework_spark.catalog import parquet_path
+from mapreduce_framework_spark.operators.kv import kv_ops
+from mapreduce_framework_spark.registry import REGISTRY, register
+from mapreduce_framework_spark.streaming.state import streaming_kv_state
+from mapreduce_framework_spark.streaming.windows import (
+    read_events_stream,
+    run_stream_to_memory,
+    streaming_tumbling_counts,
+)
+
+
+@register(
+    "q82_streaming_tumbling_replay",
+    oracle=REGISTRY["q25_tumbling_window"].oracle,
+    tags=("ext", "streaming", "window", "replay"),
+)
+def q82_streaming_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q25 through the actual streaming path: file-source readStream →
+    watermark → window() agg → availableNow → memory sink; the batch
+    oracle must match the materialized stream output exactly."""
+    import shutil
+
+    # the file stream source requires a directory — stage the (read-only)
+    # events file into one
+    staging = os.path.join("/tmp", f"mfs_q82_{uuid.uuid4().hex[:8]}")
+    os.makedirs(staging)
+    shutil.copy(parquet_path(sf_dir, "events"), staging)
+    stream = streaming_tumbling_counts(read_events_stream(spark, staging))
+    out = run_stream_to_memory(stream, spark, output_mode="update", timeout_s=300)
+    return out.orderBy("window_start", "event_type")
+
+
+@register(
+    "q83_streaming_kv_replay",
+    oracle=REGISTRY["q06_kv_final_state"].oracle,
+    tags=("ext", "streaming", "state", "replay"),
+)
+def q83_streaming_kv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q06 through the custom stateful streaming operator: the op log is
+    staged to parquet, streamed through applyInPandasWithState (keyed
+    state carrying the per-key fold), and the final states must equal the
+    batch fold's — the reference KV semantics on the streaming engine."""
+    from mapreduce_framework_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    ops = kv_ops(spark, sf_dir).where(F.col("op") != "get")
+    staging = os.path.join("/tmp", f"mfs_q83_{uuid.uuid4().hex[:8]}")
+    ops.coalesce(1).write.mode("overwrite").parquet(staging)
+    stream = spark.readStream.schema(ops.schema).parquet(staging)
+    out = run_stream_to_memory(
+        streaming_kv_state(stream), spark, output_mode="update", timeout_s=300
+    )
+    return out.orderBy("key")

@@ -50,8 +50,6 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # (they remain covered by the local pytest oracle sweep, which runs all of
 # them). Rotate per round so every query periodically re-enters the window.
 CURATED_ORDER = [
-    # MR framework flagship
-    "q01_wordcount",
     # relational core (dtype-canonicalization fixes this round)
     "q12_join_revenue_per_nation",
     "q13_broadcast_join",
@@ -72,8 +70,9 @@ CURATED_ORDER = [
     "q69_approx_percentiles",
     "q74_hll_error_bound",
     "q75_percentile_sketch_bound",
-    # KV semantics
-    "q28_kv_stateful_replay",
+    # streaming execution paths, driver-checked via availableNow replay
+    "q82_streaming_tumbling_replay",
+    "q83_streaming_kv_replay",
     # windows / temporal
     "q27_session_window",
     "q65_hierarchical_rollup",
@@ -112,6 +111,8 @@ CURATED_ORDER = [
     "q81_training_corpus",
     # ---- position 51+: stable since round 1, pytest-swept every run ----
     # (rotated out this round: green in r1, unchanged since)
+    "q01_wordcount",
+    "q28_kv_stateful_replay",
     "q06_kv_final_state",
     "q24_exact_dedup",
     "q02_inverted_index",
@@ -163,6 +164,7 @@ def all_queries() -> dict[str, QuerySpec]:
     import mapreduce_framework_spark.pipeline.text_analysis  # noqa: F401
     import mapreduce_framework_spark.pipeline.multimodal  # noqa: F401
     import mapreduce_framework_spark.pipeline.sampling  # noqa: F401
+    import mapreduce_framework_spark.operators.streaming_replay  # noqa: F401
 
     missing = set(REGISTRY) - set(CURATED_ORDER)
     extra = set(CURATED_ORDER) - set(REGISTRY)
