@@ -52,8 +52,11 @@ def q82_streaming_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     staging = os.path.join("/tmp", f"mfs_q82_{uuid.uuid4().hex[:8]}")
     os.makedirs(staging)
     shutil.copy(parquet_path(sf_dir, "events"), staging)
-    stream = streaming_tumbling_counts(read_events_stream(spark, staging))
-    out = run_stream_to_memory(stream, spark, output_mode="update", timeout_s=300)
+    try:
+        stream = streaming_tumbling_counts(read_events_stream(spark, staging))
+        out = run_stream_to_memory(stream, spark, output_mode="update", timeout_s=300)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)  # memory sink holds the rows
     return out.orderBy("window_start", "event_type")
 
 
@@ -70,11 +73,16 @@ def q83_streaming_kv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_framework_spark.deploy import ensure_package_on_executors
 
     ensure_package_on_executors(spark)
+    import shutil
+
     ops = kv_ops(spark, sf_dir).where(F.col("op") != "get")
     staging = os.path.join("/tmp", f"mfs_q83_{uuid.uuid4().hex[:8]}")
     ops.coalesce(1).write.mode("overwrite").parquet(staging)
-    stream = spark.readStream.schema(ops.schema).parquet(staging)
-    out = run_stream_to_memory(
-        streaming_kv_state(stream), spark, output_mode="update", timeout_s=300
-    )
+    try:
+        stream = spark.readStream.schema(ops.schema).parquet(staging)
+        out = run_stream_to_memory(
+            streaming_kv_state(stream), spark, output_mode="update", timeout_s=300
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)  # memory sink holds the rows
     return out.orderBy("key")
