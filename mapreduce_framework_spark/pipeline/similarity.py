@@ -229,53 +229,96 @@ def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pair_cos_batches(sf_dir: str, threshold: float):
+CORPUS_CHUNK_ROWS = 4096  # corpus tile resident per task at any moment
+
+
+def _pair_cos_batches(sf_dir: str, threshold: float, chunk_rows: int = CORPUS_CHUNK_ROWS):
     """mapInPandas generator factory: for each Arrow batch of (vec_id,
-    embedding) rows, cosine against the whole corpus (read once per task
-    from parquet) and emit (id1, id2, cos) pairs with id1 < id2 above the
-    threshold.
+    embedding) rows, cosine against the corpus streamed tile-by-tile from
+    parquet (``chunk_rows`` rows at a time) and emit (id1, id2, cos) pairs
+    with id1 < id2 above the threshold.
+
+    Blocked-tile shape: per-task resident memory is O(batch × DIM +
+    chunk_rows × DIM) — *independent of corpus size*; each (row-range ×
+    corpus-tile) block is one dense numpy product. Tiles whose max vec_id
+    can't beat the batch's min (id1 < id2 required) are skipped before
+    their embeddings are densified.
 
     Exactness contract: the oracle computes ``fold(+, 0.0, a[d]*b[d])``
     left-to-right in doubles. Accumulating ``C += A[:,d] * B[:,d]`` for
     d = 0..DIM-1 performs the *same* IEEE adds in the same order for every
-    pair (0.0 + x == x exactly), so the resulting doubles — and the
-    threshold comparison — are bit-identical to the SQL fold."""
+    pair (0.0 + x == x exactly), and each pair's fold lives entirely inside
+    one tile, so tiling cannot change any value — doubles and the threshold
+    comparison are bit-identical to the SQL fold.
+
+    Zero-norm embeddings are rejected (fail fast): cos would be NaN, which
+    numpy's ``>=`` excludes but SQL engines order above any number — a
+    silent cross-engine divergence otherwise."""
 
     def gen(batches):
+        import os
+
         import numpy as np
+        import pandas as pd
         import pyarrow.parquet as pq
 
         from mapreduce_framework_spark.catalog import parquet_path
 
-        tbl = pq.read_table(
-            parquet_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
-        )
-        cids = tbl.column("vec_id").to_numpy()
-        corpus = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+        path = parquet_path(sf_dir, "embeddings")
 
-        def fold_norms(m: np.ndarray) -> np.ndarray:
+        def fold_norms(m: np.ndarray, ids: np.ndarray) -> np.ndarray:
             acc = np.zeros(m.shape[0])
             for d in range(m.shape[1]):
                 acc += m[:, d] * m[:, d]
+            if not acc.all():
+                bad = ids[acc == 0.0].tolist()
+                raise ValueError(
+                    f"zero-norm embedding(s) {bad[:5]}: cosine undefined (NaN) "
+                    "and NaN ordering diverges between numpy and SQL engines"
+                )
             return np.sqrt(acc)
 
-        cnorm = fold_norms(corpus)
-        import pandas as pd
+        def corpus_tiles():
+            files = (
+                sorted(
+                    os.path.join(path, f)
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet")
+                )
+                if os.path.isdir(path)
+                else [path]
+            )
+            for f in files:
+                pf = pq.ParquetFile(f)
+                for rb in pf.iter_batches(
+                    batch_size=chunk_rows, columns=["vec_id", "embedding"]
+                ):
+                    yield rb
 
         for pdf in batches:
             if not len(pdf):
                 continue
             aids = pdf["vec_id"].to_numpy()
             A = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            anorm = fold_norms(A)
-            dots = np.zeros((len(A), len(corpus)))
-            for d in range(A.shape[1]):
-                dots += A[:, d : d + 1] * corpus[None, :, d]
-            cos = dots / (anorm[:, None] * cnorm[None, :])
-            ii, jj = np.nonzero((aids[:, None] < cids[None, :]) & (cos >= threshold))
-            yield pd.DataFrame(
-                {"id1": aids[ii], "id2": cids[jj], "cos": cos[ii, jj]}
-            )
+            anorm = fold_norms(A, aids)
+            min_aid = aids.min()
+            for rb in corpus_tiles():
+                cids = rb.column("vec_id").to_numpy()
+                if cids.max() <= min_aid:  # no cid can pair as id2 here
+                    continue
+                corpus = np.array(rb.column("embedding").to_pylist(), dtype=np.float64)
+                cnorm = fold_norms(corpus, cids)
+                dots = np.zeros((len(A), len(corpus)))
+                for d in range(A.shape[1]):
+                    dots += A[:, d : d + 1] * corpus[None, :, d]
+                cos = dots / (anorm[:, None] * cnorm[None, :])
+                ii, jj = np.nonzero(
+                    (aids[:, None] < cids[None, :]) & (cos >= threshold)
+                )
+                if len(ii):
+                    yield pd.DataFrame(
+                        {"id1": aids[ii], "id2": cids[jj], "cos": cos[ii, jj]}
+                    )
 
     return gen
 
@@ -302,11 +345,13 @@ def q36_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per pair (array HOFs are interpreted; a 64-term unrolled product-sum
     blows past the codegen method limit), while Arrow-batched numpy does
     the same block at memory bandwidth. Each task computes its slice of
-    rows against the (small) corpus side, which it reads directly from
-    parquet — no driver collect, no Python broadcast; at 100 TB the corpus
-    side becomes blocked tiles, same shape. Bit-exactness vs the DuckDB
-    fold oracle is preserved by accumulating dimension-by-dimension in
-    fold order (see _pair_cos_batches) — identical IEEE op sequence."""
+    rows against the corpus side streamed as bounded tiles straight from
+    parquet (CORPUS_CHUNK_ROWS rows resident at a time) — no driver
+    collect, no Python broadcast, and per-task memory independent of
+    corpus size; the tiling is what makes the blocked-nested-loop exact
+    pass survive a 100× corpus. Bit-exactness vs the DuckDB fold oracle is
+    preserved by accumulating dimension-by-dimension in fold order (see
+    _pair_cos_batches) — identical IEEE op sequence."""
     from mapreduce_framework_spark.deploy import ensure_package_on_executors
 
     ensure_package_on_executors(spark)

@@ -78,3 +78,51 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     # nprobe=2 of ~5 cells on uniform data: partial recall by design
     assert recall >= 0.2, f"IVF recall collapsed: {recall:.2f}"
     assert all(len(v) <= 5 for v in ivf.values())
+
+
+def test_embedding_neardup_tiling_invariance(sf_dir):
+    """q36's blocked-tile exact pass must be bit-identical at any tile size
+    (per-task memory is bounded by CORPUS_CHUNK_ROWS, not the corpus): run
+    the mapInPandas generator directly with a huge tile vs a tiny one."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from mapreduce_framework_spark.catalog import parquet_path
+    from mapreduce_framework_spark.pipeline.similarity import (
+        NEARDUP_COS,
+        _pair_cos_batches,
+    )
+
+    batch = pq.read_table(
+        parquet_path(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    ).to_pandas()
+
+    def run(chunk_rows):
+        out = list(_pair_cos_batches(sf_dir, NEARDUP_COS, chunk_rows)(iter([batch])))
+        if not out:
+            return []
+        df = pd.concat(out, ignore_index=True)
+        return sorted(df.itertuples(index=False, name=None))
+
+    whole = run(1 << 30)  # one tile = old whole-corpus behavior
+    tiled = run(17)  # pathological tiny tiles crossing every boundary
+    assert tiled == whole  # bit-exact, incl. the cos doubles
+    assert len(whole) > 0, "fixture should contain near-dup embedding pairs"
+
+
+def test_embedding_neardup_rejects_zero_norm(tmp_path):
+    """A zero-norm embedding makes cosine NaN, and NaN ordering diverges
+    between numpy and SQL engines — the generator must fail fast instead."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from mapreduce_framework_spark.pipeline.similarity import _pair_cos_batches
+
+    vecs = [[1.0] * 4, [0.0] * 4, [2.0] * 4]
+    tbl = pa.table({"vec_id": [0, 1, 2], "embedding": vecs})
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    batch = pd.DataFrame({"vec_id": [0, 1, 2], "embedding": vecs})
+    with _pytest.raises(ValueError, match="zero-norm"):
+        list(_pair_cos_batches(str(tmp_path), 0.5)(iter([batch])))
