@@ -48,10 +48,17 @@ def q82_streaming_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     import shutil
 
     # the file stream source requires a directory — stage the (read-only)
-    # events file into one
+    # events table into one (a parquet "file" may itself be a directory
+    # when written by Spark, so branch on isdir)
     staging = os.path.join("/tmp", f"mfs_q82_{uuid.uuid4().hex[:8]}")
     os.makedirs(staging)
-    shutil.copy(parquet_path(sf_dir, "events"), staging)
+    src = parquet_path(sf_dir, "events")
+    if os.path.isdir(src):  # Spark-written dataset: copy part files flat
+        for i, f in enumerate(sorted(os.listdir(src))):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(src, f), os.path.join(staging, f"part_{i}.parquet"))
+    else:
+        shutil.copy(src, staging)
     try:
         stream = streaming_tumbling_counts(read_events_stream(spark, staging))
         out = run_stream_to_memory(stream, spark, output_mode="update", timeout_s=300)

@@ -69,25 +69,37 @@ def run_stream_to_memory(
     spark: SparkSession,
     output_mode: str = "append",
     timeout_s: int = 120,
+    progress_sink: list | None = None,
 ) -> DataFrame:
     """Drive a streaming DataFrame with availableNow into a memory sink and
-    return the materialized result as a batch DataFrame."""
+    return the materialized result as a batch DataFrame.
+
+    The throwaway checkpoint directory is removed once the query terminates
+    (the memory sink holds the rows; driver correctness runs invoke this
+    per-round and must not accumulate /tmp state). Pass ``progress_sink``
+    to receive the query's progress entries (state-store metrics such as
+    numRowsTotal / numRowsDroppedByWatermark) for assertions."""
+    import shutil
+
     name = f"mem_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join("/tmp", f"ckpt_{name}")
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .option(
-            "checkpointLocation",
-            os.path.join("/tmp", f"ckpt_{name}"),
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    finished = q.awaitTermination(timeout_s)
-    if not finished:
-        q.stop()
-        raise TimeoutError(
-            f"streaming query {name} did not finish within {timeout_s}s"
-        )
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {name} did not finish within {timeout_s}s"
+            )
+        if progress_sink is not None:
+            progress_sink.extend(q.recentProgress)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)

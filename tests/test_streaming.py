@@ -138,6 +138,18 @@ def test_watermark_drops_late_data(spark, tmp_path):
     emitted = {r["window_start"].hour for r in spark.table(name).collect()}
     assert dropped >= 1, f"late row was not dropped by the watermark: {emitted}"
     assert 9 not in emitted, f"late window leaked into output: {emitted}"
+    # bounded-state claim, MEASURED: closed (window, type) groups are evicted
+    # once the watermark passes window_end + lateness — the final state must
+    # hold fewer groups than were ever created (10:00/11:00/12:00 existed;
+    # the evicted ones must not linger)
+    totals = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    ]
+    assert totals and totals[-1] < 3, (
+        f"windowed-agg state not evicted by watermark: {totals}"
+    )
 
 
 def test_sliding_window_streaming_matches_batch(spark, sf_dir, tmp_path):
@@ -406,13 +418,27 @@ def test_streaming_dedup_within_watermark_evicts_old_state(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(os.path.join(src, "b*"))
     )
+    progress: list = []
     out = run_stream_to_memory(
         streaming_dedup_within_watermark(stream, ["id"], "ts", "20 minutes"),
         spark,
         output_mode="append",
         timeout_s=180,
+        progress_sink=progress,
     )
     pdf = out.toPandas()
     # 5 first-sight + 2 fresh + 5 re-admitted after eviction = 12
     assert len(pdf) == 12, pdf.sort_values(["ts", "id"]).to_string()
     assert sorted(pdf["id"]) == [1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 7]
+    # bounded-state claim, MEASURED: the state store must hold only rows the
+    # watermark hasn't expired — 12 distinct admissions ever, but the final
+    # batch may retain at most the 5 re-admitted ids + ids 6 and 7 (the
+    # first-generation 1–5 were evicted when watermark 10:40 took effect)
+    totals = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progress
+        if p.get("stateOperators")
+    ]
+    assert totals, "no state-operator progress captured"
+    assert totals[-1] <= 7, f"state not bounded by watermark eviction: {totals}"
+    assert max(totals) < 12, f"state grew to the full admission count: {totals}"
