@@ -659,6 +659,20 @@ def q74_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q75 margin constants. RECOVERY PATH if the driver hash for q75 ever
+# fails (a Spark version changing approx_percentile internals, or
+# regenerated testdata with a rougher distribution, can flip a boolean):
+# widen these margins — the gate is "sketch within margin", and the margin
+# is a documented engineering tolerance, not a semantic constant. The
+# actual-vs-allowed error is printed by
+# tests/test_scale_patterns.py::test_q75_margin_headroom so a flip is
+# diagnosable before it reaches the driver (GK guarantees rank error
+# <= 1/accuracy = 0.1% of rows for any merge order; the margins below hold
+# ~10-100x headroom over that on the current data).
+Q75_ACCURACY = 1000  # GK accuracy parameter: rank error <= N/1000
+Q75_P99_MARGIN = 0.05  # |approx_p99 - exact_p99| <= margin * exact_p99
+
+
 @register(
     "q75_percentile_sketch_bound",
     oracle="""
@@ -672,27 +686,30 @@ def q74_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q75_percentile_sketch_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna sketch validity gate (q69's driver-checkable twin):
     booleans asserting the approximate p50 lies inside the exact IQR and
-    the approximate p99 is within 5% of the exact p99. Both percentiles
-    (exact and sketch) are computed in the same single aggregation pass.
+    the approximate p99 is within Q75_P99_MARGIN of the exact p99. Both
+    percentiles (exact and sketch) are computed in the same single
+    aggregation pass.
 
     Determinism: GK sketch merge order varies with shuffle arrival, but
-    the algorithm's invariant bounds rank error at N/accuracy = 0.1% for
-    ANY valid merge — orders of magnitude inside both margins here (the
-    full IQR for p50; 5% of value for p99 on this smooth distribution).
-    The booleans therefore cannot flip across runs."""
+    the algorithm's invariant bounds rank error at N/Q75_ACCURACY = 0.1%
+    for ANY valid merge — orders of magnitude inside both margins here
+    (the full IQR for p50; Q75_P99_MARGIN of value for p99 on this smooth
+    distribution). The booleans therefore cannot flip across runs; if the
+    environment ever changes underneath them, see the RECOVERY PATH note
+    at the margin constants above."""
     li = table(spark, "lineitem", sf_dir)
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.expr(
-                "approx_percentile(l_extendedprice, 0.5, 1000) "
+                f"approx_percentile(l_extendedprice, 0.5, {Q75_ACCURACY}) "
                 "BETWEEN percentile(l_extendedprice, 0.25) "
                 "AND percentile(l_extendedprice, 0.75)"
             ).alias("p50_in_iqr"),
             F.expr(
-                "abs(approx_percentile(l_extendedprice, 0.99, 1000) "
+                f"abs(approx_percentile(l_extendedprice, 0.99, {Q75_ACCURACY}) "
                 "- percentile(l_extendedprice, 0.99)) "
-                "<= 0.05 * percentile(l_extendedprice, 0.99)"
+                f"<= {Q75_P99_MARGIN} * percentile(l_extendedprice, 0.99)"
             ).alias("p99_within_5pct"),
         )
         .orderBy("l_returnflag")

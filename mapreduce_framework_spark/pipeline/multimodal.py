@@ -51,19 +51,55 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Decode an image payload to pixels. STUB: no imaging libs in this
-    environment; on a real cluster plug Pillow/opencv here."""
-    raise NotImplementedError("image decode requires an imaging library")
+def decode_image(payload: bytes) -> dict:
+    """Decode an image payload to (width, height, mode, raw pixel bytes).
+
+    Optional-dependency seam: uses Pillow when importable; this container
+    ships no imaging libs, so here it raises NotImplementedError. The
+    conditional test (tests/test_pipeline.py::test_decode_image_with_pillow)
+    exercises the real decode wherever Pillow exists, so the seam cannot
+    silently rot."""
+    try:
+        from PIL import Image
+    except ImportError as e:  # env-blocked: no imaging libs in container
+        raise NotImplementedError("image decode requires Pillow") from e
+    import io
+
+    img = Image.open(io.BytesIO(payload))
+    img.load()
+    return {
+        "width": img.width,
+        "height": img.height,
+        "mode": img.mode,
+        "pixels": img.tobytes(),
+    }
 
 
-def decode_audio(payload: bytes) -> "object":
-    """Decode an audio payload to samples. STUB (no audio libs here)."""
-    raise NotImplementedError("audio decode requires an audio library")
+def decode_audio(payload: bytes) -> dict:
+    """Decode a WAV/PCM audio payload to raw samples via the stdlib ``wave``
+    module (no external dependency); non-WAV codecs need an audio library
+    and raise NotImplementedError."""
+    import io
+    import wave
+
+    if not payload.startswith(b"RIFF"):
+        raise NotImplementedError(
+            "non-WAV audio decode requires an audio library"
+        )
+    with wave.open(io.BytesIO(payload)) as w:
+        return {
+            "n_channels": w.getnchannels(),
+            "sample_width": w.getsampwidth(),
+            "sample_rate": w.getframerate(),
+            "n_frames": w.getnframes(),
+            "pcm": w.readframes(w.getnframes()),
+        }
 
 
 def sample_video_frames(payload: bytes, every_n: int = 30) -> "object":
-    """Frame-sample a video payload. STUB (no video libs here)."""
+    """Frame-sample a video payload. STUB (no video libs in container; on a
+    real cluster wire cv2.VideoCapture or pyav here — the Spark-side
+    plumbing that would call it per kept frame is q76's sample_frames)."""
     raise NotImplementedError("video decode requires a video library")
 
 

@@ -81,3 +81,55 @@ def test_partition_pruning_on_date_partitioned_sink(spark, sf_dir, tmp_path):
     # correctness of the pruned read
     expected = ev.where(F.date_format("ts", "yyyy-MM-dd") == "2024-01-05").count()
     assert one_day.count() == expected > 0
+
+
+def test_q75_margin_headroom(spark, sf_dir, capsys):
+    """Pin the q75 sketch-bound margin assumptions with a DIAGNOSABLE
+    readout: print actual vs allowed error per group so that if a Spark
+    upgrade or regenerated testdata ever flips the q75 booleans, this test
+    names the group and the observed headroom (recovery path: widen the
+    margin constants next to q75 in operators/relational.py)."""
+    from mapreduce_framework_spark.operators.relational import (
+        Q75_ACCURACY,
+        Q75_P99_MARGIN,
+    )
+
+    li = table(spark, "lineitem", sf_dir)
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(f"approx_percentile(l_extendedprice, 0.5, {Q75_ACCURACY})").alias("ap50"),
+            F.expr("percentile(l_extendedprice, 0.25)").alias("q1"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.75)").alias("q3"),
+            F.expr(f"approx_percentile(l_extendedprice, 0.99, {Q75_ACCURACY})").alias("ap99"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        )
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        p99_err = abs(r.ap99 - r.p99) / r.p99
+        iqr = r.q3 - r.q1
+        p50_off = abs(r.ap50 - r.p50)
+        with capsys.disabled():
+            print(
+                f"q75[{r.l_returnflag}] p99 err {p99_err:.5f} of allowed "
+                f"{Q75_P99_MARGIN} ({p99_err / Q75_P99_MARGIN:.1%} used); "
+                f"p50 off-center {p50_off:.1f} within IQR {iqr:.1f} "
+                f"({p50_off / iqr:.1%} used)"
+            )
+        assert r.q1 <= r.ap50 <= r.q3, (
+            f"p50_in_iqr would flip for {r.l_returnflag}: {r.ap50} vs [{r.q1}, {r.q3}]"
+        )
+        assert p99_err <= Q75_P99_MARGIN, (
+            f"p99_within margin would flip for {r.l_returnflag}: "
+            f"err {p99_err:.5f} > {Q75_P99_MARGIN}"
+        )
+        # headroom guard: warn-by-failure before the driver gate is at risk
+        assert p99_err <= Q75_P99_MARGIN / 2, (
+            f"p99 sketch error for {r.l_returnflag} consumed over half the "
+            f"margin ({p99_err:.5f} of {Q75_P99_MARGIN}) — widen Q75_P99_MARGIN "
+            "per the recovery-path note before the driver hash flips"
+        )
