@@ -43,77 +43,29 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 
 # The external driver records correctness for the FIRST 50 entries of
 # __spark_entry__.queries() only, so exposure order is part of the driver
-# contract. The curated order below puts (a) every query changed this
-# round and (b) every query that has never received a driver correctness
-# row inside the window, padded with one stalwart flagship per operator
-# family for continuity; long-stable queries rotate behind position 50
-# (they remain covered by the local pytest oracle sweep, which runs all of
-# them). Rotate per round so every query periodically re-enters the window.
+# contract. The curated order below puts, inside the window: (a) every
+# query new or changed this round, (b) every query whose last driver row
+# is a full round old (rotation), (c) one representative per operator
+# family for continuity. Long-stable queries rotate behind position 50
+# (still swept by the local pytest oracle suite every run). The rotation
+# is ENFORCED, not aspirational: tests/test_rotation.py asserts — using
+# WINDOW_HISTORY below — that no registered query goes more than one
+# round without a driver window slot.
 CURATED_ORDER = [
-    # relational core (dtype-canonicalization fixes this round)
-    "q12_join_revenue_per_nation",
-    "q13_broadcast_join",
-    "q15_tpch_q1_shape",
-    "q17_rollup",
-    "q19_window_running_sum",
-    "q22_scalar_battery",
-    "q45_cube",
-    "q46_sql_frontend_join",
-    "q48_salted_skew_agg",
-    "q51_pivot",
-    "q53_null_handling",
-    "q64_summary_stats",
-    "q66_json_functions",
-    "q68_merge_upsert",
-    # approximate family + validity gates
-    "q29_approx_count_distinct",
-    "q69_approx_percentiles",
-    "q74_hll_error_bound",
+    # --- new this round (never driver-checked) ---
+    "q84_char_ngram_lsh_neardup",
+    "q85_shardctrler_replay",
+    # --- changed this round (tiled q36, cap-doc'd q72, margin-doc'd q75,
+    #     staging/checkpoint-reworked streaming replays) ---
+    "q36_embedding_neardup",
+    "q72_char_ngram_jaccard",
     "q75_percentile_sketch_bound",
-    # streaming execution paths, driver-checked via availableNow replay
     "q82_streaming_tumbling_replay",
     "q83_streaming_kv_replay",
-    # windows / temporal
-    "q27_session_window",
-    "q65_hierarchical_rollup",
-    "q57_asof_join",
-    "q58_range_join_binned",
-    # never-driver-checked batteries
-    "q54_percentiles",
-    "q59_string_battery",
-    "q60_grouping_sets",
-    "q61_correlated_subqueries",
-    "q63_posexplode",
-    "q67_multiset_ops",
-    "q70_grouped_agg_pandas_udf",
-    # dedup pipeline
-    "q31_minhash_lsh_neardup",
-    "q71_dedup_corpus_output",
-    "q72_char_ngram_jaccard",
-    "q73_simhash_banded_neardup",
-    # similarity / ANN
-    "q34_ann_bruteforce",
-    "q35_ann_lsh",
-    "q36_embedding_neardup",
-    "q56_ann_ivf",
-    # text analysis + multimodal
-    "q40_lang_id",
-    "q41_quality_score",
-    "q42_token_stats",
-    "q43_fingerprint",
-    "q37_multimodal_features",
-    "q76_multimodal_frame_sample",
-    "q77_multimodal_resize",
-    # corpus shaping (new this round)
-    "q78_stratified_hash_sample",
-    "q79_sequence_packing",
-    "q80_contamination_check",
-    "q81_training_corpus",
-    # ---- position 51+: stable since round 1, pytest-swept every run ----
-    # (rotated out this round: green in r1, unchanged since)
+    # --- rotation: the 31 queries whose last driver row is round 1 ---
     "q01_wordcount",
+    "q06_kv_final_state",  # KV-family flagship, deliberately ahead of q28
     "q28_kv_stateful_replay",
-    "q06_kv_final_state",
     "q24_exact_dedup",
     "q02_inverted_index",
     "q11_filter_project",
@@ -142,9 +94,177 @@ CURATED_ORDER = [
     "q50_window_battery",
     "q52_pandas_udf_path",
     "q55_simhash_neardup",
+    # --- one representative per round-2 family (rest checked in r2,
+    #     rotate back next round) ---
+    "q12_join_revenue_per_nation",  # relational core
+    "q74_hll_error_bound",  # approximate + validity gates
+    "q57_asof_join",  # temporal
+    "q61_correlated_subqueries",  # battery tail
+    "q31_minhash_lsh_neardup",  # dedup scale path
+    "q73_simhash_banded_neardup",  # banded simhash
+    "q35_ann_lsh",  # ANN
+    "q56_ann_ivf",  # ANN (IVF)
+    "q40_lang_id",  # text analysis
+    "q37_multimodal_features",  # multimodal
+    "q78_stratified_hash_sample",  # corpus shaping
+    "q81_training_corpus",  # composed pipeline
+    # ---- position 51+: driver-checked green in round 2, unchanged;
+    #      pytest-swept every run; rotate back in round 4 ----
+    "q13_broadcast_join",
+    "q15_tpch_q1_shape",
+    "q17_rollup",
+    "q19_window_running_sum",
+    "q22_scalar_battery",
+    "q45_cube",
+    "q46_sql_frontend_join",
+    "q48_salted_skew_agg",
+    "q51_pivot",
+    "q53_null_handling",
+    "q64_summary_stats",
+    "q66_json_functions",
+    "q68_merge_upsert",
+    "q29_approx_count_distinct",
+    "q69_approx_percentiles",
+    "q27_session_window",
+    "q65_hierarchical_rollup",
+    "q58_range_join_binned",
+    "q54_percentiles",
+    "q59_string_battery",
+    "q60_grouping_sets",
+    "q63_posexplode",
+    "q67_multiset_ops",
+    "q70_grouped_agg_pandas_udf",
+    "q71_dedup_corpus_output",
+    "q34_ann_bruteforce",
+    "q41_quality_score",
+    "q42_token_stats",
+    "q43_fingerprint",
+    "q76_multimodal_frame_sample",
+    "q77_multimodal_resize",
+    "q79_sequence_packing",
+    "q80_contamination_check",
 ]
 
 DRIVER_WINDOW = 50
+
+# Round bookkeeping for the enforced rotation check. CURRENT_ROUND is the
+# round whose driver run the current CURATED_ORDER feeds; WINDOW_HISTORY
+# records the window actually exposed in each past round (= the keys of
+# CORRECTNESS_r{N}.json, verbatim). Each new round: append the previous
+# round's first-DRIVER_WINDOW names here, bump CURRENT_ROUND, re-curate.
+CURRENT_ROUND = 3
+
+WINDOW_HISTORY: dict[int, tuple[str, ...]] = {
+    1: (
+        "q01_wordcount",
+        "q02_inverted_index",
+        "q03_crash_emits",
+        "q04_per_doc_counts",
+        "q05_global_count",
+        "q09_fnv_bucket_histogram",
+        "q10_global_sort",
+        "q11_filter_project",
+        "q12_join_revenue_per_nation",
+        "q13_broadcast_join",
+        "q14_semi_join",
+        "q14_anti_join",
+        "q15_tpch_q1_shape",
+        "q16_count_distinct",
+        "q17_rollup",
+        "q18_window_topk_per_group",
+        "q19_window_running_sum",
+        "q20_global_topk",
+        "q21_set_ops",
+        "q22_scalar_battery",
+        "q23_array_functions",
+        "q29_approx_count_distinct",
+        "q44_map_functions",
+        "q45_cube",
+        "q68_merge_upsert",
+        "q69_approx_percentiles",
+        "q06_kv_final_state",
+        "q07_kv_point_in_time",
+        "q08_shard_histogram",
+        "q28_kv_stateful_replay",
+        "q24_exact_dedup",
+        "q25_tumbling_window",
+        "q26_sliding_window",
+        "q27_session_window",
+        "q65_hierarchical_rollup",
+        "q46_sql_frontend_join",
+        "q47_sql_frontend_window",
+        "q48_salted_skew_agg",
+        "q30_ngram_jaccard_neardup",
+        "q31_minhash_lsh_neardup",
+        "q32_simhash",
+        "q33_exact_dedup_docs",
+        "q55_simhash_neardup",
+        "q71_dedup_corpus_output",
+        "q72_char_ngram_jaccard",
+        "q49_neardup_components",
+        "q50_window_battery",
+        "q51_pivot",
+        "q52_pandas_udf_path",
+        "q53_null_handling",
+    ),
+    2: (
+        "q12_join_revenue_per_nation",
+        "q13_broadcast_join",
+        "q15_tpch_q1_shape",
+        "q17_rollup",
+        "q19_window_running_sum",
+        "q22_scalar_battery",
+        "q45_cube",
+        "q46_sql_frontend_join",
+        "q48_salted_skew_agg",
+        "q51_pivot",
+        "q53_null_handling",
+        "q64_summary_stats",
+        "q66_json_functions",
+        "q68_merge_upsert",
+        "q29_approx_count_distinct",
+        "q69_approx_percentiles",
+        "q74_hll_error_bound",
+        "q75_percentile_sketch_bound",
+        "q82_streaming_tumbling_replay",
+        "q83_streaming_kv_replay",
+        "q27_session_window",
+        "q65_hierarchical_rollup",
+        "q57_asof_join",
+        "q58_range_join_binned",
+        "q54_percentiles",
+        "q59_string_battery",
+        "q60_grouping_sets",
+        "q61_correlated_subqueries",
+        "q63_posexplode",
+        "q67_multiset_ops",
+        "q70_grouped_agg_pandas_udf",
+        "q31_minhash_lsh_neardup",
+        "q71_dedup_corpus_output",
+        "q72_char_ngram_jaccard",
+        "q73_simhash_banded_neardup",
+        "q34_ann_bruteforce",
+        "q35_ann_lsh",
+        "q36_embedding_neardup",
+        "q56_ann_ivf",
+        "q40_lang_id",
+        "q41_quality_score",
+        "q42_token_stats",
+        "q43_fingerprint",
+        "q37_multimodal_features",
+        "q76_multimodal_frame_sample",
+        "q77_multimodal_resize",
+        "q78_stratified_hash_sample",
+        "q79_sequence_packing",
+        "q80_contamination_check",
+        "q81_training_corpus",
+    ),
+}
+
+
+def driver_window() -> list[str]:
+    """The names the external driver will actually record this round."""
+    return CURATED_ORDER[:DRIVER_WINDOW]
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -165,6 +285,7 @@ def all_queries() -> dict[str, QuerySpec]:
     import mapreduce_framework_spark.pipeline.multimodal  # noqa: F401
     import mapreduce_framework_spark.pipeline.sampling  # noqa: F401
     import mapreduce_framework_spark.operators.streaming_replay  # noqa: F401
+    import mapreduce_framework_spark.operators.shardctrler  # noqa: F401
 
     missing = set(REGISTRY) - set(CURATED_ORDER)
     extra = set(CURATED_ORDER) - set(REGISTRY)

@@ -1,0 +1,78 @@
+"""Enforced driver-window rotation (the CURATED_ORDER contract).
+
+The external driver only records correctness for the first DRIVER_WINDOW
+entries of queries(); everything behind the window relies on driver rows
+from past rounds. These tests turn the "rotate per round" promise from a
+comment into a gate: no query's external evidence may go more than one
+round stale, and the recorded history must stay consistent with the
+CORRECTNESS_r{N}.json artifacts it mirrors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from mapreduce_framework_spark.registry import (
+    CURATED_ORDER,
+    CURRENT_ROUND,
+    DRIVER_WINDOW,
+    WINDOW_HISTORY,
+    all_queries,
+    driver_window,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_no_query_exceeds_max_driver_staleness():
+    """Every registered query must be in THIS round's driver window or have
+    a driver row from the immediately previous round — i.e. max staleness
+    of external correctness evidence is one round."""
+    names = list(all_queries())
+    window = set(driver_window())
+    prev = set(WINDOW_HISTORY[CURRENT_ROUND - 1])
+    stale = [n for n in names if n not in window and n not in prev]
+    assert not stale, (
+        f"{len(stale)} queries would go >1 round without a driver row: "
+        f"{stale} — rotate them into CURATED_ORDER[:{DRIVER_WINDOW}]"
+    )
+
+
+def test_new_queries_enter_the_window_immediately():
+    """A query that has never had a driver row must not start life behind
+    the window."""
+    never_checked = set(all_queries()) - {
+        n for w in WINDOW_HISTORY.values() for n in w
+    }
+    behind = never_checked - set(driver_window())
+    assert not behind, f"new queries hidden from the driver: {sorted(behind)}"
+
+
+def test_window_history_matches_correctness_artifacts():
+    """WINDOW_HISTORY must be the verbatim key lists of the recorded
+    CORRECTNESS_r{N}.json files — it documents what the driver actually
+    checked, so it must never drift from the artifacts."""
+    for rnd, names in WINDOW_HISTORY.items():
+        path = os.path.join(REPO, f"CORRECTNESS_r{rnd:02d}.json")
+        if not os.path.exists(path):
+            pytest.fail(f"WINDOW_HISTORY[{rnd}] has no artifact at {path}")
+        with open(path) as f:
+            recorded = tuple(json.load(f))
+        assert recorded == names, f"WINDOW_HISTORY[{rnd}] drifted from {path}"
+
+
+def test_window_history_covers_all_past_rounds():
+    assert sorted(WINDOW_HISTORY) == list(range(1, CURRENT_ROUND))
+    assert all(len(w) == DRIVER_WINDOW for w in WINDOW_HISTORY.values())
+
+
+def test_window_has_exactly_driver_window_slots_used_meaningfully():
+    """The window must be full (driver slots are scarce) and duplicate-free
+    (a duplicate silently rotates position 50 out)."""
+    window = driver_window()
+    assert len(window) == DRIVER_WINDOW
+    assert len(set(window)) == DRIVER_WINDOW
+    assert len(CURATED_ORDER) == len(set(CURATED_ORDER))
