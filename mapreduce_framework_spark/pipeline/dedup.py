@@ -21,6 +21,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -29,7 +31,6 @@ from mapreduce_framework_spark.functions.hashing import (
     FNV_OFFSET_BASIS,
     FNV_PRIME,
     TWO32,
-    fnv1a32_py,
 )
 from mapreduce_framework_spark.registry import register
 
@@ -38,11 +39,16 @@ JACCARD_THRESHOLD = 0.8
 N_PERMS = 64
 N_BANDS = 16  # 16 bands x 4 rows; P(miss | J>=0.9) ~ 4e-8 per pair
 
-# Deterministic MinHash permutation constants: x -> (a*x + b) mod p, with
-# a odd and < 2^31 so a*h + b stays within int64 for h < 2^32.
-MERSENNE_P = (1 << 61) - 1  # large prime; (a*h+b) < 2^63 so plain mod is safe
-PERM_A = [(fnv1a32_py(f"minhash-a-{i}") & 0x7FFFFFFF) | 1 for i in range(N_PERMS)]
-PERM_B = [fnv1a32_py(f"minhash-b-{i}") for i in range(N_PERMS)]
+# MinHash "permutations" are 64 independent full-width hash functions:
+# m_i = min(xxhash64(shingle, i)). An earlier form used linear maps
+# (a_i*h + b_i) mod p over a single 32-bit shingle hash h; with
+# a < 2^31 that map wraps the modulus only ~4 times, so it is piecewise
+# MONOTONE in h — the per-perm minima were heavily correlated across
+# perms, and on a small shingle universe (char shingles over the tiny
+# synthetic vocabulary) produced ~180× more band-collision candidates
+# than true pairs (observed at sf0.1: 46k candidates for 256 real pairs,
+# with J≈0.07 pairs agreeing on 32+ of 64 "independent" minima). Seeding
+# the full hash per perm restores the independence the estimator assumes.
 
 
 def _fnv_sql(expr: str) -> str:
@@ -174,17 +180,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_columns(sh: DataFrame) -> DataFrame:
     """(doc_id, m0..m63): the 64 MinHash values as plain codegen'd min()
-    aggregate columns (see minhash_signatures docstring)."""
-    h = sh.select(
-        "doc_id", F.xxhash64("s").bitwiseAND(F.lit((1 << 32) - 1)).alias("h")
-    )
+    aggregate columns (see minhash_signatures docstring), one seeded
+    full-width xxhash64 per permutation (see the permutation note above:
+    linear maps of a shared 32-bit hash are not mixing enough)."""
     aggs = [
-        F.min((F.lit(PERM_A[i]) * F.col("h") + F.lit(PERM_B[i])) % MERSENNE_P).alias(
-            f"m{i}"
-        )
-        for i in range(N_PERMS)
+        F.min(F.xxhash64("s", F.lit(i))).alias(f"m{i}") for i in range(N_PERMS)
     ]
-    return h.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
@@ -221,10 +223,24 @@ def lsh_neardup_pairs(docs: DataFrame) -> DataFrame:
 
 
 def _lsh_verified_pairs(sh_cached: DataFrame, threshold: float) -> DataFrame:
-    """MinHash(64) + LSH(16 bands × 4 rows) candidate generation followed by
-    exact Jaccard verification, over any materialized (doc_id, s) distinct
-    shingle frame — the shingle family (word n-grams, char n-grams, ...) is
-    the caller's choice."""
+    """MinHash(64) + LSH(16 bands × 4 rows) candidate generation, a
+    minhash-estimate prune, then exact Jaccard verification — over any
+    materialized (doc_id, s) distinct shingle frame (word n-grams, char
+    n-grams, ... — the caller's choice).
+
+    The estimate prune exists for shingle families with heavy cross-doc
+    sharing (char shingles over a small vocabulary): band collisions there
+    produce far more candidates than true pairs, and exact verification of
+    wide shingle sets is the dominant cost. Ĵ = (matching perms)/64 is an
+    unbiased Jaccard estimator with σ ≤ 1/16, so pruning at threshold−0.25
+    sits ≥4σ below any qualifying pair — the survivors (and only they) pay
+    the exact set intersection, and every emitted pair is still
+    exact-verified. Like banding itself, the prune can only drop
+    candidates, and both recall margins are machine-checked by the exact
+    oracles the LSH queries register."""
+    # the 64 minhash columns feed three consumers (band keys + both sides
+    # of the estimate join): materialize once — 65 longs per doc, tiny
+    mh = _minhash_columns(sh_cached).localCheckpoint(eager=True)
     rows_per_band = N_PERMS // N_BANDS
     # band signature = hash of the band's minhash tuple, straight off the
     # 64 aggregate columns (no array build, no interpreted slice lambda);
@@ -239,14 +255,12 @@ def _lsh_verified_pairs(sh_cached: DataFrame, threshold: float) -> DataFrame:
         )
         for b in range(N_BANDS)
     ]
-    bands = (
-        _minhash_columns(sh_cached)
-        .select("doc_id", F.explode(F.array(*band_structs)).alias("bb"))
-        .select("doc_id", "bb.band", "bb.bsig")
-    )
+    bands = mh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bsig")
     a = bands.alias("a")
     b = bands.alias("b")
-    candidates = (
+    raw_candidates = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -255,6 +269,21 @@ def _lsh_verified_pairs(sh_cached: DataFrame, threshold: float) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .distinct()
+    )
+    # minhash-estimate prune: 64 codegen'd equality terms, no arrays
+    min_matches = int(math.ceil(N_PERMS * max(threshold - 0.25, 0.0)))
+    sig1 = mh.select(
+        F.col("doc_id").alias("id1"), *[F.col(f"m{i}").alias(f"x{i}") for i in range(N_PERMS)]
+    )
+    sig2 = mh.select(
+        F.col("doc_id").alias("id2"), *[F.col(f"m{i}").alias(f"y{i}") for i in range(N_PERMS)]
+    )
+    est = F.expr(" + ".join(f"IF(x{i} = y{i}, 1, 0)" for i in range(N_PERMS)))
+    candidates = (
+        raw_candidates.join(sig1, "id1")
+        .join(sig2, "id2")
+        .where(est >= F.lit(min_matches))
+        .select("id1", "id2")
     )
     # exact verification on candidates only — restrict the shingle-set build
     # to docs that actually appear in a candidate pair (semi-join) so the
