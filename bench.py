@@ -75,6 +75,7 @@ HEADLINE = [
     "q79_sequence_packing",        # corpus shaping: per-source window pack
     "q80_contamination_check",     # corpus shaping: broadcast shingle join
     "q81_training_corpus",         # composed dedup->filter->sample->pack
+    "q84_char_ngram_lsh_neardup",  # char-shingle LSH (unbounded scale path)
 ]
 
 
@@ -88,15 +89,26 @@ def main() -> None:
     # warm the session (JVM/codegen/FS init) so q01 doesn't absorb startup
     spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
 
+    # Two series per query (the round-2 confound was publishing only their
+    # sum while the semantics changed mid-round):
+    #   build_sec — builder call: plan construction + any eager work the
+    #               builder performs (localCheckpoint materialization,
+    #               iterative components); ~0 for purely lazy builders
+    #   exec_sec  — end-to-end execution of the built plan into a noop sink
+    # `queries` (their sum) stays the headline so regressions in eager
+    # builder work remain charged to the query that causes them.
+    build: dict[str, float] = {}
+    execute: dict[str, float] = {}
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        # timer wraps builder + execution: several builders do eager work
-        # (localCheckpoint materialization, iterative components), which
-        # must be charged to the query or regressions there are invisible
         t0 = time.perf_counter()
         df = specs[name].builder(spark, sf_dir)
+        t1 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        t2 = time.perf_counter()
+        build[name] = round(t1 - t0, 3)
+        execute[name] = round(t2 - t1, 3)
+        timings[name] = round(t2 - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -106,13 +118,19 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_build": build,
+                "queries_exec": execute,
                 "sf": sf_dir,
                 "n_queries": len(timings),
-                # like-for-like vs round 1's 17-query suite (~26-30 s);
-                # the full-suite total is not comparable across rounds
-                # because the suite widens as families land
+                # like-for-like series vs round 1's 17-query suite:
+                # r1 timers were exec-only, so r1_subset_exec_sec is the
+                # clean A/B against round 1's ~26-30 s; r1_subset_sec keeps
+                # the round-2 builder-inclusive semantics
                 "r1_subset_sec": round(
                     sum(t for q, t in timings.items() if q in R1_SUBSET), 3
+                ),
+                "r1_subset_exec_sec": round(
+                    sum(t for q, t in execute.items() if q in R1_SUBSET), 3
                 ),
             }
         )
