@@ -76,6 +76,7 @@ HEADLINE = [
     "q80_contamination_check",     # corpus shaping: broadcast shingle join
     "q81_training_corpus",         # composed dedup->filter->sample->pack
     "q84_char_ngram_lsh_neardup",  # char-shingle LSH (unbounded scale path)
+    "q87_boilerplate_doc_stats",   # repeated-span flagging (broadcast dict)
 ]
 
 

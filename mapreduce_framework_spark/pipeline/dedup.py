@@ -622,6 +622,119 @@ def q72_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(F.col("jaccard") >= CHAR_JACCARD_THRESHOLD).orderBy("id1", "id2")
 
 
+# --- boilerplate n-gram flagging (repeated-span removal) --------------------
+#
+# The C4/RefinedWeb-style cleaning step the suite lacked: word n-grams that
+# recur across many documents are boilerplate (headers, footers, templated
+# spans) and get removed before training. Scale shape: the flagged-gram
+# list is DF-filtered and tiny relative to the corpus → broadcast; the
+# only corpus-wide shuffle is the (gram → document-frequency) count, which
+# is map-side partial-aggregated.
+
+BOILER_N = 5  # word n-gram span size
+BOILER_DF = 3  # flagged when appearing in >= BOILER_DF distinct docs
+
+_GRAMS5_SPARK = (
+    f"CASE WHEN size(toks) >= {BOILER_N} THEN "
+    f"transform(sequence(1, size(toks) - {BOILER_N - 1}), "
+    "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
+    "element_at(toks, i + 2), element_at(toks, i + 3), element_at(toks, i + 4))) "
+    "ELSE array() END"
+)
+_GRAMS5_DUCK = (
+    f"CASE WHEN len(toks) >= {BOILER_N} THEN "
+    f"list_transform(range(1, len(toks) - {BOILER_N - 2}), "
+    "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' || "
+    "toks[i + 3] || ' ' || toks[i + 4]) "
+    "ELSE [] END"
+)
+
+_BOILER_DUCK = f"""
+    t AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+    pos AS (SELECT doc_id, unnest({_GRAMS5_DUCK}) AS g FROM t),
+    dfreq AS (
+      SELECT g, count(*) AS df FROM (SELECT DISTINCT doc_id, g FROM pos) GROUP BY g
+    ),
+    boiler AS (SELECT g, df FROM dfreq WHERE df >= {BOILER_DF})
+"""
+
+
+def _doc_grams5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All word 5-gram positions per doc (duplicates kept — one row per
+    position, so per-doc totals count spans, not distinct grams)."""
+    return (
+        table(spark, "documents", sf_dir)
+        .withColumn("toks", F.expr(TOKS_SPARK))
+        .select("doc_id", F.explode(F.expr(_GRAMS5_SPARK)).alias("g"))
+    )
+
+
+@register(
+    "q86_boilerplate_ngrams",
+    oracle=f"""
+    WITH {_BOILER_DUCK}
+    SELECT g AS gram, df FROM boiler ORDER BY gram
+    """,
+    tags=("ext", "dedup", "boilerplate", "text"),
+)
+def q86_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate dictionary: word {BOILER_N}-grams appearing in >=
+    {BOILER_DF} distinct documents, with their document frequency. One
+    corpus scan + one partial-aggregated count shuffle; the output is the
+    small list the scrub step (q87) broadcasts."""
+    dfreq = (
+        _doc_grams5(spark, sf_dir)
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        dfreq.where(F.col("df") >= BOILER_DF)
+        .select(F.col("g").alias("gram"), "df")
+        .orderBy("gram")
+    )
+
+
+@register(
+    "q87_boilerplate_doc_stats",
+    oracle=f"""
+    WITH {_BOILER_DUCK}
+    SELECT doc_id,
+           count(*) AS n_grams,
+           CAST(coalesce(sum(CASE WHEN boiler.g IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_flagged,
+           CAST(coalesce(sum(CASE WHEN boiler.g IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE)
+             / count(*) AS flag_ratio
+    FROM pos LEFT JOIN boiler USING (g)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("ext", "dedup", "boilerplate", "text"),
+)
+def q87_boilerplate_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate contamination: of the doc's {BOILER_N}-gram
+    spans, how many hit the boilerplate dictionary (q86) and what fraction
+    of the doc that is — the signal a cleaning pipeline thresholds on
+    before span removal. The dictionary side is broadcast; the corpus
+    streams through one scan. Docs with fewer than {BOILER_N} tokens have
+    no spans and drop out (same on both engines)."""
+    pos = _doc_grams5(spark, sf_dir)
+    boiler = q86_boilerplate_ngrams(spark, sf_dir).select(
+        F.col("gram").alias("g"), F.lit(1).alias("hit")
+    )
+    return (
+        pos.join(F.broadcast(boiler), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_flagged"),
+            (
+                F.coalesce(F.sum("hit"), F.lit(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("flag_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "q84_char_ngram_lsh_neardup",
     # Exact oracle over the UNCAPPED corpus: qualifying pairs on this data

@@ -55,6 +55,8 @@ CURATED_ORDER = [
     # --- new this round (never driver-checked) ---
     "q84_char_ngram_lsh_neardup",
     "q85_shardctrler_replay",
+    "q86_boilerplate_ngrams",
+    "q87_boilerplate_doc_stats",
     # --- changed this round (tiled q36, cap-doc'd q72, margin-doc'd q75,
     #     staging/checkpoint-reworked streaming replays) ---
     "q36_embedding_neardup",
@@ -103,13 +105,13 @@ CURATED_ORDER = [
     "q31_minhash_lsh_neardup",  # dedup scale path
     "q73_simhash_banded_neardup",  # banded simhash
     "q35_ann_lsh",  # ANN
-    "q56_ann_ivf",  # ANN (IVF)
     "q40_lang_id",  # text analysis
     "q37_multimodal_features",  # multimodal
-    "q78_stratified_hash_sample",  # corpus shaping
     "q81_training_corpus",  # composed pipeline
     # ---- position 51+: driver-checked green in round 2, unchanged;
     #      pytest-swept every run; rotate back in round 4 ----
+    "q56_ann_ivf",
+    "q78_stratified_hash_sample",
     "q13_broadcast_join",
     "q15_tpch_q1_shape",
     "q17_rollup",
