@@ -59,3 +59,30 @@ def test_dataframe_fold_matches_sequential_model(spark_global, ops):
     )
     got = {r["key"]: r["value"] for r in _fold_spark(df).collect()}
     assert got == model_fold(ops)
+
+
+def test_q06_q28_fold_parity_and_flagship_order(spark_global, sf_dir):
+    """The JVM-side array fold (q06, the production path) and the
+    demonstrative per-group Python fold (q28) must stay result-identical —
+    they implement the same KV replay semantics through different engines.
+    The driver rotation must also keep q06 ahead of q28 so the KV family's
+    flagship evidence is always the scalable form."""
+    from mapreduce_framework_spark.operators.kv import (
+        q06_kv_final_state,
+        q28_kv_stateful_replay,
+    )
+    from mapreduce_framework_spark.registry import CURATED_ORDER
+
+    a = {
+        (r["key"], r["value"])
+        for r in q06_kv_final_state(spark_global, sf_dir).collect()
+    }
+    b = {
+        (r["key"], r["value"])
+        for r in q28_kv_stateful_replay(spark_global, sf_dir).collect()
+    }
+    assert a == b
+    assert len(a) > 0
+    assert CURATED_ORDER.index("q06_kv_final_state") < CURATED_ORDER.index(
+        "q28_kv_stateful_replay"
+    )

@@ -71,9 +71,17 @@ def test_dedup_pipeline_no_cartesian_product(spark, sf_dir):
         q31_minhash_lsh_neardup,
         q71_dedup_corpus_output,
         q73_simhash_banded_neardup,
+        q84_char_ngram_lsh_neardup,
+        q87_boilerplate_doc_stats,
     )
 
-    for builder in (q31_minhash_lsh_neardup, q71_dedup_corpus_output, q73_simhash_banded_neardup):
+    for builder in (
+        q31_minhash_lsh_neardup,
+        q71_dedup_corpus_output,
+        q73_simhash_banded_neardup,
+        q84_char_ngram_lsh_neardup,
+        q87_boilerplate_doc_stats,
+    ):
         plan = _plan(builder(spark, sf_dir))
         assert "CartesianProduct" not in plan, f"{builder.__name__}: cross join in plan"
         assert "BroadcastNestedLoopJoin" not in plan, (
