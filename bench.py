@@ -77,6 +77,9 @@ HEADLINE = [
     "q81_training_corpus",         # composed dedup->filter->sample->pack
     "q84_char_ngram_lsh_neardup",  # char-shingle LSH (unbounded scale path)
     "q87_boilerplate_doc_stats",   # repeated-span flagging (broadcast dict)
+    "q88_repetition_stats",        # Gopher repetition signals (distributed mode)
+    "q89_denylist_scrub",          # regex redaction + scrubbed-text fingerprint
+    "q90_domain_mix_resample",     # domain mixing (agg -> broadcast rates)
 ]
 
 

@@ -55,6 +55,10 @@ def __getattr__(name):
         # corpus shaping
         "stratified_sample": "mapreduce_framework_spark.pipeline.sampling",
         "pack_sequences": "mapreduce_framework_spark.pipeline.sampling",
+        "domain_mix_sample": "mapreduce_framework_spark.pipeline.sampling",
+        # quality filters / scrubbing
+        "repetition_stats": "mapreduce_framework_spark.pipeline.quality",
+        "scrub_documents": "mapreduce_framework_spark.pipeline.quality",
         # storage layout
         "write_partitioned": "mapreduce_framework_spark.storage",
         "write_bucketed": "mapreduce_framework_spark.storage",

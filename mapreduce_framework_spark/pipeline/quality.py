@@ -1,0 +1,219 @@
+"""Repetition filtering and denylist/PII scrubbing for LLM training data.
+
+Two of the standard pre-training corpus filters (the Gopher/C4 family of
+heuristics), built to the 100 TB shape:
+
+- **Repetition stats (q88)** — the Gopher repetition signals reduced to
+  their deterministic core: duplicate-token fraction (1 − distinct/total,
+  a pure per-row array computation, no shuffle) and top word-2-gram
+  fraction (the most frequent 2-gram's share of all 2-grams — explode +
+  two-level partial aggregation keyed by doc_id, the shape that scales:
+  per-doc mode never materializes a per-doc dictionary in one task's
+  memory). Docs whose signals cross the thresholds get flagged, the way a
+  pipeline drops boilerplate/template spam before dedup.
+- **Denylist / PII scrub (q89)** — regex redaction of emails, phone-ish
+  numbers, and a configurable term denylist, emitting both the match
+  counts and an FNV-1a32 fingerprint of the scrubbed text so the
+  *transform output* (not just the counts) is correctness-checked. Pure
+  JVM regexp scan: embarrassingly parallel, zero shuffles.
+
+The reference has no text-quality surface (wc/indexer only,
+src/mrapps/wc.go:23-26); these are [EXT] training-pipeline operators
+(SURVEY §7 M5) alongside q40–q43.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.catalog import table
+from mapreduce_framework_spark.functions.hashing import fnv1a32, fnv1a32_duckdb
+from mapreduce_framework_spark.functions.text import tokenize, tokenize_duckdb
+from mapreduce_framework_spark.registry import register
+
+# Thresholds chosen to split the synthetic corpus (dup_frac spans 0–0.72
+# with mean ~0.50; top-2-gram fraction p90 ≈ 0.069) so both flag outcomes
+# are exercised. Real pipelines tune these per corpus (Gopher uses 0.2 for
+# top-2-gram share).
+DUP_FRAC_MAX = 0.55
+TOP2_FRAC_MAX = 0.08
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition signals over any (doc_id, text, ...) frame.
+
+    Adds n_tokens, n_distinct, dup_frac, top2_count, top2_frac, and the
+    is_repetitive flag. The top-2-gram mode is computed distributively
+    (explode → count per (doc, gram) → max per doc), so per-task memory is
+    independent of document count and document length.
+    """
+    t = docs.select("doc_id", tokenize("text").alias("toks"))
+    base = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+    )
+    grams = (
+        t.where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2),"
+                    " i -> concat(toks[i], ' ', toks[i + 1]))"
+                )
+            ).alias("gram"),
+        )
+    )
+    top = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top2_count"))
+    )
+    j = base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.when(
+            F.col("n_tokens") > 0,
+            1 - F.col("n_distinct").cast("double") / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+        F.coalesce(F.col("top2_count"), F.lit(0)).cast("bigint").alias("top2_count"),
+        F.when(
+            F.col("n_tokens") > 1,
+            F.coalesce(F.col("top2_count"), F.lit(0)).cast("double")
+            / (F.col("n_tokens") - 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top2_frac"),
+    )
+    return j.withColumn(
+        "is_repetitive",
+        (F.col("dup_frac") > DUP_FRAC_MAX) | (F.col("top2_frac") > TOP2_FRAC_MAX),
+    )
+
+
+@register(
+    "q88_repetition_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {tokenize_duckdb('text')} AS toks FROM documents
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+      FROM t
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      FROM t
+    ),
+    c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram),
+    top AS (SELECT doc_id, max(cnt) AS top2_count FROM c GROUP BY doc_id),
+    j AS (
+      SELECT b.doc_id, b.n_tokens, b.n_distinct,
+             CASE WHEN b.n_tokens > 0
+                  THEN 1 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens
+                  ELSE 0.0 END AS dup_frac,
+             CAST(COALESCE(top.top2_count, 0) AS BIGINT) AS top2_count,
+             CASE WHEN b.n_tokens > 1
+                  THEN CAST(COALESCE(top.top2_count, 0) AS DOUBLE) / (b.n_tokens - 1)
+                  ELSE 0.0 END AS top2_frac
+      FROM base b LEFT JOIN top USING (doc_id)
+    )
+    SELECT *, (dup_frac > {DUP_FRAC_MAX} OR top2_frac > {TOP2_FRAC_MAX}) AS is_repetitive
+    FROM j ORDER BY doc_id
+    """,
+    tags=("ext", "text", "quality", "repetition"),
+)
+def q88_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals: duplicate-token fraction and
+    top word-2-gram share, with the keep/drop flag. Both engines compute
+    the fractions with the identical IEEE expression order, so the driver
+    hash is exact."""
+    docs = table(spark, "documents", sf_dir)
+    return repetition_stats(docs).orderBy("doc_id")
+
+
+# Redaction patterns: RE2/Java-compatible subset (no lookarounds), so the
+# Spark and DuckDB regex engines agree. The synthetic corpus contains no
+# emails/phones (counts prove the negative); the term denylist fires on
+# ~80% of docs, exercising the replacement path end-to-end.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+DENYLIST = ("customer", "value")
+DENY_RE = r"\b(" + "|".join(DENYLIST) + r")\b"
+
+
+def scrub_documents(docs: DataFrame) -> DataFrame:
+    """Adds n_email / n_phone / n_deny match counts, the scrubbed text, its
+    length, and its FNV-1a32 fingerprint to any (doc_id, text, ...) frame."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", F.lit(EMAIL_RE), F.lit("[EMAIL]")),
+            F.lit(PHONE_RE),
+            F.lit("[PHONE]"),
+        ),
+        F.lit(DENY_RE),
+        F.lit("[TERM]"),
+    )
+    counted = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_email"),
+        F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phone"),
+        F.size(F.regexp_extract_all("text", F.lit(DENY_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_deny"),
+        scrubbed.alias("scrubbed"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_deny",
+        F.length("scrubbed").cast("bigint").alias("scrub_len"),
+        fnv1a32("scrubbed").alias("scrub_fp"),
+    )
+
+
+@register(
+    "q89_denylist_scrub",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_email,
+             CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phone,
+             CAST(len(regexp_extract_all(text, '{DENY_RE}')) AS BIGINT) AS n_deny,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                 '{PHONE_RE}', '[PHONE]', 'g'),
+               '{DENY_RE}', '[TERM]', 'g') AS scrubbed
+      FROM documents
+    )
+    SELECT doc_id, n_email, n_phone, n_deny,
+           CAST(length(scrubbed) AS BIGINT) AS scrub_len,
+           {fnv1a32_duckdb('scrubbed')} AS scrub_fp
+    FROM s ORDER BY doc_id
+    """,
+    tags=("ext", "text", "quality", "scrub"),
+)
+def q89_denylist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / denylist redaction: email + phone regexes plus a term
+    denylist, replaced with typed redaction markers. Emits match counts
+    and the FNV fingerprint + length of the scrubbed text, so the driver
+    hash checks the actual transform output. Pure regexp scan — no
+    shuffle, trivially parallel at 100 TB."""
+    docs = table(spark, "documents", sf_dir)
+    return scrub_documents(docs).orderBy("doc_id")

@@ -142,6 +142,103 @@ def q79_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- domain mixing (q90) ---------------------------------------------------
+# Training mixes re-weight sources toward a target distribution: compute the
+# per-source keep RATE from the observed token mass, then apply it with the
+# same deterministic hash rule as q78. Weighted sources (the "high-quality"
+# tier) get 2× the share of the rest; the overall budget is BUDGET_PCT of
+# the corpus tokens. All rate arithmetic is integer (floor division), so the
+# computed rates — not just the sampling decisions — are cross-engine exact.
+MIX_BUDGET_PCT = 50
+_WEIGHTED_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+_WEIGHT_CASE = (
+    "CASE WHEN source IN ("
+    + ", ".join(f"'{s}'" for s in _WEIGHTED_SOURCES)
+    + ") THEN 2 ELSE 1 END"
+)
+_MIX_SALT = "'mix-'"  # hash domain separator; independent of q78's decisions
+
+
+def domain_mix_sample(docs: DataFrame) -> DataFrame:
+    """Resample any (doc_id, source, text, ...) frame toward the target
+    mixture: rate(source) = min(100, 100 * target_tokens / source_tokens)
+    where target_tokens = budget * weight / total_weight. Two tiny
+    aggregates (partial-agg shuffle on source, then a 1-row global) feed a
+    broadcast join back onto the scan — the corpus side streams once."""
+    tok = docs.select(
+        "doc_id", "source", F.size(F.expr(TOKS_SPARK)).cast("long").alias("n_tokens")
+    )
+    per = tok.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens")).withColumn(
+        "w", F.expr(_WEIGHT_CASE).cast("long")
+    )
+    # Totals via a window over the per-source frame (tens of rows), NOT a
+    # second aggregate branch: Catalyst does not reuse common subplans, so
+    # deriving totals from `tok` again would rescan the 100 TB corpus a
+    # third time. The single-partition window is over |sources| rows only.
+    from pyspark.sql.window import Window
+
+    w_all = Window.partitionBy(F.lit(1))
+    rates = per.withColumn(
+        "total_tokens", F.sum("src_tokens").over(w_all)
+    ).withColumn("total_w", F.sum("w").over(w_all)).select(
+        "source",
+        "src_tokens",
+        F.expr(
+            f"CAST(least(100, (100 * (((total_tokens * {MIX_BUDGET_PCT}) div 100)"
+            f" * w div total_w)) div src_tokens) AS BIGINT)"
+        ).alias("rate"),
+    )
+    h = F.expr(_fnv_sql(f"concat({_MIX_SALT}, CAST(doc_id AS STRING))"))
+    return (
+        tok.join(F.broadcast(rates), "source")
+        .withColumn("bucket", (h % 100).cast("long"))
+        .where(F.col("bucket") < F.col("rate"))
+    )
+
+
+@register(
+    "q90_domain_mix_resample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len({TOKS_DUCK}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    per AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+             CAST({_WEIGHT_CASE} AS BIGINT) AS w
+      FROM t GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(w) AS BIGINT) AS total_w
+      FROM per
+    ),
+    r AS (
+      SELECT source, src_tokens,
+             CAST(least(100, (100 * (((total_tokens * {MIX_BUDGET_PCT}) // 100)
+                  * w // total_w)) // src_tokens) AS BIGINT) AS rate
+      FROM per, tot
+    )
+    SELECT t.doc_id, t.source, t.n_tokens, r.rate,
+           CAST({_fnv_duck(f"concat({_MIX_SALT}, CAST(doc_id AS VARCHAR))")} % 100 AS BIGINT) AS bucket
+    FROM t JOIN r USING (source)
+    WHERE {_fnv_duck(f"concat({_MIX_SALT}, CAST(doc_id AS VARCHAR))")} % 100 < r.rate
+    ORDER BY doc_id
+    """,
+    tags=("ext", "sampling", "mixing"),
+)
+def q90_domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing resample: per-source keep rates computed from observed
+    token mass toward a weighted target mixture, applied with the
+    deterministic q78 hash rule. The rates themselves are integer
+    arithmetic (exact on both engines); the output is the resampled corpus
+    with its rate and hash bucket."""
+    docs = table(spark, "documents", sf_dir)
+    return domain_mix_sample(docs).select(
+        "doc_id", "source", "n_tokens", "rate", "bucket"
+    ).orderBy("doc_id")
+
+
 BENCHMARK_MAX_ID = 50  # docs below this id stand in for the eval set
 
 

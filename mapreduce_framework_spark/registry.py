@@ -57,6 +57,9 @@ CURATED_ORDER = [
     "q85_shardctrler_replay",
     "q86_boilerplate_ngrams",
     "q87_boilerplate_doc_stats",
+    "q88_repetition_stats",
+    "q89_denylist_scrub",
+    "q90_domain_mix_resample",
     # --- changed this round (tiled q36, cap-doc'd q72, margin-doc'd q75,
     #     staging/checkpoint-reworked streaming replays) ---
     "q36_embedding_neardup",
@@ -98,10 +101,7 @@ CURATED_ORDER = [
     "q55_simhash_neardup",
     # --- one representative per round-2 family (rest checked in r2,
     #     rotate back next round) ---
-    "q12_join_revenue_per_nation",  # relational core
-    "q74_hll_error_bound",  # approximate + validity gates
     "q57_asof_join",  # temporal
-    "q61_correlated_subqueries",  # battery tail
     "q31_minhash_lsh_neardup",  # dedup scale path
     "q73_simhash_banded_neardup",  # banded simhash
     "q35_ann_lsh",  # ANN
@@ -110,6 +110,9 @@ CURATED_ORDER = [
     "q81_training_corpus",  # composed pipeline
     # ---- position 51+: driver-checked green in round 2, unchanged;
     #      pytest-swept every run; rotate back in round 4 ----
+    "q12_join_revenue_per_nation",
+    "q74_hll_error_bound",
+    "q61_correlated_subqueries",
     "q56_ann_ivf",
     "q78_stratified_hash_sample",
     "q13_broadcast_join",
@@ -286,6 +289,7 @@ def all_queries() -> dict[str, QuerySpec]:
     import mapreduce_framework_spark.pipeline.text_analysis  # noqa: F401
     import mapreduce_framework_spark.pipeline.multimodal  # noqa: F401
     import mapreduce_framework_spark.pipeline.sampling  # noqa: F401
+    import mapreduce_framework_spark.pipeline.quality  # noqa: F401
     import mapreduce_framework_spark.operators.streaming_replay  # noqa: F401
     import mapreduce_framework_spark.operators.shardctrler  # noqa: F401
 

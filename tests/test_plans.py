@@ -160,3 +160,41 @@ def test_whole_stage_codegen_on_scan_paths(spark, sf_dir):
     import re
 
     assert re.search(r"\* (Filter|Project|ColumnarToRow|Sort)", plan), plan
+
+
+def test_q88_repetition_mode_uses_partial_aggregation(spark, sf_dir):
+    """The per-doc top-2-gram mode must plan map-side partial aggregates
+    (count per (doc, gram), then max per doc) — the distributed-mode shape
+    whose per-task memory is independent of document length — and must
+    never fall back to a cross join."""
+    from mapreduce_framework_spark.pipeline.quality import q88_repetition_stats
+
+    plan = _plan(q88_repetition_stats(spark, sf_dir))
+    assert "partial_max" in plan or "Partial" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q89_scrub_is_shuffle_free(spark, sf_dir):
+    """The redaction scan must not shuffle: the only exchange allowed is
+    the presentation sort's range partitioning."""
+    from mapreduce_framework_spark.pipeline.quality import q89_denylist_scrub
+
+    plan = _plan(q89_denylist_scrub(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_q90_rates_broadcast_back_onto_the_scan(spark, sf_dir):
+    """Domain mixing: the per-source rate table (20 rows) must broadcast
+    onto the corpus scan, and the corpus must be read exactly twice (the
+    per-source aggregate pass + the join pass) — deriving the global
+    totals must not trigger a third scan."""
+    from mapreduce_framework_spark.pipeline.sampling import q90_domain_mix_resample
+
+    import re
+
+    plan = _plan(q90_domain_mix_resample(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    # formatted explain lists each operator twice (tree + detail section);
+    # count the numbered detail headers
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
