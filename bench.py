@@ -80,6 +80,9 @@ HEADLINE = [
     "q88_repetition_stats",        # Gopher repetition signals (distributed mode)
     "q89_denylist_scrub",          # regex redaction + scrubbed-text fingerprint
     "q90_domain_mix_resample",     # domain mixing (agg -> broadcast rates)
+    "q91_cross_snapshot_dedup",    # incremental dedup (cross-side LSH band join)
+    "q92_tfidf_topk",              # tf-idf top terms (tf ⋈ df + window top-k)
+    "q93_embedding_quantize",      # int8 vector quantization (per-row arrays)
 ]
 
 

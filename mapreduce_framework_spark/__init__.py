@@ -51,6 +51,8 @@ def __getattr__(name):
         "simhash_banded_pairs": "mapreduce_framework_spark.pipeline.dedup",
         "lsh_neardup_pairs": "mapreduce_framework_spark.pipeline.dedup",
         "neardup_drop_list": "mapreduce_framework_spark.pipeline.dedup",
+        "cross_snapshot_matches": "mapreduce_framework_spark.pipeline.dedup",
+        "quantize_embeddings": "mapreduce_framework_spark.pipeline.similarity",
         "connected_components": "mapreduce_framework_spark.operators.graph",
         # corpus shaping
         "stratified_sample": "mapreduce_framework_spark.pipeline.sampling",

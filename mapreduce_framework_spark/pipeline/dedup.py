@@ -195,6 +195,27 @@ def _signatures_from_shingles(sh: DataFrame) -> DataFrame:
     )
 
 
+def _band_frame(mh: DataFrame) -> DataFrame:
+    """(doc_id, band, bsig) — one row per LSH band. The band signature is a
+    hash of the band's minhash tuple, straight off the 64 aggregate columns
+    (no array build, no interpreted slice lambda); equal tuples hash equal,
+    so candidate completeness is unaffected, and any hash collision only
+    ADDS candidates — all exact-verified downstream."""
+    rows_per_band = N_PERMS // N_BANDS
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.hash(
+                *[f"m{b * rows_per_band + j}" for j in range(rows_per_band)]
+            ).alias("bsig"),
+        )
+        for b in range(N_BANDS)
+    ]
+    return mh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bsig")
+
+
 @register(
     "q31_minhash_lsh_neardup",
     # Deterministic: fixed permutations; at J>=0.8 the per-pair miss
@@ -241,23 +262,7 @@ def _lsh_verified_pairs(sh_cached: DataFrame, threshold: float) -> DataFrame:
     # the 64 minhash columns feed three consumers (band keys + both sides
     # of the estimate join): materialize once — 65 longs per doc, tiny
     mh = _minhash_columns(sh_cached).localCheckpoint(eager=True)
-    rows_per_band = N_PERMS // N_BANDS
-    # band signature = hash of the band's minhash tuple, straight off the
-    # 64 aggregate columns (no array build, no interpreted slice lambda);
-    # equal tuples hash equal, so candidate completeness is unaffected,
-    # and any hash collision only ADDS candidates — all exact-verified
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.hash(
-                *[f"m{b * rows_per_band + j}" for j in range(rows_per_band)]
-            ).alias("bsig"),
-        )
-        for b in range(N_BANDS)
-    ]
-    bands = mh.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bsig")
+    bands = _band_frame(mh)
     a = bands.alias("a")
     b = bands.alias("b")
     raw_candidates = (
@@ -758,3 +763,138 @@ def q84_char_ngram_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     return _lsh_verified_pairs(sh, CHAR_JACCARD_THRESHOLD)
+
+
+# --- cross-snapshot (incremental) dedup -------------------------------------
+# The incremental form every growing corpus needs: dedup a NEW batch against
+# the EXISTING index without ever self-joining the index. Candidates come
+# from a band equi-join between the two sides' LSH band frames — work scales
+# with |new| × collision rate, not |corpus|². The within-index (and
+# within-batch) pairs are deliberately out of scope here: the index is
+# already deduped, and the batch self-dedup is q31's job.
+
+
+def cross_snapshot_matches(
+    index_docs: DataFrame, new_docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Near-dup matches (id1 = index doc, id2 = new doc, jaccard) between
+    two document frames, via MinHash-LSH candidates + estimate prune +
+    exact verification — the cross-side twin of ``_lsh_verified_pairs``
+    (kept separate so the self path's single collect_set build and the
+    cross path's side-local builds each stay optimal)."""
+    sh_i = shingles_of(index_docs).localCheckpoint(eager=True)
+    sh_n = shingles_of(new_docs).localCheckpoint(eager=True)
+    mh_i = _minhash_columns(sh_i).localCheckpoint(eager=True)
+    mh_n = _minhash_columns(sh_n).localCheckpoint(eager=True)
+    a = _band_frame(mh_i).alias("a")
+    b = _band_frame(mh_n).alias("b")
+    raw = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bsig") == F.col("b.bsig")))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    # minhash-estimate prune (see _lsh_verified_pairs: Ĵ has σ ≤ 1/16, so
+    # threshold−0.25 sits ≥4σ below any qualifying pair)
+    min_matches = int(math.ceil(N_PERMS * max(threshold - 0.25, 0.0)))
+    sig1 = mh_i.select(
+        F.col("doc_id").alias("id1"), *[F.col(f"m{i}").alias(f"x{i}") for i in range(N_PERMS)]
+    )
+    sig2 = mh_n.select(
+        F.col("doc_id").alias("id2"), *[F.col(f"m{i}").alias(f"y{i}") for i in range(N_PERMS)]
+    )
+    est = F.expr(" + ".join(f"IF(x{i} = y{i}, 1, 0)" for i in range(N_PERMS)))
+    candidates = (
+        raw.join(sig1, "id1").join(sig2, "id2").where(est >= F.lit(min_matches))
+        .select("id1", "id2")
+    )
+    # exact verification, shingle sets built per side and candidate-bounded
+    sets_i = (
+        sh_i.join(F.broadcast(candidates.select(F.col("id1").alias("doc_id")).distinct()),
+                  "doc_id", "left_semi")
+        .groupBy("doc_id").agg(F.collect_set("s").alias("ss1"))
+        .select(F.col("doc_id").alias("id1"), "ss1")
+    )
+    sets_n = (
+        sh_n.join(F.broadcast(candidates.select(F.col("id2").alias("doc_id")).distinct()),
+                  "doc_id", "left_semi")
+        .groupBy("doc_id").agg(F.collect_set("s").alias("ss2"))
+        .select(F.col("doc_id").alias("id2"), "ss2")
+    )
+    verified = (
+        candidates.join(sets_i, "id1")
+        .join(sets_n, "id2")
+        .select(
+            "id1",
+            "id2",
+            (
+                F.size(F.array_intersect("ss1", "ss2")).cast("double")
+                / (F.size("ss1") + F.size("ss2") - F.size(F.array_intersect("ss1", "ss2")))
+            ).alias("jaccard"),
+        )
+    )
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+# Snapshot split rule shared by the Spark builder and the oracle: docs with
+# doc_id >= (max(doc_id)+1) div 2 form the "new crawl"; the lower half is
+# the existing index. Data-derived so the split scales with SF.
+_SPLIT_DUCK = "(SELECT (max(doc_id) + 1) // 2 FROM documents)"
+
+
+@register(
+    "q91_cross_snapshot_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK}) AS s FROM t),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    split AS (SELECT CAST({_SPLIT_DUCK} AS BIGINT) AS cut),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s, split
+      WHERE a.doc_id < cut AND b.doc_id >= cut
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT id1, id2, CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
+      FROM pairs JOIN sz x ON pairs.id1 = x.doc_id JOIN sz y ON pairs.id2 = y.doc_id
+    ),
+    best AS (
+      SELECT id2 AS doc_id, id1 AS matched_id, jaccard,
+             row_number() OVER (PARTITION BY id2 ORDER BY jaccard DESC, id1 ASC) AS rn
+      FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+    )
+    SELECT doc_id, matched_id, jaccard FROM best WHERE rn = 1 ORDER BY doc_id
+    """,
+    tags=("ext", "dedup", "incremental", "lsh"),
+)
+def q91_cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup across snapshots: the upper-id half of the corpus
+    plays the "new crawl", the lower half the existing index; each new doc
+    that near-duplicates (J ≥ 0.8) an index doc is reported with its best
+    match (highest Jaccard, ties to the lowest index id). Candidates come
+    from the cross-side LSH band join only — the index never self-joins,
+    so a small batch against a 100 TB index costs O(batch), not O(index).
+    The oracle replays the decision with the exact cross-side Jaccard
+    join; LSH banding at J ≥ 0.8 has per-pair miss probability < 1e-7 and
+    all candidates are exact-verified (same argument as q31)."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, "documents", sf_dir)
+    cut = docs.agg(
+        ((F.max("doc_id") + 1).cast("long") / 2).cast("long").alias("cut")
+    )
+    d = docs.crossJoin(F.broadcast(cut))
+    index_docs = d.where(F.col("doc_id") < F.col("cut")).drop("cut")
+    new_docs = d.where(F.col("doc_id") >= F.col("cut")).drop("cut")
+    matches = cross_snapshot_matches(index_docs, new_docs)
+    w = Window.partitionBy("id2").orderBy(F.col("jaccard").desc(), F.col("id1").asc())
+    return (
+        matches.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("id2").alias("doc_id"),
+            F.col("id1").alias("matched_id"),
+            "jaccard",
+        )
+        .orderBy("doc_id")
+    )

@@ -470,3 +470,80 @@ def q56_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .orderBy("qid", "rank")
     )
+
+
+# --- embedding quantization (q93) -------------------------------------------
+# Vector compression for embedding storage at scale: symmetric int8
+# quantization with a per-vector max-abs scale (the faiss/SQ8-style scheme).
+# Everything is per-row array arithmetic — no shuffle, embarrassingly
+# parallel — and every float op is written in the same explicit order on
+# both engines (see module docstring), so scale, codes, AND the
+# reconstruction error are all bit-exact under the driver hash.
+QUANT_LEVELS = 127.0  # int8 symmetric range
+
+
+def quantize_embeddings(vecs: DataFrame, vec: str = "embedding") -> DataFrame:
+    """Adds scale (double), codes (array<int>), sse (double reconstruction
+    squared error) to any frame with an array<float> column."""
+    q = vecs.withColumn(
+        "scale", F.expr(f"array_max(transform({vec}, x -> abs(CAST(x AS DOUBLE))))")
+    ).withColumn(
+        "codes",
+        F.expr(
+            f"CASE WHEN scale = 0.0 THEN transform({vec}, x -> 0) "
+            f"ELSE transform({vec}, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {QUANT_LEVELS} / scale + 0.5) AS INT)) END"
+        ),
+    )
+    term = (
+        f"(CAST(element_at({vec}, i) AS DOUBLE)"
+        f" - CAST(element_at(codes, i) AS DOUBLE) * scale / {QUANT_LEVELS})"
+    )
+    return q.withColumn(
+        "sse",
+        F.expr(
+            f"aggregate(sequence(1, size({vec})), CAST(0.0 AS DOUBLE), "
+            f"(acc, i) -> acc + {term} * {term})"
+        ),
+    )
+
+
+_QUANT_TERM_DUCK = (
+    "(CAST(embedding[i] AS DOUBLE) - CAST(codes[i] AS DOUBLE) * scale / 127.0)"
+)
+
+
+@register(
+    "q93_embedding_quantize",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+      FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id, embedding, scale,
+             CASE WHEN scale = 0.0 THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(embedding, x ->
+                       CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS INT)) END AS codes
+      FROM s
+    )
+    SELECT vec_id, scale, codes,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, len(embedding) + 1),
+               i -> {_QUANT_TERM_DUCK} * {_QUANT_TERM_DUCK})),
+             (acc, v) -> acc + v) AS sse
+    FROM c ORDER BY vec_id
+    """,
+    tags=("ext", "embedding", "quantization"),
+)
+def q93_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column: per-vector
+    max-abs scale, rounded codes (floor(x·127∕scale + 0.5) — one explicit
+    rounding rule, identical on both engines), and the left-to-right
+    fold-order reconstruction squared error. Zero vectors quantize to all
+    zeros via the mirrored CASE guard rather than NaN."""
+    vecs = table(spark, "embeddings", sf_dir)
+    return quantize_embeddings(vecs).select(
+        "vec_id", "scale", "codes", "sse"
+    ).orderBy("vec_id")

@@ -156,3 +156,61 @@ def q43_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.join(counts, "fingerprint").select(
         "doc_id", "fingerprint", "n_same"
     ).orderBy("doc_id")
+
+
+TFIDF_TOP_K = 3
+_IDF_SCALE = 1_000_000  # integer idf surrogate: score = tf * SCALE // df
+
+
+@register(
+    "q92_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({tokenize_duckdb('lower(text)')}) AS word FROM documents
+    ),
+    tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    s AS (
+      SELECT tf.doc_id, tf.word, tf.tf, df.df,
+             CAST(tf.tf * {_IDF_SCALE} // df.df AS BIGINT) AS score
+      FROM tf JOIN df USING (word)
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rank
+      FROM s
+    )
+    SELECT doc_id, word, tf, df, score, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {TFIDF_TOP_K} ORDER BY doc_id, rank
+    """,
+    tags=("ext", "text", "tfidf"),
+)
+def q92_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOP_K} distinguishing terms per document by a tf-idf
+    surrogate: score = tf × 10⁶ ∕ df in integer arithmetic (monotone in
+    tf/df — chosen over tf·ln(N/df) so the score itself is cross-engine
+    bit-exact, not just the ranking). The term-frequency and
+    document-frequency aggregates are both map-side partial; the tf⋈df
+    join is keyed on word, where both sides are already co-partitioned
+    after their aggregates."""
+    from pyspark.sql.window import Window
+
+    from mapreduce_framework_spark.functions.text import explode_tokens
+
+    docs = table(spark, "documents", sf_dir)
+    tok = explode_tokens(docs, F.lower(F.col("text")), out="word", keep=["doc_id"])
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    s = tf.join(df, "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        "df",
+        F.expr(f"CAST(tf * {_IDF_SCALE} div df AS BIGINT)").alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word").asc())
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .orderBy("doc_id", "rank")
+    )

@@ -60,6 +60,9 @@ CURATED_ORDER = [
     "q88_repetition_stats",
     "q89_denylist_scrub",
     "q90_domain_mix_resample",
+    "q91_cross_snapshot_dedup",
+    "q92_tfidf_topk",
+    "q93_embedding_quantize",
     # --- changed this round (tiled q36, cap-doc'd q72, margin-doc'd q75,
     #     staging/checkpoint-reworked streaming replays) ---
     "q36_embedding_neardup",
@@ -104,15 +107,15 @@ CURATED_ORDER = [
     "q57_asof_join",  # temporal
     "q31_minhash_lsh_neardup",  # dedup scale path
     "q73_simhash_banded_neardup",  # banded simhash
-    "q35_ann_lsh",  # ANN
-    "q40_lang_id",  # text analysis
-    "q37_multimodal_features",  # multimodal
     "q81_training_corpus",  # composed pipeline
     # ---- position 51+: driver-checked green in round 2, unchanged;
     #      pytest-swept every run; rotate back in round 4 ----
     "q12_join_revenue_per_nation",
     "q74_hll_error_bound",
     "q61_correlated_subqueries",
+    "q40_lang_id",
+    "q35_ann_lsh",
+    "q37_multimodal_features",
     "q56_ann_ivf",
     "q78_stratified_hash_sample",
     "q13_broadcast_join",

@@ -198,3 +198,34 @@ def test_q90_rates_broadcast_back_onto_the_scan(spark, sf_dir):
     # formatted explain lists each operator twice (tree + detail section);
     # count the numbered detail headers
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+
+
+def test_q91_cross_snapshot_band_join_is_equi(spark, sf_dir):
+    """Incremental dedup: candidates must come from the cross-side band
+    equi-join — no cartesian/nested-loop join anywhere except the 1-row
+    snapshot-cut scalar broadcast."""
+    import re
+
+    from mapreduce_framework_spark.pipeline.dedup import q91_cross_snapshot_dedup
+
+    plan = _plan(q91_cross_snapshot_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins allowed are the broadcast of the 1-row
+    # (max(doc_id)+1)/2 scalar onto the two side scans
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 2, plan
+
+
+def test_q92_tfidf_aggregates_are_partial(spark, sf_dir):
+    from mapreduce_framework_spark.pipeline.text_analysis import q92_tfidf_topk
+
+    plan = _plan(q92_tfidf_topk(spark, sf_dir))
+    assert "partial_count" in plan or "Partial" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q93_quantization_is_shuffle_free(spark, sf_dir):
+    """Per-row array arithmetic: no exchange except the presentation sort."""
+    from mapreduce_framework_spark.pipeline.similarity import q93_embedding_quantize
+
+    plan = _plan(q93_embedding_quantize(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan, plan
