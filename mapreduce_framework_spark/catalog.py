@@ -30,11 +30,30 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# events.parquet stores TIMESTAMP(NANOS); Spark has no nanosecond timestamp
-# type, so it is read as a long (nanosAsLong) and truncated to microseconds.
-# The DuckDB oracles apply the same truncation (EVENTS_US_SQL) so both
-# engines see identical µs timestamps.
+# events.parquet has stored ``ts`` two ways across testdata generations:
+# TIMESTAMP(NANOS) (read by Spark as a long via nanosAsLong, truncated to
+# microseconds here) and plain TIMESTAMP(MICROS) (read natively as
+# TIMESTAMP_NTZ). Both normalize to µs TIMESTAMP_NTZ — timezone-independent,
+# matching DuckDB's naive TIMESTAMP, so the oracles' truncation
+# (EVENTS_US_SQL, a no-op on µs data) sees identical values.
 EVENTS_US_SQL = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+
+# epoch-anchored NTZ arithmetic: no session-timezone dependence anywhere
+_NANOS_TO_NTZ = (
+    "timestampadd(MICROSECOND, CAST(ts div 1000 AS LONG), "
+    "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+)
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to µs TIMESTAMP_NTZ regardless of
+    which parquet encoding the testdata generation used."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):  # legacy nanos-as-long
+        return df.withColumn("ts", F.expr(_NANOS_TO_NTZ))
+    return df
 
 
 def parquet_path(sf_dir: str, name: str) -> str:
@@ -52,12 +71,7 @@ def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataF
         # runtime-settable; must not rely on session-construction config
         # because the external driver builds its own SparkSession
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(parquet_path(sf_dir, "events"))
-        from pyspark.sql import functions as F
-
-        return df.withColumn(
-            "ts", F.expr("timestamp_micros(CAST(ts div 1000 AS LONG))")
-        )
+        return normalize_events_ts(spark.read.parquet(parquet_path(sf_dir, "events")))
     return spark.read.parquet(parquet_path(sf_dir, name))
 
 

@@ -18,37 +18,24 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-# events schema after µs-normalization (catalog.table handles batch; the
-# stream reads the raw nanos column as long and converts identically)
-RAW_EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos (read with nanosAsLong)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
 
 def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    """File-source stream of the events table with µs timestamps."""
+    """File-source stream of the events table with µs timestamps.
+
+    The stream schema is peeked from a batch read of the staged files so the
+    reader works for both historical ``ts`` encodings (nanos-as-long and
+    native TIMESTAMP µs); catalog.normalize_events_ts applies the identical
+    batch-side conversion."""
+    from mapreduce_framework_spark.catalog import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(source_dir).schema
     raw = (
-        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts div 1000 AS LONG))"))
+    return normalize_events_ts(raw)
 
 
 def streaming_tumbling_counts(
