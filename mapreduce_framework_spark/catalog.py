@@ -30,6 +30,33 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _events_schema():
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+# canonical events schema (current testdata generation) — the fallback for
+# file-source streams whose staging directory is empty at stream definition
+EVENTS_SCHEMA = _events_schema()
+
+
 # events.parquet has stored ``ts`` two ways across testdata generations:
 # TIMESTAMP(NANOS) (read by Spark as a long via nanosAsLong, truncated to
 # microseconds here) and plain TIMESTAMP(MICROS) (read natively as
@@ -44,15 +71,34 @@ _NANOS_TO_NTZ = (
     "TIMESTAMP_NTZ'1970-01-01 00:00:00')"
 )
 
+# seconds since epoch of an NTZ timestamp column — NTZ supports no direct
+# numeric cast, so bin/epoch math goes through timestampdiff against the
+# epoch anchor (identical semantics to DuckDB's epoch() on naive TIMESTAMP)
+def epoch_seconds_ntz(col: str) -> str:
+    return (
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', "
+        f"CAST({col} AS TIMESTAMP_NTZ))"
+    )
+
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Normalize the events ``ts`` column to µs TIMESTAMP_NTZ regardless of
-    which parquet encoding the testdata generation used."""
+    which parquet encoding the testdata generation used.
+
+    Covers all three encodings seen across generations: TIMESTAMP(NANOS)
+    read as a long (nanosAsLong), native TIMESTAMP_NTZ (pass-through), and
+    TIMESTAMP_LTZ (isAdjustedToUTC=true parquet, or a session with
+    inferTimestampNTZ disabled) — the LTZ→NTZ cast is evaluated under a
+    UTC session timezone so the result is the stored UTC wall-clock,
+    independent of whatever timezone the enclosing session runs in."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampType
 
     if isinstance(df.schema["ts"].dataType, LongType):  # legacy nanos-as-long
         return df.withColumn("ts", F.expr(_NANOS_TO_NTZ))
+    if isinstance(df.schema["ts"].dataType, TimestampType):  # LTZ leak-through
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 
@@ -71,6 +117,7 @@ def table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataF
         # runtime-settable; must not rely on session-construction config
         # because the external driver builds its own SparkSession
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         return normalize_events_ts(spark.read.parquet(parquet_path(sf_dir, "events")))
     return spark.read.parquet(parquet_path(sf_dir, name))
 

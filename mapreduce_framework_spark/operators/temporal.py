@@ -92,18 +92,22 @@ def q58_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     b; a purchase probes bins {b, b−1} (covers any 1-hour lookback), then
     the exact range predicate filters. Plans as a hash join, not a nested
     loop — the 100 TB-viable form."""
+    from mapreduce_framework_spark.catalog import epoch_seconds_ntz
+
     ev = table(spark, "events", sf_dir)
-    hour = 3600
+    # NTZ-safe hour bin: TIMESTAMP_NTZ has no numeric cast, so the bin is
+    # integer epoch-seconds div 3600 (timezone-independent by construction)
+    hour_bin = f"{epoch_seconds_ntz('ts')} div 3600"
     clicks = ev.where(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("c_ts"),
-        F.floor(F.col("ts").cast("double") / hour).cast("long").alias("bin"),
+        F.expr(hour_bin).alias("bin"),
     )
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id",
         "user_id",
         "ts",
-        F.floor(F.col("ts").cast("double") / hour).cast("long").alias("pbin"),
+        F.expr(hour_bin).alias("pbin"),
     )
     probes = purchases.withColumn(
         "bin", F.explode(F.array(F.col("pbin"), F.col("pbin") - 1))

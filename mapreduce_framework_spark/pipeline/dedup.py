@@ -774,18 +774,35 @@ def q84_char_ngram_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already deduped, and the batch self-dedup is q31's job.
 
 
-def cross_snapshot_matches(
-    index_docs: DataFrame, new_docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+def index_signatures(index_docs: DataFrame) -> DataFrame:
+    """The persistable per-snapshot index artifact: one row per doc with
+    the 64 MinHash columns (m0..m63) AND the exact shingle set.
+
+    Build this ONCE when a snapshot is ingested and write it to a parquet
+    table; every later ``match_batch`` then touches only (a) the batch's
+    own signature build and (b) equi-joins against this frame — the
+    per-batch cost is O(batch), with no O(index) signature recompute.
+    Storage is ~64 longs + the shingle array per doc (the shingle set is
+    what exact verification needs; at 100 TB it lives next to the corpus
+    as a column-pruned parquet read, and only candidate rows are ever
+    fetched thanks to the semi-join below)."""
+    sh = shingles_of(index_docs)
+    sets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("shingles"))
+    return _minhash_columns(sh).join(sets, "doc_id")
+
+
+def match_batch(
+    index_sigs: DataFrame, new_docs: DataFrame, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
-    """Near-dup matches (id1 = index doc, id2 = new doc, jaccard) between
-    two document frames, via MinHash-LSH candidates + estimate prune +
-    exact verification — the cross-side twin of ``_lsh_verified_pairs``
-    (kept separate so the self path's single collect_set build and the
-    cross path's side-local builds each stay optimal)."""
-    sh_i = shingles_of(index_docs).localCheckpoint(eager=True)
+    """Near-dup matches (id1 = index doc, id2 = new doc, jaccard) of a new
+    batch against a PRECOMPUTED index (``index_signatures`` output, read
+    back from its parquet table), via MinHash-LSH candidates + estimate
+    prune + exact verification — the cross-side twin of
+    ``_lsh_verified_pairs``. Only the batch side is scanned/shingled here;
+    the index side contributes projections of stored columns."""
     sh_n = shingles_of(new_docs).localCheckpoint(eager=True)
-    mh_i = _minhash_columns(sh_i).localCheckpoint(eager=True)
     mh_n = _minhash_columns(sh_n).localCheckpoint(eager=True)
+    mh_i = index_sigs  # m0..m63 projections; shingles pruned until verify
     a = _band_frame(mh_i).alias("a")
     b = _band_frame(mh_n).alias("b")
     raw = (
@@ -807,12 +824,15 @@ def cross_snapshot_matches(
         raw.join(sig1, "id1").join(sig2, "id2").where(est >= F.lit(min_matches))
         .select("id1", "id2")
     )
-    # exact verification, shingle sets built per side and candidate-bounded
+    # exact verification: index shingle sets come straight off the stored
+    # column (candidate-bounded fetch); batch sets are built from sh_n
     sets_i = (
-        sh_i.join(F.broadcast(candidates.select(F.col("id1").alias("doc_id")).distinct()),
-                  "doc_id", "left_semi")
-        .groupBy("doc_id").agg(F.collect_set("s").alias("ss1"))
-        .select(F.col("doc_id").alias("id1"), "ss1")
+        index_sigs.join(
+            F.broadcast(candidates.select(F.col("id1").alias("doc_id")).distinct()),
+            "doc_id",
+            "left_semi",
+        )
+        .select(F.col("doc_id").alias("id1"), F.col("shingles").alias("ss1"))
     )
     sets_n = (
         sh_n.join(F.broadcast(candidates.select(F.col("id2").alias("doc_id")).distinct()),
@@ -833,6 +853,21 @@ def cross_snapshot_matches(
         )
     )
     return verified.where(F.col("jaccard") >= threshold)
+
+
+def cross_snapshot_matches(
+    index_docs: DataFrame, new_docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """From-scratch convenience form: builds the index artifact inline
+    (one localCheckpoint so the band join and the verification share the
+    materialization) and delegates to ``match_batch``. Production use at
+    scale persists ``index_signatures`` once per snapshot instead — that
+    is what makes repeated batch matching O(batch)."""
+    return match_batch(
+        index_signatures(index_docs).localCheckpoint(eager=True),
+        new_docs,
+        threshold,
+    )
 
 
 # Snapshot split rule shared by the Spark builder and the oracle: docs with

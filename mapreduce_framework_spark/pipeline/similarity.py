@@ -528,7 +528,8 @@ _QUANT_TERM_DUCK = (
                        CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS INT)) END AS codes
       FROM s
     )
-    SELECT vec_id, scale, codes,
+    SELECT vec_id, scale,
+           array_to_string(codes, ',') AS codes_csv,
            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              list_transform(range(1, len(embedding) + 1),
                i -> {_QUANT_TERM_DUCK} * {_QUANT_TERM_DUCK})),
@@ -542,8 +543,23 @@ def q93_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-abs scale, rounded codes (floor(x·127∕scale + 0.5) — one explicit
     rounding rule, identical on both engines), and the left-to-right
     fold-order reconstruction squared error. Zero vectors quantize to all
-    zeros via the mirrored CASE guard rather than NaN."""
+    zeros via the mirrored CASE guard rather than NaN.
+
+    The codes come back CSV-serialized (the nested-output convention every
+    driver-checked query follows, cf. q02's concat_ws): the driver's
+    canonicalization sorts a pandas frame, and raw array cells are
+    unhashable there. Library users get the real array<int> from
+    quantize_embeddings."""
     vecs = table(spark, "embeddings", sf_dir)
-    return quantize_embeddings(vecs).select(
-        "vec_id", "scale", "codes", "sse"
-    ).orderBy("vec_id")
+    return (
+        quantize_embeddings(vecs)
+        .select(
+            "vec_id",
+            "scale",
+            F.expr(
+                "array_join(transform(codes, x -> CAST(x AS STRING)), ',')"
+            ).alias("codes_csv"),
+            "sse",
+        )
+        .orderBy("vec_id")
+    )

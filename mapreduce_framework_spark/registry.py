@@ -53,26 +53,72 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # round without a driver window slot.
 CURATED_ORDER = [
     # --- new this round (never driver-checked) ---
-    "q84_char_ngram_lsh_neardup",
-    "q85_shardctrler_replay",
+    "q94_streaming_session_replay",
+    # --- broken at HEAD in round 3, fixed this round (must re-check) ---
+    "q82_streaming_tumbling_replay",  # NTZ watermark regression fix
+    "q93_embedding_quantize",  # codes now CSV-serialized for the driver
+    "q58_range_join_binned",  # NTZ-safe epoch binning (also r2-stale)
+    # --- changed this round (index_signatures/match_batch split) ---
+    "q91_cross_snapshot_dedup",
+    # --- rotation: the 40 queries whose last driver row is round 2 ---
+    "q12_join_revenue_per_nation",
+    "q74_hll_error_bound",
+    "q61_correlated_subqueries",
+    "q40_lang_id",
+    "q35_ann_lsh",
+    "q37_multimodal_features",
+    "q56_ann_ivf",
+    "q78_stratified_hash_sample",
+    "q13_broadcast_join",
+    "q15_tpch_q1_shape",
+    "q17_rollup",
+    "q19_window_running_sum",
+    "q22_scalar_battery",
+    "q45_cube",
+    "q46_sql_frontend_join",
+    "q48_salted_skew_agg",
+    "q51_pivot",
+    "q53_null_handling",
+    "q64_summary_stats",
+    "q66_json_functions",
+    "q68_merge_upsert",
+    "q29_approx_count_distinct",
+    "q69_approx_percentiles",
+    "q27_session_window",
+    "q65_hierarchical_rollup",
+    "q54_percentiles",
+    "q59_string_battery",
+    "q60_grouping_sets",
+    "q63_posexplode",
+    "q67_multiset_ops",
+    "q70_grouped_agg_pandas_udf",
+    "q71_dedup_corpus_output",
+    "q34_ann_bruteforce",
+    "q41_quality_score",
+    "q42_token_stats",
+    "q43_fingerprint",
+    "q76_multimodal_frame_sample",
+    "q77_multimodal_resize",
+    "q79_sequence_packing",
+    "q80_contamination_check",
+    # --- representatives for continuity (r3-green, one per family) ---
+    "q01_wordcount",  # MR flagship
+    "q06_kv_final_state",  # KV flagship
+    "q31_minhash_lsh_neardup",  # dedup scale path
+    "q84_char_ngram_lsh_neardup",  # char LSH
+    "q85_shardctrler_replay",  # K5
+    # ---- position 51+: driver-checked green in round 3, unchanged;
+    #      pytest-swept every run; rotate back in round 5 ----
     "q86_boilerplate_ngrams",
     "q87_boilerplate_doc_stats",
     "q88_repetition_stats",
     "q89_denylist_scrub",
     "q90_domain_mix_resample",
-    "q91_cross_snapshot_dedup",
     "q92_tfidf_topk",
-    "q93_embedding_quantize",
-    # --- changed this round (tiled q36, cap-doc'd q72, margin-doc'd q75,
-    #     staging/checkpoint-reworked streaming replays) ---
     "q36_embedding_neardup",
     "q72_char_ngram_jaccard",
     "q75_percentile_sketch_bound",
-    "q82_streaming_tumbling_replay",
     "q83_streaming_kv_replay",
-    # --- rotation: the 31 queries whose last driver row is round 1 ---
-    "q01_wordcount",
-    "q06_kv_final_state",  # KV-family flagship, deliberately ahead of q28
     "q28_kv_stateful_replay",
     "q24_exact_dedup",
     "q02_inverted_index",
@@ -102,55 +148,9 @@ CURATED_ORDER = [
     "q50_window_battery",
     "q52_pandas_udf_path",
     "q55_simhash_neardup",
-    # --- one representative per round-2 family (rest checked in r2,
-    #     rotate back next round) ---
-    "q57_asof_join",  # temporal
-    "q31_minhash_lsh_neardup",  # dedup scale path
-    "q73_simhash_banded_neardup",  # banded simhash
-    "q81_training_corpus",  # composed pipeline
-    # ---- position 51+: driver-checked green in round 2, unchanged;
-    #      pytest-swept every run; rotate back in round 4 ----
-    "q12_join_revenue_per_nation",
-    "q74_hll_error_bound",
-    "q61_correlated_subqueries",
-    "q40_lang_id",
-    "q35_ann_lsh",
-    "q37_multimodal_features",
-    "q56_ann_ivf",
-    "q78_stratified_hash_sample",
-    "q13_broadcast_join",
-    "q15_tpch_q1_shape",
-    "q17_rollup",
-    "q19_window_running_sum",
-    "q22_scalar_battery",
-    "q45_cube",
-    "q46_sql_frontend_join",
-    "q48_salted_skew_agg",
-    "q51_pivot",
-    "q53_null_handling",
-    "q64_summary_stats",
-    "q66_json_functions",
-    "q68_merge_upsert",
-    "q29_approx_count_distinct",
-    "q69_approx_percentiles",
-    "q27_session_window",
-    "q65_hierarchical_rollup",
-    "q58_range_join_binned",
-    "q54_percentiles",
-    "q59_string_battery",
-    "q60_grouping_sets",
-    "q63_posexplode",
-    "q67_multiset_ops",
-    "q70_grouped_agg_pandas_udf",
-    "q71_dedup_corpus_output",
-    "q34_ann_bruteforce",
-    "q41_quality_score",
-    "q42_token_stats",
-    "q43_fingerprint",
-    "q76_multimodal_frame_sample",
-    "q77_multimodal_resize",
-    "q79_sequence_packing",
-    "q80_contamination_check",
+    "q57_asof_join",
+    "q73_simhash_banded_neardup",
+    "q81_training_corpus",
 ]
 
 DRIVER_WINDOW = 50
@@ -160,7 +160,7 @@ DRIVER_WINDOW = 50
 # records the window actually exposed in each past round (= the keys of
 # CORRECTNESS_r{N}.json, verbatim). Each new round: append the previous
 # round's first-DRIVER_WINDOW names here, bump CURRENT_ROUND, re-curate.
-CURRENT_ROUND = 3
+CURRENT_ROUND = 4
 
 WINDOW_HISTORY: dict[int, tuple[str, ...]] = {
     1: (
@@ -265,6 +265,58 @@ WINDOW_HISTORY: dict[int, tuple[str, ...]] = {
         "q78_stratified_hash_sample",
         "q79_sequence_packing",
         "q80_contamination_check",
+        "q81_training_corpus",
+    ),
+    3: (
+        "q84_char_ngram_lsh_neardup",
+        "q85_shardctrler_replay",
+        "q86_boilerplate_ngrams",
+        "q87_boilerplate_doc_stats",
+        "q88_repetition_stats",
+        "q89_denylist_scrub",
+        "q90_domain_mix_resample",
+        "q91_cross_snapshot_dedup",
+        "q92_tfidf_topk",
+        "q93_embedding_quantize",
+        "q36_embedding_neardup",
+        "q72_char_ngram_jaccard",
+        "q75_percentile_sketch_bound",
+        "q82_streaming_tumbling_replay",
+        "q83_streaming_kv_replay",
+        "q01_wordcount",
+        "q06_kv_final_state",
+        "q28_kv_stateful_replay",
+        "q24_exact_dedup",
+        "q02_inverted_index",
+        "q11_filter_project",
+        "q30_ngram_jaccard_neardup",
+        "q49_neardup_components",
+        "q03_crash_emits",
+        "q04_per_doc_counts",
+        "q05_global_count",
+        "q09_fnv_bucket_histogram",
+        "q10_global_sort",
+        "q07_kv_point_in_time",
+        "q08_shard_histogram",
+        "q14_semi_join",
+        "q14_anti_join",
+        "q16_count_distinct",
+        "q18_window_topk_per_group",
+        "q20_global_topk",
+        "q21_set_ops",
+        "q23_array_functions",
+        "q25_tumbling_window",
+        "q26_sliding_window",
+        "q32_simhash",
+        "q33_exact_dedup_docs",
+        "q44_map_functions",
+        "q47_sql_frontend_window",
+        "q50_window_battery",
+        "q52_pandas_udf_path",
+        "q55_simhash_neardup",
+        "q57_asof_join",
+        "q31_minhash_lsh_neardup",
+        "q73_simhash_banded_neardup",
         "q81_training_corpus",
     ),
 }

@@ -20,22 +20,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    """File-source stream of the events table with µs timestamps.
+    """File-source stream of the events table; ``ts`` comes back as
+    TIMESTAMP (LTZ, µs) under a UTC-pinned session timezone.
 
-    The stream schema is peeked from a batch read of the staged files so the
-    reader works for both historical ``ts`` encodings (nanos-as-long and
-    native TIMESTAMP µs); catalog.normalize_events_ts applies the identical
-    batch-side conversion."""
-    from mapreduce_framework_spark.catalog import normalize_events_ts
+    Batch reads normalize ``ts`` to TIMESTAMP_NTZ (catalog.py), but
+    ``withWatermark`` requires TIMESTAMP — Spark's event-time clock is an
+    instant, not a wall-clock (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+    otherwise). So the streaming reader applies the same normalization and
+    then casts NTZ→LTZ with the session timezone pinned to UTC, which makes
+    the cast the identity on wall-clock values; windowed operators cast
+    their window bounds back to NTZ so streaming output stays comparable to
+    the batch twins and their DuckDB oracles.
+
+    The stream schema is peeked from a batch read of the staged files so
+    the reader works for every historical ``ts`` encoding (nanos-as-long,
+    native NTZ, LTZ); when the staging directory has no files yet (a
+    file-source stream normally receives files after start) it falls back
+    to the canonical events schema instead of failing schema inference."""
+    from mapreduce_framework_spark.catalog import EVENTS_SCHEMA, normalize_events_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(source_dir).schema
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        schema = spark.read.parquet(source_dir).schema
+    except Exception:  # empty staging dir: nothing to infer from yet
+        schema = EVENTS_SCHEMA
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
     )
-    return normalize_events_ts(raw)
+    return normalize_events_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_tumbling_counts(
@@ -47,7 +62,37 @@ def streaming_tumbling_counts(
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+        # LTZ→NTZ is wall-clock identity under the UTC session pinned by
+        # read_events_stream; restores parity with batch q25 / the oracle
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def streaming_session_sessions(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "0 seconds"
+) -> DataFrame:
+    """Per-session rows (session start/end, user, event count) via native
+    ``session_window`` — the streaming twin of q27's sessionization.
+
+    Append mode emits a session only once it is CLOSED (the watermark has
+    passed session_end + gap); trailing still-open sessions are withheld
+    until later input advances the watermark. Replays that need every
+    session emitted append watermark-advancer sentinel rows after the
+    corpus (see q94)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
     )
 
 

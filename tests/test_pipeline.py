@@ -173,3 +173,51 @@ def test_embedding_neardup_rejects_zero_norm(tmp_path):
     batch = pd.DataFrame({"vec_id": [0, 1, 2], "embedding": vecs})
     with _pytest.raises(ValueError, match="zero-norm"):
         list(_pair_cos_batches(str(tmp_path), 0.5)(iter([batch])))
+
+
+def test_match_batch_with_persisted_index_equals_from_scratch(spark, sf_dir, tmp_path):
+    """The O(batch) contract of incremental dedup: matching a new batch
+    against a parquet-persisted ``index_signatures`` artifact must produce
+    exactly the matches of the from-scratch ``cross_snapshot_matches``
+    form — and the artifact must carry everything the match needs (the 64
+    minhash columns + the exact shingle sets), so the per-batch plan never
+    re-shingles the index side."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.dedup import (
+        N_PERMS,
+        cross_snapshot_matches,
+        index_signatures,
+        match_batch,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    cut = docs.agg(((F.max("doc_id") + 1) / 2).cast("long")).collect()[0][0]
+    index_docs = docs.where(F.col("doc_id") < cut)
+    new_docs = docs.where(F.col("doc_id") >= cut)
+
+    # build once, persist, read back — the snapshot-ingest lifecycle
+    idx_path = str(tmp_path / "index_sigs")
+    index_signatures(index_docs).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    assert {"doc_id", "shingles", *{f"m{i}" for i in range(N_PERMS)}} <= set(idx.columns)
+
+    got = sorted(
+        (r["id1"], r["id2"], round(r["jaccard"], 12))
+        for r in match_batch(idx, new_docs).collect()
+    )
+    want = sorted(
+        (r["id1"], r["id2"], round(r["jaccard"], 12))
+        for r in cross_snapshot_matches(index_docs, new_docs).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # the persisted-index plan must read the index side from the parquet
+    # artifact (signatures + shingle sets off stored columns, no index-side
+    # re-shingle)
+    df = match_batch(idx, new_docs)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "index_sigs" in plan, plan

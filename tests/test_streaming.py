@@ -165,7 +165,13 @@ def test_sliding_window_streaming_matches_batch(spark, sf_dir, tmp_path):
         events.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+        # LTZ→NTZ is wall-clock identity under the UTC session pin; keeps
+        # the streamed keys comparable to the batch (NTZ) twin
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "cnt",
+        )
     )
     got = run_stream_to_memory(stream, spark, output_mode="update")
     got_rows = {(r["window_start"], r["event_type"]): r["cnt"] for r in got.collect()}
@@ -197,7 +203,10 @@ def test_session_window_streaming_matches_batch_closed_sessions(
         .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
-            F.col("sw.start").alias("s"), F.col("sw.end").alias("e"), "user_id", "n_events"
+            F.col("sw.start").cast("timestamp_ntz").alias("s"),
+            F.col("sw.end").cast("timestamp_ntz").alias("e"),
+            "user_id",
+            "n_events",
         )
     )
     got = run_stream_to_memory(stream, spark, output_mode="append", timeout_s=180)
@@ -442,3 +451,37 @@ def test_streaming_dedup_within_watermark_evicts_old_state(spark, tmp_path):
     assert totals, "no state-operator progress captured"
     assert totals[-1] <= 7, f"state not bounded by watermark eviction: {totals}"
     assert max(totals) < 12, f"state grew to the full admission count: {totals}"
+
+
+def test_read_events_stream_empty_staging_dir_falls_back_to_canonical_schema(
+    spark, tmp_path
+):
+    """A file-source stream is routinely defined before any file lands in
+    its staging directory; schema peeking must fall back to the canonical
+    events schema instead of dying on 'unable to infer schema'."""
+    src = str(tmp_path / "empty_src")
+    os.makedirs(src)
+    stream = read_events_stream(spark, src)
+    assert stream.isStreaming
+    types = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+    # ts is LTZ (watermark-able) after the reader's NTZ→LTZ cast
+    assert types["ts"] == "timestamp"
+    assert set(types) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
+
+
+def test_normalize_events_ts_converts_ltz_leak_through(spark):
+    """If ts arrives as TIMESTAMP (LTZ) — isAdjustedToUTC parquet or a
+    session with inferTimestampNTZ disabled — normalize_events_ts must
+    still land on NTZ with the stored UTC wall-clock, not silently pass
+    the session-timezone-dependent LTZ through."""
+    import datetime as dt
+
+    from mapreduce_framework_spark.catalog import normalize_events_ts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 12, 30, 0))], schema="event_id LONG, ts TIMESTAMP"
+    )
+    out = normalize_events_ts(df)
+    assert out.schema["ts"].dataType.simpleString() == "timestamp_ntz"
+    assert out.collect()[0]["ts"] == dt.datetime(2024, 1, 1, 12, 30, 0)
