@@ -117,6 +117,45 @@ def main() -> None:
         execute[name] = round(t2 - t1, 3)
         timings[name] = round(t2 - t0, 3)
 
+    # Steady-state incremental dedup: q91's registry form rebuilds the
+    # index signatures from scratch (its oracle-checked convenience path);
+    # production persists index_signatures once per snapshot. Timing
+    # match_batch against a prebuilt index is the number that holds at
+    # 100×: per-batch work excludes the index build entirely.
+    steady: dict[str, float] = {}
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from mapreduce_framework_spark.catalog import table
+        from mapreduce_framework_spark.pipeline.dedup import (
+            index_signatures,
+            match_batch,
+        )
+
+        docs = table(spark, "documents", sf_dir)
+        cut = docs.agg(((F.max("doc_id") + 1) / 2).cast("long")).collect()[0][0]
+        idx_dir = tempfile.mkdtemp(prefix="mfs_bench_idx_")
+        try:
+            t0 = time.perf_counter()
+            index_signatures(docs.where(F.col("doc_id") < cut)).write.mode(
+                "overwrite"
+            ).parquet(idx_dir)
+            t1 = time.perf_counter()
+            idx = spark.read.parquet(idx_dir)
+            new_docs = docs.where(F.col("doc_id") >= cut)
+            t2 = time.perf_counter()
+            match_batch(idx, new_docs).write.format("noop").mode("overwrite").save()
+            t3 = time.perf_counter()
+            steady["q91_index_build_once_sec"] = round(t1 - t0, 3)
+            steady["q91_match_batch_sec"] = round(t3 - t2, 3)
+        finally:
+            shutil.rmtree(idx_dir, ignore_errors=True)
+    except Exception as ex:  # bench must still emit its line
+        steady["error"] = f"{type(ex).__name__}: {ex}"[:200]
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -139,6 +178,7 @@ def main() -> None:
                 "r1_subset_exec_sec": round(
                     sum(t for q, t in execute.items() if q in R1_SUBSET), 3
                 ),
+                "steady_state": steady,
             }
         )
     )
