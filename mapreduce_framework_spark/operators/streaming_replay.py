@@ -129,6 +129,195 @@ def q94_streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q95_oracle() -> str:
+    from mapreduce_framework_spark.pipeline.dedup import (
+        JACCARD_THRESHOLD,
+        SHINGLES_DUCK,
+        TOKS_DUCK,
+    )
+
+    return f"""
+    WITH t AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK}) AS s FROM t),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cuts AS (SELECT (max(doc_id) + 1) // 3 AS c1,
+                    2 * (max(doc_id) + 1) // 3 AS c2 FROM documents),
+    b AS (SELECT doc_id,
+                 CASE WHEN doc_id < c1 THEN 1
+                      WHEN doc_id < c2 THEN 2 ELSE 3 END AS batch
+          FROM documents, cuts),
+    pairs AS (
+      SELECT a.doc_id AS id1, p.doc_id AS id2, count(*) AS common
+      FROM sh a JOIN sh p ON a.s = p.s
+      WHERE a.doc_id <> p.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT id1, id2, CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
+      FROM pairs JOIN sz x ON pairs.id1 = x.doc_id JOIN sz y ON pairs.id2 = y.doc_id
+      WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {JACCARD_THRESHOLD}
+    ),
+    a1 AS (SELECT doc_id FROM b WHERE batch = 1),
+    m2 AS (
+      SELECT j.id2 AS doc_id, j.id1 AS matched_id, j.jaccard,
+             row_number() OVER (PARTITION BY j.id2
+                                ORDER BY j.jaccard DESC, j.id1 ASC) AS rn
+      FROM jac j JOIN b b2 ON j.id2 = b2.doc_id AND b2.batch = 2
+      JOIN a1 ON j.id1 = a1.doc_id
+    ),
+    r2 AS (SELECT doc_id, matched_id, jaccard FROM m2 WHERE rn = 1),
+    a2 AS (SELECT doc_id FROM b
+           WHERE batch = 2 AND doc_id NOT IN (SELECT doc_id FROM r2)),
+    prior AS (SELECT doc_id FROM a1 UNION ALL SELECT doc_id FROM a2),
+    m3 AS (
+      SELECT j.id2 AS doc_id, j.id1 AS matched_id, j.jaccard,
+             row_number() OVER (PARTITION BY j.id2
+                                ORDER BY j.jaccard DESC, j.id1 ASC) AS rn
+      FROM jac j JOIN b b3 ON j.id2 = b3.doc_id AND b3.batch = 3
+      JOIN prior p ON j.id1 = p.doc_id
+    ),
+    r3 AS (SELECT doc_id, matched_id, jaccard FROM m3 WHERE rn = 1),
+    a3 AS (SELECT doc_id FROM b
+           WHERE batch = 3 AND doc_id NOT IN (SELECT doc_id FROM r3)),
+    adm AS (SELECT doc_id FROM a1 UNION ALL SELECT doc_id FROM a2
+            UNION ALL SELECT doc_id FROM a3)
+    SELECT doc_id, TRUE AS admitted, CAST(-1 AS BIGINT) AS matched_id,
+           0.0 AS jaccard
+    FROM adm
+    UNION ALL
+    SELECT doc_id, FALSE, CAST(matched_id AS BIGINT), jaccard FROM r2
+    UNION ALL
+    SELECT doc_id, FALSE, CAST(matched_id AS BIGINT), jaccard FROM r3
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q95_incremental_ingest_dedup",
+    oracle=_q95_oracle(),
+    tags=("ext", "streaming", "dedup", "incremental", "replay"),
+)
+def q95_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q91 building blocks run as a real incremental ingest loop: the
+    corpus is streamed in three doc_id-tercile batches through a
+    foreachBatch sink that (a) near-dup-matches each batch against the
+    index-so-far via match_batch (cross-side LSH band join + exact
+    verify), (b) records per-doc admit/reject decisions with the best
+    match, and (c) appends only admitted docs' signatures as an index
+    delta — per-batch work is O(batch), per-batch index write is
+    O(admitted). The oracle replays the sequential admission with exact
+    cross-batch Jaccard. Within-batch self-dedup stays out of scope (q31's
+    job), exactly like q91."""
+    import shutil
+
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+
+    docs = table(spark, "documents", sf_dir)
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    c1, c2 = (max_id + 1) // 3, 2 * (max_id + 1) // 3
+    root = os.path.join("/tmp", f"mfs_q95_{uuid.uuid4().hex[:8]}")
+    staging = os.path.join(root, "staging")
+    os.makedirs(staging)
+    try:
+        import time
+
+        terciles = (
+            docs.where(F.col("doc_id") < c1),
+            docs.where((F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
+            docs.where(F.col("doc_id") >= c2),
+        )
+        for i, part in enumerate(terciles):
+            part.coalesce(1).write.parquet(os.path.join(staging, f"terc_{i}"))
+            if i < 2:
+                time.sleep(1.1)  # distinct mtimes → deterministic batch order
+        from mapreduce_framework_spark.streaming.ingest import run_ingest_stream
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(staging, "terc_*"))
+        )
+        decisions = run_ingest_stream(
+            stream,
+            spark,
+            index_root=os.path.join(root, "index"),
+            decisions_root=os.path.join(root, "decisions"),
+            checkpoint=os.path.join(root, "ckpt"),
+            threshold=JACCARD_THRESHOLD,
+        ).localCheckpoint(eager=True)  # survives the staging cleanup below
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return decisions.orderBy("doc_id")
+
+
+@register(
+    "q96_incremental_rollup_replay",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS h, event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS val
+    FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) e
+    GROUP BY 1, 2 ORDER BY h, event_type
+    """,
+    tags=("ext", "streaming", "rollup", "replay"),
+)
+def q96_incremental_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance (the incremental form of q65's
+    hypertable rollup): events stream in three time-sliced batches through
+    a foreachBatch sink that merges each batch's hourly partial aggregates
+    into the persisted rollup — an algebraic merge (sum of counts, sum of
+    exact decimals), so the final state equals the batch hourly aggregate
+    regardless of slicing. The state table is bounded by hours × types —
+    answering coarse queries from it instead of the raw 100 TB stream is
+    the point of the pattern."""
+    import datetime as dt
+    import shutil
+
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.streaming.foreach_batch import (
+        run_rollup_merge_stream,
+    )
+
+    ev = table(spark, "events", sf_dir)
+    tmin, tmax = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    third = (tmax - tmin) / 3
+    cut1 = tmin + third
+    cut2 = tmin + 2 * third
+    root = os.path.join("/tmp", f"mfs_q96_{uuid.uuid4().hex[:8]}")
+    staging = os.path.join(root, "staging")
+    os.makedirs(staging)
+
+    def lit_ntz(d: dt.datetime):
+        return F.lit(d).cast("timestamp_ntz")
+
+    try:
+        slices = (
+            ev.where(F.col("ts") < lit_ntz(cut1)),
+            ev.where((F.col("ts") >= lit_ntz(cut1)) & (F.col("ts") < lit_ntz(cut2))),
+            ev.where(F.col("ts") >= lit_ntz(cut2)),
+        )
+        for i, part in enumerate(slices):
+            part.coalesce(1).write.parquet(os.path.join(staging, f"slice_{i}"))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(staging, "slice_*"))
+        )
+        state = run_rollup_merge_stream(
+            stream,
+            spark,
+            state_root=os.path.join(root, "state"),
+            checkpoint=os.path.join(root, "ckpt"),
+        )
+        out = state.select(
+            "h", "event_type", "cnt", F.col("val").cast("double").alias("val")
+        ).localCheckpoint(eager=True)  # survives the state-dir cleanup below
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.orderBy("h", "event_type")
+
+
 @register(
     "q83_streaming_kv_replay",
     oracle=REGISTRY["q06_kv_final_state"].oracle,

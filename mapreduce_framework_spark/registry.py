@@ -54,6 +54,8 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 CURATED_ORDER = [
     # --- new this round (never driver-checked) ---
     "q94_streaming_session_replay",
+    "q95_incremental_ingest_dedup",
+    "q96_incremental_rollup_replay",
     # --- broken at HEAD in round 3, fixed this round (must re-check) ---
     "q82_streaming_tumbling_replay",  # NTZ watermark regression fix
     "q93_embedding_quantize",  # codes now CSV-serialized for the driver
@@ -105,10 +107,10 @@ CURATED_ORDER = [
     "q01_wordcount",  # MR flagship
     "q06_kv_final_state",  # KV flagship
     "q31_minhash_lsh_neardup",  # dedup scale path
-    "q84_char_ngram_lsh_neardup",  # char LSH
-    "q85_shardctrler_replay",  # K5
     # ---- position 51+: driver-checked green in round 3, unchanged;
     #      pytest-swept every run; rotate back in round 5 ----
+    "q84_char_ngram_lsh_neardup",
+    "q85_shardctrler_replay",
     "q86_boilerplate_ngrams",
     "q87_boilerplate_doc_stats",
     "q88_repetition_stats",

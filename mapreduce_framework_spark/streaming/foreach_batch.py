@@ -69,6 +69,62 @@ def make_kv_merge_batch_fn(spark: SparkSession, state_root: str):
     return apply_batch
 
 
+def make_rollup_merge_batch_fn(spark: SparkSession, state_root: str):
+    """foreachBatch function maintaining an hourly continuous aggregate:
+    the batch's (hour, event_type) partial aggregates are merged into the
+    persisted rollup by re-aggregation — pure algebraic merge (sum of
+    counts, sum of exact decimals), so the result is independent of how
+    events are sliced into batches. This is the hypertable
+    continuous-aggregate maintenance loop (q65's rollup, kept incrementally
+    fresh); the state table is bounded by hours × types, tiny even when the
+    raw stream is 100 TB."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hourly = batch_df.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("val"),
+        )
+        prev = _latest_state(spark, state_root)
+        merged = (
+            hourly
+            if prev is None
+            else prev.unionByName(hourly)
+            .groupBy("h", "event_type")
+            .agg(F.sum("cnt").alias("cnt"), F.sum("val").alias("val"))
+        )
+        out = os.path.join(state_root, f"state_v{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+
+    return apply_batch
+
+
+def run_rollup_merge_stream(
+    events_stream: DataFrame,
+    spark: SparkSession,
+    state_root: str,
+    checkpoint: str,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Drive the events stream through the rollup-merge sink and return the
+    final persisted hourly rollup."""
+    q = (
+        events_stream.writeStream.foreachBatch(
+            make_rollup_merge_batch_fn(spark, state_root)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"rollup merge stream did not finish in {timeout_s}s")
+    state = _latest_state(spark, state_root)
+    assert state is not None, "stream produced no rollup version"
+    return state
+
+
 def run_kv_merge_stream(
     ops_stream: DataFrame,
     spark: SparkSession,

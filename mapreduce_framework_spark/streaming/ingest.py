@@ -1,0 +1,127 @@
+"""Incremental corpus ingest with cross-snapshot dedup (foreachBatch).
+
+The end-to-end form of the q91 building blocks: a stream of document
+batches is admitted into a growing corpus index — each micro-batch is
+near-dup-matched against the index-so-far (``match_batch``: cross-side
+LSH band join + estimate prune + exact verify), rejected docs are
+reported with their best match, and admitted docs' signatures are
+appended to the index.
+
+100 TB shape:
+- The index lives as parquet **delta directories** (``delta_v{batch}``):
+  each batch appends only its admitted docs' signatures — per-batch write
+  is O(admitted batch), never an O(index) rewrite. Reading the index is a
+  recursive parquet scan over the root (a table format would make this a
+  real APPEND, same topology).
+- Per-batch match cost is O(batch) — the index side contributes only
+  column-pruned projections of stored signatures (see
+  pipeline/dedup.py:match_batch).
+- Within-batch self-dedup is deliberately out of scope here (it is q31's
+  job, run upstream); this operator owns the batch-vs-corpus decision,
+  exactly like q91.
+
+The reference has no streaming surface (batch-only, hard map→reduce
+barrier, src/mr/coordinator.go:143-155); this is [EXT] (SURVEY §7 M5).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _index_so_far(spark: SparkSession, index_root: str) -> DataFrame | None:
+    if not os.path.isdir(index_root):
+        return None
+    deltas = [d for d in os.listdir(index_root) if d.startswith("delta_v")]
+    if not deltas:
+        return None
+    return (
+        spark.read.option("recursiveFileLookup", "true").parquet(index_root)
+    )
+
+
+def make_ingest_batch_fn(
+    spark: SparkSession, index_root: str, decisions_root: str, threshold: float
+):
+    """foreachBatch function: match the batch against the index-so-far,
+    write decisions (admitted / matched_id / jaccard) and the admitted
+    docs' signature delta."""
+    from pyspark.sql.window import Window
+
+    from mapreduce_framework_spark.pipeline.dedup import (
+        index_signatures,
+        match_batch,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)  # read the source once
+        idx = _index_so_far(spark, index_root)
+        if idx is None:
+            best = None
+        else:
+            matches = match_batch(idx, batch, threshold)
+            w = Window.partitionBy("id2").orderBy(
+                F.col("jaccard").desc(), F.col("id1").asc()
+            )
+            best = (
+                matches.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select(
+                    F.col("id2").alias("doc_id"),
+                    F.col("id1").alias("matched_id"),
+                    "jaccard",
+                )
+                .localCheckpoint(eager=True)
+            )
+        if best is None:
+            decisions = batch.select(
+                "doc_id",
+                F.lit(True).alias("admitted"),
+                F.lit(-1).cast("long").alias("matched_id"),
+                F.lit(0.0).alias("jaccard"),
+            )
+            admitted_docs = batch
+        else:
+            decisions = batch.join(best, "doc_id", "left").select(
+                "doc_id",
+                F.col("matched_id").isNull().alias("admitted"),
+                F.coalesce("matched_id", F.lit(-1)).cast("long").alias("matched_id"),
+                F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+            )
+            admitted_docs = batch.join(best, "doc_id", "left_anti")
+        decisions.write.mode("overwrite").parquet(
+            os.path.join(decisions_root, f"d_v{batch_id}")
+        )
+        index_signatures(admitted_docs).write.mode("overwrite").parquet(
+            os.path.join(index_root, f"delta_v{batch_id}")
+        )
+
+    return apply_batch
+
+
+def run_ingest_stream(
+    docs_stream: DataFrame,
+    spark: SparkSession,
+    index_root: str,
+    decisions_root: str,
+    checkpoint: str,
+    threshold: float,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Drive the document stream through the ingest-dedup sink; returns
+    the union of all per-batch decision frames."""
+    q = (
+        docs_stream.writeStream.foreachBatch(
+            make_ingest_batch_fn(spark, index_root, decisions_root, threshold)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"ingest stream did not finish in {timeout_s}s")
+    return spark.read.option("recursiveFileLookup", "true").parquet(decisions_root)

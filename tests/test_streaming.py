@@ -485,3 +485,73 @@ def test_normalize_events_ts_converts_ltz_leak_through(spark):
     out = normalize_events_ts(df)
     assert out.schema["ts"].dataType.simpleString() == "timestamp_ntz"
     assert out.collect()[0]["ts"] == dt.datetime(2024, 1, 1, 12, 30, 0)
+
+
+def test_incremental_ingest_rejects_cross_batch_dups(spark, sf_dir):
+    """q95 end-to-end sanity beyond the oracle hash: the ingest loop must
+    actually exercise the reject path (the synthetic corpus carries
+    near-dups across the tercile split), every rejection must point at an
+    ADMITTED doc from an earlier batch (never at another reject — the
+    index only ever contains admitted docs), and every reported match must
+    clear the threshold."""
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.registry import all_queries
+
+    pdf = (
+        all_queries()["q95_incremental_ingest_dedup"]
+        .builder(spark, sf_dir)
+        .toPandas()
+    )
+    rejected = pdf[~pdf.admitted]
+    admitted = pdf[pdf.admitted]
+    assert len(rejected) > 0, "fixture should produce cross-batch near-dups"
+    assert len(admitted) + len(rejected) == len(pdf)
+    assert (rejected.jaccard >= JACCARD_THRESHOLD).all()
+    assert set(rejected.matched_id) <= set(admitted.doc_id)
+    assert (admitted.matched_id == -1).all()
+
+
+def test_incremental_rollup_is_slicing_invariant(spark, sf_dir, tmp_path):
+    """The algebraic-merge claim of q96, measured: merging the events in 2
+    arbitrary slices must produce the identical rollup state as any other
+    slicing (the registry form uses 3 time slices; both must equal the
+    plain batch hourly aggregate)."""
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.streaming.foreach_batch import (
+        run_rollup_merge_stream,
+    )
+
+    ev = table(spark, "events", sf_dir)
+    src = str(tmp_path / "ev2")
+    os.makedirs(src)
+    # slice by event_id parity — deliberately NOT time-ordered
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(src, "s0")
+    )
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        os.path.join(src, "s1")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "s*"))
+    )
+    state = run_rollup_merge_stream(
+        stream,
+        spark,
+        state_root=str(tmp_path / "state"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    got = {
+        (r["h"], r["event_type"]): (r["cnt"], float(r["val"]))
+        for r in state.collect()
+    }
+    batch = ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("val"),
+    )
+    want = {
+        (r["h"], r["event_type"]): (r["cnt"], float(r["val"]))
+        for r in batch.collect()
+    }
+    assert got == want
