@@ -56,6 +56,9 @@ CURATED_ORDER = [
     "q94_streaming_session_replay",
     "q95_incremental_ingest_dedup",
     "q96_incremental_rollup_replay",
+    "q97_session_funnel",
+    "q98_cohort_retention",
+    "q99_session_transitions",
     # --- broken at HEAD in round 3, fixed this round (must re-check) ---
     "q82_streaming_tumbling_replay",  # NTZ watermark regression fix
     "q93_embedding_quantize",  # codes now CSV-serialized for the driver
@@ -103,12 +106,11 @@ CURATED_ORDER = [
     "q77_multimodal_resize",
     "q79_sequence_packing",
     "q80_contamination_check",
-    # --- representatives for continuity (r3-green, one per family) ---
-    "q01_wordcount",  # MR flagship
-    "q06_kv_final_state",  # KV flagship
-    "q31_minhash_lsh_neardup",  # dedup scale path
     # ---- position 51+: driver-checked green in round 3, unchanged;
     #      pytest-swept every run; rotate back in round 5 ----
+    "q01_wordcount",
+    "q06_kv_final_state",
+    "q31_minhash_lsh_neardup",
     "q84_char_ngram_lsh_neardup",
     "q85_shardctrler_replay",
     "q86_boilerplate_ngrams",
@@ -341,6 +343,7 @@ def all_queries() -> dict[str, QuerySpec]:
     import mapreduce_framework_spark.operators.graph  # noqa: F401
     import mapreduce_framework_spark.operators.functions_battery  # noqa: F401
     import mapreduce_framework_spark.operators.temporal  # noqa: F401
+    import mapreduce_framework_spark.operators.funnel  # noqa: F401
     import mapreduce_framework_spark.pipeline.dedup  # noqa: F401
     import mapreduce_framework_spark.pipeline.similarity  # noqa: F401
     import mapreduce_framework_spark.pipeline.text_analysis  # noqa: F401

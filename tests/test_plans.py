@@ -229,3 +229,23 @@ def test_q93_quantization_is_shuffle_free(spark, sf_dir):
 
     plan = _plan(q93_embedding_quantize(spark, sf_dir))
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_funnel_family_is_aggregation_only(spark, sf_dir):
+    """q97–q99 must plan as chains of (partial) aggregations and window
+    sorts over ONE events scan each — no self-join, no cartesian, no
+    nested loop. That is what makes them one-pass at 100 TB."""
+    import re
+
+    from mapreduce_framework_spark.operators.funnel import (
+        q97_session_funnel,
+        q98_cohort_retention,
+        q99_session_transitions,
+    )
+
+    for q, max_scans in ((q97_session_funnel, 1), (q98_cohort_retention, 2), (q99_session_transitions, 1)):
+        plan = _plan(q(spark, sf_dir))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+        n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+        assert n_scans <= max_scans, f"{q.__name__}: {n_scans} scans\n{plan}"
