@@ -193,3 +193,85 @@ def test_run_job_bucket_is_byte_exact_for_unicode_keys(spark):
     rows = run_job(inputs, map_fn, reduce_fn, n_reduce=10).collect()
     got = {r["key"]: r["bucket"] for r in rows}
     assert got == {k: bucket_of(k, 10) for k in got}
+
+
+CHAOS_MANY_SCRIPT = (
+    """
+import sys
+sys.path.insert(0, "/root/repo")
+import random
+import time
+from pyspark.sql import SparkSession
+from pyspark import TaskContext
+from mapreduce_framework_spark.mr import run_job, run_sequential, frame_as_inputs
+from mapreduce_framework_spark.catalog import table
+from pyspark.sql import functions as F
+
+# The reference amplifies flakiness by looping its whole crash suite N
+# times (src/main/test-mr-many.sh:15-22); this is the Spark analog: N
+# trials of RANDOMIZED fault injection (crash.go:20-32 draws exit-vs-sleep
+# per invocation), each trial's output byte-compared to the clean golden.
+# Crashes are pseudo-random but seeded from (trial, partition, attempt) so
+# any failure reproduces; attempts >= 2 always succeed, so with
+# maxFailures=4 every trial must complete.
+spark = (SparkSession.builder.master("local[4, 4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .appName("chaos-many").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+sf_dir = sys.argv[1]
+n_trials = int(sys.argv[2])
+
+docs = table(spark, "documents", sf_dir)
+local = [(r[0], r[1]) for r in docs.select(F.col("doc_id").cast("string"), "text").collect()]
+
+def clean_map(name, contents):
+    import re
+    ws = [w for w in re.split("[^a-zA-Z]+", contents) if w]
+    return [(w, "1") for w in ws]
+
+def reduce_fn(key, values):
+    return str(len(values))
+
+golden = sorted(run_sequential(local, clean_map, reduce_fn))
+
+for trial in range(n_trials):
+    fired = set()  # deserialized fresh per task: the fault fires once per
+                   # task attempt, not once per record
+
+    def map_fn(name, contents, _trial=trial, _fired=fired):
+        ctx = TaskContext.get()
+        key = f"{_trial}-{ctx.partitionId()}-{ctx.attemptNumber()}"
+        if ctx.attemptNumber() < 2 and key not in _fired:
+            _fired.add(key)
+            draw = random.Random(key).random()
+            if draw < 1.0 / 3.0:
+                raise RuntimeError("injected crash (crash.go analog)")
+            if draw < 2.0 / 3.0:
+                time.sleep(random.Random(key + "s").random())  # straggler analog
+        import re
+        ws = [w for w in re.split("[^a-zA-Z]+", contents) if w]
+        return [(w, "1") for w in ws]
+
+    inputs = frame_as_inputs(docs, "doc_id", "text")
+    result = run_job(inputs, map_fn, reduce_fn, n_reduce=10)
+    got = sorted(f"{r['key']} {r['value']}" for r in result.collect())
+    assert got == golden, f"trial {trial} diverged from golden"
+    print(f"TRIAL_{trial}_OK")
+print("CHAOS_MANY_OK")
+    """
+)
+
+
+def test_chaos_many_trials_match_golden(sf_dir):
+    """test-mr-many.sh parity: 3 trials of randomized crash + straggler
+    injection; every trial's distributed output must equal the sequential
+    golden (exactly-once output under re-execution, amplified)."""
+    proc = subprocess.run(
+        [sys.executable, "-c", CHAOS_MANY_SCRIPT, sf_dir, "3"],
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "CHAOS_MANY_OK" in proc.stdout
