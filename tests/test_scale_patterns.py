@@ -133,3 +133,55 @@ def test_q75_margin_headroom(spark, sf_dir, capsys):
             f"margin ({p99_err:.5f} of {Q75_P99_MARGIN}) — widen Q75_P99_MARGIN "
             "per the recovery-path note before the driver hash flips"
         )
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime bloom-filter join pruning — the 100 TB pattern where a
+    selective dim-side filter is pushed to the fact scan as a bloom probe
+    at runtime, cutting shuffle input without any manual pre-join. The
+    size thresholds are lowered to make the tiny test tables eligible;
+    broadcast is disabled so the join stays shuffle-based (where the
+    runtime filter actually pays)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.catalog import table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, "lineitem", sf_dir)
+        orders = table(spark, "orders", sf_dir).where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_extendedprice", "o_orderpriority"
+        )
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "might_contain" in plan or "bloom_filter_agg" in plan, plan
+        # and it must still compute the right thing
+        n_filtered = joined.count()
+        n_plain = (
+            li.join(
+                table(spark, "orders", sf_dir).where(
+                    F.col("o_orderpriority") == "1-URGENT"
+                ),
+                li.l_orderkey == F.col("o_orderkey"),
+            ).count()
+        )
+        assert n_filtered == n_plain > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -555,3 +555,36 @@ def test_incremental_rollup_is_slicing_invariant(spark, sf_dir, tmp_path):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_streaming_window_under_rocksdb_state_store(spark, sf_dir, tmp_path):
+    """The local suite runs the default HDFS-backed in-memory state store;
+    a 100 TB deployment runs RocksDB (bounded executor memory, spill to
+    local disk). The windowed-agg result must be identical under the
+    RocksDB provider — this pins that the operators carry no
+    provider-specific assumptions."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    try:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        src = str(tmp_path / "rocks_src")
+        os.makedirs(src)
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
+        stream = streaming_tumbling_counts(read_events_stream(spark, src))
+        got = run_stream_to_memory(stream, spark, output_mode="update")
+        got_rows = {
+            (r["window_start"], r["event_type"]): r["cnt"] for r in got.collect()
+        }
+        batch_rows = {
+            (r["window_start"], r["event_type"]): r["cnt"]
+            for r in q25_tumbling_window(spark, sf_dir).collect()
+        }
+        assert got_rows == batch_rows
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
