@@ -356,3 +356,82 @@ def q81_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(f).select(
         "doc_id", "lang", "source", "n_tokens", "seq_id"
     ).orderBy("doc_id")
+
+
+# --- sliding-window token chunking (q100) ------------------------------------
+# The doc→training-sequence step a pretraining pipeline runs after packing
+# decisions: long documents become overlapping fixed-size token windows
+# (chunk 128, stride 64 → 50% overlap) so no span is ever split across a
+# training example boundary. Pure per-row array arithmetic: no shuffle,
+# output rows ≈ tokens/stride — embarrassingly parallel at any scale.
+# Window sized to the synthetic corpus (docs are 10–99 tokens) so the
+# splitting path is actually exercised by the oracle; a production run
+# would use e.g. 2048/1024.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 16
+
+
+def chunk_documents(
+    docs: DataFrame, chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """One row per sliding token window: (doc_id, chunk_idx, n_toks,
+    chunk_fp). Short docs yield one whole-doc chunk; the final window of a
+    long doc may be shorter (slice truncates). n_chunks uses integer
+    ceil so both engines agree exactly."""
+    t = docs.select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
+    n_chunks = (
+        f"CASE WHEN size(toks) <= {chunk} THEN 1 "
+        f"ELSE 1 + ((size(toks) - {chunk} + {stride} - 1) div {stride}) END"
+    )
+    chunks = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_chunks} - 1),"
+                f" i -> slice(toks, i * {stride} + 1, {chunk}))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("chunk").cast("bigint").alias("n_toks"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_fp"),
+    )
+
+
+@register(
+    "q100_token_chunking",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= {CHUNK_TOKENS} THEN 1
+                  ELSE 1 + (len(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                           // {CHUNK_STRIDE} END AS n_chunks
+      FROM t
+    ),
+    e AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM c),
+    s AS (
+      SELECT doc_id, chunk_idx,
+             toks[chunk_idx * {CHUNK_STRIDE} + 1 :
+                  chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}] AS chunk
+      FROM e
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS n_toks,
+           md5(array_to_string(chunk, ' ')) AS chunk_fp
+    FROM s ORDER BY doc_id, chunk_idx
+    """,
+    tags=("ext", "sampling", "chunking", "pipeline"),
+)
+def q100_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (32-token windows, 16-token
+    stride → 50% overlap): each document becomes the
+    overlapping training sequences a pretraining run consumes, with the
+    chunk content fingerprinted (md5 over the space-joined window) so the
+    transform output itself is cross-engine-checked, not just the counts.
+    Per-row array arithmetic only — zero shuffles before the presentation
+    sort."""
+    docs = table(spark, "documents", sf_dir)
+    return chunk_documents(docs).orderBy("doc_id", "chunk_idx")

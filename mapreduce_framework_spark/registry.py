@@ -59,12 +59,11 @@ CURATED_ORDER = [
     "q97_session_funnel",
     "q98_cohort_retention",
     "q99_session_transitions",
+    "q100_token_chunking",
     # --- broken at HEAD in round 3, fixed this round (must re-check) ---
     "q82_streaming_tumbling_replay",  # NTZ watermark regression fix
     "q93_embedding_quantize",  # codes now CSV-serialized for the driver
     "q58_range_join_binned",  # NTZ-safe epoch binning (also r2-stale)
-    # --- changed this round (index_signatures/match_batch split) ---
-    "q91_cross_snapshot_dedup",
     # --- rotation: the 40 queries whose last driver row is round 2 ---
     "q12_join_revenue_per_nation",
     "q74_hll_error_bound",
@@ -106,8 +105,14 @@ CURATED_ORDER = [
     "q77_multimodal_resize",
     "q79_sequence_packing",
     "q80_contamination_check",
-    # ---- position 51+: driver-checked green in round 3, unchanged;
+    # ---- position 51+: driver-checked green in round 3;
     #      pytest-swept every run; rotate back in round 5 ----
+    # q91's internals were refactored this round (index_signatures/
+    # match_batch split) but its output is pinned equal to the r3-green
+    # form by test_match_batch_with_persisted_index_equals_from_scratch
+    # and its oracle row stays green in pytest; the window's 50 slots are
+    # taken by never-checked and must-recheck queries.
+    "q91_cross_snapshot_dedup",
     "q01_wordcount",
     "q06_kv_final_state",
     "q31_minhash_lsh_neardup",

@@ -249,3 +249,13 @@ def test_funnel_family_is_aggregation_only(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, q.__name__
         n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
         assert n_scans <= max_scans, f"{q.__name__}: {n_scans} scans\n{plan}"
+
+
+def test_q100_chunking_is_shuffle_free(spark, sf_dir):
+    """Sliding-window chunking is per-row array arithmetic: the only
+    exchange allowed is the presentation sort's range partitioning."""
+    from mapreduce_framework_spark.pipeline.sampling import q100_token_chunking
+
+    plan = _plan(q100_token_chunking(spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan
