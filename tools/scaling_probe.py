@@ -61,6 +61,41 @@ def timed(df) -> tuple[float, int]:
     return round(time.perf_counter() - t0, 2), n
 
 
+def probe_incremental(spark, base) -> None:
+    """Round-4 families: the incremental-dedup lifecycle and the chunking
+    scan. The index side is amplified (the corpus grows); the batch side
+    stays FIXED — match_batch wall must track the batch, not the index."""
+    import shutil
+    import tempfile
+
+    from mapreduce_framework_spark.pipeline.dedup import (
+        index_signatures,
+        match_batch,
+    )
+    from mapreduce_framework_spark.pipeline.sampling import chunk_documents
+
+    batch = base.where(F.col("doc_id") >= 4500)  # fixed 10% batch
+    print("| index docs | index build (once) | match_batch wall (rows) | chunking wall (rows) |")
+    print("|---|---|---|---|")
+    for factor in (1, 2, 4):
+        index_docs = amplify(base.where(F.col("doc_id") < 4500), factor)
+        idx_dir = tempfile.mkdtemp(prefix="mfs_probe_idx_")
+        try:
+            t0 = time.perf_counter()
+            index_signatures(index_docs).write.mode("overwrite").parquet(idx_dir)
+            t_build = round(time.perf_counter() - t0, 2)
+            idx = spark.read.parquet(idx_dir)
+            n_index = idx.count()
+            t_match, n_match = timed(match_batch(idx, batch))
+        finally:
+            shutil.rmtree(idx_dir, ignore_errors=True)
+        t_chunk, n_chunks = timed(chunk_documents(amplify(base, factor)))
+        print(
+            f"| {n_index} | {t_build} s | {t_match} s ({n_match}) | "
+            f"{t_chunk} s ({n_chunks}) |"
+        )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="mfs-scaling-probe")
@@ -68,6 +103,8 @@ def main() -> None:
     ensure_package_on_executors(spark)
     base = table(spark, "documents", sf_dir).select("doc_id", "text")
     base.count()  # warm
+    probe_incremental(spark, base)
+    print()
 
     print(f"| docs | simhash wall | banded-pairs wall (rows) | lsh-pairs wall (rows) | contamination wall |")
     print("|---|---|---|---|---|")
