@@ -61,3 +61,48 @@ def test_pack_sequences_running_offsets(spark):
         expected[doc_id] = (start, start // SEQ_LEN)
         offsets[source] = start + n
     assert got == expected
+
+
+def test_chunking_edge_cases_cover_every_token(spark):
+    """chunk_documents invariants on boundary lengths (n = 1, stride,
+    chunk-1, chunk, chunk+1, chunk+stride, 2*chunk, 2*chunk+1): every
+    token position is covered by at least one chunk, no chunk exceeds the
+    window, consecutive chunks overlap by exactly chunk−stride tokens
+    (except a short final window), and chunk 0 always starts at token 0."""
+    from mapreduce_framework_spark.pipeline.sampling import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+
+    lengths = [
+        1,
+        CHUNK_STRIDE,
+        CHUNK_TOKENS - 1,
+        CHUNK_TOKENS,
+        CHUNK_TOKENS + 1,
+        CHUNK_TOKENS + CHUNK_STRIDE,
+        2 * CHUNK_TOKENS,
+        2 * CHUNK_TOKENS + 1,
+    ]
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(n))) for i, n in enumerate(lengths)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = chunk_documents(docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(lengths):
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        # expected chunk count (integer ceil rule)
+        want = 1 if n <= CHUNK_TOKENS else 1 + -(-(n - CHUNK_TOKENS) // CHUNK_STRIDE)
+        assert len(chunks) == want, (n, len(chunks), want)
+        # windows: chunk k covers [k*stride, min(k*stride+chunk, n))
+        covered = set()
+        for r in chunks:
+            start = r["chunk_idx"] * CHUNK_STRIDE
+            expect_len = min(CHUNK_TOKENS, n - start)
+            assert r["n_toks"] == expect_len, (n, r["chunk_idx"])
+            covered.update(range(start, start + r["n_toks"]))
+        assert covered == set(range(n)), f"doc len {n}: gaps in coverage"
