@@ -52,12 +52,15 @@ def __getattr__(name):
         "lsh_neardup_pairs": "mapreduce_framework_spark.pipeline.dedup",
         "neardup_drop_list": "mapreduce_framework_spark.pipeline.dedup",
         "cross_snapshot_matches": "mapreduce_framework_spark.pipeline.dedup",
+        "index_signatures": "mapreduce_framework_spark.pipeline.dedup",
+        "match_batch": "mapreduce_framework_spark.pipeline.dedup",
         "quantize_embeddings": "mapreduce_framework_spark.pipeline.similarity",
         "connected_components": "mapreduce_framework_spark.operators.graph",
         # corpus shaping
         "stratified_sample": "mapreduce_framework_spark.pipeline.sampling",
         "pack_sequences": "mapreduce_framework_spark.pipeline.sampling",
         "domain_mix_sample": "mapreduce_framework_spark.pipeline.sampling",
+        "chunk_documents": "mapreduce_framework_spark.pipeline.sampling",
         # quality filters / scrubbing
         "repetition_stats": "mapreduce_framework_spark.pipeline.quality",
         "scrub_documents": "mapreduce_framework_spark.pipeline.quality",
