@@ -81,6 +81,22 @@ def epoch_seconds_ntz(col: str) -> str:
     )
 
 
+_NTZ_EPOCH = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+
+
+# LTZ↔NTZ conversions via epoch microseconds — SESSION-TIMEZONE-INDEPENDENT,
+# unlike a direct cast (which renders/parses through spark.sql.session.timeZone
+# and so silently couples results to ambient session config). unix_micros on
+# TIMESTAMP is an instant → micros-since-epoch; anchoring those micros onto
+# the NTZ epoch yields the UTC wall-clock deterministically, and vice versa.
+def ltz_to_ntz_expr(col: str) -> str:
+    return f"timestampadd(MICROSECOND, unix_micros({col}), {_NTZ_EPOCH})"
+
+
+def ntz_to_ltz_expr(col: str) -> str:
+    return f"timestamp_micros(timestampdiff(MICROSECOND, {_NTZ_EPOCH}, {col}))"
+
+
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Normalize the events ``ts`` column to µs TIMESTAMP_NTZ regardless of
     which parquet encoding the testdata generation used.
@@ -88,17 +104,17 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     Covers all three encodings seen across generations: TIMESTAMP(NANOS)
     read as a long (nanosAsLong), native TIMESTAMP_NTZ (pass-through), and
     TIMESTAMP_LTZ (isAdjustedToUTC=true parquet, or a session with
-    inferTimestampNTZ disabled) — the LTZ→NTZ cast is evaluated under a
-    UTC session timezone so the result is the stored UTC wall-clock,
-    independent of whatever timezone the enclosing session runs in."""
+    inferTimestampNTZ disabled) — the LTZ→NTZ conversion goes through
+    epoch microseconds (ltz_to_ntz_expr), so the result is the stored UTC
+    wall-clock regardless of the enclosing session's timezone, with no
+    session-config side effects."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampType
 
     if isinstance(df.schema["ts"].dataType, LongType):  # legacy nanos-as-long
         return df.withColumn("ts", F.expr(_NANOS_TO_NTZ))
     if isinstance(df.schema["ts"].dataType, TimestampType):  # LTZ leak-through
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
-        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return df.withColumn("ts", F.expr(ltz_to_ntz_expr("ts")))
     return df
 
 

@@ -53,6 +53,20 @@ def _stage_events(sf_dir: str, staging: str) -> None:
         shutil.copy(src, staging)
 
 
+def _set_staged_mtime(path: str, when: float) -> None:
+    """Pin the modification time of every parquet file under ``path`` (a
+    file or a Spark-written dataset directory). FileStreamSource orders
+    batches by file mtime; explicit utime makes that order deterministic
+    with zero added latency (no sleep-between-writes)."""
+    if os.path.isfile(path):
+        os.utime(path, (when, when))
+        return
+    for dirpath, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(dirpath, f), (when, when))
+
+
 @register(
     "q82_streaming_tumbling_replay",
     oracle=REGISTRY["q25_tumbling_window"].oracle,
@@ -61,7 +75,15 @@ def _stage_events(sf_dir: str, staging: str) -> None:
 def q82_streaming_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q25 through the actual streaming path: file-source readStream →
     watermark → window() agg → availableNow → memory sink; the batch
-    oracle must match the materialized stream output exactly."""
+    oracle must match the materialized stream output exactly.
+
+    The replay deliberately processes all staged files in ONE micro-batch
+    (max_files_per_trigger=None): batch boundaries carry no meaning here,
+    and a single batch makes the run independent of file count/order —
+    a multi-file events table would otherwise risk watermark-late drops
+    and duplicate update-mode emissions per window key. Multi-batch
+    watermark behavior is exercised where it is the point: the late-data
+    and session-replay paths (tests + q94)."""
     import shutil
 
     # the file stream source requires a directory — stage the (read-only)
@@ -71,7 +93,9 @@ def q82_streaming_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     os.makedirs(staging)
     _stage_events(sf_dir, staging)
     try:
-        stream = streaming_tumbling_counts(read_events_stream(spark, staging))
+        stream = streaming_tumbling_counts(
+            read_events_stream(spark, staging, max_files_per_trigger=None)
+        )
         out = run_stream_to_memory(stream, spark, output_mode="update", timeout_s=300)
     finally:
         shutil.rmtree(staging, ignore_errors=True)  # memory sink holds the rows
@@ -86,37 +110,58 @@ def q82_streaming_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame
 def q94_streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q27 through the streaming path: session_window (30-min gap) in
     append mode emits a session only once the watermark passes its close —
-    so after the corpus batch, two watermark-advancer sentinel batches
-    (user_id −1, timestamps 2 h then 4 h past the corpus max) push the
-    effective watermark beyond every real session's end. Spark applies a
-    recorded watermark one batch late, which is exactly why TWO advancer
-    batches are needed: the first records wm = max+2 h, the second makes it
-    effective, closing every corpus session (end ≤ max+30 min < max+2 h).
-    Sentinel sessions are filtered out; per-user session counts must then
-    equal the batch q27 oracle verbatim."""
+    so after the corpus batches, two watermark-advancer sentinel batches
+    (user_id −1) push the effective watermark beyond every real session's
+    end. Spark applies a recorded watermark one batch late, which is why
+    TWO advancer batches are needed: the first records the high watermark,
+    the second makes it effective, closing every corpus session.
+
+    Robust to a multi-file corpus: the watermark delay is sized to the
+    corpus event-time SPAN (+1 h), so no corpus event is ever late no
+    matter how events are distributed across staged files, and the
+    advancers sit at max+delay+2 h / +4 h so the effective watermark still
+    clears max+gap. Batch order is pinned by explicit file mtimes
+    (corpus < adv1 < adv2), not sleeps. Sentinel sessions are filtered
+    out; per-user session counts must equal the batch q27 oracle
+    verbatim."""
     import datetime as dt
     import shutil
     import time
 
     from mapreduce_framework_spark.catalog import EVENTS_SCHEMA, table
 
-    max_ts = table(spark, "events", sf_dir).agg(F.max("ts")).collect()[0][0]
+    tmin, max_ts = (
+        table(spark, "events", sf_dir).agg(F.min("ts"), F.max("ts")).collect()[0]
+    )
+    delay_s = int((max_ts - tmin).total_seconds()) + 3600
     staging = os.path.join("/tmp", f"mfs_q94_{uuid.uuid4().hex[:8]}")
     os.makedirs(staging)
     _stage_events(sf_dir, staging)
+    now = time.time()
+    _set_staged_mtime(staging, now - 300)
 
-    def advancer(name: str, hours: int) -> None:
-        time.sleep(1.1)  # distinct mtime → deterministic file (batch) order
-        row = [(-1, max_ts + dt.timedelta(hours=hours), -1, "sentinel", 0.0, "{}")]
+    def advancer(name: str, hours: int, mtime: float) -> None:
+        row = [
+            (
+                -1,
+                max_ts + dt.timedelta(seconds=delay_s, hours=hours),
+                -1,
+                "sentinel",
+                0.0,
+                "{}",
+            )
+        ]
         spark.createDataFrame(row, schema=EVENTS_SCHEMA).coalesce(1).write.parquet(
             os.path.join(staging, name)
         )
+        _set_staged_mtime(os.path.join(staging, name), mtime)
 
     try:
-        advancer("adv1", 2)
-        advancer("adv2", 4)
+        advancer("adv1", 2, now - 200)
+        advancer("adv2", 4, now - 100)
         stream = streaming_session_sessions(
-            read_events_stream(spark, os.path.join(staging, "*"))
+            read_events_stream(spark, os.path.join(staging, "*")),
+            watermark=f"{delay_s} seconds",
         )
         out = run_stream_to_memory(stream, spark, output_mode="append", timeout_s=300)
     finally:
@@ -227,10 +272,12 @@ def q95_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.where((F.col("doc_id") >= c1) & (F.col("doc_id") < c2)),
             docs.where(F.col("doc_id") >= c2),
         )
+        now = time.time()
         for i, part in enumerate(terciles):
             part.coalesce(1).write.parquet(os.path.join(staging, f"terc_{i}"))
-            if i < 2:
-                time.sleep(1.1)  # distinct mtimes → deterministic batch order
+            # explicit increasing mtimes → deterministic batch order with
+            # zero added latency (FileStreamSource sorts by mtime)
+            _set_staged_mtime(os.path.join(staging, f"terc_{i}"), now - 300 + i * 100)
         from mapreduce_framework_spark.streaming.ingest import run_ingest_stream
 
         stream = (

@@ -361,7 +361,7 @@ def q81_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- sliding-window token chunking (q100) ------------------------------------
 # The doc→training-sequence step a pretraining pipeline runs after packing
 # decisions: long documents become overlapping fixed-size token windows
-# (chunk 128, stride 64 → 50% overlap) so no span is ever split across a
+# (fixed chunk size, stride = half → 50% overlap) so no span is split across a
 # training example boundary. Pure per-row array arithmetic: no shuffle,
 # output rows ≈ tokens/stride — embarrassingly parallel at any scale.
 # Window sized to the synthetic corpus (docs are 10–99 tokens) so the

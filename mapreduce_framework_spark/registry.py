@@ -115,11 +115,14 @@ CURATED_ORDER = [
     "q80_contamination_check",
     # ---- position 51+: driver-checked green in round 3;
     #      pytest-swept every run; rotate back in round 5 ----
-    # q91's internals were refactored this round (index_signatures/
-    # match_batch split) but its output is pinned equal to the r3-green
-    # form by test_match_batch_with_persisted_index_equals_from_scratch
-    # and its oracle row stays green in pytest; the window's 50 slots are
-    # taken by never-checked and must-recheck queries.
+    # Documented exceptions to the "changed ⇒ in-window" rule — the 50
+    # slots are fully taken by never-checked + must-recheck queries:
+    # * q91: internals refactored (index_signatures/match_batch split) but
+    #   output pinned equal to the r3-green form by
+    #   test_match_batch_with_persisted_index_equals_from_scratch.
+    # * q89: scrub_fp switched FNV→md5 (Spark + oracle changed atomically,
+    #   one commit); locally verified by the pytest oracle AND the
+    #   dtype-exact tools/driver_check.py. First r5 window slot.
     "q91_cross_snapshot_dedup",
     "q01_wordcount",
     "q06_kv_final_state",

@@ -19,38 +19,68 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+from mapreduce_framework_spark.catalog import ltz_to_ntz_expr
+
+def _staged_parquet_files(source_dir: str) -> list[str]:
+    """Parquet files currently under a staging path (supports the trailing
+    glob the replay builders use, and Spark-written dataset directories)."""
+    import glob as _glob
+
+    out = []
+    for entry in _glob.glob(source_dir) or []:
+        if os.path.isdir(entry):
+            for dirpath, _, files in os.walk(entry):
+                out.extend(
+                    os.path.join(dirpath, f) for f in files if f.endswith(".parquet")
+                )
+        elif entry.endswith(".parquet"):
+            out.append(entry)
+    return out
+
+
+def read_events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
     """File-source stream of the events table; ``ts`` comes back as
-    TIMESTAMP (LTZ, µs) under a UTC-pinned session timezone.
+    TIMESTAMP (LTZ, µs).
 
     Batch reads normalize ``ts`` to TIMESTAMP_NTZ (catalog.py), but
     ``withWatermark`` requires TIMESTAMP — Spark's event-time clock is an
     instant, not a wall-clock (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
     otherwise). So the streaming reader applies the same normalization and
-    then casts NTZ→LTZ with the session timezone pinned to UTC, which makes
-    the cast the identity on wall-clock values; windowed operators cast
-    their window bounds back to NTZ so streaming output stays comparable to
-    the batch twins and their DuckDB oracles.
+    converts NTZ→LTZ through epoch microseconds (ntz_to_ltz_expr) — the
+    instant whose UTC wall-clock equals the NTZ value, independent of the
+    session timezone; windowed operators convert their window bounds back
+    the same way so streaming output stays comparable to the batch twins
+    and their DuckDB oracles.
 
     The stream schema is peeked from a batch read of the staged files so
     the reader works for every historical ``ts`` encoding (nanos-as-long,
-    native NTZ, LTZ); when the staging directory has no files yet (a
+    native NTZ, LTZ); when the staging path holds no parquet files yet (a
     file-source stream normally receives files after start) it falls back
-    to the canonical events schema instead of failing schema inference."""
-    from mapreduce_framework_spark.catalog import EVENTS_SCHEMA, normalize_events_ts
+    to the canonical events schema — that presence check is explicit, so
+    real read errors (bad path root, corrupt files) still raise.
+
+    ``max_files_per_trigger=None`` processes every available file in one
+    micro-batch (the right replay mode when batch boundaries carry no
+    meaning — it also makes the run insensitive to file order and to
+    watermark lateness across files)."""
+    from mapreduce_framework_spark.catalog import (
+        EVENTS_SCHEMA,
+        normalize_events_ts,
+        ntz_to_ltz_expr,
+    )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
+    if _staged_parquet_files(source_dir):
         schema = spark.read.parquet(source_dir).schema
-    except Exception:  # empty staging dir: nothing to infer from yet
+    else:  # empty staging dir: nothing to infer from yet
         schema = EVENTS_SCHEMA
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(source_dir)
-    )
-    return normalize_events_ts(raw).withColumn("ts", F.col("ts").cast("timestamp"))
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(source_dir)
+    return normalize_events_ts(raw).withColumn("ts", F.expr(ntz_to_ltz_expr("ts")))
 
 
 def streaming_tumbling_counts(
@@ -62,10 +92,10 @@ def streaming_tumbling_counts(
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        # LTZ→NTZ is wall-clock identity under the UTC session pinned by
-        # read_events_stream; restores parity with batch q25 / the oracle
+        # epoch-anchored LTZ→NTZ (session-timezone-independent); restores
+        # parity with batch q25 / the oracle
         .select(
-            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.expr(ltz_to_ntz_expr("w.start")).alias("window_start"),
             "event_type",
             "cnt",
         )
@@ -88,8 +118,8 @@ def streaming_session_sessions(
         .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
-            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
-            F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+            F.expr(ltz_to_ntz_expr("sw.start")).alias("session_start"),
+            F.expr(ltz_to_ntz_expr("sw.end")).alias("session_end"),
             "user_id",
             "n_events",
         )

@@ -574,7 +574,9 @@ def test_streaming_window_under_rocksdb_state_store(spark, sf_dir, tmp_path):
         os.makedirs(src)
         shutil.copy(os.path.join(sf_dir, "events.parquet"), src)
         stream = streaming_tumbling_counts(read_events_stream(spark, src))
-        got = run_stream_to_memory(stream, spark, output_mode="update")
+        # generous timeout: RocksDB instance setup per state partition is
+        # slower than the in-memory provider under host contention
+        got = run_stream_to_memory(stream, spark, output_mode="update", timeout_s=300)
         got_rows = {
             (r["window_start"], r["event_type"]): r["cnt"] for r in got.collect()
         }

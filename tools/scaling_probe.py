@@ -74,11 +74,13 @@ def probe_incremental(spark, base) -> None:
     )
     from mapreduce_framework_spark.pipeline.sampling import chunk_documents
 
-    batch = base.where(F.col("doc_id") >= 4500)  # fixed 10% batch
+    max_id = base.agg(F.max("doc_id")).collect()[0][0]
+    cut = (max_id + 1) * 9 // 10  # fixed 10% batch, corpus-size-derived
+    batch = base.where(F.col("doc_id") >= cut)
     print("| index docs | index build (once) | match_batch wall (rows) | chunking wall (rows) |")
     print("|---|---|---|---|")
     for factor in (1, 2, 4):
-        index_docs = amplify(base.where(F.col("doc_id") < 4500), factor)
+        index_docs = amplify(base.where(F.col("doc_id") < cut), factor)
         idx_dir = tempfile.mkdtemp(prefix="mfs_probe_idx_")
         try:
             t0 = time.perf_counter()
