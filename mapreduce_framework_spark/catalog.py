@@ -97,6 +97,19 @@ def ntz_to_ltz_expr(col: str) -> str:
     return f"timestamp_micros(timestampdiff(MICROSECOND, {_NTZ_EPOCH}, {col}))"
 
 
+# Session-timezone-independent truncation for NTZ timestamps. Spark's
+# date_trunc coerces TIMESTAMP_NTZ to TIMESTAMP through the session
+# timezone (probed: TIMESTAMP_NTZ'2024-01-01 05:30' date_trunc'd to hour
+# under America/New_York yields 10:00, type timestamp) — so hour/day
+# rollups built on it silently shift with ambient config. This form stays
+# in pure NTZ epoch arithmetic.
+def trunc_ntz_expr(col: str, unit_seconds: int) -> str:
+    return (
+        f"timestampadd(SECOND, ({epoch_seconds_ntz(col)} div {unit_seconds})"
+        f" * {unit_seconds}, {_NTZ_EPOCH})"
+    )
+
+
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Normalize the events ``ts`` column to µs TIMESTAMP_NTZ regardless of
     which parquet encoding the testdata generation used.

@@ -121,13 +121,21 @@ def q98_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     as active per day-offset from their cohort day. Two aggregations and
     one equi-join on user_id; cohort_day stays TIMESTAMP on both engines
     (a DATE column renders differently across the two pandas paths —
-    q65's documented convention)."""
+    q65's documented convention). Day truncation is NTZ epoch arithmetic
+    (catalog.trunc_ntz_expr) — date_trunc would coerce through the
+    session timezone."""
+    from mapreduce_framework_spark.catalog import trunc_ntz_expr
+
     ev = table(spark, "events", sf_dir)
-    first_seen = ev.groupBy("user_id").agg(
-        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    first_seen = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(
+            "user_id", F.expr(trunc_ntz_expr("first_ts", 86400)).alias("cohort_day")
+        )
     )
     activity = ev.select(
-        "user_id", F.date_trunc("day", "ts").alias("day")
+        "user_id", F.expr(trunc_ntz_expr("ts", 86400)).alias("day")
     ).distinct()
     return (
         activity.join(first_seen, "user_id")

@@ -143,10 +143,14 @@ def q65_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly rollup (sum-of-sums), not from raw events — the pattern that lets
     a 100 TB store answer coarse queries from a tiny pre-aggregated table.
     The oracle aggregates the same two levels; equality proves the rollup
-    is losslessly composable (algebraic aggregates only)."""
+    is losslessly composable (algebraic aggregates only). Truncation is
+    NTZ epoch arithmetic (catalog.trunc_ntz_expr) — date_trunc would
+    coerce through the session timezone."""
+    from mapreduce_framework_spark.catalog import trunc_ntz_expr
+
     ev = table(spark, "events", sf_dir)
     hourly = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("h"), "event_type"
+        F.expr(trunc_ntz_expr("ts", 3600)).alias("h"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
         F.sum(F.col("value").cast("decimal(38,6)")).alias("val"),
@@ -156,7 +160,7 @@ def q65_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # datetime.date objects from Spark but datetime64 from DuckDB's
         # pandas path — same value, different driver-hash rendering.
         hourly.groupBy(
-            F.date_trunc("day", "h").alias("day"), "event_type"
+            F.expr(trunc_ntz_expr("h", 86400)).alias("day"), "event_type"
         )
         .agg(F.sum("cnt").alias("cnt"), F.sum("val").cast("double").alias("val"))
         .orderBy("day", "event_type")

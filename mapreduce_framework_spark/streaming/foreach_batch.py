@@ -80,8 +80,12 @@ def make_rollup_merge_batch_fn(spark: SparkSession, state_root: str):
     raw stream is 100 TB."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from mapreduce_framework_spark.catalog import trunc_ntz_expr
+
+        # NTZ-safe hour bucket — date_trunc coerces NTZ through the
+        # session timezone (see catalog.trunc_ntz_expr)
         hourly = batch_df.groupBy(
-            F.date_trunc("hour", "ts").alias("h"), "event_type"
+            F.expr(trunc_ntz_expr("ts", 3600)).alias("h"), "event_type"
         ).agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum(F.col("value").cast("decimal(38,6)")).alias("val"),
