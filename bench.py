@@ -83,6 +83,15 @@ HEADLINE = [
     "q91_cross_snapshot_dedup",    # incremental dedup (cross-side LSH band join)
     "q92_tfidf_topk",              # tf-idf top terms (tf ⋈ df + window top-k)
     "q93_embedding_quantize",      # int8 vector quantization (per-row arrays)
+    # round-4 batch additions (product analytics + chunking). The three
+    # streaming replays (q94-q96) stay out of HEADLINE: their builders run
+    # a multi-batch stream to completion, so their wall time measures
+    # micro-batch scheduling, not plan quality — engine-side latency for
+    # those lives in tests/test_streaming.py's state-bound assertions.
+    "q97_session_funnel",          # session_window + per-user funnel agg
+    "q98_cohort_retention",        # cohort triangle (two aggs + equi-join)
+    "q99_session_transitions",     # gaps-and-islands sessionization (lag+sum)
+    "q100_token_chunking",         # sliding-window chunking (per-row arrays)
 ]
 
 
