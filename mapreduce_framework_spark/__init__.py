@@ -54,6 +54,8 @@ def __getattr__(name):
         "cross_snapshot_matches": "mapreduce_framework_spark.pipeline.dedup",
         "index_signatures": "mapreduce_framework_spark.pipeline.dedup",
         "match_batch": "mapreduce_framework_spark.pipeline.dedup",
+        "span_blocks": "mapreduce_framework_spark.pipeline.span_dedup",
+        "span_dedup": "mapreduce_framework_spark.pipeline.span_dedup",
         "quantize_embeddings": "mapreduce_framework_spark.pipeline.similarity",
         "connected_components": "mapreduce_framework_spark.operators.graph",
         # corpus shaping

@@ -1,0 +1,168 @@
+"""Span-level (sub-document) exact deduplication — C4-style repeated-span
+removal.
+
+Doc-level dedup (q24/q33) drops whole documents; real web corpora instead
+carry *spans* repeated across many documents (licence blocks, navigation
+text, quoted passages). C4 removed any three-sentence span that occurred
+more than once in the corpus (Raffel et al., "Exploring the Limits of
+Transfer Learning", §2.2); RefinedWeb and Dolma do the same at paragraph
+or line granularity. The reference engine has no analog — this is [EXT]
+training-data-pipeline surface, same category as q24/q31.
+
+The synthetic corpus has no sentence punctuation, so the span unit here is
+a non-overlapping ``SPAN_W``-token block (the last block of a document may
+be shorter). Semantics, exactly:
+
+1. every block instance is identified by (doc_id, pos);
+2. for each distinct block TEXT, the instance with the smallest
+   (doc_id, pos) — lexicographically — is KEPT; every other instance
+   (in other documents or repeated within the same document) is dropped;
+3. each document is reassembled from its kept blocks in position order.
+
+Scale shape (100 TB): block fingerprints are md5 (128-bit; a collision
+would merge two distinct spans — negligible, and the fingerprint is also
+what you'd persist). The keep-first rule is computed as a plain
+``min()`` AGGREGATE over a combined (doc_id, pos) key and joined back —
+deliberately NOT a ``row_number()`` window: the aggregate is map-side
+partial-combinable, so a boilerplate block occurring 10⁹ times collapses
+to one row per partition before the shuffle, where the window form would
+sort the full 10⁹-row partition (classic hot-key skew; AQE can split
+joins but not window sorts). Reassembly is one groupBy(doc_id) — rows
+shrink to one per document. Two shuffles total, both partial-aggregated.
+
+Combined-key bound: pos is capped at 2^20 blocks per document (≈ 10M
+tokens at SPAN_W=10 — far beyond any real document; enforced with a
+fail-fast filter) so ``doc_id * 2^20 + pos`` is collision-free for
+doc_id < 2^43.
+
+Not registered yet: the round-4 driver window is fully committed to
+never-checked + rotation entries (registry.py capacity note), so
+``q101_span_dedup`` ships library-first with the same differential
+DuckDB test the registered queries get (tests/test_span_dedup.py) and
+takes a round-5 window slot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.catalog import table
+from mapreduce_framework_spark.pipeline.dedup import TOKS_DUCK, TOKS_SPARK
+
+SPAN_W = 10  # tokens per block
+_POS_CAP = 1 << 20  # combined-key bound: blocks per doc (fail-fast below)
+
+# 1-based block list of a doc's token array: ceil(n/W) blocks, last may be
+# short; empty docs yield no blocks. Positive-integer division only, so
+# Spark (truncate) and DuckDB (floor) agree.
+_BLOCKS_SPARK = (
+    f"CASE WHEN size(toks) >= 1 THEN "
+    f"transform(sequence(1, CAST((size(toks) + {SPAN_W - 1}) / {SPAN_W} AS INT)), "
+    f"b -> concat_ws(' ', slice(toks, (b - 1) * {SPAN_W} + 1, {SPAN_W}))) "
+    "ELSE array() END"
+)
+_BLOCKS_DUCK = (
+    f"CASE WHEN len(toks) >= 1 THEN "
+    f"list_transform(range(1, CAST((len(toks) + {SPAN_W - 1}) // {SPAN_W} AS INT) + 1), "
+    f"b -> array_to_string(toks[(b - 1) * {SPAN_W} + 1 : (b - 1) * {SPAN_W} + {SPAN_W}], ' ')) "
+    "ELSE [] END"
+)
+
+
+def span_blocks(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, bh): every block instance with its 1-based position
+    and md5 fingerprint. One scan, zero shuffles."""
+    return (
+        docs.withColumn("toks", F.expr(TOKS_SPARK))
+        .select("doc_id", F.posexplode(F.expr(_BLOCKS_SPARK)).alias("pos0", "block"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.md5(F.col("block")).alias("bh"),
+            "block",
+        )
+    )
+
+
+def span_dedup(docs: DataFrame) -> DataFrame:
+    """Per-document result of corpus-wide keep-first span dedup:
+    (doc_id, n_blocks, n_kept, clean_fp) where clean_fp is the md5 of the
+    reassembled kept-blocks text (space-joined, '' for fully-deduped or
+    empty docs). Every document in ``docs`` appears in the output."""
+    inst = span_blocks(docs)
+    # fail fast rather than silently corrupt the combined key (see module
+    # docstring; unreachable for any sane document)
+    inst = inst.withColumn(
+        "key",
+        F.when(F.col("pos") < _POS_CAP, F.col("doc_id") * _POS_CAP + F.col("pos")).otherwise(
+            F.raise_error(F.lit(f"span_dedup: document exceeds {_POS_CAP} blocks"))
+        ),
+    )
+    first = inst.groupBy("bh").agg(F.min("key").alias("min_key"))
+    kept = inst.join(first, "bh").where(F.col("key") == F.col("min_key"))
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "block"))),
+                    lambda x: x["block"],
+                ),
+            )
+        ).alias("clean_fp"),
+    )
+    totals = inst.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_blocks"))
+    base = docs.select("doc_id")
+    empty_fp = F.md5(F.lit(""))
+    return (
+        base.join(totals, "doc_id", "left")
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_blocks", F.lit(0)).cast("long").alias("n_blocks"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("clean_fp", empty_fp).alias("clean_fp"),
+        )
+    )
+
+
+def q101_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide span dedup over documents (see module docstring). Not
+    yet in the registry — round-5 window slot; oracle below."""
+    return span_dedup(table(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+# DuckDB twin of q101 — identical keep-first semantics; registration-ready.
+Q101_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+    blocks AS (
+      SELECT doc_id, unnest({_BLOCKS_DUCK}) AS block,
+             unnest(range(1, len({_BLOCKS_DUCK}) + 1)) AS pos
+      FROM t
+    ),
+    inst AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos, block, md5(block) AS bh,
+             doc_id * {_POS_CAP} + pos AS key
+      FROM blocks
+    ),
+    first AS (SELECT bh, min(key) AS min_key FROM inst GROUP BY bh),
+    kept AS (
+      SELECT inst.* FROM inst JOIN first USING (bh) WHERE key = min_key
+    ),
+    reassembled AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(array_to_string(list(block ORDER BY pos), ' ')) AS clean_fp
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_blocks FROM inst GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(totals.n_blocks, 0) AS BIGINT) AS n_blocks,
+           CAST(coalesce(reassembled.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(reassembled.clean_fp, md5('')) AS clean_fp
+    FROM documents d
+    LEFT JOIN totals USING (doc_id)
+    LEFT JOIN reassembled USING (doc_id)
+    ORDER BY doc_id
+"""
