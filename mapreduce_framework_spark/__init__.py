@@ -56,6 +56,8 @@ def __getattr__(name):
         "match_batch": "mapreduce_framework_spark.pipeline.dedup",
         "span_blocks": "mapreduce_framework_spark.pipeline.span_dedup",
         "span_dedup": "mapreduce_framework_spark.pipeline.span_dedup",
+        "assign_cells": "mapreduce_framework_spark.pipeline.semantic_dedup",
+        "semantic_dedup": "mapreduce_framework_spark.pipeline.semantic_dedup",
         "quantize_embeddings": "mapreduce_framework_spark.pipeline.similarity",
         "connected_components": "mapreduce_framework_spark.operators.graph",
         # corpus shaping

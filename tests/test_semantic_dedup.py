@@ -1,0 +1,128 @@
+"""SemDeDup-style cell-bounded semantic dedup — pipeline/semantic_dedup.py.
+
+Library-first coverage for q102 (round-5 registry slot; the round-4 driver
+window is full — registry.py capacity note): differential DuckDB
+comparison, exactness + enrichment invariants against the global
+(unclustered) form, and the 100 TB plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.pipeline.semantic_dedup import (
+    Q102_ORACLE,
+    SEM_PROBES,
+    SEMDEDUP_COS,
+    assign_cells,
+    q102_semantic_dedup,
+    semantic_dedup,
+)
+from tests.oracle import compare
+
+
+def test_q102_matches_duckdb_oracle(spark, sf_dir):
+    compare(q102_semantic_dedup(spark, sf_dir), Q102_ORACLE, sf_dir)
+
+
+def test_every_vector_gets_its_probes(spark, sf_dir):
+    from mapreduce_framework_spark.catalog import table
+
+    embs = table(spark, "embeddings", sf_dir)
+    asg = assign_cells(embs)
+    n = embs.count()
+    assert asg.count() == n * SEM_PROBES
+    assert asg.select("vec_id").distinct().count() == n
+
+
+def _global_pairs(spark, sf_dir):
+    """All exact cosine pairs at the dedup threshold (brute force is fine
+    at test SF)."""
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.similarity import _DOT_SPARK, _norms_spark
+
+    en = _norms_spark(table(spark, "embeddings", sf_dir))
+    a = en.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"), F.col("norm").alias("n1"))
+    b = en.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"), F.col("norm").alias("n2"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            (F.expr(_DOT_SPARK.format(a="e1", b="e2")) / (F.col("n1") * F.col("n2"))).alias("cos"),
+        )
+        .where(F.col("cos") >= SEMDEDUP_COS)
+    )
+
+
+def test_drops_are_exact_and_enriched(spark, sf_dir):
+    """Exactness: every drop is condemned by a true global pair (cell
+    bounding never invents pairs). Enrichment: even on these CLUSTERLESS
+    synthetic embeddings (densest pair ~0.51 — no tight duplicates to
+    co-assign), the caught fraction of true pairs must exceed the fraction
+    of all pairs compared by ≥ 2x — nearest-cell co-assignment
+    preferentially compares similar vectors. Measured: 3.4x (sf0.001),
+    3.7x (sf0.01), 6.5x (sf0.1)."""
+    from mapreduce_framework_spark.catalog import table
+
+    e = table(spark, "embeddings", sf_dir)
+    n = e.count()
+    dropped = {
+        (r["dup_of"], r["vec_id"], round(r["cos"], 9))
+        for r in semantic_dedup(e).collect()
+    }
+    global_pairs = {
+        (r["id1"], r["id2"], round(r["cos"], 9)) for r in _global_pairs(spark, sf_dir).collect()
+    }
+    # exactness: dup_of is the MIN condemning partner, so (dup_of, vec_id)
+    # must itself be a qualifying global pair
+    assert dropped <= global_pairs
+    # enrichment (see docstring)
+    asg = assign_cells(e)
+    cand = (
+        asg.alias("a")
+        .join(asg.alias("b"), F.col("a.cent_id") == F.col("b.cent_id"))
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select("a.vec_id", "b.vec_id")
+        .distinct()
+        .count()
+    )
+    condemned = {p[1] for p in global_pairs}
+    caught = {p[1] for p in dropped}
+    assert caught <= condemned
+    if condemned:
+        recall = len(caught) / len(condemned)
+        compared_frac = cand / (n * (n - 1) / 2)
+        assert recall >= 2 * compared_frac, (recall, compared_frac)
+
+
+def test_min_id_kept_within_synthetic_cell(spark):
+    """Three near-identical vectors: the smallest id survives, the other
+    two are condemned by it (transitive chains collapse to min id)."""
+    base = [1.0] + [0.0] * 63
+    jitter = [1.0, 1e-6] + [0.0] * 62
+    rows = [
+        Row(vec_id=0, embedding=base, label=0),  # also the stride centroid
+        Row(vec_id=7, embedding=base, label=0),
+        Row(vec_id=9, embedding=jitter, label=0),
+    ]
+    out = {r["vec_id"]: r for r in semantic_dedup(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {7, 9}
+    assert out[7]["dup_of"] == 0 and out[9]["dup_of"] == 0
+
+
+def test_plan_shape_scale_safe(spark, sf_dir):
+    """Candidates come ONLY from the cent_id equi-join; the sole
+    nested-loop is the sanctioned broadcast centroid assignment (tiny
+    build side), and there is no CartesianProduct anywhere."""
+    plan = (
+        q102_semantic_dedup(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # centroid assignment
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
