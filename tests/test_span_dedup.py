@@ -88,3 +88,57 @@ def test_plan_shape_scale_safe(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan  # the skew-resistant agg+join form
     assert "HashAggregate" in plan
+
+
+# --- property-based: Spark result == sequential model on arbitrary corpora ---
+
+import hashlib
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _model_span_dedup(docs: dict[int, str]):
+    """Pure-Python sequential model of span_dedup's contract."""
+    first: dict[str, tuple[int, int]] = {}
+    insts: list[tuple[int, int, str]] = []
+    for doc_id in sorted(docs):
+        toks = [w for w in re.split("[^a-zA-Z]+", docs[doc_id]) if w]
+        blocks = [" ".join(toks[i : i + SPAN_W]) for i in range(0, len(toks), SPAN_W)]
+        for pos, b in enumerate(blocks, 1):
+            insts.append((doc_id, pos, b))
+            if b not in first or (doc_id, pos) < first[b]:
+                first[b] = (doc_id, pos)
+    kept: dict[int, list[tuple[int, str]]] = {d: [] for d in docs}
+    total: dict[int, int] = {d: 0 for d in docs}
+    for doc_id, pos, b in insts:
+        total[doc_id] += 1
+        if first[b] == (doc_id, pos):
+            kept[doc_id].append((pos, b))
+    out = {}
+    for d in docs:
+        clean = " ".join(b for _, b in sorted(kept[d]))
+        out[d] = (total[d], len(kept[d]), hashlib.md5(clean.encode()).hexdigest())
+    return out
+
+
+# tiny alphabet so cross-doc block collisions actually happen
+_token = st.sampled_from(["aa", "bb"])
+_doc_text = st.lists(_token, min_size=0, max_size=3 * SPAN_W + 5).map(" ".join)
+_corpus = st.dictionaries(
+    st.integers(min_value=0, max_value=50), _doc_text, min_size=1, max_size=6
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(docs=_corpus)
+def test_matches_sequential_model(spark_global, docs):
+    df = spark_global.createDataFrame(
+        [Row(doc_id=d, text=t) for d, t in docs.items()]
+    )
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["clean_fp"])
+        for r in span_dedup(df).collect()
+    }
+    assert got == _model_span_dedup(docs)
