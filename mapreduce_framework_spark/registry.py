@@ -51,7 +51,11 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # rounds have ~2 slots for NEW queries (plus however many a fix already
 # forces into the window). Prefer deepening existing operators (tests,
 # plans, perf) over net-new registrations unless something is genuinely
-# missing. The curated order below puts, inside the window: (a) every
+# missing. ROUND-5 CURATION: the two spare slots are spoken for —
+# register q101_span_dedup (pipeline/span_dedup.py) and
+# q102_semantic_dedup (pipeline/semantic_dedup.py), which ship
+# library-first this round with registration-ready builders + oracles
+# and full differential test coverage. The curated order below puts, inside the window: (a) every
 # query new or changed this round, (b) every query whose last driver row
 # is a full round old (rotation), (c) one representative per operator
 # family for continuity. Long-stable queries rotate behind position 50
