@@ -98,6 +98,25 @@ def probe_incremental(spark, base) -> None:
         )
 
 
+def probe_span_dedup(spark, base) -> None:
+    """Round-4 library-first family: span-level dedup. Amplified copies are
+    exact duplicates, so every copy's blocks are dropped in favor of the
+    base instance (n_kept collapses); wall must stay ~linear in rows while
+    the dropped fraction rises with the amplification."""
+    from mapreduce_framework_spark.pipeline.span_dedup import span_dedup
+
+    print("| docs | span-dedup wall | docs fully deduped |")
+    print("|---|---|---|")
+    for factor in (1, 2, 4):
+        docs = amplify(base, factor)
+        t0 = time.perf_counter()
+        out = span_dedup(docs)
+        gone = out.where(F.col("n_kept") == 0).count()
+        n = out.count()
+        t = round(time.perf_counter() - t0, 2)
+        print(f"| {n} | {t} s | {gone} |")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="mfs-scaling-probe")
@@ -106,6 +125,8 @@ def main() -> None:
     base = table(spark, "documents", sf_dir).select("doc_id", "text")
     base.count()  # warm
     probe_incremental(spark, base)
+    print()
+    probe_span_dedup(spark, base)
     print()
 
     print(f"| docs | simhash wall | banded-pairs wall (rows) | lsh-pairs wall (rows) | contamination wall |")
