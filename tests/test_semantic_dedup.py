@@ -126,3 +126,70 @@ def test_plan_shape_scale_safe(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2  # centroid assignment
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+# --- property-based: Spark drop list == sequential model on random sets ---
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mapreduce_framework_spark.pipeline.semantic_dedup import SEM_STRIDE
+
+
+def _model_semantic_dedup(vecs: dict[int, list[float]], probes: int, threshold: float):
+    """Pure-Python sequential model of semantic_dedup's contract."""
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    norm = {i: math.sqrt(dot(v, v)) for i, v in vecs.items()}
+    cents = {i for i in vecs if i % SEM_STRIDE == 0}
+    cells: dict[int, list[int]] = {}
+    for i, v in vecs.items():
+        ranked = sorted(
+            ((-(dot(v, vecs[c]) / (norm[i] * norm[c])), c) for c in cents)
+        )
+        cells[i] = [c for _, c in ranked[:probes]]
+    out = {}
+    for i in sorted(vecs):
+        partners = [
+            j
+            for j in vecs
+            if j < i
+            and set(cells[i]) & set(cells[j])
+            and dot(vecs[i], vecs[j]) / (norm[i] * norm[j]) >= threshold
+        ]
+        if partners:
+            d = min(partners)
+            out[i] = (d, dot(vecs[d], vecs[i]) / (norm[d] * norm[i]))
+    return out
+
+
+_vec = st.lists(
+    st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32).filter(
+        lambda x: abs(x) > 1e-3 or x == 0.0
+    ),
+    min_size=4,
+    max_size=4,
+).filter(lambda v: any(abs(x) > 1e-3 for x in v))
+_vecset = st.dictionaries(st.integers(min_value=0, max_value=40), _vec, min_size=1, max_size=8).filter(
+    lambda d: any(i % SEM_STRIDE == 0 for i in d)  # at least one centroid
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(vecs=_vecset)
+def test_matches_sequential_model(spark_global, vecs):
+    df = spark_global.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v], label=0) for i, v in vecs.items()]
+    )
+    got = {
+        r["vec_id"]: (r["dup_of"], round(r["cos"], 6))
+        for r in semantic_dedup(df, threshold=0.9).collect()
+    }
+    want = {i: (d, round(c, 6)) for i, (d, c) in _model_semantic_dedup(vecs, SEM_PROBES, 0.9).items()}
+    assert got == want
