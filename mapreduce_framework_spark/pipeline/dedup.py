@@ -232,15 +232,58 @@ def q31_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_neardup_pairs(table(spark, "documents", sf_dir))
 
 
-def lsh_neardup_pairs(docs: DataFrame) -> DataFrame:
+def lsh_neardup_pairs(docs: DataFrame, stop_shingle_df: int | None = None) -> DataFrame:
     """Library form of q31: MinHash-LSH near-dup pairs of any documents
-    frame with (doc_id, text)."""
+    frame with (doc_id, text).
+
+    ``stop_shingle_df`` is the web-scale robustness lever SCALING.md
+    documents: shingles present in more than that many documents
+    ("stop shingles" — site chrome, licence lines) are removed before
+    signatures AND verification. A near-universal shingle drags every
+    document's minhashes toward its own hash, so band signatures collide
+    corpus-wide and the candidate set degenerates toward all-pairs — the
+    cap bounds that worst case (measured in
+    tests/test_pipeline.py::test_stop_shingle_cap_bounds_candidate_blowup).
+    Semantics with the cap: Jaccard over NON-STOP shingles (standard
+    stop-gram removal — boilerplate no longer counts as similarity).
+    Default None = exact q31 semantics, oracle-pinned."""
     # shingling (tokenize+3-gram+distinct) feeds both the signature build
     # and the exact verification — materialize it once (localCheckpoint:
     # eager, lineage-truncating, and reclaimed by the ContextCleaner when
     # the plan is garbage-collected, unlike a never-unpersisted cache)
-    sh_cached = shingles_of(docs).localCheckpoint(eager=True)
+    sh = shingles_of(docs)
+    if stop_shingle_df is not None:
+        # document frequency is a partial-aggregated count (sh is distinct
+        # per (doc_id, s)); the stop list is tiny by construction — only
+        # shingles above the cap — so it broadcasts
+        stop = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > stop_shingle_df)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(stop), "s", "left_anti")
+    sh_cached = sh.localCheckpoint(eager=True)
     return _lsh_verified_pairs(sh_cached, JACCARD_THRESHOLD)
+
+
+def lsh_band_candidates(sh_cached: DataFrame) -> DataFrame:
+    """Raw LSH band-collision candidate pairs (id1 < id2) of a materialized
+    (doc_id, s) shingle frame — exposed for candidate-volume diagnostics
+    (the quantity the stop-shingle cap exists to bound)."""
+    bands = _band_frame(_minhash_columns(sh_cached))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
 
 
 def _lsh_verified_pairs(sh_cached: DataFrame, threshold: float) -> DataFrame:

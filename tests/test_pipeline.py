@@ -221,3 +221,68 @@ def test_match_batch_with_persisted_index_equals_from_scratch(spark, sf_dir, tmp
         df._jdf.queryExecution(), "formatted"
     )
     assert "index_sigs" in plan, plan
+
+
+def test_stop_shingle_cap_bounds_candidate_blowup(spark):
+    """The web-scale robustness lever (SCALING.md): near-universal
+    "stop shingles" (site chrome, licence boilerplate) drag every doc's
+    minhashes toward their hashes, so LSH bands collide corpus-wide and
+    candidates degenerate toward all-pairs. The df cap removes them before
+    signatures; true near-dups (by their NON-boilerplate content) must
+    still surface."""
+    from pyspark.sql import Row
+
+    from mapreduce_framework_spark.pipeline.dedup import (
+        lsh_band_candidates,
+        lsh_neardup_pairs,
+        shingles_of,
+    )
+
+    def words(prefix, n, start=0):
+        # letter-only tokens (the corpus tokenizer strips digits)
+        return [
+            f"{prefix}{chr(97 + (start + i) % 26)}{chr(97 + (start + i) // 26)}"
+            for i in range(n)
+        ]
+
+    boiler = " ".join(words("bp", 40))  # shared by every doc -> stop shingles
+    n_docs = 30
+    rows = []
+    for d in range(n_docs):
+        uniq = " ".join(words(f"u{chr(97 + d % 26)}{chr(97 + d // 26)}", 20))
+        rows.append(Row(doc_id=d, text=f"{boiler} {uniq}"))
+    # planted true near-dup pair: identical unique content
+    rows.append(Row(doc_id=100, text=f"{boiler} {' '.join(words('dup', 20))}"))
+    rows.append(Row(doc_id=101, text=f"{boiler} {' '.join(words('dup', 20))}"))
+    docs = spark.createDataFrame(rows)
+
+    cap = n_docs // 2
+    sh_all = shingles_of(docs).localCheckpoint(eager=True)
+    n_cand_nocap = lsh_band_candidates(sh_all).count()
+
+    from pyspark.sql import functions as F
+
+    stop = (
+        sh_all.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > cap).select("s")
+    )
+    sh_capped = sh_all.join(F.broadcast(stop), "s", "left_anti").localCheckpoint(
+        eager=True
+    )
+    n_cand_cap = lsh_band_candidates(sh_capped).count()
+
+    n_pairs_total = (n_docs + 2) * (n_docs + 1) // 2
+    # without the cap the boilerplate drags a large fraction of ALL pairs
+    # into the candidate set; with it, candidates collapse to ~the planted pair
+    assert n_cand_nocap >= n_pairs_total // 4, (n_cand_nocap, n_pairs_total)
+    assert n_cand_cap <= max(5, n_cand_nocap // 20), (n_cand_cap, n_cand_nocap)
+
+    # the true near-dup still surfaces through the capped path, at the
+    # Jaccard of its NON-stop shingles (identical unique content -> 1.0)
+    found = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in lsh_neardup_pairs(docs, stop_shingle_df=cap).collect()
+    }
+    assert found.get((100, 101)) == 1.0
+    # boilerplate-only similarity no longer counts: no cross-corpus pairs
+    assert set(found) == {(100, 101)}
