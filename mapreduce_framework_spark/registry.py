@@ -51,11 +51,19 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # rounds have ~2 slots for NEW queries (plus however many a fix already
 # forces into the window). Prefer deepening existing operators (tests,
 # plans, perf) over net-new registrations unless something is genuinely
-# missing. ROUND-5 CURATION: the two spare slots are spoken for —
-# register q101_span_dedup (pipeline/span_dedup.py) and
+# missing. ROUND-5 CURATION (fully determined, do this first): the r5
+# window is exactly the 48 position-51+ entries below (their last driver
+# row is r3; the rotation rule forces all of them in) plus the two new
+# registrations q101_span_dedup (pipeline/span_dedup.py) and
 # q102_semantic_dedup (pipeline/semantic_dedup.py), which ship
-# library-first this round with registration-ready builders + oracles
-# and full differential test coverage. The curated order below puts, inside the window: (a) every
+# library-first in round 4 with registration-ready builders + oracles
+# (Q101_ORACLE/Q102_ORACLE) and full differential test coverage.
+# CAPACITY EXHAUSTION WARNING: at 100 registered queries the 2-round
+# rotation has ZERO slack — from round 6 on, every window is exactly the
+# previous round's behind-window half, and a new registration is only
+# possible by retiring (deleting) an existing query. q101/q102 are the
+# last free registrations; anything after that must earn its slot by
+# replacing something. The curated order below puts, inside the window: (a) every
 # query new or changed this round, (b) every query whose last driver row
 # is a full round old (rotation), (c) one representative per operator
 # family for continuity. Long-stable queries rotate behind position 50
