@@ -51,18 +51,54 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _decode_bmp(payload: bytes) -> dict:
+    """Pure-stdlib decoder for uncompressed 24-bit BMP (BITMAPINFOHEADER):
+    the image counterpart of the stdlib WAV path in decode_audio — no
+    external dependency, real pixels. Rows are 4-byte padded and stored
+    bottom-up (top-down when height < 0); pixels are BGR on disk and
+    returned as RGB."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        raise NotImplementedError("BMP core-header variant not supported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    row_size = (width * 3 + 3) & ~3
+    top_down = height < 0
+    h = abs(height)
+    out = bytearray()
+    for r in range(h):
+        src = r if top_down else h - 1 - r
+        off = data_offset + src * row_size
+        row = payload[off : off + width * 3]
+        for i in range(width):
+            out += bytes((row[3 * i + 2], row[3 * i + 1], row[3 * i]))
+    return {"width": width, "height": h, "mode": "RGB", "pixels": bytes(out)}
+
+
 def decode_image(payload: bytes) -> dict:
     """Decode an image payload to (width, height, mode, raw pixel bytes).
 
-    Optional-dependency seam: uses Pillow when importable; this container
-    ships no imaging libs, so here it raises NotImplementedError. The
-    conditional test (tests/test_pipeline.py::test_decode_image_with_pillow)
-    exercises the real decode wherever Pillow exists, so the seam cannot
-    silently rot."""
+    Uncompressed 24-bit BMP decodes via the pure-stdlib parser above —
+    real in any environment (tests/test_pipeline.py::
+    test_decode_image_bmp_via_stdlib). Other formats use Pillow when
+    importable; this container ships no imaging libs, so they raise
+    NotImplementedError. The conditional test
+    (tests/test_pipeline.py::test_decode_image_with_pillow) exercises the
+    Pillow path wherever it exists, so the seam cannot silently rot."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     try:
         from PIL import Image
     except ImportError as e:  # env-blocked: no imaging libs in container
-        raise NotImplementedError("image decode requires Pillow") from e
+        raise NotImplementedError("non-BMP image decode requires Pillow") from e
     import io
 
     img = Image.open(io.BytesIO(payload))

@@ -286,3 +286,37 @@ def test_stop_shingle_cap_bounds_candidate_blowup(spark):
     assert found.get((100, 101)) == 1.0
     # boilerplate-only similarity no longer counts: no cross-corpus pairs
     assert set(found) == {(100, 101)}
+
+
+def test_decode_image_bmp_via_stdlib():
+    """The BMP decode path is pure stdlib — real in THIS container (the
+    image counterpart of the WAV test above): hand-build a 3x2 24-bit BMP
+    with known pixels (bottom-up rows, 4-byte padding, BGR order) and
+    check the decoded RGB raster exactly."""
+    import struct
+
+    from mapreduce_framework_spark.pipeline.multimodal import decode_image
+
+    width, height = 3, 2
+    # target raster, top-to-bottom, RGB:
+    #   row0: red, green, blue        row1: white, black, gray
+    top = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    bottom = [(255, 255, 255), (0, 0, 0), (128, 128, 128)]
+    row_size = (width * 3 + 3) & ~3  # 12 bytes, includes 3 pad bytes
+    data_offset = 14 + 40
+
+    def row_bytes(px):
+        raw = b"".join(bytes((b, g, r)) for (r, g, b) in px)  # BGR on disk
+        return raw + b"\x00" * (row_size - len(raw))
+
+    pixel_data = row_bytes(bottom) + row_bytes(top)  # bottom-up storage
+    header = b"BM" + struct.pack(
+        "<IHHI", data_offset + len(pixel_data), 0, 0, data_offset
+    )
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    out = decode_image(header + dib + pixel_data)
+    assert (out["width"], out["height"], out["mode"]) == (3, 2, "RGB")
+    want = b"".join(bytes(p) for p in top + bottom)
+    assert out["pixels"] == want
