@@ -132,11 +132,73 @@ def decode_audio(payload: bytes) -> dict:
         }
 
 
-def sample_video_frames(payload: bytes, every_n: int = 30) -> "object":
-    """Frame-sample a video payload. STUB (no video libs in container; on a
-    real cluster wire cv2.VideoCapture or pyav here — the Spark-side
-    plumbing that would call it per kept frame is q76's sample_frames)."""
-    raise NotImplementedError("video decode requires a video library")
+def _riff_chunks(buf: bytes, start: int, end: int):
+    """Iterate (fourcc, payload_start, payload_size) RIFF sub-chunks of
+    buf[start:end]; chunks are word-aligned (odd sizes padded)."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        fourcc = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def sample_video_frames(payload: bytes, every_n: int = 30) -> list[dict]:
+    """Frame-sample a video payload, keeping every ``every_n``-th frame as
+    (frame_index, width, height, RGB pixel bytes).
+
+    Uncompressed AVI (RIFF 'AVI ', '00db' raw-DIB frames) parses via the
+    pure-stdlib RIFF walker above — the video member of the same
+    stdlib-decodable RIFF family as WAV (decode_audio) and the DIB raster
+    rules shared with BMP (_decode_bmp): 24-bit BGR rows, 4-byte padded,
+    bottom-up. Compressed codecs need a video library (cv2/pyav on a real
+    cluster) and raise NotImplementedError. The Spark-side plumbing that
+    calls this per kept frame is q76's sample_frames."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError("non-AVI video decode requires a video library")
+    # find the video stream format (strf: BITMAPINFOHEADER) and movi frames
+    width = height = bpp = None
+    compression = None
+    frames_raw: list[bytes] = []
+
+    def walk(start: int, end: int):
+        nonlocal width, height, bpp, compression
+        for fourcc, p, size in _riff_chunks(payload, start, end):
+            if fourcc == b"LIST":
+                walk(p + 4, p + size)  # skip the list-type fourcc
+            elif fourcc == b"strf" and width is None and size >= 40:
+                _hs, w, h, _planes, b = struct.unpack_from("<IiiHH", payload, p)
+                (comp,) = struct.unpack_from("<I", payload, p + 16)
+                width, height, bpp, compression = w, h, b, comp
+            elif fourcc in (b"00db", b"00dc"):
+                frames_raw.append(payload[p : p + size])
+
+    walk(12, len(payload))
+    if width is None or not frames_raw:
+        raise NotImplementedError("AVI without an uncompressed video stream")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit AVI supported")
+    row_size = (width * 3 + 3) & ~3
+    top_down = height < 0
+    h = abs(height)
+    out = []
+    for idx in range(0, len(frames_raw), every_n):
+        dib = frames_raw[idx]
+        px = bytearray()
+        for r in range(h):
+            src = r if top_down else h - 1 - r
+            off = src * row_size
+            row = dib[off : off + width * 3]
+            for i in range(width):
+                px += bytes((row[3 * i + 2], row[3 * i + 1], row[3 * i]))
+        out.append(
+            {"frame_index": idx, "width": width, "height": h, "pixels": bytes(px)}
+        )
+    return out
 
 
 def extract_byte_features(

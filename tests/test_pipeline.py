@@ -57,8 +57,9 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
 
 def test_multimodal_decode_stubs_are_marked():
     """Env-blocked seams must raise NotImplementedError, not fail obscurely:
-    image decode without Pillow, audio decode of a non-WAV codec, video
-    decode always (no stdlib video support exists)."""
+    non-BMP image decode without Pillow, audio decode of a non-WAV codec,
+    non-AVI video decode (the stdlib paths cover the RIFF/DIB family:
+    WAV, BMP, uncompressed AVI)."""
     try:
         import PIL  # noqa: F401
     except ImportError:
@@ -67,7 +68,7 @@ def test_multimodal_decode_stubs_are_marked():
     with pytest.raises(NotImplementedError):
         decode_audio(b"\x00\x01\x02")  # not RIFF/WAV
     with pytest.raises(NotImplementedError):
-        sample_video_frames(b"\x00")
+        sample_video_frames(b"\x00\x01\x02\x03")  # not RIFF/AVI
 
 
 def test_decode_image_with_pillow():
@@ -320,3 +321,49 @@ def test_decode_image_bmp_via_stdlib():
     assert (out["width"], out["height"], out["mode"]) == (3, 2, "RGB")
     want = b"".join(bytes(p) for p in top + bottom)
     assert out["pixels"] == want
+
+
+def test_sample_video_frames_avi_via_stdlib():
+    """The AVI frame-sampling path is pure stdlib — real in THIS container
+    (completing the RIFF trifecta: WAV audio, BMP images, AVI video):
+    hand-build a minimal uncompressed 24-bit AVI with 5 solid-color 2x2
+    frames and check that every_n=2 keeps frames 0/2/4 with exact pixels."""
+    import struct
+
+    from mapreduce_framework_spark.pipeline.multimodal import sample_video_frames
+
+    width, height = 2, 2
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 8, 7), (1, 2, 3)]  # RGB
+    row_size = (width * 3 + 3) & ~3  # 8 bytes (2 px * 3 + 2 pad)
+
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(list_type, body):
+        return chunk(b"LIST", list_type + body)
+
+    def dib_frame(rgb):
+        r, g, b = rgb
+        row = bytes((b, g, r)) * width + b"\x00" * (row_size - width * 3)
+        return row * height  # both rows identical (solid color)
+
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, row_size * height, 0, 0, 0, 0
+    )
+    strh = b"vids" + b"DIB " + b"\x00" * 48  # minimal; parser ignores it
+    avih = b"\x00" * 56
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib_frame(c)) for c in colors))
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    frames = sample_video_frames(payload, every_n=2)
+    assert [f["frame_index"] for f in frames] == [0, 2, 4]
+    for f, want in zip(frames, (colors[0], colors[2], colors[4])):
+        assert (f["width"], f["height"]) == (2, 2)
+        assert f["pixels"] == bytes(want) * 4
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        sample_video_frames(b"\x00\x01\x02\x03mp4 junk")
