@@ -10,9 +10,11 @@ cells bound the quadratic exactly the way IVF cells bound ANN search
 
 Semantics, exactly:
 
-1. centroids are every ``SEM_STRIDE``-th vector (the deterministic
-   stand-in for a k-means fit, as q56 — a real pipeline plugs fitted
-   centroids into the same dataflow);
+1. centroids are a caller-supplied ``(cent_id, cent)`` table (a fitted
+   k-means codebook of FIXED size K at scale); when none is supplied the
+   deterministic stand-in is every ``SEM_STRIDE``-th vector
+   (:func:`stride_centroids`), which is q102's oracle-checked registry
+   form;
 2. every vector is assigned to its ``SEM_PROBES`` nearest cells by cosine
    (ties → smaller cent_id; multi-probe is the standard recall lever,
    same role as q56's nprobe);
@@ -35,17 +37,21 @@ compared (measured 3.4–6.5× across sf0.001/0.01/0.1) — nearest-cell
 co-assignment preferentially compares similar vectors even without
 cluster structure.
 
-Scale shape (100 TB): the centroid table is tiny → assignment is one
-broadcast pass over the corpus (the sanctioned broadcast crossJoin, as
-q56); the only corpus-wide shuffle is the shared-cell equi-join, whose
-fan-out is bounded by cell size × probes. Every cosine is the fold-order
-dot product both engines evaluate identically (similarity.py module
-note), so the drop list is bit-exactly reproducible in SQL.
+Scale shape (100 TB): at scale the centroid table is a FITTED codebook of
+fixed cardinality K (e.g. a k-means fit on a sample), so the broadcast is
+O(K·dim) — independent of corpus size — and assignment is one broadcast
+pass over the corpus (the sanctioned broadcast crossJoin, as q56); the
+only corpus-wide shuffle is the shared-cell equi-join, whose fan-out is
+bounded by cell size × probes. The stride-derived DEFAULT is the
+deterministic test/oracle form only: its cardinality is n/SEM_STRIDE and
+it must not be used on a large corpus (SCALING.md). Every cosine is the
+fold-order dot product both engines evaluate identically (similarity.py
+module note), so the drop list is bit-exactly reproducible in SQL.
 
-Not registered yet: the round-4 driver window is full (registry.py
-capacity note) — q102 ships library-first with the registered-query-grade
-differential test (tests/test_semantic_dedup.py) and takes a round-5
-window slot.
+Registered round 5 as ``q102_semantic_dedup`` (stride-centroid default —
+the deterministic oracle form); the parameterized ``centroids=`` seam is
+the production path, mirroring q91's ``index_signatures``/``match_batch``
+split.
 """
 
 from __future__ import annotations
@@ -54,6 +60,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_framework_spark.catalog import table
+from mapreduce_framework_spark.registry import register
 from mapreduce_framework_spark.pipeline.similarity import (
     _DOT_SPARK,
     _NORM_DUCK,
@@ -66,14 +73,49 @@ SEM_STRIDE = 29  # finer cells than q56's ANN stride: dedup wants many
 SEM_PROBES = 2   # small cells + multi-probe (best measured tradeoff)
 
 
-def assign_cells(embs: DataFrame, probes: int = SEM_PROBES) -> DataFrame:
-    """(vec_id, cent_id) — each vector's ``probes`` nearest cells by
-    cosine (ties → smaller cent_id). One broadcast pass over the corpus."""
-    e = _norms_spark(embs)
-    cents = e.where((F.col("vec_id") % SEM_STRIDE) == 0).select(
+def stride_centroids(embs: DataFrame) -> DataFrame:
+    """Deterministic stand-in for a k-means fit: every ``SEM_STRIDE``-th
+    vector as a centroid. Cardinality is n/SEM_STRIDE — scales with the
+    corpus, so this is the TEST/ORACLE form only; at scale pass a fitted
+    fixed-K codebook to :func:`assign_cells` / :func:`semantic_dedup`."""
+    return _norms_spark(embs).where((F.col("vec_id") % SEM_STRIDE) == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cent"),
         F.col("norm").alias("cent_norm"),
+    )
+
+
+def _prepare_centroids(centroids: DataFrame) -> DataFrame:
+    """Normalize a caller-supplied ``(cent_id, cent[, cent_norm])`` frame,
+    failing fast on an empty one — an empty centroid table would silently
+    assign nothing and return an empty drop list (ADVICE round-4)."""
+    if "cent_norm" not in centroids.columns:
+        centroids = _norms_spark(centroids, vec="cent").withColumnRenamed(
+            "norm", "cent_norm"
+        )
+    cents = centroids.select("cent_id", "cent", "cent_norm")
+    if not cents.take(1):  # 1-row bound check on a by-contract tiny table
+        raise ValueError(
+            "semantic dedup: centroid table is empty — every vector would be "
+            "unassigned and the drop list silently empty; supply >= 1 centroid"
+        )
+    return cents
+
+
+def assign_cells(
+    embs: DataFrame, centroids: DataFrame | None = None, probes: int = SEM_PROBES
+) -> DataFrame:
+    """(vec_id, cent_id) — each vector's ``probes`` nearest cells by
+    cosine (ties → smaller cent_id). One broadcast pass over the corpus.
+
+    ``centroids``: a fitted fixed-K codebook ``(cent_id, cent[, cent_norm])``
+    — the production seam, broadcast O(K·dim). Default: the stride-derived
+    deterministic stand-in (cardinality n/SEM_STRIDE; test/oracle form
+    only). An explicitly-passed empty frame raises; the stride default on
+    an empty corpus yields the correct empty output."""
+    e = _norms_spark(embs)
+    cents = (
+        stride_centroids(embs) if centroids is None else _prepare_centroids(centroids)
     )
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
@@ -91,11 +133,16 @@ def assign_cells(embs: DataFrame, probes: int = SEM_PROBES) -> DataFrame:
     )
 
 
-def semantic_dedup(embs: DataFrame, threshold: float = SEMDEDUP_COS) -> DataFrame:
+def semantic_dedup(
+    embs: DataFrame,
+    centroids: DataFrame | None = None,
+    threshold: float = SEMDEDUP_COS,
+) -> DataFrame:
     """Drop list of cell-bounded semantic dedup: (vec_id, dup_of, cos) for
     every vector condemned by a smaller-id partner sharing one of its
-    cells (see module docstring)."""
-    asg = assign_cells(embs)
+    cells (see module docstring). ``centroids``: fitted fixed-K codebook
+    (production); default is the stride-derived oracle form."""
+    asg = assign_cells(embs, centroids)
     cand = (
         asg.alias("a")
         .join(asg.alias("b"), F.col("a.cent_id") == F.col("b.cent_id"))
@@ -122,12 +169,6 @@ def semantic_dedup(embs: DataFrame, threshold: float = SEMDEDUP_COS) -> DataFram
         F.min("id1").alias("dup_of"),
         F.min_by("cos", "id1").alias("cos"),
     ).select(F.col("id2").alias("vec_id"), "dup_of", "cos")
-
-
-def q102_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cell-bounded semantic drop list over embeddings (module docstring).
-    Not yet in the registry — round-5 window slot."""
-    return semantic_dedup(table(spark, "embeddings", sf_dir)).orderBy("vec_id")
 
 
 _CENT_COS = f"{_dot_duck('e.embedding', 'cents.cent')} / (e.norm * cents.cent_norm)"
@@ -160,3 +201,16 @@ Q102_ORACLE = f"""
     GROUP BY id2
     ORDER BY vec_id
 """
+
+
+@register(
+    "q102_semantic_dedup",
+    oracle=Q102_ORACLE,
+    tags=("ext", "dedup", "semantic", "embedding"),
+)
+def q102_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-bounded semantic drop list over embeddings (module docstring),
+    in the deterministic stride-centroid oracle form; production callers
+    pass a fitted fixed-K ``centroids`` frame to :func:`semantic_dedup`.
+    SemDeDup semantics per Abbas et al. 2023 (arXiv:2303.09540) §2."""
+    return semantic_dedup(table(spark, "embeddings", sf_dir)).orderBy("vec_id")

@@ -35,11 +35,10 @@ tokens at SPAN_W=10 — far beyond any real document; enforced with a
 fail-fast filter) so ``doc_id * 2^20 + pos`` is collision-free for
 doc_id < 2^43.
 
-Not registered yet: the round-4 driver window is fully committed to
-never-checked + rotation entries (registry.py capacity note), so
-``q101_span_dedup`` ships library-first with the same differential
-DuckDB test the registered queries get (tests/test_span_dedup.py) and
-takes a round-5 window slot.
+Shipped library-first in round 4 (the driver window was full —
+registry.py capacity note) with the same differential DuckDB test the
+registered queries get (tests/test_span_dedup.py); registered round 5 as
+``q101_span_dedup``.
 """
 
 from __future__ import annotations
@@ -48,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_framework_spark.catalog import table
+from mapreduce_framework_spark.registry import register
 from mapreduce_framework_spark.pipeline.dedup import TOKS_DUCK, TOKS_SPARK
 
 SPAN_W = 10  # tokens per block
@@ -128,13 +128,7 @@ def span_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def q101_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide span dedup over documents (see module docstring). Not
-    yet in the registry — round-5 window slot; oracle below."""
-    return span_dedup(table(spark, "documents", sf_dir)).orderBy("doc_id")
-
-
-# DuckDB twin of q101 — identical keep-first semantics; registration-ready.
+# DuckDB twin of q101 — identical keep-first semantics.
 Q101_ORACLE = f"""
     WITH t AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
     blocks AS (
@@ -166,3 +160,14 @@ Q101_ORACLE = f"""
     LEFT JOIN reassembled USING (doc_id)
     ORDER BY doc_id
 """
+
+
+@register(
+    "q101_span_dedup",
+    oracle=Q101_ORACLE,
+    tags=("ext", "dedup", "span", "c4"),
+)
+def q101_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide keep-first span dedup over documents (module docstring);
+    C4-style repeated-span removal per Raffel et al. §2.2."""
+    return span_dedup(table(spark, "documents", sf_dir)).orderBy("doc_id")

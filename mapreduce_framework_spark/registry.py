@@ -45,34 +45,104 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # __spark_entry__.queries() only, so exposure order is part of the driver
 # contract.
 #
-# CAPACITY NOTE (round 4): with the enforced max-staleness of one round,
+# CAPACITY NOTE (round 5): with the enforced max-staleness of one round,
 # every query needs a window slot every 2 rounds — steady-state capacity
-# is 2 × DRIVER_WINDOW = 100 queries. The registry holds 98, so future
-# rounds have ~2 slots for NEW queries (plus however many a fix already
-# forces into the window). Prefer deepening existing operators (tests,
-# plans, perf) over net-new registrations unless something is genuinely
-# missing. ROUND-5 CURATION (fully determined, do this first): the r5
-# window is exactly the 48 position-51+ entries below (their last driver
-# row is r3; the rotation rule forces all of them in) plus the two new
-# registrations q101_span_dedup (pipeline/span_dedup.py) and
-# q102_semantic_dedup (pipeline/semantic_dedup.py), which ship
-# library-first in round 4 with registration-ready builders + oracles
-# (Q101_ORACLE/Q102_ORACLE) and full differential test coverage.
-# CAPACITY EXHAUSTION WARNING: at 100 registered queries the 2-round
-# rotation has ZERO slack — from round 6 on, every window is exactly the
-# previous round's behind-window half, and a new registration is only
-# possible by retiring (deleting) an existing query. q101/q102 are the
-# last free registrations; anything after that must earn its slot by
-# replacing something. The curated order below puts, inside the window: (a) every
-# query new or changed this round, (b) every query whose last driver row
-# is a full round old (rotation), (c) one representative per operator
-# family for continuity. Long-stable queries rotate behind position 50
+# is 2 × DRIVER_WINDOW = 100 queries. The registry now holds exactly 100:
+# round 5 registered q101_span_dedup and q102_semantic_dedup (shipped
+# library-first in round 4) into the two remaining free slots. CAPACITY
+# IS EXHAUSTED: from round 6 on, every window is exactly the previous
+# round's behind-window half, and a new registration is only possible by
+# retiring an existing query under the policy below. Prefer deepening
+# existing operators (tests, plans, perf, scale probes) over net-new
+# registrations.
+#
+# RETIREMENT POLICY (binding from round 6; enforced by
+# tests/test_rotation.py::test_capacity_and_retirement_policy):
+#   1. A new query may be registered ONLY by retiring an existing one in
+#      the same commit — the registry never exceeds 100 names.
+#   2. Retire-eligibility, in preference order:
+#        a. demonstrative twins whose production form stays registered
+#           (q28_kv_stateful_replay — interpreted twin of q06;
+#           q47_sql_frontend_window — SQL-text twin of q18/q19);
+#        b. capped exact-oracle twins whose scaled/banded form stays
+#           registered (q30 ← q31, q72 ← q84, q34 brute-force ← q35/q56,
+#           q55 ← q73);
+#        c. narrow function-battery queries subsumed by a broader battery
+#           (q63_posexplode ⊂ q23_array_functions surface).
+#   3. NOT retire-eligible: the reference-parity surface that SURVEY §2
+#      maps line-by-line — MR apps q01–q05/q09/q10, KV q06–q08,
+#      shardctrler q85, and the sole representative of any operator
+#      family (never retire a family to zero).
+#   4. Retirement removes the name from CURATED_ORDER and the module's
+#      @register decorator ONLY. The builder, its oracle constant, and
+#      its DuckDB differential pytest test remain in the repo permanently
+#      (the local oracle sweep still proves it every run); the name is
+#      appended to RETIRED below and never reused.
+#
+# The curated order below puts, inside the window: (a) every query new
+# or changed this round, (b) every query whose last driver row is a full
+# round old (rotation). Long-stable queries rotate behind position 50
 # (still swept by the local pytest oracle suite every run). The rotation
 # is ENFORCED, not aspirational: tests/test_rotation.py asserts — using
 # WINDOW_HISTORY below — that no registered query goes more than one
 # round without a driver window slot.
 CURATED_ORDER = [
-    # --- new this round (never driver-checked) ---
+    # --- new this round (registered r5; library-first since r4) ---
+    "q101_span_dedup",
+    "q102_semantic_dedup",
+    # --- rotation: the 48 queries whose last driver row is round 3 ---
+    # (q89's md5 scrub_fp change and q91's index/match split land their
+    # first driver rows here, as the r4 curation note promised.)
+    "q89_denylist_scrub",
+    "q91_cross_snapshot_dedup",
+    "q01_wordcount",
+    "q06_kv_final_state",
+    "q31_minhash_lsh_neardup",
+    "q84_char_ngram_lsh_neardup",
+    "q85_shardctrler_replay",
+    "q86_boilerplate_ngrams",
+    "q87_boilerplate_doc_stats",
+    "q88_repetition_stats",
+    "q90_domain_mix_resample",
+    "q92_tfidf_topk",
+    "q36_embedding_neardup",
+    "q72_char_ngram_jaccard",
+    "q75_percentile_sketch_bound",
+    "q83_streaming_kv_replay",
+    "q28_kv_stateful_replay",
+    "q24_exact_dedup",
+    "q02_inverted_index",
+    "q11_filter_project",
+    "q30_ngram_jaccard_neardup",
+    "q49_neardup_components",
+    "q03_crash_emits",
+    "q04_per_doc_counts",
+    "q05_global_count",
+    "q09_fnv_bucket_histogram",
+    "q10_global_sort",
+    "q07_kv_point_in_time",
+    "q08_shard_histogram",
+    "q14_semi_join",
+    "q14_anti_join",
+    "q16_count_distinct",
+    "q18_window_topk_per_group",
+    "q20_global_topk",
+    "q21_set_ops",
+    "q23_array_functions",
+    "q25_tumbling_window",
+    "q26_sliding_window",
+    "q32_simhash",
+    "q33_exact_dedup_docs",
+    "q44_map_functions",
+    "q47_sql_frontend_window",
+    "q50_window_battery",
+    "q52_pandas_udf_path",
+    "q55_simhash_neardup",
+    "q57_asof_join",
+    "q73_simhash_banded_neardup",
+    "q81_training_corpus",
+    # ---- position 51+: driver-checked green in round 4;
+    #      pytest-swept every run; rotate back in round 6 ----
     "q94_streaming_session_replay",
     "q95_incremental_ingest_dedup",
     "q96_incremental_rollup_replay",
@@ -80,11 +150,9 @@ CURATED_ORDER = [
     "q98_cohort_retention",
     "q99_session_transitions",
     "q100_token_chunking",
-    # --- broken at HEAD in round 3, fixed this round (must re-check) ---
-    "q82_streaming_tumbling_replay",  # NTZ watermark regression fix
-    "q93_embedding_quantize",  # codes now CSV-serialized for the driver
-    "q58_range_join_binned",  # NTZ-safe epoch binning (also r2-stale)
-    # --- rotation: the 40 queries whose last driver row is round 2 ---
+    "q82_streaming_tumbling_replay",
+    "q93_embedding_quantize",
+    "q58_range_join_binned",
     "q12_join_revenue_per_nation",
     "q74_hll_error_bound",
     "q61_correlated_subqueries",
@@ -125,65 +193,15 @@ CURATED_ORDER = [
     "q77_multimodal_resize",
     "q79_sequence_packing",
     "q80_contamination_check",
-    # ---- position 51+: driver-checked green in round 3;
-    #      pytest-swept every run; rotate back in round 5 ----
-    # Documented exceptions to the "changed ⇒ in-window" rule — the 50
-    # slots are fully taken by never-checked + must-recheck queries:
-    # * q91: internals refactored (index_signatures/match_batch split) but
-    #   output pinned equal to the r3-green form by
-    #   test_match_batch_with_persisted_index_equals_from_scratch.
-    # * q89: scrub_fp switched FNV→md5 (Spark + oracle changed atomically,
-    #   one commit); locally verified by the pytest oracle AND the
-    #   dtype-exact tools/driver_check.py. First r5 window slot.
-    "q91_cross_snapshot_dedup",
-    "q01_wordcount",
-    "q06_kv_final_state",
-    "q31_minhash_lsh_neardup",
-    "q84_char_ngram_lsh_neardup",
-    "q85_shardctrler_replay",
-    "q86_boilerplate_ngrams",
-    "q87_boilerplate_doc_stats",
-    "q88_repetition_stats",
-    "q89_denylist_scrub",
-    "q90_domain_mix_resample",
-    "q92_tfidf_topk",
-    "q36_embedding_neardup",
-    "q72_char_ngram_jaccard",
-    "q75_percentile_sketch_bound",
-    "q83_streaming_kv_replay",
-    "q28_kv_stateful_replay",
-    "q24_exact_dedup",
-    "q02_inverted_index",
-    "q11_filter_project",
-    "q30_ngram_jaccard_neardup",
-    "q49_neardup_components",
-    "q03_crash_emits",
-    "q04_per_doc_counts",
-    "q05_global_count",
-    "q09_fnv_bucket_histogram",
-    "q10_global_sort",
-    "q07_kv_point_in_time",
-    "q08_shard_histogram",
-    "q14_semi_join",
-    "q14_anti_join",
-    "q16_count_distinct",
-    "q18_window_topk_per_group",
-    "q20_global_topk",
-    "q21_set_ops",
-    "q23_array_functions",
-    "q25_tumbling_window",
-    "q26_sliding_window",
-    "q32_simhash",
-    "q33_exact_dedup_docs",
-    "q44_map_functions",
-    "q47_sql_frontend_window",
-    "q50_window_battery",
-    "q52_pandas_udf_path",
-    "q55_simhash_neardup",
-    "q57_asof_join",
-    "q73_simhash_banded_neardup",
-    "q81_training_corpus",
 ]
+
+# Queries retired under the policy above (none yet). Append-only; names
+# here must never reappear in CURATED_ORDER, and their builders/oracles/
+# differential tests stay in the repo permanently.
+RETIRED: tuple[str, ...] = ()
+
+# Hard ceiling = 2 rounds × DRIVER_WINDOW (see capacity note).
+MAX_REGISTERED = 100
 
 DRIVER_WINDOW = 50
 
@@ -192,7 +210,7 @@ DRIVER_WINDOW = 50
 # records the window actually exposed in each past round (= the keys of
 # CORRECTNESS_r{N}.json, verbatim). Each new round: append the previous
 # round's first-DRIVER_WINDOW names here, bump CURRENT_ROUND, re-curate.
-CURRENT_ROUND = 4
+CURRENT_ROUND = 5
 
 WINDOW_HISTORY: dict[int, tuple[str, ...]] = {
     1: (
@@ -351,6 +369,58 @@ WINDOW_HISTORY: dict[int, tuple[str, ...]] = {
         "q73_simhash_banded_neardup",
         "q81_training_corpus",
     ),
+    4: (
+        "q94_streaming_session_replay",
+        "q95_incremental_ingest_dedup",
+        "q96_incremental_rollup_replay",
+        "q97_session_funnel",
+        "q98_cohort_retention",
+        "q99_session_transitions",
+        "q100_token_chunking",
+        "q82_streaming_tumbling_replay",
+        "q93_embedding_quantize",
+        "q58_range_join_binned",
+        "q12_join_revenue_per_nation",
+        "q74_hll_error_bound",
+        "q61_correlated_subqueries",
+        "q40_lang_id",
+        "q35_ann_lsh",
+        "q37_multimodal_features",
+        "q56_ann_ivf",
+        "q78_stratified_hash_sample",
+        "q13_broadcast_join",
+        "q15_tpch_q1_shape",
+        "q17_rollup",
+        "q19_window_running_sum",
+        "q22_scalar_battery",
+        "q45_cube",
+        "q46_sql_frontend_join",
+        "q48_salted_skew_agg",
+        "q51_pivot",
+        "q53_null_handling",
+        "q64_summary_stats",
+        "q66_json_functions",
+        "q68_merge_upsert",
+        "q29_approx_count_distinct",
+        "q69_approx_percentiles",
+        "q27_session_window",
+        "q65_hierarchical_rollup",
+        "q54_percentiles",
+        "q59_string_battery",
+        "q60_grouping_sets",
+        "q63_posexplode",
+        "q67_multiset_ops",
+        "q70_grouped_agg_pandas_udf",
+        "q71_dedup_corpus_output",
+        "q34_ann_bruteforce",
+        "q41_quality_score",
+        "q42_token_stats",
+        "q43_fingerprint",
+        "q76_multimodal_frame_sample",
+        "q77_multimodal_resize",
+        "q79_sequence_packing",
+        "q80_contamination_check",
+    ),
 }
 
 
@@ -380,6 +450,8 @@ def all_queries() -> dict[str, QuerySpec]:
     import mapreduce_framework_spark.pipeline.quality  # noqa: F401
     import mapreduce_framework_spark.operators.streaming_replay  # noqa: F401
     import mapreduce_framework_spark.operators.shardctrler  # noqa: F401
+    import mapreduce_framework_spark.pipeline.span_dedup  # noqa: F401
+    import mapreduce_framework_spark.pipeline.semantic_dedup  # noqa: F401
 
     missing = set(REGISTRY) - set(CURATED_ORDER)
     extra = set(CURATED_ORDER) - set(REGISTRY)

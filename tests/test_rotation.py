@@ -19,6 +19,8 @@ from mapreduce_framework_spark.registry import (
     CURATED_ORDER,
     CURRENT_ROUND,
     DRIVER_WINDOW,
+    MAX_REGISTERED,
+    RETIRED,
     WINDOW_HISTORY,
     all_queries,
     driver_window,
@@ -67,6 +69,22 @@ def test_window_history_matches_correctness_artifacts():
 def test_window_history_covers_all_past_rounds():
     assert sorted(WINDOW_HISTORY) == list(range(1, CURRENT_ROUND))
     assert all(len(w) == DRIVER_WINDOW for w in WINDOW_HISTORY.values())
+
+
+def test_capacity_and_retirement_policy():
+    """The 2-round rotation caps the registry at 2 × DRIVER_WINDOW names
+    (registry.py capacity note). Registering query #101 requires retiring
+    one under the written policy: the retired name goes to RETIRED
+    (append-only, never reused in CURATED_ORDER) while its builder,
+    oracle, and DuckDB differential test stay in the repo permanently."""
+    assert MAX_REGISTERED == 2 * DRIVER_WINDOW
+    assert len(all_queries()) <= MAX_REGISTERED, (
+        "registry exceeds rotation capacity — retire a query "
+        "(see RETIREMENT POLICY in registry.py) before registering a new one"
+    )
+    leaked = set(RETIRED) & set(CURATED_ORDER)
+    assert not leaked, f"retired names re-registered: {sorted(leaked)}"
+    assert len(RETIRED) == len(set(RETIRED))
 
 
 def test_window_has_exactly_driver_window_slots_used_meaningfully():

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
+import pytest
+
 from mapreduce_framework_spark.pipeline.semantic_dedup import (
     Q102_ORACLE,
     SEM_PROBES,
@@ -18,6 +20,7 @@ from mapreduce_framework_spark.pipeline.semantic_dedup import (
     assign_cells,
     q102_semantic_dedup,
     semantic_dedup,
+    stride_centroids,
 )
 from tests.oracle import compare
 
@@ -96,6 +99,50 @@ def test_drops_are_exact_and_enriched(spark, sf_dir):
         recall = len(caught) / len(condemned)
         compared_frac = cand / (n * (n - 1) / 2)
         assert recall >= 2 * compared_frac, (recall, compared_frac)
+
+
+def test_explicit_stride_centroids_equal_default(spark, sf_dir):
+    """The parameterized seam with the stride-derived table must reproduce
+    the default (q102's oracle-checked registry form) exactly — the
+    production path differs only in WHERE the codebook comes from."""
+    from mapreduce_framework_spark.catalog import table
+
+    e = table(spark, "embeddings", sf_dir)
+    default = {tuple(r) for r in semantic_dedup(e).collect()}
+    explicit = {tuple(r) for r in semantic_dedup(e, centroids=stride_centroids(e)).collect()}
+    assert default == explicit
+
+
+def test_external_fixed_k_centroids(spark):
+    """A caller-supplied fixed-K codebook (no cent_norm column — computed
+    internally) drives assignment: vectors land in their nearest external
+    cell and duplicates sharing it are caught."""
+    axis0 = [1.0] + [0.0] * 63
+    axis1 = [0.0, 1.0] + [0.0] * 62
+    rows = [
+        Row(vec_id=3, embedding=axis0, label=0),
+        Row(vec_id=5, embedding=axis0, label=0),  # dup of 3, cell 100
+        Row(vec_id=8, embedding=axis1, label=0),  # alone in cell 200
+    ]
+    cents = spark.createDataFrame(
+        [Row(cent_id=100, cent=axis0), Row(cent_id=200, cent=axis1)]
+    )
+    asg = {
+        (r["vec_id"], r["cent_id"])
+        for r in assign_cells(spark.createDataFrame(rows), centroids=cents, probes=1).collect()
+    }
+    assert asg == {(3, 100), (5, 100), (8, 200)}
+    out = semantic_dedup(spark.createDataFrame(rows), centroids=cents).collect()
+    assert [(r["vec_id"], r["dup_of"]) for r in out] == [(5, 3)]
+
+
+def test_empty_centroid_frame_raises(spark):
+    """An explicitly-passed empty codebook fails fast instead of silently
+    returning an empty drop list (round-4 ADVICE)."""
+    embs = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 0.0], label=0)])
+    empty = spark.createDataFrame([], "cent_id BIGINT, cent ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="centroid table is empty"):
+        semantic_dedup(embs, centroids=empty).collect()
 
 
 def test_min_id_kept_within_synthetic_cell(spark):
