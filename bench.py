@@ -92,6 +92,10 @@ HEADLINE = [
     "q98_cohort_retention",        # cohort triangle (two aggs + equi-join)
     "q99_session_transitions",     # gaps-and-islands sessionization (lag+sum)
     "q100_token_chunking",         # sliding-window chunking (per-row arrays)
+    # round-5 registrations (library-first since r4; candidate numbers in
+    # BASELINE.md's round-4 note)
+    "q101_span_dedup",             # C4-style keep-first span dedup (min-agg)
+    "q102_semantic_dedup",         # SemDeDup cell-bounded drop list
 ]
 
 
@@ -188,6 +192,11 @@ def main() -> None:
                     sum(t for q, t in execute.items() if q in R1_SUBSET), 3
                 ),
                 "steady_state": steady,
+                # host load (1/5/15-min averages) at end of run: round 4
+                # discarded one 3-10x-degraded run by hand; recording load
+                # makes a degraded-host bench machine-adjudicable
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
             }
         )
     )

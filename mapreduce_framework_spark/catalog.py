@@ -122,13 +122,22 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     wall-clock regardless of the enclosing session's timezone, with no
     session-config side effects."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, TimestampType
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
-    if isinstance(df.schema["ts"].dataType, LongType):  # legacy nanos-as-long
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):  # legacy nanos-as-long
         return df.withColumn("ts", F.expr(_NANOS_TO_NTZ))
-    if isinstance(df.schema["ts"].dataType, TimestampType):  # LTZ leak-through
+    if isinstance(ts_type, TimestampType):  # LTZ leak-through
         return df.withColumn("ts", F.expr(ltz_to_ntz_expr("ts")))
-    return df
+    if isinstance(ts_type, TimestampNTZType):  # already canonical
+        return df
+    # anything else (string, date, double...) is a generation change this
+    # normalizer does not understand — passing it through would let a wrong
+    # ts type flow silently into every window/watermark downstream
+    raise TypeError(
+        f"events.ts has unhandled type {ts_type.simpleString()}; expected "
+        "nanos-as-long, timestamp (LTZ), or timestamp_ntz"
+    )
 
 
 def parquet_path(sf_dir: str, name: str) -> str:

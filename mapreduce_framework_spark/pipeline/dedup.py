@@ -254,15 +254,19 @@ def lsh_neardup_pairs(docs: DataFrame, stop_shingle_df: int | None = None) -> Da
     sh = shingles_of(docs)
     if stop_shingle_df is not None:
         # document frequency is a partial-aggregated count (sh is distinct
-        # per (doc_id, s)); the stop list is tiny by construction — only
-        # shingles above the cap — so it broadcasts
+        # per (doc_id, s)). The stop list is SMALL when the cap is chosen
+        # near corpus size (its intended use: only boilerplate shingles
+        # exceed it), but a cap far below corpus size makes it large — so
+        # no forced broadcast hint here; AQE broadcasts it when it is in
+        # fact small and falls back to a shuffled anti-join when not
+        # (round-4 ADVICE: a forced hint risks broadcast OOM).
         stop = (
             sh.groupBy("s")
             .agg(F.count(F.lit(1)).alias("df"))
             .where(F.col("df") > stop_shingle_df)
             .select("s")
         )
-        sh = sh.join(F.broadcast(stop), "s", "left_anti")
+        sh = sh.join(stop, "s", "left_anti")
     sh_cached = sh.localCheckpoint(eager=True)
     return _lsh_verified_pairs(sh_cached, JACCARD_THRESHOLD)
 

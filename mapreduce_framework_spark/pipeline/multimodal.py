@@ -73,6 +73,13 @@ def _decode_bmp(payload: bytes) -> dict:
     row_size = (width * 3 + 3) & ~3
     top_down = height < 0
     h = abs(height)
+    if width <= 0 or h == 0:
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
+    if len(payload) < data_offset + h * row_size:
+        raise ValueError(
+            f"truncated BMP payload: {len(payload)} bytes < "
+            f"{data_offset + h * row_size} required for {width}x{h}"
+        )
     out = bytearray()
     for r in range(h):
         src = r if top_down else h - 1 - r
@@ -145,6 +152,73 @@ def _riff_chunks(buf: bytes, start: int, end: int):
         pos += 8 + size + (size & 1)
 
 
+def _sample_frames_via_video_lib(payload: bytes, every_n: int) -> list[dict]:
+    """Compressed-codec branch of sample_video_frames: decode via PyAV
+    (in-memory) or OpenCV (temp file — cv2.VideoCapture needs a path) when
+    either is importable. This container ships neither, so the seam raises
+    NotImplementedError here and stays live through the conditional test
+    (tests/test_pipeline.py::test_sample_video_frames_with_video_lib),
+    which authors its own fixture with whichever lib it finds."""
+    try:
+        import av  # PyAV
+    except ImportError:
+        av = None
+    if av is not None:
+        import io
+
+        out = []
+        with av.open(io.BytesIO(payload)) as container:
+            for i, frame in enumerate(container.decode(video=0)):
+                if i % every_n == 0:
+                    rgb = frame.to_ndarray(format="rgb24")
+                    out.append(
+                        {
+                            "frame_index": i,
+                            "width": rgb.shape[1],
+                            "height": rgb.shape[0],
+                            "pixels": rgb.tobytes(),
+                        }
+                    )
+        return out
+    try:
+        import cv2
+    except ImportError as e:  # env-blocked: no video libs in container
+        raise NotImplementedError(
+            "compressed/non-AVI video decode requires a video library "
+            "(pyav or cv2)"
+        ) from e
+    import os as _os
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=".video")
+    try:
+        with _os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        cap = cv2.VideoCapture(path)
+        try:
+            out, i = [], 0
+            while True:
+                ok, bgr = cap.read()
+                if not ok:
+                    break
+                if i % every_n == 0:
+                    rgb = bgr[:, :, ::-1]
+                    out.append(
+                        {
+                            "frame_index": i,
+                            "width": rgb.shape[1],
+                            "height": rgb.shape[0],
+                            "pixels": rgb.tobytes(),
+                        }
+                    )
+                i += 1
+            return out
+        finally:
+            cap.release()
+    finally:
+        _os.unlink(path)
+
+
 def sample_video_frames(payload: bytes, every_n: int = 30) -> list[dict]:
     """Frame-sample a video payload, keeping every ``every_n``-th frame as
     (frame_index, width, height, RGB pixel bytes).
@@ -153,24 +227,37 @@ def sample_video_frames(payload: bytes, every_n: int = 30) -> list[dict]:
     pure-stdlib RIFF walker above — the video member of the same
     stdlib-decodable RIFF family as WAV (decode_audio) and the DIB raster
     rules shared with BMP (_decode_bmp): 24-bit BGR rows, 4-byte padded,
-    bottom-up. Compressed codecs need a video library (cv2/pyav on a real
-    cluster) and raise NotImplementedError. The Spark-side plumbing that
+    bottom-up. Compressed codecs decode via PyAV/OpenCV when importable
+    (_sample_frames_via_video_lib) and raise NotImplementedError otherwise
+    — this container ships no video libs. The Spark-side plumbing that
     calls this per kept frame is q76's sample_frames."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
-        raise NotImplementedError("non-AVI video decode requires a video library")
-    # find the video stream format (strf: BITMAPINFOHEADER) and movi frames
+        return _sample_frames_via_video_lib(payload, every_n)
+    # find the VIDEO stream format (strf: BITMAPINFOHEADER) and movi frames.
+    # strf's layout depends on the stream type declared by the preceding
+    # strh in the same strl list (an audio strf is a WAVEFORMATEX), so only
+    # a strf following an strh with fccType 'vids' is accepted — an AVI
+    # whose audio stream precedes video must not be misread.
     width = height = bpp = None
     compression = None
+    cur_stream: bytes | None = None
     frames_raw: list[bytes] = []
 
     def walk(start: int, end: int):
-        nonlocal width, height, bpp, compression
+        nonlocal width, height, bpp, compression, cur_stream
         for fourcc, p, size in _riff_chunks(payload, start, end):
             if fourcc == b"LIST":
                 walk(p + 4, p + size)  # skip the list-type fourcc
-            elif fourcc == b"strf" and width is None and size >= 40:
+            elif fourcc == b"strh" and size >= 4:
+                cur_stream = payload[p : p + 4]  # fccType: b'vids'/b'auds'/...
+            elif (
+                fourcc == b"strf"
+                and cur_stream == b"vids"
+                and width is None
+                and size >= 40
+            ):
                 _hs, w, h, _planes, b = struct.unpack_from("<IiiHH", payload, p)
                 (comp,) = struct.unpack_from("<I", payload, p + 16)
                 width, height, bpp, compression = w, h, b, comp
@@ -178,10 +265,10 @@ def sample_video_frames(payload: bytes, every_n: int = 30) -> list[dict]:
                 frames_raw.append(payload[p : p + size])
 
     walk(12, len(payload))
-    if width is None or not frames_raw:
-        raise NotImplementedError("AVI without an uncompressed video stream")
-    if bpp != 24 or compression != 0:
-        raise NotImplementedError("only uncompressed 24-bit AVI supported")
+    if width is None or not frames_raw or bpp != 24 or compression != 0:
+        # a RIFF-AVI the stdlib path can't handle (compressed codec, no
+        # video stream) still decodes when a video lib is importable
+        return _sample_frames_via_video_lib(payload, every_n)
     row_size = (width * 3 + 3) & ~3
     top_down = height < 0
     h = abs(height)

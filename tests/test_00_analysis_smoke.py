@@ -47,17 +47,6 @@ def test_builder_analyzes(spark, gen, name):
     assert len(df.schema.fields) > 0  # .schema forces Catalyst analysis
 
 
-# Library-first builders awaiting their registry slot (registry.py
-# round-5 note) get the same cross-generation analysis gate.
-def _unregistered_builders():
-    from mapreduce_framework_spark.pipeline.semantic_dedup import q102_semantic_dedup
-    from mapreduce_framework_spark.pipeline.span_dedup import q101_span_dedup
-
-    return {"q101_span_dedup": q101_span_dedup, "q102_semantic_dedup": q102_semantic_dedup}
-
-
-@pytest.mark.parametrize("gen", GENERATIONS)
-@pytest.mark.parametrize("name", sorted(_unregistered_builders()))
-def test_unregistered_builder_analyzes(spark, gen, name):
-    df = _unregistered_builders()[name](spark, os.path.join(TESTDATA, gen))
-    assert len(df.schema.fields) > 0
+# q101/q102 were covered here as library-first unregistered builders in
+# round 4; registered in round 5, they now flow through the parametrized
+# gate above like every other query.

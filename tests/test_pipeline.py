@@ -67,8 +67,59 @@ def test_multimodal_decode_stubs_are_marked():
             decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         decode_audio(b"\x00\x01\x02")  # not RIFF/WAV
-    with pytest.raises(NotImplementedError):
-        sample_video_frames(b"\x00\x01\x02\x03")  # not RIFF/AVI
+    if not _video_lib_available():
+        with pytest.raises(NotImplementedError):
+            sample_video_frames(b"\x00\x01\x02\x03")  # not RIFF/AVI
+
+
+def _video_lib_available() -> bool:
+    for mod in ("av", "cv2"):
+        try:
+            __import__(mod)
+            return True
+        except ImportError:
+            pass
+    return False
+
+
+def test_sample_video_frames_with_video_lib(tmp_path):
+    """Exercise the compressed-codec video seam wherever PyAV or OpenCV
+    exists (skipped with reason in containers without video libs — the
+    stub is verified by test_multimodal_decode_stubs_are_marked there).
+    The fixture is authored with the same lib: 6 solid-color 16x16 frames
+    encoded to a real container, then frame-sampled."""
+    if not _video_lib_available():
+        pytest.skip("no video library (pyav/cv2) installed (env-blocked seam)")
+    import numpy as np
+
+    frames = [np.full((16, 16, 3), (40 * i, 0, 255 - 40 * i), dtype=np.uint8) for i in range(6)]
+    try:
+        import av
+        import io
+
+        buf = io.BytesIO()
+        with av.open(buf, "w", format="mp4") as container:
+            stream = container.add_stream("mpeg4", rate=5)
+            stream.width, stream.height, stream.pix_fmt = 16, 16, "yuv420p"
+            for arr in frames:
+                for pkt in stream.encode(av.VideoFrame.from_ndarray(arr, format="rgb24")):
+                    container.mux(pkt)
+            for pkt in stream.encode():
+                container.mux(pkt)
+        payload = buf.getvalue()
+    except ImportError:
+        import cv2
+
+        path = str(tmp_path / "clip.avi")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 5, (16, 16))
+        for arr in frames:
+            w.write(arr[:, :, ::-1])
+        w.release()
+        payload = open(path, "rb").read()
+    out = sample_video_frames(payload, every_n=2)
+    assert [f["frame_index"] for f in out] == [0, 2, 4]
+    assert all((f["width"], f["height"]) == (16, 16) for f in out)
+    assert all(len(f["pixels"]) == 16 * 16 * 3 for f in out)
 
 
 def test_decode_image_with_pillow():
@@ -350,7 +401,7 @@ def test_sample_video_frames_avi_via_stdlib():
     strf = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, row_size * height, 0, 0, 0, 0
     )
-    strh = b"vids" + b"DIB " + b"\x00" * 48  # minimal; parser ignores it
+    strh = b"vids" + b"DIB " + b"\x00" * 48  # fccType gates strf acceptance
     avih = b"\x00" * 56
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi = lst(b"movi", b"".join(chunk(b"00db", dib_frame(c)) for c in colors))
@@ -367,3 +418,51 @@ def test_sample_video_frames_avi_via_stdlib():
 
     with _pytest.raises(NotImplementedError):
         sample_video_frames(b"\x00\x01\x02\x03mp4 junk")
+
+    # An AVI whose AUDIO stream precedes the video stream: the audio strf
+    # (WAVEFORMATEXTENSIBLE, >= 40 bytes) must NOT be misread as a
+    # BITMAPINFOHEADER — the parser keys strf acceptance on the preceding
+    # strh's fccType (round-4 ADVICE).
+    audio_strf = struct.pack("<HHIIHHHH", 0xFFFE, 2, 44100, 176400, 4, 16, 22, 16)
+    audio_strf += b"\x00" * (40 - len(audio_strf))
+    hdrl2 = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", b"auds" + b"\x00" * 52) + chunk(b"strf", audio_strf))
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    body2 = b"AVI " + hdrl2 + movi
+    payload2 = b"RIFF" + struct.pack("<I", len(body2)) + body2
+    frames2 = sample_video_frames(payload2, every_n=2)
+    assert [(f["width"], f["height"]) for f in frames2] == [(2, 2)] * 3
+    assert frames2[0]["pixels"] == bytes(colors[0]) * 4
+
+
+def test_decode_bmp_rejects_malformed_headers():
+    """Truncated or dimension-invalid BMPs must raise a clear ValueError,
+    not return silently-empty rasters or die in the BGR swizzle
+    (round-4 ADVICE)."""
+    import struct
+
+    import pytest as _pytest
+
+    from mapreduce_framework_spark.pipeline.multimodal import _decode_bmp
+
+    def bmp(width, height, pixel_bytes):
+        data_offset = 54
+        hdr = b"BM" + struct.pack(
+            "<IHHI", data_offset + len(pixel_bytes), 0, 0, data_offset
+        )
+        hdr += struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                           len(pixel_bytes), 0, 0, 0, 0)
+        return hdr + pixel_bytes
+
+    with _pytest.raises(ValueError, match="truncated BMP"):
+        _decode_bmp(bmp(4, 4, b"\x00" * 10))  # needs 4 rows x 12B padded to 16
+    with _pytest.raises(ValueError, match="invalid BMP dimensions"):
+        _decode_bmp(bmp(-3, 2, b"\x00" * 64))
+    with _pytest.raises(ValueError, match="invalid BMP dimensions"):
+        _decode_bmp(bmp(2, 0, b"\x00" * 64))
+    # a well-formed 1x1 still decodes
+    one = bmp(1, 1, bytes((10, 20, 30)) + b"\x00")
+    assert _decode_bmp(one)["pixels"] == bytes((30, 20, 10))

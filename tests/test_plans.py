@@ -259,3 +259,33 @@ def test_q100_chunking_is_shuffle_free(spark, sf_dir):
     plan = _plan(q100_token_chunking(spark, sf_dir))
     assert "Exchange hashpartitioning" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_q101_keep_first_is_partial_aggregated(spark, sf_dir):
+    """The span-dedup keep-first rule must plan as a map-side-combinable
+    min() AGGREGATE (partial_min before the shuffle), never a row_number
+    window sort — a 10^9-occurrence boilerplate span collapses to one row
+    per map task, where a window would sort the whole hot partition."""
+    from mapreduce_framework_spark.pipeline.span_dedup import q101_span_dedup
+
+    plan = _plan(q101_span_dedup(spark, sf_dir))
+    assert "partial_min" in plan, plan
+    assert "row_number" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q102_candidates_come_only_from_cell_equi_join(spark, sf_dir):
+    """Semantic-dedup candidates must come from the shared-cell equi-join;
+    the only nested-loop allowed is the sanctioned broadcast centroid
+    assignment (O(K*dim) build side with a fitted codebook)."""
+    from mapreduce_framework_spark.pipeline.semantic_dedup import q102_semantic_dedup
+
+    plan = _plan(q102_semantic_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # formatted explain names each operator twice (tree + details); the
+    # assignment subplan appears on both sides of the cell self-join, so
+    # <= 4 mentions = at most the 2 sanctioned broadcast-assignment
+    # instances and nothing else
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan

@@ -487,6 +487,19 @@ def test_normalize_events_ts_converts_ltz_leak_through(spark):
     assert out.collect()[0]["ts"] == dt.datetime(2024, 1, 1, 12, 30, 0)
 
 
+def test_normalize_events_ts_rejects_unhandled_types(spark):
+    """A ts column in an encoding the normalizer does not understand must
+    raise, not pass through into every downstream window/watermark
+    (round-4 ADVICE)."""
+    import pytest
+
+    from mapreduce_framework_spark.catalog import normalize_events_ts
+
+    df = spark.createDataFrame([(1, "2024-01-01")], schema="event_id LONG, ts STRING")
+    with pytest.raises(TypeError, match="unhandled type string"):
+        normalize_events_ts(df)
+
+
 def test_incremental_ingest_rejects_cross_batch_dups(spark, sf_dir):
     """q95 end-to-end sanity beyond the oracle hash: the ingest loop must
     actually exercise the reject path (the synthetic corpus carries

@@ -98,16 +98,17 @@ def probe_incremental(spark, base) -> None:
         )
 
 
-def probe_span_dedup(spark, base) -> None:
+def probe_span_dedup(spark, base, factors=(1, 2, 4)) -> None:
     """Round-4 library-first family: span-level dedup. Amplified copies are
     exact duplicates, so every copy's blocks are dropped in favor of the
     base instance (n_kept collapses); wall must stay ~linear in rows while
-    the dropped fraction rises with the amplification."""
+    the dropped fraction rises with the amplification. Pass factors up to
+    10 for the sf1-equivalent series (50 000 docs)."""
     from mapreduce_framework_spark.pipeline.span_dedup import span_dedup
 
     print("| docs | span-dedup wall | docs fully deduped |")
     print("|---|---|---|")
-    for factor in (1, 2, 4):
+    for factor in factors:
         docs = amplify(base, factor)
         t0 = time.perf_counter()
         out = span_dedup(docs)
@@ -117,6 +118,81 @@ def probe_span_dedup(spark, base) -> None:
         print(f"| {n} | {t} s | {gone} |")
 
 
+def probe_lsh_sf1(spark, base) -> None:
+    """Round-5 series: the LSH scale path driven to sf1-equivalent row
+    counts (sf0.1 amplified ×10 = 50 000 docs ≈ the sf1 corpus). Stages
+    are timed separately so the curve shows WHERE cost grows:
+
+    - signature build (shingle scan + 64 partial-agg min()s) — the
+      linear stage; must track rows;
+    - band candidates (equi-join on (band, bsig)) — count + wall; under
+      exact-duplicate amplification true-pair count grows ~copies², so
+      candidates must track OUTPUT, not degenerate toward all-pairs
+      (candidate/all-pairs ratio printed);
+    - verified pairs (estimate prune + exact Jaccard) — end wall.
+    """
+    from mapreduce_framework_spark.pipeline.dedup import (
+        _signatures_from_shingles,
+        lsh_band_candidates,
+    )
+
+    print("| docs | signature build | band candidates (n, % of all-pairs) | verified pairs (n) | total |")
+    print("|---|---|---|---|---|")
+    for factor in (1, 2, 4, 10):
+        docs = amplify(base, factor)
+        n_docs = docs.count()
+        t0 = time.perf_counter()
+        sh = shingles_of(docs).localCheckpoint(eager=True)
+        t_shingle = time.perf_counter() - t0
+        t_sig_only, _ = timed(_signatures_from_shingles(sh))
+        t_sig = round(t_shingle + t_sig_only, 2)
+        t_cand, n_cand = timed(lsh_band_candidates(sh))
+        all_pairs = n_docs * (n_docs - 1) / 2
+        t_lsh, n_lsh = timed(lsh_neardup_pairs(docs))
+        total = round(time.perf_counter() - t0, 2)
+        print(
+            f"| {n_docs} | {t_sig} s | {t_cand} s ({n_cand}, "
+            f"{100 * n_cand / all_pairs:.3f} %) | {t_lsh} s ({n_lsh}) | {total} s |"
+        )
+
+
+def probe_semantic_fixed_k(spark, sf_dir) -> None:
+    """Round-5 series: semantic dedup with a FIXED-K external codebook
+    (the parameterization that makes the broadcast O(K·dim) at scale).
+    The corpus is amplified; the codebook is NOT — assignment wall must
+    track rows, and the drop list must grow linearly (every amplified
+    copy is an exact duplicate of its base vector, condemned via their
+    shared nearest cells)."""
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        semantic_dedup,
+        stride_centroids,
+    )
+
+    base = table(spark, "embeddings", sf_dir)
+    k = 64
+    cents = (
+        stride_centroids(base).orderBy("cent_id").limit(k).localCheckpoint(eager=True)
+    )
+    span = 10_000_000
+    print(f"| vectors | K | semantic-dedup wall (drops) |")
+    print("|---|---|---|")
+    for factor in (1, 2, 4):
+        parts = [
+            base.select(
+                (F.col("vec_id") + F.lit(i * span)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+            for i in range(factor)
+        ]
+        embs = parts[0]
+        for p in parts[1:]:
+            embs = embs.unionAll(p)
+        n = embs.count()
+        t, n_drop = timed(semantic_dedup(embs, centroids=cents))
+        print(f"| {n} | {k} | {t} s ({n_drop}) |")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="mfs-scaling-probe")
@@ -124,6 +200,15 @@ def main() -> None:
     ensure_package_on_executors(spark)
     base = table(spark, "documents", sf_dir).select("doc_id", "text")
     base.count()  # warm
+    if "--lsh-sf1" in sys.argv:  # round-5 series only (the long one)
+        probe_lsh_sf1(spark, base)
+        return
+    if "--semantic" in sys.argv:  # round-5 fixed-K codebook series
+        probe_semantic_fixed_k(spark, sf_dir)
+        return
+    if "--span-sf1" in sys.argv:  # round-5 sf1-equivalent span series
+        probe_span_dedup(spark, base, factors=(2, 4, 10))
+        return
     probe_incremental(spark, base)
     print()
     probe_span_dedup(spark, base)
