@@ -27,8 +27,9 @@ SESSION_GAP_MIN = 30  # same gap as q27/q94 — one sessionization rule engine-w
 
 _EV_US = EVENTS_US_SQL
 
-# Shared oracle CTE: gaps-and-islands session ids (mirrors q27's proven
-# boundary rule: gap >= 30 min starts a new session).
+# Shared oracle CTE: gaps-and-islands session ids (q27's boundary rule,
+# matching native session_window exactly: a gap of EXACTLY the timeout
+# still merges, so a new session starts only at gap > 30 min — strict >).
 _SESSIONIZED_DUCK = f"""
     x AS (
       SELECT user_id, ts, event_id, event_type,
@@ -38,7 +39,7 @@ _SESSIONIZED_DUCK = f"""
     s AS (
       SELECT user_id, ts, event_id, event_type,
              SUM(CASE WHEN prev IS NULL
-                       OR ts - prev >= INTERVAL '{SESSION_GAP_MIN} minutes'
+                       OR ts - prev > INTERVAL '{SESSION_GAP_MIN} minutes'
                       THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING) AS sid
@@ -71,7 +72,13 @@ def q97_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule via native session_window), sessions containing a click, a
     purchase, and both — the click→purchase conversion count. One
     session_window aggregation plus one per-user aggregation; no joins."""
-    ev = table(spark, "events", sf_dir)
+    return session_funnel(table(spark, "events", sf_dir))
+
+
+def session_funnel(ev: DataFrame) -> DataFrame:
+    """Library form of q97 over any (user_id, ts, event_type) frame —
+    property-tested against a sequential sessionization model in
+    tests/test_funnel_props.py."""
     sessions = ev.groupBy(
         F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"), "user_id"
     ).agg(
@@ -124,9 +131,14 @@ def q98_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     q65's documented convention). Day truncation is NTZ epoch arithmetic
     (catalog.trunc_ntz_expr) — date_trunc would coerce through the
     session timezone."""
+    return cohort_retention(table(spark, "events", sf_dir))
+
+
+def cohort_retention(ev: DataFrame) -> DataFrame:
+    """Library form of q98 over any (user_id, ts) frame — property-tested
+    against a sequential model in tests/test_funnel_props.py."""
     from mapreduce_framework_spark.catalog import trunc_ntz_expr
 
-    ev = table(spark, "events", sf_dir)
     first_seen = (
         ev.groupBy("user_id")
         .agg(F.min("ts").alias("first_ts"))
@@ -173,7 +185,13 @@ def q99_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the window-function formulation of q27's rule inside Spark itself,
     then a lag per (user, session) and one count aggregation. All NTZ
     arithmetic goes through timestampdiff (no numeric ts casts)."""
-    ev = table(spark, "events", sf_dir)
+    return session_transitions(table(spark, "events", sf_dir))
+
+
+def session_transitions(ev: DataFrame) -> DataFrame:
+    """Library form of q99 over any (user_id, ts, event_id, event_type)
+    frame — property-tested against a sequential model in
+    tests/test_funnel_props.py."""
     by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     x = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
         "prev", F.lag("ts").over(by_user)
@@ -182,9 +200,11 @@ def q99_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_sess",
         F.when(
             F.col("prev").isNull()
+            # µs precision: timestampdiff(SECOND) truncates, which under
+            # strict > would misclassify fractional gaps in (1800 s, 1801 s)
             | (
-                F.expr("timestampdiff(SECOND, prev, ts)")
-                >= SESSION_GAP_MIN * 60
+                F.expr("timestampdiff(MICROSECOND, prev, ts)")
+                > SESSION_GAP_MIN * 60 * 1_000_000
             ),
             1,
         ).otherwise(0),

@@ -100,7 +100,7 @@ def q26_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM {EVENTS_US_SQL} ev_us
     )
     SELECT user_id,
-           CAST(SUM(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL '30 minutes'
+           CAST(SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes'
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
     FROM x GROUP BY user_id ORDER BY user_id
     """,
@@ -108,9 +108,13 @@ def q26_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q27_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 30-minute inactivity gap, via Spark's native
-    ``session_window`` (merge while gap < 30 min ⇒ a new session starts at
-    gap ≥ 30 min — the oracle's gaps-and-islands formulation mirrors that
-    boundary exactly)."""
+    ``session_window``. Boundary rule (verified empirically, and pinned by
+    tests/test_funnel_props.py's sequential model): a gap of EXACTLY the
+    session timeout still merges — a new session starts only at gap > 30
+    min — so the oracle's gaps-and-islands formulation uses strict ``>``.
+    (Round 5 fix: both sides previously agreed on this data but the oracle
+    said ``>=``, a latent boundary mismatch the funnel property tests
+    surfaced.)"""
     ev = table(spark, "events", sf_dir)
     sessions = ev.groupBy(
         F.session_window("ts", "30 minutes").alias("sw"), "user_id"

@@ -66,6 +66,7 @@ from mapreduce_framework_spark.pipeline.similarity import (
     _NORM_DUCK,
     _dot_duck,
     _norms_spark,
+    prepare_centroids,
 )
 
 SEMDEDUP_COS = 0.45  # same duplicate threshold as q36's global form
@@ -85,23 +86,6 @@ def stride_centroids(embs: DataFrame) -> DataFrame:
     )
 
 
-def _prepare_centroids(centroids: DataFrame) -> DataFrame:
-    """Normalize a caller-supplied ``(cent_id, cent[, cent_norm])`` frame,
-    failing fast on an empty one — an empty centroid table would silently
-    assign nothing and return an empty drop list (ADVICE round-4)."""
-    if "cent_norm" not in centroids.columns:
-        centroids = _norms_spark(centroids, vec="cent").withColumnRenamed(
-            "norm", "cent_norm"
-        )
-    cents = centroids.select("cent_id", "cent", "cent_norm")
-    if not cents.take(1):  # 1-row bound check on a by-contract tiny table
-        raise ValueError(
-            "semantic dedup: centroid table is empty — every vector would be "
-            "unassigned and the drop list silently empty; supply >= 1 centroid"
-        )
-    return cents
-
-
 def assign_cells(
     embs: DataFrame, centroids: DataFrame | None = None, probes: int = SEM_PROBES
 ) -> DataFrame:
@@ -115,7 +99,9 @@ def assign_cells(
     an empty corpus yields the correct empty output."""
     e = _norms_spark(embs)
     cents = (
-        stride_centroids(embs) if centroids is None else _prepare_centroids(centroids)
+        stride_centroids(embs)
+        if centroids is None
+        else prepare_centroids(centroids, op="semantic dedup")
     )
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",

@@ -83,8 +83,17 @@ _PAIR_COS_DUCK = f"""
 def q34_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast the query vectors against the corpus —
     one scan of the corpus, no shuffle except the per-query top-k."""
-    e = _norms_spark(table(spark, "embeddings", sf_dir))
-    q = e.where(F.col("vec_id") < N_QUERIES).select(
+    return ann_bruteforce(table(spark, "embeddings", sf_dir))
+
+
+def ann_bruteforce(
+    embs: DataFrame, n_queries: int = N_QUERIES, top_k: int = TOP_K
+) -> DataFrame:
+    """Library form of q34 over any (vec_id, embedding) frame — the exact
+    baseline the approximate paths (q35 LSH, q56 IVF) are recall-measured
+    against (tests/test_pipeline.py, tools/scaling_probe.py --ann)."""
+    e = _norms_spark(embs)
+    q = e.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("norm").alias("qnorm"),
@@ -102,7 +111,7 @@ def q34_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.select("qid", "cid", cos)
         .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
+        .where(F.col("rank") <= top_k)
         .orderBy("qid", "rank")
     )
 
@@ -417,11 +426,59 @@ def q56_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries probe their {IVF_NPROBE} nearest cells, exact cosine re-ranks
     within the probed cells. The inverted-file counterpart to q35's LSH —
     at 100 TB the assignment join is the only corpus-wide pass."""
-    e = _norms_spark(table(spark, "embeddings", sf_dir))
-    cents = e.where((F.col("vec_id") % IVF_CENTROID_STRIDE) == 0).select(
+    return ann_ivf(table(spark, "embeddings", sf_dir))
+
+
+def prepare_centroids(centroids: DataFrame, op: str = "ann_ivf") -> DataFrame:
+    """Normalize a caller-supplied ``(cent_id, cent[, cent_norm])`` codebook
+    frame, failing fast on an empty one — an empty codebook would silently
+    assign nothing and return an empty result (round-4 ADVICE). Shared by
+    the IVF ANN here and pipeline/semantic_dedup.py."""
+    if "cent_norm" not in centroids.columns:
+        centroids = _norms_spark(centroids, vec="cent").withColumnRenamed(
+            "norm", "cent_norm"
+        )
+    cents = centroids.select("cent_id", "cent", "cent_norm")
+    if not cents.take(1):  # 1-row bound check on a by-contract tiny table
+        raise ValueError(
+            f"{op}: centroid table is empty — every vector would be "
+            "unassigned and the result silently empty; supply >= 1 centroid"
+        )
+    return cents
+
+
+def ivf_stride_centroids(embs: DataFrame) -> DataFrame:
+    """Deterministic stand-in for a k-means fit: every
+    ``IVF_CENTROID_STRIDE``-th vector. Cardinality is n/stride — scales
+    with the corpus, so this is the TEST/ORACLE form only (same convention
+    as semantic_dedup.stride_centroids); at scale pass a fitted fixed-K
+    codebook to :func:`ann_ivf`, whose broadcast is then O(K·dim)."""
+    return _norms_spark(embs).where(
+        (F.col("vec_id") % IVF_CENTROID_STRIDE) == 0
+    ).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cent"),
         F.col("norm").alias("cent_norm"),
+    )
+
+
+def ann_ivf(
+    embs: DataFrame,
+    centroids: DataFrame | None = None,
+    nprobe: int = IVF_NPROBE,
+    top_k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """Library form of q56 over any (vec_id, embedding) frame.
+
+    ``centroids``: a fitted fixed-K codebook ``(cent_id, cent[, cent_norm])``
+    — the production seam; assignment is one broadcast pass, O(K·dim) per
+    executor, independent of corpus size. Default: the stride-derived
+    deterministic codebook (cardinality n/stride; test/oracle form only).
+    An explicitly-passed empty codebook raises."""
+    e = _norms_spark(embs)
+    cents = (
+        ivf_stride_centroids(embs) if centroids is None else prepare_centroids(centroids)
     )
 
     def nearest_cells(df, id_col, k):
@@ -439,8 +496,8 @@ def q56_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = nearest_cells(e, "vec_id", 1).select(
         F.col("vec_id").alias("cid"), "cent_id"
     )
-    queries = e.where(F.col("vec_id") < N_QUERIES)
-    probes = nearest_cells(queries, "vec_id", IVF_NPROBE).select(
+    queries = e.where(F.col("vec_id") < n_queries)
+    probes = nearest_cells(queries, "vec_id", nprobe).select(
         F.col("vec_id").alias("qid"), "cent_id"
     )
     cand = (
@@ -467,7 +524,7 @@ def q56_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
+        .where(F.col("rank") <= top_k)
         .orderBy("qid", "rank")
     )
 

@@ -1,0 +1,154 @@
+"""Property-based coverage for the product-analytics family (q97–q99):
+the Spark operators must equal a pure-Python sequential model on
+arbitrary event streams — tiny user/type alphabets and a minute-level
+time grid so session boundaries, ties, and multi-day cohorts all occur.
+
+Same differential discipline as the dedup property suites
+(test_span_dedup.py, test_semantic_dedup.py): the registered queries are
+DuckDB-checked at sf; these tests pin the SEMANTICS on generated corpora
+where every session boundary case is reachable.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from mapreduce_framework_spark.operators.funnel import (
+    SESSION_GAP_MIN,
+    cohort_retention,
+    session_funnel,
+    session_transitions,
+)
+
+_BASE = datetime(2024, 1, 1)
+_GAP = timedelta(minutes=SESSION_GAP_MIN)
+
+_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("ts", TimestampNTZType(), False),
+        StructField("event_id", LongType(), False),
+        StructField("event_type", StringType(), False),
+    ]
+)
+
+# second-level offsets clustered around session-gap multiples so boundary
+# cases (gap exactly == 30:00, 30:00.5, just under, just over, ties) are
+# all generated; spans >1 day so retention cohorts have nonzero offsets
+_GAP_S = SESSION_GAP_MIN * 60
+_offset = st.one_of(
+    st.integers(min_value=0, max_value=2 * _GAP_S),
+    st.integers(min_value=0, max_value=3 * 24 * 3600),
+    st.sampled_from(
+        [0, _GAP_S - 1, _GAP_S, _GAP_S + 1, _GAP_S + 0.5, 2 * _GAP_S, 2 * _GAP_S + 0.5]
+    ),
+)
+_event = st.tuples(
+    st.integers(min_value=1, max_value=3),  # user_id
+    _offset,
+    st.sampled_from(["view", "click", "purchase"]),
+)
+_events = st.lists(_event, min_size=1, max_size=40)
+
+
+def _frame(spark, events):
+    rows = [
+        (u, _BASE + timedelta(seconds=off), i, et)
+        for i, (u, off, et) in enumerate(events)
+    ]
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _sessions(events):
+    """Sequential sessionization: per user, sorted by (ts, event_id), a
+    gap STRICTLY GREATER than 30 min starts a new session — native
+    session_window's verified boundary (a gap of exactly the timeout
+    merges; see q27's docstring)."""
+    by_user = defaultdict(list)
+    for i, (u, off, et) in enumerate(events):
+        by_user[u].append((_BASE + timedelta(seconds=off), i, et))
+    out = defaultdict(list)  # (user, sid) -> [(ts, event_id, type)...]
+    for u, evs in by_user.items():
+        evs.sort(key=lambda e: (e[0], e[1]))
+        sid, prev = 0, None
+        for ts, eid, et in evs:
+            if prev is None or ts - prev > _GAP:
+                sid += 1
+            out[(u, sid)].append((ts, eid, et))
+            prev = ts
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(events=_events)
+def test_session_funnel_matches_model(spark_global, events):
+    sess = _sessions(events)
+    model = defaultdict(lambda: [0, 0, 0, 0])  # n, click, purchase, both
+    for (u, _sid), evs in sess.items():
+        types = {et for _, _, et in evs}
+        m = model[u]
+        m[0] += 1
+        m[1] += "click" in types
+        m[2] += "purchase" in types
+        m[3] += "click" in types and "purchase" in types
+    got = {
+        r["user_id"]: [
+            r["n_sessions"],
+            r["click_sessions"],
+            r["purchase_sessions"],
+            r["converted_sessions"],
+        ]
+        for r in session_funnel(_frame(spark_global, events)).collect()
+    }
+    assert got == dict(model)
+
+
+@settings(max_examples=15, deadline=None)
+@given(events=_events)
+def test_session_transitions_matches_model(spark_global, events):
+    model = Counter()
+    for evs in _sessions(events).values():
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            model[(a, b)] += 1
+    got = Counter(
+        {
+            (r["prev_type"], r["curr_type"]): r["n"]
+            for r in session_transitions(_frame(spark_global, events)).collect()
+        }
+    )
+    assert got == model
+
+
+@settings(max_examples=15, deadline=None)
+@given(events=_events)
+def test_cohort_retention_matches_model(spark_global, events):
+    def day(ts):
+        return datetime(ts.year, ts.month, ts.day)
+
+    first = {}
+    days = defaultdict(set)
+    for u, off, _et in events:
+        ts = _BASE + timedelta(seconds=off)
+        first[u] = min(first.get(u, ts), ts)
+        days[u].add(day(ts))
+    model = defaultdict(set)  # (cohort_day, offset) -> users
+    for u, ds in days.items():
+        cohort = day(first[u])
+        for d in ds:
+            model[(cohort, (d - cohort).days)].add(u)
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["active_users"]
+        for r in cohort_retention(_frame(spark_global, events)).collect()
+    }
+    assert got == {k: len(v) for k, v in model.items()}

@@ -179,6 +179,42 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert all(len(v) <= 5 for v in ivf.values())
 
 
+def test_ann_ivf_external_codebook_seam(spark, sf_dir):
+    """q56's round-5 parameterization (the q102/q91 move): an explicitly
+    passed stride codebook is output-identical to the default; an empty
+    codebook fails fast; a fitted fixed-K codebook runs the same dataflow
+    with a corpus-independent broadcast."""
+    import pytest
+
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.similarity import (
+        ann_ivf,
+        ivf_stride_centroids,
+    )
+
+    embs = table(spark, "embeddings", sf_dir)
+    default = {(r["qid"], r["rank"]): r["cid"] for r in ann_ivf(embs).collect()}
+    explicit = {
+        (r["qid"], r["rank"]): r["cid"]
+        for r in ann_ivf(embs, centroids=ivf_stride_centroids(embs)).collect()
+    }
+    assert default == explicit and default
+
+    empty = spark.createDataFrame([], "cent_id BIGINT, cent ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="centroid table is empty"):
+        ann_ivf(embs, centroids=empty).collect()
+
+    # fixed-K codebook (K=8 first vectors as stand-in for a k-means fit):
+    # same plan family, every query gets <= top_k exact-ranked neighbors
+    fitted = embs.where("vec_id < 8").selectExpr(
+        "vec_id AS cent_id", "embedding AS cent"
+    )
+    got = {}
+    for r in ann_ivf(embs, centroids=fitted, nprobe=3).collect():
+        got.setdefault(r["qid"], []).append(r["cid"])
+    assert got and all(len(v) <= 5 for v in got.values())
+
+
 def test_embedding_neardup_tiling_invariance(sf_dir):
     """q36's blocked-tile exact pass must be bit-identical at any tile size
     (per-task memory is bounded by CORPUS_CHUNK_ROWS, not the corpus): run

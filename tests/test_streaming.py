@@ -603,3 +603,77 @@ def test_streaming_window_under_rocksdb_state_store(spark, sf_dir, tmp_path):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, saved)
+
+
+def test_kv_state_recovers_across_query_restart(spark, sf_dir, tmp_path):
+    """F11's streaming analog: kill the stateful query between micro-batches
+    and restart it from the SAME checkpoint — the per-key state store must
+    recover, so ops processed after the restart fold onto pre-restart
+    state and the combined emissions equal the batch fold (q06).
+
+    Run 1 processes the first two time-slices of the op log and stops; a
+    brand-new query object (same checkpoint, same source glob) picks up
+    slice 3 only. If recovery were broken, every key touched in slice 3
+    would restart its fold from "" and the final values would diverge
+    from the batch oracle."""
+    ops = kv_ops(spark, sf_dir).where(F.col("op") != "get")
+    rows = ops.orderBy("ts", "event_id").collect()
+    src = str(tmp_path / "ops_src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    third = (len(rows) + 2) // 3
+    slices = [rows[i * third : (i + 1) * third] for i in range(3)]
+    assert all(slices), "need 3 non-empty micro-batches"
+
+    emitted: list = []  # (batch_ordinal, key, value) across BOTH runs
+
+    def run_once(n_slices_present: int) -> int:
+        """(Re)start the query against whatever slices exist; returns the
+        number of micro-batches this run processed."""
+        stream_ops = (
+            spark.readStream.schema(ops.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "slice_*"))
+        )
+        batches = []
+
+        def sink(df, epoch_id):
+            for r in df.collect():
+                emitted.append((epoch_id, r["key"], r["value"]))
+            batches.append(epoch_id)
+
+        q = (
+            streaming_kv_state(stream_ops)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return len(batches)
+
+    for i in (0, 1):
+        spark.createDataFrame(slices[i], schema=ops.schema).coalesce(1).write.parquet(
+            os.path.join(src, f"slice_{i}")
+        )
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+    n_run1 = run_once(2)
+    assert n_run1 >= 1
+    seen_after_run1 = len(emitted)
+
+    spark.createDataFrame(slices[2], schema=ops.schema).coalesce(1).write.parquet(
+        os.path.join(src, "slice_2")
+    )
+    n_run2 = run_once(3)
+    # restart resumed from the checkpoint: only the NEW slice was processed
+    assert n_run2 == 1, f"restart reprocessed {n_run2} batches, expected 1"
+    assert len(emitted) > seen_after_run1
+
+    final: dict[str, str] = {}
+    for _epoch, key, value in emitted:  # chronological; later emits win
+        final[key] = value
+    batch_rows = {
+        r["key"]: r["value"] for r in q06_kv_final_state(spark, sf_dir).collect()
+    }
+    assert final == batch_rows

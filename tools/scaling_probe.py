@@ -193,6 +193,66 @@ def probe_semantic_fixed_k(spark, sf_dir) -> None:
         print(f"| {n} | {k} | {t} s ({n_drop}) |")
 
 
+def _amplified_embeddings(base, factor: int):
+    span = 10_000_000
+    parts = [
+        base.select(
+            (F.col("vec_id") + F.lit(i * span)).alias("vec_id"), "embedding", "label"
+        )
+        for i in range(factor)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def probe_ann_fixed_k(spark, sf_dir) -> None:
+    """Round-5 series: IVF ANN with a FIXED-K external codebook (q56's
+    round-5 parameterization — broadcast O(K·dim), corpus-independent).
+    The corpus is amplified; the codebook and query set are NOT. Numbers
+    to watch: IVF wall must track rows (assignment is the only
+    corpus-wide pass; at fixed K the probed cells grow linearly, which is
+    the documented K-as-knob tradeoff), and recall@k vs the exact
+    brute-force baseline ON THE SAME amplified corpus must hold — the
+    amplified exact copies land in identical cells, so cell-bounded
+    search loses none of them."""
+    from mapreduce_framework_spark.pipeline.similarity import (
+        TOP_K,
+        ann_bruteforce,
+        ann_ivf,
+        ivf_stride_centroids,
+    )
+
+    base = table(spark, "embeddings", sf_dir)
+    k = 64
+    cents = (
+        ivf_stride_centroids(base).orderBy("cent_id").limit(k).localCheckpoint(eager=True)
+    )
+    print("| vectors | K | ivf wall (rows) | brute wall | recall@5 |")
+    print("|---|---|---|---|---|")
+    for factor in (1, 2, 4):
+        embs = _amplified_embeddings(base, factor)
+        n = embs.count()
+        t0 = time.perf_counter()
+        ivf_rows = ann_ivf(embs, centroids=cents, nprobe=2).collect()
+        t_ivf = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        exact_rows = ann_bruteforce(embs).collect()
+        t_brute = round(time.perf_counter() - t0, 2)
+        exact, got = {}, {}
+        for r in exact_rows:
+            exact.setdefault(r["qid"], set()).add(r["cid"])
+        for r in ivf_rows:
+            got.setdefault(r["qid"], set()).add(r["cid"])
+        hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        print(
+            f"| {n} | {k} | {t_ivf} s ({len(ivf_rows)}) | {t_brute} s | "
+            f"{hits}/{total} = {hits / total:.2f} |"
+        )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="mfs-scaling-probe")
@@ -205,6 +265,9 @@ def main() -> None:
         return
     if "--semantic" in sys.argv:  # round-5 fixed-K codebook series
         probe_semantic_fixed_k(spark, sf_dir)
+        return
+    if "--ann" in sys.argv:  # round-5 fixed-K IVF ANN series
+        probe_ann_fixed_k(spark, sf_dir)
         return
     if "--span-sf1" in sys.argv:  # round-5 sf1-equivalent span series
         probe_span_dedup(spark, base, factors=(2, 4, 10))
