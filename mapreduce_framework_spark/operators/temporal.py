@@ -44,7 +44,13 @@ def q57_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join via tagged union + per-key running last-value window.
     Equal timestamps match (clicks sort before purchases at the same ts,
     mirroring ASOF's >= semantics)."""
-    ev = table(spark, "events", sf_dir)
+    return asof_last_click(table(spark, "events", sf_dir))
+
+
+def asof_last_click(ev: DataFrame) -> DataFrame:
+    """Library form of q57 over any (event_id, user_id, ts, event_type)
+    frame — property-tested against a sequential model in
+    tests/test_temporal_props.py (equal-ts and tie cases)."""
     clicks = ev.where(F.col("event_type") == "click").select(
         F.lit(None).cast("long").alias("event_id"),
         "user_id",
@@ -92,9 +98,13 @@ def q58_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     b; a purchase probes bins {b, b−1} (covers any 1-hour lookback), then
     the exact range predicate filters. Plans as a hash join, not a nested
     loop — the 100 TB-viable form."""
-    from mapreduce_framework_spark.catalog import epoch_seconds_ntz
+    return range_clicks_prev_hour(table(spark, "events", sf_dir))
 
-    ev = table(spark, "events", sf_dir)
+
+def range_clicks_prev_hour(ev: DataFrame) -> DataFrame:
+    """Library form of q58 — property-tested against a sequential model in
+    tests/test_temporal_props.py (bin-boundary and exactly-1h-ago cases)."""
+    from mapreduce_framework_spark.catalog import epoch_seconds_ntz
     # NTZ-safe hour bin: TIMESTAMP_NTZ has no numeric cast, so the bin is
     # integer epoch-seconds div 3600 (timezone-independent by construction)
     hour_bin = f"{epoch_seconds_ntz('ts')} div 3600"

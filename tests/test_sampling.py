@@ -106,3 +106,63 @@ def test_chunking_edge_cases_cover_every_token(spark):
             assert r["n_toks"] == expect_len, (n, r["chunk_idx"])
             covered.update(range(start, start + r["n_toks"]))
         assert covered == set(range(n)), f"doc len {n}: gaps in coverage"
+
+
+# --- property-based: chunking == sequential model on arbitrary corpora ------
+
+import hashlib
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from mapreduce_framework_spark.pipeline.sampling import chunk_documents
+
+
+def _model_chunks(docs: dict[int, str], chunk: int, stride: int):
+    out = {}
+    for d, text in docs.items():
+        toks = [w for w in re.split("[^a-zA-Z]+", text) if w]
+        if len(toks) <= chunk:
+            n = 1
+        else:
+            n = 1 + -(-(len(toks) - chunk) // stride)  # int ceil
+        for i in range(n):
+            piece = toks[i * stride : i * stride + chunk]
+            out[(d, i)] = (
+                len(piece),
+                hashlib.md5(" ".join(piece).encode()).hexdigest(),
+            )
+    return out
+
+
+# doc lengths straddle every boundary: empty, == chunk, chunk+1,
+# multiple-of-stride, off-by-one around the last-window cut
+_word = st.sampled_from(["aa", "bb", "cc"])
+_n_toks = st.one_of(
+    st.integers(min_value=0, max_value=20),
+    st.sampled_from([7, 8, 9, 15, 16, 17, 23, 24, 25]),
+)
+_doc_text = _n_toks.flatmap(
+    lambda n: st.lists(_word, min_size=n, max_size=n).map(" ".join)
+)
+_chunk_corpus = st.dictionaries(
+    st.integers(min_value=0, max_value=30), _doc_text, min_size=1, max_size=5
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(docs=_chunk_corpus)
+def test_chunking_matches_sequential_model(spark_global, docs):
+    """q100's transform on arbitrary docs (chunk=8, stride=4 so the tiny
+    generated docs exercise the multi-window path): window count, final
+    short window, and the content fingerprint all equal the model."""
+    df = spark_global.createDataFrame(
+        [Row(doc_id=d, text=t) for d, t in docs.items()]
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_toks"], r["chunk_fp"])
+        for r in chunk_documents(df, chunk=8, stride=4).collect()
+    }
+    assert got == _model_chunks(docs, chunk=8, stride=4)
