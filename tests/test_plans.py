@@ -289,3 +289,26 @@ def test_q102_candidates_come_only_from_cell_equi_join(spark, sf_dir):
     # instances and nothing else
     assert plan.count("BroadcastNestedLoopJoin") <= 4
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_temporal_joins_keep_scale_shapes(spark, sf_dir):
+    """q57's as-of is a single-shuffle window over a tagged union (no join
+    at all, so trivially no nested loop); q58's range join must plan as a
+    hash equi-join on (user, bin) — the whole point of the binning — with
+    the exact range predicate applied as a post-join filter, never a
+    BroadcastNestedLoopJoin/CartesianProduct over the raw inequality."""
+    from mapreduce_framework_spark.operators.temporal import (
+        q57_asof_join,
+        q58_range_join_binned,
+    )
+
+    asof = _plan(q57_asof_join(spark, sf_dir))
+    assert "CartesianProduct" not in asof
+    assert "BroadcastNestedLoopJoin" not in asof
+    assert "Window" in asof  # the merge-sorted-streams running last()
+
+    rng = _plan(q58_range_join_binned(spark, sf_dir))
+    assert "CartesianProduct" not in rng
+    assert "BroadcastNestedLoopJoin" not in rng
+    # candidate generation is an equi-join keyed on the exploded bin
+    assert "Join" in rng and "bin" in rng
