@@ -90,18 +90,114 @@ def _decode_bmp(payload: bytes) -> dict:
     return {"width": width, "height": h, "mode": "RGB", "pixels": bytes(out)}
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> (mode, channels); palette (3) expands to RGB on output
+_PNG_MODES = {0: ("L", 1), 2: ("RGB", 3), 3: ("RGB", 1), 4: ("LA", 2), 6: ("RGBA", 4)}
+
+
+def _decode_png(payload: bytes) -> dict:
+    """Pure-stdlib PNG decoder: zlib (stdlib) inflates the IDAT stream,
+    then per-scanline filter reconstruction (all five filter types: none/
+    sub/up/average/paeth) rebuilds the raster. Supports 8-bit depth,
+    color types greyscale/RGB/palette/grey+alpha/RGBA, non-interlaced —
+    the deflate-era twin of the uncompressed-BMP parser above; exact-pixel
+    tested against self-authored fixtures exercising every filter type
+    (tests/test_pipeline.py::test_decode_image_png_via_stdlib). Adam7
+    interlacing and 1/2/4/16-bit depths stay honestly env-gated on Pillow.
+    Chunk CRCs are verified (zlib.crc32) so corruption raises rather than
+    yielding silently wrong pixels."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = bytes(data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color, _comp, _filt, interlace = ihdr
+    if width == 0 or height == 0:
+        raise ValueError(f"invalid PNG dimensions {width}x{height}")
+    if depth != 8 or interlace != 0 or color not in _PNG_MODES:
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} interlace={interlace} "
+            "needs Pillow (stdlib path is 8-bit, non-interlaced)"
+        )
+    mode, ch = _PNG_MODES[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG IDAT size does not match dimensions")
+    out = bytearray()
+    prev = bytearray(stride)
+    for r in range(height):
+        off = r * (1 + stride)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:  # sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        prev = line
+        if color == 3:  # palette index -> RGB
+            if plte is None:
+                raise ValueError("palette PNG missing PLTE chunk")
+            for i in line:
+                out += plte[3 * i : 3 * i + 3]
+        else:
+            out += line
+    return {"width": width, "height": height, "mode": mode, "pixels": bytes(out)}
+
+
 def decode_image(payload: bytes) -> dict:
     """Decode an image payload to (width, height, mode, raw pixel bytes).
 
-    Uncompressed 24-bit BMP decodes via the pure-stdlib parser above —
-    real in any environment (tests/test_pipeline.py::
-    test_decode_image_bmp_via_stdlib). Other formats use Pillow when
+    Uncompressed 24-bit BMP and 8-bit non-interlaced PNG decode via the
+    pure-stdlib parsers above — real in any environment
+    (tests/test_pipeline.py::test_decode_image_bmp_via_stdlib, ::
+    test_decode_image_png_via_stdlib). Other formats use Pillow when
     importable; this container ships no imaging libs, so they raise
     NotImplementedError. The conditional test
     (tests/test_pipeline.py::test_decode_image_with_pillow) exercises the
     Pillow path wherever it exists, so the seam cannot silently rot."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     try:
         from PIL import Image
     except ImportError as e:  # env-blocked: no imaging libs in container

@@ -502,3 +502,124 @@ def test_decode_bmp_rejects_malformed_headers():
     # a well-formed 1x1 still decodes
     one = bmp(1, 1, bytes((10, 20, 30)) + b"\x00")
     assert _decode_bmp(one)["pixels"] == bytes((30, 20, 10))
+
+
+# --- PNG stdlib decoder -----------------------------------------------------
+
+
+def _png_fixture(width, height, color, rows, filters, plte=None):
+    """Author a PNG: filter each raster row with the given filter type
+    (the inverse of decode-side reconstruction), deflate, wrap in chunks
+    with real CRCs. rows = list of per-row channel bytes (or palette
+    indices for color type 3)."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    stride = width * ch
+    scan = bytearray()
+    prev = bytes(stride)
+    for row, ftype in zip(rows, filters):
+        assert len(row) == stride
+        line = bytearray(row)
+        if ftype == 1:
+            for i in range(stride - 1, ch - 1, -1):
+                line[i] = (line[i] - row[i - ch]) & 0xFF
+        elif ftype == 2:
+            for i in range(stride):
+                line[i] = (line[i] - prev[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                line[i] = (line[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] - pred) & 0xFF
+        scan += bytes([ftype]) + line
+        prev = row
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    out += chunk(b"IDAT", zlib.compress(bytes(scan))) + chunk(b"IEND", b"")
+    return out
+
+
+def test_decode_image_png_via_stdlib():
+    """Exact pixels through every filter type and color mode, against
+    self-authored fixtures (no imaging lib involved on either side)."""
+    import os
+
+    from mapreduce_framework_spark.pipeline.multimodal import decode_image
+
+    rng = __import__("random").Random(7)
+
+    # RGB 4x5, one row per filter type 0..4
+    rows = [bytes(rng.randrange(256) for _ in range(4 * 3)) for _ in range(5)]
+    png = _png_fixture(4, 5, 2, rows, [0, 1, 2, 3, 4])
+    out = decode_image(png)
+    assert (out["width"], out["height"], out["mode"]) == (4, 5, "RGB")
+    assert out["pixels"] == b"".join(rows)
+
+    # greyscale and RGBA with the heavier filters
+    for color, ch, mode in ((0, 1, "L"), (4, 2, "LA"), (6, 4, "RGBA")):
+        rows = [bytes(rng.randrange(256) for _ in range(3 * ch)) for _ in range(4)]
+        out = decode_image(_png_fixture(3, 4, color, rows, [4, 3, 4, 2]))
+        assert (out["width"], out["height"], out["mode"]) == (3, 4, mode)
+        assert out["pixels"] == b"".join(rows)
+
+    # palette: indices expand through PLTE to RGB
+    plte = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255))  # R, G, B entries
+    rows = [bytes((0, 1, 2)), bytes((2, 2, 0))]
+    out = decode_image(_png_fixture(3, 2, 3, rows, [0, 1], plte=plte))
+    assert out["mode"] == "RGB"
+    assert out["pixels"] == bytes(
+        (255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 255, 0, 0, 255, 255, 0, 0)
+    )
+
+
+def test_decode_png_rejects_malformed():
+    import struct
+
+    import pytest
+
+    from mapreduce_framework_spark.pipeline.multimodal import decode_image
+
+    rows = [bytes((1, 2, 3)), bytes((4, 5, 6))]
+    good = _png_fixture(1, 2, 2, rows, [0, 0])
+
+    # flip one IDAT byte -> CRC mismatch must raise, not decode garbage
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT")
+    bad[idat_at + 5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_image(bytes(bad))
+
+    # 16-bit depth is an honest env-gated seam, not silent garbage
+    deep = bytearray(good)
+    ihdr_at = good.index(b"IHDR")
+    deep[ihdr_at + 12] = 16  # bit-depth byte inside IHDR
+    # fix the CRC so the depth check (not the CRC check) fires
+    import zlib as _z
+
+    data = bytes(deep[ihdr_at + 4 : ihdr_at + 17])
+    deep[ihdr_at + 17 : ihdr_at + 21] = struct.pack(
+        ">I", _z.crc32(b"IHDR" + data) & 0xFFFFFFFF
+    )
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        decode_image(bytes(deep))
