@@ -183,21 +183,133 @@ def _decode_png(payload: bytes) -> dict:
     return {"width": width, "height": height, "mode": mode, "pixels": bytes(out)}
 
 
+def _lzw_decode(min_code_size: int, data: bytes) -> bytes:
+    """GIF-variant LZW decode (LSB-first variable-width codes, clear/end
+    codes, code width growing at next_code == 2^width up to 12 bits)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    pos, total_bits = 0, len(data) * 8
+    while pos + code_size <= total_bits:
+        byte_i, bit_i = divmod(pos, 8)
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (window >> bit_i) & ((1 << code_size) - 1)
+        pos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            del table[clear + 2 :]
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("corrupt LZW stream: first code not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream: code beyond table")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> dict:
+    """Pure-stdlib decoder for non-interlaced GIF87a/89a: logical screen
+    descriptor + color tables parsed directly, pixel indices recovered by
+    the LZW decoder above, first frame returned as RGB (animation frames
+    beyond the first, and interlaced images, raise NotImplementedError;
+    GCE transparency is ignored — the raster keeps the palette color).
+    Exact-pixel tested against self-authored fixtures (clear-code
+    "uncompressed" streams, a round-tripping LZW encoder, and a
+    well-known real-world 1x1 GIF) in tests/test_pipeline.py."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    _sw, _sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _left, _top, width, height, ipacked = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF needs Pillow")
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                ct = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF image has no color table")
+            if width == 0 or height == 0:
+                raise ValueError(f"invalid GIF dimensions {width}x{height}")
+            min_code_size = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                n = payload[pos]
+                data += payload[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            indices = _lzw_decode(min_code_size, bytes(data))
+            if len(indices) < width * height:
+                raise ValueError("truncated GIF pixel data")
+            out = bytearray()
+            for i in indices[: width * height]:
+                out += ct[3 * i : 3 * i + 3]
+            return {
+                "width": width,
+                "height": height,
+                "mode": "RGB",
+                "pixels": bytes(out),
+            }
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
 def decode_image(payload: bytes) -> dict:
     """Decode an image payload to (width, height, mode, raw pixel bytes).
 
-    Uncompressed 24-bit BMP and 8-bit non-interlaced PNG decode via the
-    pure-stdlib parsers above — real in any environment
-    (tests/test_pipeline.py::test_decode_image_bmp_via_stdlib, ::
-    test_decode_image_png_via_stdlib). Other formats use Pillow when
-    importable; this container ships no imaging libs, so they raise
-    NotImplementedError. The conditional test
+    Uncompressed 24-bit BMP, 8-bit non-interlaced PNG, and non-interlaced
+    GIF decode via the pure-stdlib parsers above — real in any
+    environment (tests/test_pipeline.py::test_decode_image_bmp_via_stdlib,
+    ::test_decode_image_png_via_stdlib, ::test_decode_image_gif_via_stdlib).
+    Other formats use Pillow when importable; this container ships no
+    imaging libs, so they raise NotImplementedError. The conditional test
     (tests/test_pipeline.py::test_decode_image_with_pillow) exercises the
     Pillow path wherever it exists, so the seam cannot silently rot."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     try:
         from PIL import Image
     except ImportError as e:  # env-blocked: no imaging libs in container

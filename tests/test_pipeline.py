@@ -623,3 +623,132 @@ def test_decode_png_rejects_malformed():
     )
     with pytest.raises(NotImplementedError, match="depth=16"):
         decode_image(bytes(deep))
+
+
+# --- GIF stdlib decoder -----------------------------------------------------
+
+
+def _pack_codes(codes):
+    """LSB-first variable-width code packing (the GIF LZW bit order)."""
+    acc = nbits = 0
+    out = bytearray()
+    for code, size in codes:
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_encode(mcs, indices):
+    """Standard GIF LZW encoder (code width grows at next_code ==
+    2^width + 1 — one step ahead of the decoder, which is one table
+    entry behind)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, code_size = end + 1, mcs + 1
+    codes = [(clear, code_size)]
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        codes.append((table[w], code_size))
+        table[wk] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        w = bytes([b])
+    if w:
+        codes.append((table[w], code_size))
+    codes.append((end, code_size))
+    return _pack_codes(codes)
+
+
+def _gif_fixture(width, height, palette, lzw_data, mcs):
+    import struct
+
+    n = max(2, len(palette) // 3)
+    bits = max(1, (n - 1).bit_length())
+    gct = palette + bytes(3 * ((2 << (bits - 1)) * 1) - len(palette))
+    out = b"GIF89a" + struct.pack("<HHBBB", width, height, 0x80 | (bits - 1), 0, 0)
+    out += gct
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out += bytes([mcs])
+    for i in range(0, len(lzw_data), 255):
+        chunk = lzw_data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    return out + b"\x00\x3b"
+
+
+def test_decode_image_gif_via_stdlib():
+    """Exact pixels through three independent LZW sources: a spec-driven
+    clear-code stream (no table growth — expected bytes derivable by
+    hand), a real encoder round-trip whose random indices force code
+    widths across the 2^n boundaries, and a well-known real-world GIF."""
+    import base64
+    import random
+
+    from mapreduce_framework_spark.pipeline.multimodal import decode_image
+
+    pal4 = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9))
+
+    # clear-code "uncompressed" stream: [clear, idx, clear, idx, ..., end]
+    idxs = [0, 1, 2, 3, 2, 1]
+    codes = []
+    for i in idxs:
+        codes += [(4, 3), (i, 3)]  # clear then literal, 3-bit codes
+    codes.append((5, 3))  # end
+    gif = _gif_fixture(3, 2, pal4, _pack_codes(codes), 2)
+    out = decode_image(gif)
+    assert (out["width"], out["height"], out["mode"]) == (3, 2, "RGB")
+    assert out["pixels"] == b"".join(pal4[3 * i : 3 * i + 3] for i in idxs)
+
+    # encoder round-trip, long random raster: crosses 8->16->32-entry
+    # table sizes so every code-width transition is exercised
+    rng = random.Random(11)
+    raster = [rng.randrange(4) for _ in range(40 * 25)]
+    gif = _gif_fixture(40, 25, pal4, _lzw_encode(2, raster), 2)
+    out = decode_image(gif)
+    assert (out["width"], out["height"]) == (40, 25)
+    assert out["pixels"] == b"".join(pal4[3 * i : 3 * i + 3] for i in raster)
+
+    # repetitive raster (deep table reuse + the code==next_code case)
+    raster = ([0, 0, 1, 1] * 50 + [2] * 37) * 4
+    gif = _gif_fixture(len(raster), 1, pal4, _lzw_encode(2, raster), 2)
+    out = decode_image(gif)
+    assert out["pixels"] == b"".join(pal4[3 * i : 3 * i + 3] for i in raster)
+
+    # the canonical 1x1 spacer GIF the web has shipped for 25 years
+    spacer = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    out = decode_image(spacer)
+    assert (out["width"], out["height"], out["mode"]) == (1, 1, "RGB")
+    assert len(out["pixels"]) == 3
+
+
+def test_decode_gif_rejects_malformed():
+    import pytest
+
+    from mapreduce_framework_spark.pipeline.multimodal import decode_image
+
+    pal = bytes((0, 0, 0, 255, 255, 255))
+    good = _gif_fixture(2, 1, pal, _lzw_encode(2, [0, 1]), 2)
+
+    # truncated pixel data: stream decodes to fewer than w*h indices
+    short = _gif_fixture(4, 4, pal, _lzw_encode(2, [0, 1]), 2)
+    with pytest.raises(ValueError, match="truncated GIF"):
+        decode_image(short)
+
+    # interlace flag is an honest env-gated seam
+    interlaced = bytearray(good)
+    at = good.index(b"\x2c")
+    interlaced[at + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_image(bytes(interlaced))
