@@ -605,7 +605,8 @@ def test_streaming_window_under_rocksdb_state_store(spark, sf_dir, tmp_path):
             spark.conf.set(provider_key, saved)
 
 
-def test_kv_state_recovers_across_query_restart(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("provider", ["default", "rocksdb"])
+def test_kv_state_recovers_across_query_restart(spark, sf_dir, tmp_path, provider):
     """F11's streaming analog: kill the stateful query between micro-batches
     and restart it from the SAME checkpoint — the per-key state store must
     recover, so ops processed after the restart fold onto pre-restart
@@ -615,7 +616,27 @@ def test_kv_state_recovers_across_query_restart(spark, sf_dir, tmp_path):
     brand-new query object (same checkpoint, same source glob) picks up
     slice 3 only. If recovery were broken, every key touched in slice 3
     would restart its fold from "" and the final values would diverge
-    from the batch oracle."""
+    from the batch oracle. Runs under BOTH state-store providers: the
+    default HDFS-backed one and RocksDB (the 100 TB deployment's), so
+    checkpoint recovery is pinned on the provider a real cluster uses."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    if provider == "rocksdb":
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    try:
+        _run_restart_recovery(spark, sf_dir, tmp_path)
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
+
+
+def _run_restart_recovery(spark, sf_dir, tmp_path):
     ops = kv_ops(spark, sf_dir).where(F.col("op") != "get")
     rows = ops.orderBy("ts", "event_id").collect()
     src = str(tmp_path / "ops_src")
