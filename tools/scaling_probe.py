@@ -253,6 +253,54 @@ def probe_ann_fixed_k(spark, sf_dir) -> None:
         )
 
 
+def probe_events_families(spark, sf_dir) -> None:
+    """Round-5 series: the analytics (q97-q99) and temporal (q57/q58)
+    families at sf1-equivalent event counts. Amplification shifts
+    user_id/event_id so the corpus gains USERS at constant per-user
+    density — the realistic growth axis (per-key state and window sizes
+    stay constant; only key count grows). Every operator here is one or
+    two shuffles keyed by user/session, so wall must track rows."""
+    from mapreduce_framework_spark.operators.funnel import (
+        cohort_retention,
+        session_funnel,
+        session_transitions,
+    )
+    from mapreduce_framework_spark.operators.temporal import (
+        asof_last_click,
+        range_clicks_prev_hour,
+    )
+
+    base = table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    span = 10_000_000
+    print("| events | funnel | retention | transitions | asof | range |")
+    print("|---|---|---|---|---|---|")
+    for factor in (1, 2, 4, 10):
+        parts = [
+            base.select(
+                (F.col("event_id") + F.lit(i * span)).alias("event_id"),
+                (F.col("user_id") + F.lit(i * span)).alias("user_id"),
+                "ts",
+                "event_type",
+            )
+            for i in range(factor)
+        ]
+        ev = parts[0]
+        for p in parts[1:]:
+            ev = ev.unionAll(p)
+        ev = ev.localCheckpoint(eager=True)
+        n = ev.count()
+        t_fun, _ = timed(session_funnel(ev))
+        t_ret, _ = timed(cohort_retention(ev))
+        t_tra, _ = timed(session_transitions(ev))
+        t_aso, _ = timed(asof_last_click(ev))
+        t_rng, _ = timed(range_clicks_prev_hour(ev))
+        print(
+            f"| {n} | {t_fun} s | {t_ret} s | {t_tra} s | {t_aso} s | {t_rng} s |"
+        )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="mfs-scaling-probe")
@@ -268,6 +316,9 @@ def main() -> None:
         return
     if "--ann" in sys.argv:  # round-5 fixed-K IVF ANN series
         probe_ann_fixed_k(spark, sf_dir)
+        return
+    if "--events-sf1" in sys.argv:  # round-5 analytics/temporal series
+        probe_events_families(spark, sf_dir)
         return
     if "--span-sf1" in sys.argv:  # round-5 sf1-equivalent span series
         probe_span_dedup(spark, base, factors=(2, 4, 10))
