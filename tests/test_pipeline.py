@@ -752,3 +752,41 @@ def test_decode_gif_rejects_malformed():
     interlaced[at + 9] |= 0x40
     with pytest.raises(NotImplementedError, match="interlaced"):
         decode_image(bytes(interlaced))
+
+
+def test_decode_gif_local_color_table_and_first_frame():
+    """A local color table overrides the global one, and an animated GIF
+    (two image blocks + GCE extensions) decodes to its FIRST frame."""
+    import struct
+
+    from mapreduce_framework_spark.pipeline.multimodal import decode_image
+
+    g_pal = bytes((1, 1, 1, 2, 2, 2))  # global: dull greys
+    l_pal = bytes((250, 0, 0, 0, 250, 0))  # local: saturated
+    idx1, idx2 = [0, 1, 1, 0], [1, 1, 0, 0]
+
+    def image_block(indices, pal=None):
+        packed = 0
+        out = b""
+        if pal is not None:
+            packed = 0x80 | 0  # LCT flag, 2 entries
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, packed)
+        if pal is not None:
+            out += pal
+        data = _lzw_encode(2, indices)
+        return out + b"\x02" + bytes([len(data)]) + data + b"\x00"
+
+    gce = b"\x21\xf9\x04\x00\x05\x00\x00\x00"  # graphic control extension
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 2, 2, 0x80 | 0, 0, 0)
+        + g_pal
+        + gce
+        + image_block(idx1, pal=l_pal)
+        + gce
+        + image_block(idx2)  # second frame (global palette) must be ignored
+        + b"\x3b"
+    )
+    out = decode_image(gif)
+    assert (out["width"], out["height"], out["mode"]) == (2, 2, "RGB")
+    assert out["pixels"] == b"".join(l_pal[3 * i : 3 * i + 3] for i in idx1)
