@@ -20,13 +20,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _latest_state(spark: SparkSession, state_root: str) -> DataFrame | None:
+def _latest_state(
+    spark: SparkSession, state_root: str, before_batch: int | None = None
+) -> DataFrame | None:
+    """Latest persisted state version — restricted to versions STRICTLY
+    BEFORE ``before_batch`` when merging a batch. That restriction is what
+    makes both merge sinks idempotent under foreachBatch's crash-restart
+    redelivery: a failed attempt may already have written state_v{N}, and
+    merging batch N on top of its own output would double-count it (pinned
+    by tests/test_streaming.py::test_merge_sinks_redelivery_idempotent)."""
     if not os.path.isdir(state_root):
         return None
     versions = sorted(
         (d for d in os.listdir(state_root) if d.startswith("state_v")),
         key=lambda d: int(d.split("state_v")[1]),
     )
+    if before_batch is not None:
+        versions = [v for v in versions if int(v.split("state_v")[1]) < before_batch]
     if not versions:
         return None
     return spark.read.parquet(os.path.join(state_root, versions[-1]))
@@ -40,7 +50,7 @@ def make_kv_merge_batch_fn(spark: SparkSession, state_root: str):
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         import pandas as pd
 
-        prev = _latest_state(spark, state_root)
+        prev = _latest_state(spark, state_root, before_batch=batch_id)
 
         def fold_group(pdf: pd.DataFrame) -> pd.DataFrame:
             initial = ""
@@ -90,7 +100,7 @@ def make_rollup_merge_batch_fn(spark: SparkSession, state_root: str):
             F.count(F.lit(1)).alias("cnt"),
             F.sum(F.col("value").cast("decimal(38,6)")).alias("val"),
         )
-        prev = _latest_state(spark, state_root)
+        prev = _latest_state(spark, state_root, before_batch=batch_id)
         merged = (
             hourly
             if prev is None

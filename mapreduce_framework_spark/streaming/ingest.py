@@ -32,14 +32,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _index_so_far(spark: SparkSession, index_root: str) -> DataFrame | None:
+def _index_so_far(
+    spark: SparkSession, index_root: str, before_batch: int | None = None
+) -> DataFrame | None:
+    """The index visible to a batch: every delta from batches STRICTLY
+    BEFORE it. Excluding ``delta_v{batch_id}`` itself is what makes the
+    sink idempotent under foreachBatch's crash-restart redelivery — a
+    failed attempt may have written the batch's own delta already, and
+    matching against it would self-reject every redelivered doc and then
+    overwrite the delta empty (pinned by
+    tests/test_streaming.py::test_ingest_batch_redelivery_is_idempotent)."""
     if not os.path.isdir(index_root):
         return None
     deltas = [d for d in os.listdir(index_root) if d.startswith("delta_v")]
+    if before_batch is not None:
+        deltas = [d for d in deltas if int(d[len("delta_v") :]) < before_batch]
     if not deltas:
         return None
-    return (
-        spark.read.option("recursiveFileLookup", "true").parquet(index_root)
+    return spark.read.option("recursiveFileLookup", "true").parquet(
+        *[os.path.join(index_root, d) for d in sorted(deltas)]
     )
 
 
@@ -58,7 +69,7 @@ def make_ingest_batch_fn(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.localCheckpoint(eager=True)  # read the source once
-        idx = _index_so_far(spark, index_root)
+        idx = _index_so_far(spark, index_root, before_batch=batch_id)
         if idx is None:
             best = None
         else:

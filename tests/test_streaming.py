@@ -698,3 +698,97 @@ def _run_restart_recovery(spark, sf_dir, tmp_path):
         r["key"]: r["value"] for r in q06_kv_final_state(spark, sf_dir).collect()
     }
     assert final == batch_rows
+
+
+def test_ingest_batch_redelivery_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch redelivers the in-flight batch after a crash/restart
+    with the SAME batch_id. The ingest sink must be idempotent under that
+    redelivery: matching must exclude the current batch's own (possibly
+    partial) delta from the failed attempt — otherwise every redelivered
+    doc self-matches against its own signatures, flips to rejected, and
+    the delta is overwritten EMPTY (silent data loss)."""
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.streaming.ingest import make_ingest_batch_fn
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+
+    index_root = str(tmp_path / "index")
+    dec_root = str(tmp_path / "decisions")
+    fn = make_ingest_batch_fn(spark, index_root, dec_root, JACCARD_THRESHOLD)
+
+    fn(b0, 0)
+    fn(b1, 1)
+    once = {
+        (r["doc_id"], r["admitted"], r["matched_id"])
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(dec_root)
+        .collect()
+    }
+    delta1_once = spark.read.parquet(str(tmp_path / "index" / "delta_v1")).count()
+    assert delta1_once > 0
+
+    fn(b1, 1)  # crash-and-restart redelivery of the same batch id
+    twice = {
+        (r["doc_id"], r["admitted"], r["matched_id"])
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(dec_root)
+        .collect()
+    }
+    delta1_twice = spark.read.parquet(str(tmp_path / "index" / "delta_v1")).count()
+    assert twice == once, "redelivered batch changed the recorded decisions"
+    assert delta1_twice == delta1_once, "redelivered batch rewrote its delta"
+
+
+def test_merge_sinks_redelivery_idempotent(spark, sf_dir, tmp_path):
+    """Crash-restart redelivery (same batch_id, state_v{id} already on
+    disk) must leave both foreachBatch merge sinks unchanged: the KV fold
+    must not re-append the batch's ops onto its own output, and the
+    rollup must not double-count the batch."""
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.streaming.foreach_batch import (
+        make_kv_merge_batch_fn,
+        make_rollup_merge_batch_fn,
+    )
+
+    ops = kv_ops(spark, sf_dir).where(F.col("op") != "get")
+    rows = ops.orderBy("ts", "event_id").collect()
+    half = len(rows) // 2
+    b0 = spark.createDataFrame(rows[:half], schema=ops.schema)
+    b1 = spark.createDataFrame(rows[half:], schema=ops.schema)
+
+    kv_root = str(tmp_path / "kv_state")
+    kv_fn = make_kv_merge_batch_fn(spark, kv_root)
+    kv_fn(b0, 0)
+    kv_fn(b1, 1)
+    once = {
+        (r["key"], r["value"])
+        for r in spark.read.parquet(kv_root + "/state_v1").collect()
+    }
+    kv_fn(b1, 1)  # redelivery
+    twice = {
+        (r["key"], r["value"])
+        for r in spark.read.parquet(kv_root + "/state_v1").collect()
+    }
+    assert twice == once, "KV merge re-applied the redelivered batch"
+
+    ev = table(spark, "events", sf_dir).select("ts", "event_type", "value")
+    e_rows = ev.limit(2000).collect()
+    eb0 = spark.createDataFrame(e_rows[:1000], schema=ev.schema)
+    eb1 = spark.createDataFrame(e_rows[1000:], schema=ev.schema)
+    ru_root = str(tmp_path / "rollup_state")
+    ru_fn = make_rollup_merge_batch_fn(spark, ru_root)
+    ru_fn(eb0, 0)
+    ru_fn(eb1, 1)
+    once = {
+        (r["h"], r["event_type"], r["cnt"], str(r["val"]))
+        for r in spark.read.parquet(ru_root + "/state_v1").collect()
+    }
+    ru_fn(eb1, 1)  # redelivery
+    twice = {
+        (r["h"], r["event_type"], r["cnt"], str(r["val"]))
+        for r in spark.read.parquet(ru_root + "/state_v1").collect()
+    }
+    assert twice == once, "rollup merge double-counted the redelivered batch"
