@@ -65,3 +65,62 @@ def test_tokenizer_three_way_equivalence(spark_global, texts):
     model = {i: _model_tokens(t) for i, t in enumerate(texts)}
     assert got_spark == model
     assert got_duck == model
+
+
+# --- repetition stats (q88's engine) vs sequential model --------------------
+
+from collections import Counter
+
+from mapreduce_framework_spark.pipeline.quality import (
+    DUP_FRAC_MAX,
+    TOP2_FRAC_MAX,
+    repetition_stats,
+)
+
+# tiny vocabulary so duplicate tokens and repeated 2-grams actually occur
+_rep_text = st.lists(
+    st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=12
+).map(" ".join)
+_rep_corpus = st.dictionaries(
+    st.integers(min_value=0, max_value=20), _rep_text, min_size=1, max_size=6
+)
+
+
+def _model_repetition(text: str):
+    toks = _model_tokens(text)
+    n, d = len(toks), len(set(toks))
+    grams = Counter(" ".join(p) for p in zip(toks, toks[1:]))
+    top2 = max(grams.values()) if grams else 0
+    dup_frac = 1 - d / n if n > 0 else 0.0
+    top2_frac = top2 / (n - 1) if n > 1 else 0.0
+    return (
+        n,
+        d,
+        dup_frac,
+        top2,
+        top2_frac,
+        dup_frac > DUP_FRAC_MAX or top2_frac > TOP2_FRAC_MAX,
+    )
+
+
+@settings(max_examples=15, deadline=None)
+@given(docs=_rep_corpus)
+def test_repetition_stats_match_model(spark_global, docs):
+    """q88's library form on arbitrary corpora: token/distinct counts, the
+    exact IEEE division results, and the keep/drop flag all equal the
+    model — including the n_tokens == 0 and == 1 guard branches."""
+    df = spark_global.createDataFrame(
+        [Row(doc_id=d, text=t) for d, t in docs.items()]
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_distinct"],
+            r["dup_frac"],
+            r["top2_count"],
+            r["top2_frac"],
+            r["is_repetitive"],
+        )
+        for r in repetition_stats(df).collect()
+    }
+    assert got == {d: _model_repetition(t) for d, t in docs.items()}
