@@ -95,17 +95,71 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_MODES = {0: ("L", 1), 2: ("RGB", 3), 3: ("RGB", 1), 4: ("LA", 2), 6: ("RGBA", 4)}
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _unfilter_lines(raw: bytes, offset: int, w: int, h: int, ch: int):
+    """Reconstruct h filtered scanlines of w pixels (ch bytes each) from
+    raw[offset:]; returns (lines, next_offset). The prev-row state resets
+    at the start (each Adam7 pass filters independently)."""
+    stride = w * ch
+    prev = bytearray(stride)
+    lines = []
+    pos = offset
+    if len(raw) < offset + h * (1 + stride):
+        raise ValueError("PNG IDAT size does not match dimensions")
+    for _ in range(h):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:  # up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        prev = line
+        lines.append(line)
+    return lines, pos
+
+
 def _decode_png(payload: bytes) -> dict:
     """Pure-stdlib PNG decoder: zlib (stdlib) inflates the IDAT stream,
     then per-scanline filter reconstruction (all five filter types: none/
     sub/up/average/paeth) rebuilds the raster. Supports 8-bit depth,
-    color types greyscale/RGB/palette/grey+alpha/RGBA, non-interlaced —
-    the deflate-era twin of the uncompressed-BMP parser above; exact-pixel
-    tested against self-authored fixtures exercising every filter type
-    (tests/test_pipeline.py::test_decode_image_png_via_stdlib). Adam7
-    interlacing and 1/2/4/16-bit depths stay honestly env-gated on Pillow.
-    Chunk CRCs are verified (zlib.crc32) so corruption raises rather than
-    yielding silently wrong pixels."""
+    color types greyscale/RGB/palette/grey+alpha/RGBA, both sequential
+    and Adam7-interlaced layouts (each pass unfiltered independently,
+    pixels scattered back through the pass grid) — the deflate-era twin
+    of the uncompressed-BMP parser above; exact-pixel tested against
+    self-authored fixtures exercising every filter type and every pass
+    (tests/test_pipeline.py::test_decode_image_png_via_stdlib,
+    ::test_decode_png_adam7_interlaced). 1/2/4/16-bit depths stay
+    honestly env-gated on Pillow. Chunk CRCs are verified (zlib.crc32)
+    so corruption raises rather than yielding silently wrong pixels."""
     import struct
     import zlib
 
@@ -135,51 +189,45 @@ def _decode_png(payload: bytes) -> dict:
     width, height, depth, color, _comp, _filt, interlace = ihdr
     if width == 0 or height == 0:
         raise ValueError(f"invalid PNG dimensions {width}x{height}")
-    if depth != 8 or interlace != 0 or color not in _PNG_MODES:
+    if depth != 8 or interlace not in (0, 1) or color not in _PNG_MODES:
         raise NotImplementedError(
             f"PNG depth={depth} color={color} interlace={interlace} "
-            "needs Pillow (stdlib path is 8-bit, non-interlaced)"
+            "needs Pillow (stdlib path is 8-bit, sequential or Adam7)"
         )
     mode, ch = _PNG_MODES[color]
     raw = zlib.decompress(bytes(idat))
-    stride = width * ch
-    if len(raw) != height * (1 + stride):
-        raise ValueError("PNG IDAT size does not match dimensions")
-    out = bytearray()
-    prev = bytearray(stride)
-    for r in range(height):
-        off = r * (1 + stride)
-        ftype = raw[off]
-        line = bytearray(raw[off + 1 : off + 1 + stride])
-        if ftype == 1:  # sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif ftype == 2:  # up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # average
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # paeth
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        prev = line
-        if color == 3:  # palette index -> RGB
-            if plte is None:
-                raise ValueError("palette PNG missing PLTE chunk")
-            for i in line:
-                out += plte[3 * i : 3 * i + 3]
-        else:
-            out += line
+    flat = bytearray(width * height * ch)
+    if interlace == 0:
+        lines, end = _unfilter_lines(raw, 0, width, height, ch)
+        if end != len(raw):
+            raise ValueError("PNG IDAT size does not match dimensions")
+        for y, line in enumerate(lines):
+            flat[y * width * ch : (y + 1) * width * ch] = line
+    else:  # Adam7: seven independently-filtered passes scattered back
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (width - x0 + xs - 1) // xs
+            ph = (height - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            lines, off = _unfilter_lines(raw, off, pw, ph, ch)
+            for ri, line in enumerate(lines):
+                y = y0 + ri * ys
+                for ci in range(pw):
+                    x = x0 + ci * xs
+                    flat[(y * width + x) * ch : (y * width + x + 1) * ch] = line[
+                        ci * ch : (ci + 1) * ch
+                    ]
+        if off != len(raw):
+            raise ValueError("PNG IDAT size does not match Adam7 pass layout")
+    if color == 3:  # palette index -> RGB
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        out = bytearray()
+        for i in flat:
+            out += plte[3 * i : 3 * i + 3]
+    else:
+        out = flat
     return {"width": width, "height": height, "mode": mode, "pixels": bytes(out)}
 
 

@@ -790,3 +790,90 @@ def test_decode_gif_local_color_table_and_first_frame():
     out = decode_image(gif)
     assert (out["width"], out["height"], out["mode"]) == (2, 2, "RGB")
     assert out["pixels"] == b"".join(l_pal[3 * i : 3 * i + 3] for i in idx1)
+
+
+def test_decode_png_adam7_interlaced():
+    """Adam7: a 9x10 RGB raster (odd dims -> all 7 passes non-empty, with
+    ragged pass widths) authored as an interlaced PNG with varied filter
+    types per pass must decode to exactly the same pixels as the
+    sequential encoding of the same raster."""
+    import random
+    import struct
+    import zlib
+
+    from mapreduce_framework_spark.pipeline.multimodal import decode_image
+
+    W, H, CH = 9, 10, 3
+    rng = random.Random(23)
+    raster = [bytes(rng.randrange(256) for _ in range(W * CH)) for _ in range(H)]
+
+    def filter_rows(rows, ch, ftypes):
+        """Apply PNG filters (inverse of reconstruction) to raw rows."""
+        stride = len(rows[0]) if rows else 0
+        scan = bytearray()
+        prev = bytes(stride)
+        for row, ftype in zip(rows, ftypes):
+            line = bytearray(row)
+            if ftype == 1:
+                for i in range(stride - 1, ch - 1, -1):
+                    line[i] = (line[i] - row[i - ch]) & 0xFF
+            elif ftype == 2:
+                for i in range(stride):
+                    line[i] = (line[i] - prev[i]) & 0xFF
+            elif ftype == 3:
+                for i in range(stride):
+                    a = row[i - ch] if i >= ch else 0
+                    line[i] = (line[i] - ((a + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:
+                for i in range(stride):
+                    a = row[i - ch] if i >= ch else 0
+                    b = prev[i]
+                    c = prev[i - ch] if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[i] = (line[i] - pred) & 0xFF
+            scan += bytes([ftype]) + line
+            prev = row
+        return scan
+
+    ADAM7 = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+    scan = bytearray()
+    for pi, (x0, y0, xs, ys) in enumerate(ADAM7):
+        pw = (W - x0 + xs - 1) // xs
+        ph = (H - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        rows = []
+        for ri in range(ph):
+            y = y0 + ri * ys
+            rows.append(
+                b"".join(
+                    raster[y][(x0 + ci * xs) * CH : (x0 + ci * xs + 1) * CH]
+                    for ci in range(pw)
+                )
+            )
+        scan += filter_rows(rows, CH, [(pi + r) % 5 for r in range(ph)])
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", W, H, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_image(png)
+    assert (out["width"], out["height"], out["mode"]) == (W, H, "RGB")
+    assert out["pixels"] == b"".join(raster)
+
+    # and the sequential encoding of the same raster agrees bit-for-bit
+    seq = _png_fixture(W, H, 2, raster, [(r * 2) % 5 for r in range(H)])
+    assert decode_image(seq)["pixels"] == out["pixels"]
