@@ -1,0 +1,232 @@
+"""Boundary-exact property tests for the dedup family (q30/q31/q32/q55/q73)
+against sequential pure-Python models.
+
+The sf-data oracles prove these operators on realistic corpora; what they
+cannot prove is behavior at the semantic boundaries the synthetic data
+rarely hits — docs with zero tokens (dropped from SimHash), docs with
+fewer than SHINGLE_K tokens (empty shingle set, invisible to Jaccard),
+exact duplicates (J = 1, Hamming = 0), one-token mutations, and SimHash
+bit-vote TIES (vote sum == 0 → bit 0, not 1). Here hypothesis builds
+corpora constructively (duplicates and mutations injected explicitly —
+filter-health lesson, commit 2568563) and every Spark result is compared
+to a from-scratch sequential model:
+
+- exact shingle-Jaccard pairs (q30's engine) == brute-force set model;
+- SimHash fingerprints (q32's dictionary-encoded vote-sum form) == the
+  naive per-token FNV fold model, bit for bit;
+- banded SimHash near-dup (q73) == all-pairs Hamming filter on the model
+  fingerprints — the pigeonhole candidate generation is provably complete,
+  so this is an EQUALITY, not an inclusion;
+- MinHash-LSH (q31's engine): soundness (every emitted pair is a true
+  J >= 0.8 pair, value-exact) and signature-level completeness (every
+  true pair whose Spark-computed signatures agree on >= 1 band and pass
+  the estimate prune IS emitted). Banding itself is probabilistic, so
+  completeness is asserted conditional on the signatures — deterministic
+  for a fixed corpus, no flakiness.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from itertools import combinations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.functions.hashing import (
+    FNV_OFFSET_BASIS,
+    FNV_PRIME,
+    TWO32,
+)
+from mapreduce_framework_spark.pipeline.dedup import (
+    HAMMING_MAX,
+    JACCARD_THRESHOLD,
+    N_BANDS,
+    N_PERMS,
+    SHINGLE_K,
+    _exact_jaccard_pairs,
+    _signatures_from_shingles,
+    lsh_neardup_pairs,
+    shingles_of,
+    simhash_banded_pairs,
+    simhash_of,
+)
+
+# --- sequential models ------------------------------------------------------
+
+
+def _toks(text: str) -> list[str]:
+    return [w for w in re.split("[^a-zA-Z]+", text) if w]
+
+
+def _shingle_set(text: str) -> frozenset[str]:
+    t = _toks(text)
+    if len(t) < SHINGLE_K:
+        return frozenset()
+    return frozenset(
+        " ".join(t[i : i + SHINGLE_K]) for i in range(len(t) - SHINGLE_K + 1)
+    )
+
+
+def _fnv1a32(s: str) -> int:
+    acc = FNV_OFFSET_BASIS
+    for ch in s:
+        acc = ((acc ^ ord(ch)) * FNV_PRIME) % TWO32
+    return acc
+
+
+def _simhash_model(text: str) -> int | None:
+    """None = doc has no tokens and is dropped (matches len(hs) > 0)."""
+    toks = _toks(text)
+    if not toks:
+        return None
+    hs = [_fnv1a32(t) for t in toks]
+    val = 0
+    for j in range(32):
+        votes = sum(1 if (h >> j) & 1 else -1 for h in hs)
+        if votes > 0:  # tie (== 0) leaves the bit at 0
+            val |= 1 << j
+    return val
+
+
+def _jaccard_pairs_model(texts: list[str]) -> dict[tuple[int, int], float]:
+    """(id1, id2) -> jaccard for every pair sharing >= 1 shingle."""
+    sets = {i: _shingle_set(t) for i, t in enumerate(texts)}
+    out = {}
+    for i, j in combinations(sorted(sets), 2):
+        common = len(sets[i] & sets[j])
+        if common:
+            out[(i, j)] = common / (len(sets[i]) + len(sets[j]) - common)
+    return out
+
+
+def _hamming_pairs_model(texts: list[str]) -> dict[tuple[int, int], int]:
+    sims = {i: _simhash_model(t) for i, t in enumerate(texts)}
+    sims = {i: s for i, s in sims.items() if s is not None}
+    return {
+        (i, j): (sims[i] ^ sims[j]).bit_count()
+        for i, j in combinations(sorted(sims), 2)
+        if (sims[i] ^ sims[j]).bit_count() <= HAMMING_MAX
+    }
+
+
+# --- constructive corpus strategy -------------------------------------------
+
+# small token alphabet: forces shared shingles, repeated tokens, and
+# SimHash vote ties (even token multisets) to actually occur
+_token = st.sampled_from(["alpha", "beta", "gam", "dd", "e"])
+# 0..2-token docs hit the no-token / sub-shingle boundaries; longer docs
+# carry real shingle sets
+_base_doc = st.lists(_token, min_size=0, max_size=9).map(" ".join)
+
+
+@st.composite
+def _corpus(draw) -> list[str]:
+    bases = draw(st.lists(_base_doc, min_size=1, max_size=4))
+    docs = list(bases)
+    for b in bases:
+        if draw(st.booleans()):
+            docs.append(b)  # exact duplicate: J = 1, Hamming = 0
+        toks = b.split()
+        if toks and draw(st.booleans()):
+            i = draw(st.integers(0, len(toks) - 1))
+            toks = [*toks[:i], draw(_token), *toks[i + 1 :]]
+            docs.append(" ".join(toks))  # one-token mutation
+    return docs
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id bigint, text string",
+    )
+
+
+# --- the properties ---------------------------------------------------------
+
+
+@settings(max_examples=12, deadline=None)
+@given(texts=_corpus())
+def test_exact_jaccard_pairs_match_model(spark_global, texts):
+    """q30's engine on arbitrary corpora: the full (pair, jaccard) list —
+    not just the threshold survivors — equals the brute-force set model,
+    with sub-shingle docs invisible and IEEE-exact division."""
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in _exact_jaccard_pairs(shingles_of(_df(spark_global, texts))).collect()
+    }
+    assert got == _jaccard_pairs_model(texts)
+
+
+@settings(max_examples=12, deadline=None)
+@given(texts=_corpus())
+def test_simhash_matches_model(spark_global, texts):
+    """q32's dictionary-encoded vote-sum fingerprint == the naive
+    per-token FNV fold, bit for bit — including vote ties (bit stays 0)
+    and the token-frequency weighting (toks stream, not distinct)."""
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_of(_df(spark_global, texts)).collect()
+    }
+    model = {
+        i: s
+        for i, t in enumerate(texts)
+        if (s := _simhash_model(t)) is not None
+    }
+    assert got == model
+
+
+@settings(max_examples=12, deadline=None)
+@given(texts=_corpus())
+def test_simhash_banded_equals_allpairs_model(spark_global, texts):
+    """q73's pigeonhole banding is complete, so banded near-dup pairs are
+    EQUAL to the model's all-pairs Hamming <= HAMMING_MAX filter."""
+    got = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in simhash_banded_pairs(_df(spark_global, texts)).collect()
+    }
+    assert got == _hamming_pairs_model(texts)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_corpus())
+def test_lsh_sound_and_signature_complete(spark_global, texts):
+    """q31's engine: (a) every emitted pair is a true J >= 0.8 pair with
+    the exact model jaccard (soundness — banding/pruning only ever DROPS);
+    (b) every true pair whose Spark signatures agree on >= 1 of the 16
+    4-row bands and pass the estimate prune is emitted (completeness,
+    conditional on the signatures — deterministic per corpus)."""
+    df = _df(spark_global, texts)
+    model = _jaccard_pairs_model(texts)
+    true_pairs = {p: j for p, j in model.items() if j >= JACCARD_THRESHOLD}
+
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in lsh_neardup_pairs(df).collect()
+    }
+    # soundness: emitted pairs are true pairs, value-exact
+    assert set(got) <= set(true_pairs)
+    for p, j in got.items():
+        assert j == true_pairs[p]
+
+    # completeness conditional on the signatures Spark actually computed
+    sigs = {
+        r["doc_id"]: tuple(r["sig"])
+        for r in _signatures_from_shingles(shingles_of(df)).collect()
+    }
+    rows = N_PERMS // N_BANDS
+    min_matches = int(math.ceil(N_PERMS * max(JACCARD_THRESHOLD - 0.25, 0.0)))
+    for (i, j), _ in true_pairs.items():
+        if i not in sigs or j not in sigs:
+            continue  # sub-shingle docs have no signature
+        a, b = sigs[i], sigs[j]
+        band_agree = any(
+            a[bnd * rows : (bnd + 1) * rows] == b[bnd * rows : (bnd + 1) * rows]
+            for bnd in range(N_BANDS)
+        )
+        est = sum(1 for x, y in zip(a, b) if x == y)
+        if band_agree and est >= min_matches:
+            assert (i, j) in got, f"signature-complete pair {(i, j)} missing"
