@@ -178,14 +178,20 @@ def domain_mix_sample(docs: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
     w_all = Window.partitionBy(F.lit(1))
+    # The zero-token-source guard must be a CASE (lazy branches): under
+    # ANSI mode the bare `div src_tokens` raises DIVIDE_BY_ZERO, so one
+    # source shard of empty/whitespace docs would kill the whole job.
+    # rate = 100 is the continuous limit of min(100, target/src) as
+    # src → 0⁺: token-free docs cost no budget, so they all stay.
     rates = per.withColumn(
         "total_tokens", F.sum("src_tokens").over(w_all)
     ).withColumn("total_w", F.sum("w").over(w_all)).select(
         "source",
         "src_tokens",
         F.expr(
-            f"CAST(least(100, (100 * (((total_tokens * {MIX_BUDGET_PCT}) div 100)"
-            f" * w div total_w)) div src_tokens) AS BIGINT)"
+            f"CASE WHEN src_tokens = 0 THEN CAST(100 AS BIGINT) "
+            f"ELSE CAST(least(100, (100 * (((total_tokens * {MIX_BUDGET_PCT}) div 100)"
+            f" * w div total_w)) div src_tokens) AS BIGINT) END"
         ).alias("rate"),
     )
     h = F.expr(_fnv_sql(f"concat({_MIX_SALT}, CAST(doc_id AS STRING))"))
@@ -215,8 +221,9 @@ def domain_mix_sample(docs: DataFrame) -> DataFrame:
     ),
     r AS (
       SELECT source, src_tokens,
-             CAST(least(100, (100 * (((total_tokens * {MIX_BUDGET_PCT}) // 100)
-                  * w // total_w)) // src_tokens) AS BIGINT) AS rate
+             CASE WHEN src_tokens = 0 THEN CAST(100 AS BIGINT)
+                  ELSE CAST(least(100, (100 * (((total_tokens * {MIX_BUDGET_PCT}) // 100)
+                       * w // total_w)) // src_tokens) AS BIGINT) END AS rate
       FROM per, tot
     )
     SELECT t.doc_id, t.source, t.n_tokens, r.rate,
@@ -258,18 +265,28 @@ BENCHMARK_MAX_ID = 50  # docs below this id stand in for the eval set
     tags=("ext", "sampling", "contamination"),
 )
 def q80_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark contamination: for each corpus doc, how many of its word
-    3-gram shingles appear in the benchmark set, and how many benchmark
-    docs it overlaps. The benchmark shingle set broadcasts (eval sets are
-    tiny); the corpus side never self-joins."""
+    """Benchmark contamination stats over the sf corpus, with the lowest
+    doc_ids standing in for the eval set (see :func:`contamination_check`,
+    the library form over any corpus/benchmark split)."""
+    docs = table(spark, "documents", sf_dir)
+    return contamination_check(docs).orderBy("doc_id")
+
+
+def contamination_check(
+    docs: DataFrame, bench_max_id: int = BENCHMARK_MAX_ID
+) -> DataFrame:
+    """Library form of q80: for each corpus doc (doc_id >= bench_max_id),
+    how many of its word 3-gram shingles appear in the benchmark set
+    (doc_id < bench_max_id), and how many benchmark docs it overlaps.
+    The benchmark shingle set broadcasts (eval sets are tiny); the corpus
+    side never self-joins. Docs sharing no shingle emit no row."""
     from mapreduce_framework_spark.pipeline.dedup import shingles_of
 
-    docs = table(spark, "documents", sf_dir)
     sh = shingles_of(docs)
-    bench = sh.where(F.col("doc_id") < BENCHMARK_MAX_ID).select(
+    bench = sh.where(F.col("doc_id") < bench_max_id).select(
         F.col("doc_id").alias("bench_id"), "s"
     )
-    corpus = sh.where(F.col("doc_id") >= BENCHMARK_MAX_ID)
+    corpus = sh.where(F.col("doc_id") >= bench_max_id)
     return (
         corpus.join(F.broadcast(bench), "s")
         .groupBy("doc_id")
@@ -277,7 +294,6 @@ def q80_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("s").alias("n_shared_shingles"),
             F.countDistinct("bench_id").alias("n_benchmark_docs"),
         )
-        .orderBy("doc_id")
     )
 
 
