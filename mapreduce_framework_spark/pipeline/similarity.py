@@ -49,9 +49,19 @@ def _dot_duck(a: str, b: str) -> str:
 
 
 def _norms_spark(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    """Attach the L2 norm and EXCLUDE zero-norm vectors. Cosine is
+    undefined for the zero vector: 0.0/0.0 is NaN, and NaN sorts FIRST in
+    a descending Spark ordering, so one zero embedding in a 100 TB corpus
+    (a failed encoder emits exactly that) would surface as the NaN-scored
+    "nearest neighbor" of every query — and as a centroid it would
+    NaN-capture every assignment. Every caller is a cosine consumer
+    (ANN brute/LSH/IVF, embedding near-dup, semantic dedup), so the
+    exclusion lives here once. The sf corpus contains no zero vectors, so
+    the DuckDB oracle twins are unaffected; the boundary is pinned by
+    tests/test_pipeline.py::test_zero_norm_vectors_are_excluded."""
     return df.withColumn(
         "norm", F.sqrt(F.expr(_DOT_SPARK.format(a=vec, b=vec)))
-    )
+    ).where(F.col("norm") > 0.0)
 
 
 _NORM_DUCK = f"sqrt({_dot_duck('embedding', 'embedding')})"

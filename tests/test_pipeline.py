@@ -877,3 +877,39 @@ def test_decode_png_adam7_interlaced():
     # and the sequential encoding of the same raster agrees bit-for-bit
     seq = _png_fixture(W, H, 2, raster, [(r * 2) % 5 for r in range(H)])
     assert decode_image(seq)["pixels"] == out["pixels"]
+
+
+def test_zero_norm_vectors_are_excluded(spark):
+    """Cosine is undefined for the zero vector (0.0/0.0 = NaN, and NaN
+    sorts FIRST descending in Spark) — a single zero embedding must not
+    surface as anyone's NaN-scored nearest neighbor, capture every IVF /
+    semantic-dedup cell assignment, or appear as a query. _norms_spark
+    excludes it once for every cosine consumer."""
+    from pyspark.sql import Row
+
+    from mapreduce_framework_spark.pipeline.semantic_dedup import semantic_dedup
+    from mapreduce_framework_spark.pipeline.similarity import DIM, ann_bruteforce
+
+    def vec(seed):
+        return [float((seed * 31 + d) % 7 - 3) for d in range(DIM)]
+
+    rows = [Row(vec_id=i, embedding=vec(i)) for i in range(6)]
+    zero = Row(vec_id=6, embedding=[0.0] * DIM)
+    base = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    wzero = spark.createDataFrame(
+        rows + [zero], "vec_id bigint, embedding array<float>"
+    )
+
+    got_base = [tuple(r) for r in ann_bruteforce(base, n_queries=3, top_k=2).collect()]
+    got_zero = [tuple(r) for r in ann_bruteforce(wzero, n_queries=3, top_k=2).collect()]
+    # the zero vector neither shifts any ranking nor appears on either side
+    assert got_zero == got_base
+    assert all(r[0] != 6 and r[1] != 6 for r in got_zero)
+    for r in got_zero:  # and no NaN leaks into the scores
+        assert r[2] == r[2]
+
+    # semantic dedup: the zero vector can be neither a (stride) centroid
+    # nor a member of any pair — the drop list is identical with it present
+    assert sorted(map(tuple, semantic_dedup(wzero).collect())) == sorted(
+        map(tuple, semantic_dedup(base).collect())
+    )
