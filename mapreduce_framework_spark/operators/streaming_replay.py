@@ -130,9 +130,14 @@ def q94_streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mapreduce_framework_spark.catalog import EVENTS_SCHEMA, table
 
-    tmin, max_ts = (
-        table(spark, "events", sf_dir).agg(F.min("ts"), F.max("ts")).collect()[0]
-    )
+    ev = table(spark, "events", sf_dir)
+    tmin, max_ts = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    if max_ts is None:  # empty input: zero sessions, batch-path schema
+        return (
+            ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"))
+            .orderBy("user_id")
+        )
     delay_s = int((max_ts - tmin).total_seconds()) + 3600
     staging = os.path.join("/tmp", f"mfs_q94_{uuid.uuid4().hex[:8]}")
     os.makedirs(staging)
@@ -260,6 +265,13 @@ def q95_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, "documents", sf_dir)
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    if max_id is None:  # empty corpus: no batches, no decisions
+        return docs.select(
+            "doc_id",
+            F.lit(True).alias("admitted"),
+            F.lit(-1).cast("long").alias("matched_id"),
+            F.lit(0.0).alias("jaccard"),
+        )
     c1, c2 = (max_id + 1) // 3, 2 * (max_id + 1) // 3
     root = os.path.join("/tmp", f"mfs_q95_{uuid.uuid4().hex[:8]}")
     staging = os.path.join(root, "staging")
@@ -298,6 +310,25 @@ def q95_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decisions.orderBy("doc_id")
 
 
+def _hourly_rollup_batch_form(ev: DataFrame) -> DataFrame:
+    """The batch equivalent of the q96 merge loop's final state — same
+    expressions as make_rollup_merge_batch_fn's per-batch aggregate, same
+    output schema. Used as the exactly-known empty-input result (the
+    streaming driver cannot run over zero staged rows: its state read-back
+    would find no files)."""
+    from mapreduce_framework_spark.catalog import trunc_ntz_expr
+
+    return (
+        ev.groupBy(F.expr(trunc_ntz_expr("ts", 3600)).alias("h"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("val"),
+        )
+        .select("h", "event_type", "cnt", F.col("val").cast("double").alias("val"))
+        .orderBy("h", "event_type")
+    )
+
+
 @register(
     "q96_incremental_rollup_replay",
     oracle="""
@@ -328,6 +359,8 @@ def q96_incremental_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame
 
     ev = table(spark, "events", sf_dir)
     tmin, tmax = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    if tmax is None:  # empty input: the batch-form rollup of zero events
+        return _hourly_rollup_batch_form(ev)
     third = (tmax - tmin) / 3
     cut1 = tmin + third
     cut2 = tmin + 2 * third

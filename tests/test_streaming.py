@@ -792,3 +792,46 @@ def test_merge_sinks_redelivery_idempotent(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(ru_root + "/state_v1").collect()
     }
     assert twice == once, "rollup merge double-counted the redelivered batch"
+
+
+def test_streaming_replays_handle_empty_input(spark, tmp_path):
+    """An empty events/documents table (a routine filter/partition result
+    at 100 TB) must yield the exactly-known empty result, not a crash:
+    before the round-5 guards, the three replay builders' 1-row min/max
+    sentinel collects returned NULLs and the driver-side arithmetic threw
+    TypeError. The early returns keep the populated path's schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_framework_spark.operators.streaming_replay import (
+        q94_streaming_session_replay,
+        q95_incremental_ingest_dedup,
+        q96_incremental_rollup_replay,
+    )
+
+    src = "/root/testdata/sf0.001"
+    for t in ("events", "documents"):
+        pq.write_table(
+            pq.read_table(f"{src}/{t}.parquet").slice(0, 0),
+            str(tmp_path / f"{t}.parquet"),
+        )
+    sf = str(tmp_path)
+
+    out94 = q94_streaming_session_replay(spark, sf)
+    assert out94.collect() == [] and out94.columns == ["user_id", "n_sessions"]
+
+    out95 = q95_incremental_ingest_dedup(spark, sf)
+    assert out95.collect() == [] and out95.columns == [
+        "doc_id",
+        "admitted",
+        "matched_id",
+        "jaccard",
+    ]
+
+    out96 = q96_incremental_rollup_replay(spark, sf)
+    assert out96.collect() == [] and out96.columns == [
+        "h",
+        "event_type",
+        "cnt",
+        "val",
+    ]
