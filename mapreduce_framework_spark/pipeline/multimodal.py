@@ -566,13 +566,19 @@ def extract_byte_features(
 
 def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media table derived from documents: payload = UTF-8 bytes of
-    the text (a deterministic stand-in for image/audio bytes)."""
+    the text (a deterministic stand-in for image/audio bytes). Rows whose
+    payload is NULL (NULL source text — routine in a dirty 100 TB corpus)
+    are dropped here, once for every downstream mapInPandas operator: a
+    media row without bytes has no media, and None payloads would
+    otherwise crash the Arrow-batched featurizer/sampler/resizer
+    (pinned by tests/test_pipeline.py::test_null_rows_are_dropped_not_crashes).
+    The filter is JVM-side and reaches the parquet scan."""
     docs = table(spark, "documents", sf_dir)
     return docs.select(
         "doc_id",
         F.lit("text/plain").alias("media_type"),
         F.encode("text", "utf-8").alias("payload"),
-    )
+    ).where(F.col("payload").isNotNull())
 
 
 @register(

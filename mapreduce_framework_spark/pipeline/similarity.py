@@ -270,9 +270,11 @@ def _pair_cos_batches(sf_dir: str, threshold: float, chunk_rows: int = CORPUS_CH
     one tile, so tiling cannot change any value — doubles and the threshold
     comparison are bit-identical to the SQL fold.
 
-    Zero-norm embeddings are rejected (fail fast): cos would be NaN, which
-    numpy's ``>=`` excludes but SQL engines order above any number — a
-    silent cross-engine divergence otherwise."""
+    Zero-norm and NULL embeddings are EXCLUDED on both sides, the same
+    policy every declarative cosine consumer inherits from _norms_spark:
+    cosine is undefined for them (NaN), and NaN ordering diverges between
+    numpy and SQL engines — exclusion keeps the operator total on dirty
+    corpora instead of failing the job over one degenerate row."""
 
     def gen(batches):
         import os
@@ -285,17 +287,11 @@ def _pair_cos_batches(sf_dir: str, threshold: float, chunk_rows: int = CORPUS_CH
 
         path = parquet_path(sf_dir, "embeddings")
 
-        def fold_norms(m: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        def sq_norms(m: np.ndarray) -> np.ndarray:
             acc = np.zeros(m.shape[0])
             for d in range(m.shape[1]):
                 acc += m[:, d] * m[:, d]
-            if not acc.all():
-                bad = ids[acc == 0.0].tolist()
-                raise ValueError(
-                    f"zero-norm embedding(s) {bad[:5]}: cosine undefined (NaN) "
-                    "and NaN ordering diverges between numpy and SQL engines"
-                )
-            return np.sqrt(acc)
+            return acc
 
         def corpus_tiles():
             files = (
@@ -307,26 +303,42 @@ def _pair_cos_batches(sf_dir: str, threshold: float, chunk_rows: int = CORPUS_CH
                 if os.path.isdir(path)
                 else [path]
             )
+            import pyarrow.compute as pc
+
             for f in files:
                 pf = pq.ParquetFile(f)
                 for rb in pf.iter_batches(
                     batch_size=chunk_rows, columns=["vec_id", "embedding"]
                 ):
-                    yield rb
+                    # NULL embeddings have nothing to compare (the batch
+                    # side drops them JVM-side); a None here would make
+                    # the tile matrix ragged and crash np.array
+                    rb = rb.filter(pc.is_valid(rb.column("embedding")))
+                    if rb.num_rows:
+                        yield rb
 
         for pdf in batches:
+            pdf = pdf[pdf["embedding"].notna()]
             if not len(pdf):
                 continue
             aids = pdf["vec_id"].to_numpy()
             A = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
-            anorm = fold_norms(A, aids)
+            asq = sq_norms(A)
+            aids, A, asq = aids[asq > 0], A[asq > 0], asq[asq > 0]
+            if not len(aids):
+                continue
+            anorm = np.sqrt(asq)
             min_aid = aids.min()
             for rb in corpus_tiles():
                 cids = rb.column("vec_id").to_numpy()
                 if cids.max() <= min_aid:  # no cid can pair as id2 here
                     continue
                 corpus = np.array(rb.column("embedding").to_pylist(), dtype=np.float64)
-                cnorm = fold_norms(corpus, cids)
+                csq = sq_norms(corpus)
+                cids, corpus = cids[csq > 0], corpus[csq > 0]
+                if not len(cids):
+                    continue
+                cnorm = np.sqrt(csq[csq > 0])
                 dots = np.zeros((len(A), len(corpus)))
                 for d in range(A.shape[1]):
                     dots += A[:, d : d + 1] * corpus[None, :, d]
@@ -374,7 +386,14 @@ def q36_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_framework_spark.deploy import ensure_package_on_executors
 
     ensure_package_on_executors(spark)
-    e = table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    # NULL embeddings are droppable (nothing to compare) and would make
+    # the numpy tile matrix ragged; the corpus-tile reader inside the UDF
+    # applies the same filter, so both sides of a pair agree
+    e = (
+        table(spark, "embeddings", sf_dir)
+        .select("vec_id", "embedding")
+        .where(F.col("embedding").isNotNull())
+    )
     out = e.mapInPandas(
         _pair_cos_batches(sf_dir, NEARDUP_COS),
         schema="id1 long, id2 long, cos double",

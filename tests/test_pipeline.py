@@ -245,22 +245,30 @@ def test_embedding_neardup_tiling_invariance(sf_dir):
     assert len(whole) > 0, "fixture should contain near-dup embedding pairs"
 
 
-def test_embedding_neardup_rejects_zero_norm(tmp_path):
-    """A zero-norm embedding makes cosine NaN, and NaN ordering diverges
-    between numpy and SQL engines — the generator must fail fast instead."""
+def test_embedding_neardup_excludes_zero_norm_and_null(tmp_path):
+    """Zero-norm and NULL embeddings make cosine undefined (NaN) — the
+    tiled generator must EXCLUDE them on both the batch and corpus-tile
+    sides (the _norms_spark policy every declarative consumer shares)
+    rather than emit NaN pairs, crash on a ragged matrix, or fail the
+    whole job over one degenerate row."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
-    import pytest as _pytest
 
     from mapreduce_framework_spark.pipeline.similarity import _pair_cos_batches
 
-    vecs = [[1.0] * 4, [0.0] * 4, [2.0] * 4]
-    tbl = pa.table({"vec_id": [0, 1, 2], "embedding": vecs})
+    vecs = [[1.0] * 4, [0.0] * 4, None, [2.0] * 4]
+    tbl = pa.table(
+        {"vec_id": [0, 1, 2, 3]},
+    ).append_column("embedding", pa.array(vecs, pa.list_(pa.float64())))
     pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
-    batch = pd.DataFrame({"vec_id": [0, 1, 2], "embedding": vecs})
-    with _pytest.raises(ValueError, match="zero-norm"):
+    batch = pd.DataFrame({"vec_id": [0, 1, 2, 3], "embedding": vecs})
+    out = pd.concat(
         list(_pair_cos_batches(str(tmp_path), 0.5)(iter([batch])))
+    )
+    # only the (0, 3) pair survives: 1 and 2 are excluded on both sides
+    assert sorted(map(tuple, out[["id1", "id2"]].values.tolist())) == [(0, 3)]
+    assert out["cos"].notna().all()
 
 
 def test_match_batch_with_persisted_index_equals_from_scratch(spark, sf_dir, tmp_path):
@@ -913,3 +921,39 @@ def test_zero_norm_vectors_are_excluded(spark):
     assert sorted(map(tuple, semantic_dedup(wzero).collect())) == sorted(
         map(tuple, semantic_dedup(base).collect())
     )
+
+
+def test_null_rows_are_dropped_not_crashes(spark, tmp_path):
+    """Dirty-corpus boundary: documents with NULL text (and their NULL
+    payloads) must be dropped by media_frame once for all three
+    mapInPandas operators — before the round-5 guard, None payloads
+    crashed the Arrow-batched featurizer/sampler/resizer workers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_framework_spark.pipeline.multimodal import (
+        q37_multimodal_features,
+        q76_multimodal_frame_sample,
+        q77_multimodal_resize,
+    )
+
+    texts = ["alpha beta gam " * 4, None, "dd e " * 10, None]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * 4, pa.string()),
+            "source": pa.array(["src0"] * 4, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    feats = q37_multimodal_features(spark, sf).collect()
+    assert [r["doc_id"] for r in feats] == [0, 2]
+
+    frames = q76_multimodal_frame_sample(spark, sf).collect()
+    assert {r["doc_id"] for r in frames} == {0, 2}
+
+    resized = q77_multimodal_resize(spark, sf).collect()
+    assert [r["doc_id"] for r in resized] == [0, 2]
