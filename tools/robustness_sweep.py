@@ -1,0 +1,120 @@
+"""Dirty-data robustness sweep: run EVERY registered builder against
+degenerate dataset variants and report crashes.
+
+A 100 TB corpus reliably contains what the synthetic sf tables never do:
+empty partitions/filter results, NULL text/source/lang fields, NULL
+embedding vectors. Each variant here is derived from a real sf directory
+with its exact schemas; a builder passes if it returns (any rows) without
+raising. This sweep found and motivated the round-5 guards:
+
+- DIVIDE_BY_ZERO in domain-mix rates over a zero-token source,
+- TypeError in the three streaming replays' sentinel bounds on empty
+  input,
+- Pandas-UDF worker crashes on NULL payloads (multimodal family) and
+  NULL embeddings (tiled near-dup).
+
+Usage:
+    python tools/robustness_sweep.py [--sf /root/testdata/sf0.001]
+                                     [--variant empty|nulls|all]
+Exit code 1 if any builder fails.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def build_empty(src: str, dst: str) -> None:
+    """Every table with its exact schema, zero rows."""
+    import pyarrow.parquet as pq
+
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(src, f"{t}.parquet"))
+        pq.write_table(tbl.slice(0, 0), os.path.join(dst, f"{t}.parquet"))
+
+
+def build_nulls(src: str, dst: str) -> None:
+    """documents: text/lang/source NULL on every 7th row; embeddings:
+    embedding NULL on every 9th row. Other tables unchanged."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(src, f"{t}.parquet"))
+        if t == "documents":
+            n = tbl.num_rows
+            mask = pa.array([i % 7 == 0 for i in range(n)])
+            cols = {}
+            for name in tbl.column_names:
+                col = tbl.column(name)
+                if name in ("text", "lang", "source"):
+                    col = pc.if_else(mask, pa.nulls(n, col.type), col)
+                cols[name] = col
+            tbl = pa.table(cols)
+        elif t == "embeddings":
+            n = tbl.num_rows
+            mask = pa.array([i % 9 == 0 for i in range(n)])
+            cols = {}
+            for name in tbl.column_names:
+                col = tbl.column(name)
+                if name == "embedding":
+                    col = pc.if_else(mask, pa.nulls(n, col.type), col.combine_chunks())
+                cols[name] = col
+            tbl = pa.table(cols)
+        pq.write_table(tbl, os.path.join(dst, f"{t}.parquet"))
+
+
+def sweep(spark, sf_dir: str, label: str) -> list[str]:
+    from mapreduce_framework_spark.registry import all_queries
+
+    fails = []
+    for name, spec in all_queries().items():
+        try:
+            spec.builder(spark, sf_dir).collect()
+        except Exception as ex:  # noqa: BLE001 — report, don't mask
+            fails.append(name)
+            first = str(ex).split("\n")[0][:160]
+            print(f"[{label}] {name} FAIL {type(ex).__name__}: {first}", flush=True)
+    print(f"[{label}] fails: {fails if fails else 'none'}", flush=True)
+    return fails
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--variant", default="all", choices=["empty", "nulls", "all"])
+    args = ap.parse_args()
+
+    from mapreduce_framework_spark.session import get_spark
+
+    spark = get_spark(app_name="robustness-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    all_fails: list[str] = []
+    with tempfile.TemporaryDirectory(prefix="mfs_sweep_") as root:
+        if args.variant in ("empty", "all"):
+            d = os.path.join(root, "empty")
+            os.makedirs(d)
+            build_empty(args.sf, d)
+            all_fails += sweep(spark, d, "empty")
+        if args.variant in ("nulls", "all"):
+            d = os.path.join(root, "nulls")
+            os.makedirs(d)
+            build_nulls(args.sf, d)
+            all_fails += sweep(spark, d, "nulls")
+    return 1 if all_fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
