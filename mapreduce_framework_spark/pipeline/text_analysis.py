@@ -187,17 +187,23 @@ _IDF_SCALE = 1_000_000  # integer idf surrogate: score = tf * SCALE // df
 )
 def q92_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{TFIDF_TOP_K} distinguishing terms per document by a tf-idf
-    surrogate: score = tf × 10⁶ ∕ df in integer arithmetic (monotone in
-    tf/df — chosen over tf·ln(N/df) so the score itself is cross-engine
-    bit-exact, not just the ranking). The term-frequency and
-    document-frequency aggregates are both map-side partial; the tf⋈df
-    join is keyed on word, where both sides are already co-partitioned
-    after their aggregates."""
+    surrogate (see :func:`tfidf_topk`, the library form over any corpus
+    frame)."""
+    return tfidf_topk(table(spark, "documents", sf_dir)).orderBy("doc_id", "rank")
+
+
+def tfidf_topk(docs: DataFrame, top_k: int = TFIDF_TOP_K) -> DataFrame:
+    """Library form of q92: top-``top_k`` distinguishing terms per doc by
+    a tf-idf surrogate: score = tf × 10⁶ ∕ df in integer arithmetic
+    (monotone in tf/df — chosen over tf·ln(N/df) so the score itself is
+    cross-engine bit-exact, not just the ranking); ties break by word
+    ascending. The term-frequency and document-frequency aggregates are
+    both map-side partial; the tf⋈df join is keyed on word, where both
+    sides are already co-partitioned after their aggregates."""
     from pyspark.sql.window import Window
 
     from mapreduce_framework_spark.functions.text import explode_tokens
 
-    docs = table(spark, "documents", sf_dir)
     tok = explode_tokens(docs, F.lower(F.col("text")), out="word", keep=["doc_id"])
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
@@ -211,6 +217,5 @@ def q92_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word").asc())
     return (
         s.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= TFIDF_TOP_K)
-        .orderBy("doc_id", "rank")
+        .where(F.col("rank") <= top_k)
     )

@@ -124,3 +124,54 @@ def test_repetition_stats_match_model(spark_global, docs):
         for r in repetition_stats(df).collect()
     }
     assert got == {d: _model_repetition(t) for d, t in docs.items()}
+
+
+# --- tf-idf top-k (q92's engine) vs sequential model ------------------------
+
+from mapreduce_framework_spark.pipeline.text_analysis import (
+    _IDF_SCALE,
+    tfidf_topk,
+)
+
+# mixed case (the engine lowers first), tiny vocabulary so df collisions
+# and score TIES actually occur (tie-break: word ascending)
+_tfidf_text = st.lists(
+    st.sampled_from(["aa", "AA", "bb", "Bb", "cc", "d"]), min_size=0, max_size=10
+).map(" ".join)
+_tfidf_corpus = st.dictionaries(
+    st.integers(min_value=0, max_value=12), _tfidf_text, min_size=1, max_size=6
+)
+
+
+def _tfidf_model(texts: dict[int, str], top_k: int = 3):
+    tf = {
+        i: Counter(w for w in re.split("[^a-zA-Z]+", t.lower()) if w)
+        for i, t in texts.items()
+    }
+    df = Counter(w for c in tf.values() for w in c)
+    out = {}
+    for i, c in tf.items():
+        scored = sorted(
+            ((w, n, df[w], n * _IDF_SCALE // df[w]) for w, n in c.items()),
+            key=lambda x: (-x[3], x[0]),
+        )
+        for rank, (w, n, d, s) in enumerate(scored[:top_k], start=1):
+            out[(i, w)] = (n, d, s, rank)
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=_tfidf_corpus)
+def test_tfidf_topk_matches_model(spark_global, texts):
+    """q92's engine on arbitrary corpora: tf, df, the integer-exact score,
+    and the (score desc, word asc) tie-broken top-k ranks all equal the
+    sequential model — including case folding and token-free docs (no
+    rows)."""
+    df = spark_global.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    )
+    got = {
+        (r["doc_id"], r["word"]): (r["tf"], r["df"], r["score"], r["rank"])
+        for r in tfidf_topk(df).collect()
+    }
+    assert got == _tfidf_model(texts)
