@@ -107,11 +107,15 @@ _ADAM7 = (
 )
 
 
-def _unfilter_lines(raw: bytes, offset: int, w: int, h: int, ch: int):
-    """Reconstruct h filtered scanlines of w pixels (ch bytes each) from
-    raw[offset:]; returns (lines, next_offset). The prev-row state resets
-    at the start (each Adam7 pass filters independently)."""
-    stride = w * ch
+def _unfilter_lines(raw: bytes, offset: int, w: int, h: int, ch: int, depth: int):
+    """Reconstruct h filtered scanlines of w pixels from raw[offset:];
+    returns (lines, next_offset) with lines at the NATIVE depth (stride
+    bytes each). The filter's left-neighbor distance is the whole-byte
+    pixel size bpp = max(1, ch·depth/8) per the PNG spec (sub-byte depths
+    filter byte-wise). The prev-row state resets at the start (each Adam7
+    pass filters independently)."""
+    bpp = max(1, (ch * depth) // 8)
+    stride = (w * ch * depth + 7) // 8
     prev = bytearray(stride)
     lines = []
     pos = offset
@@ -122,20 +126,20 @@ def _unfilter_lines(raw: bytes, offset: int, w: int, h: int, ch: int):
         line = bytearray(raw[pos + 1 : pos + 1 + stride])
         pos += 1 + stride
         if ftype == 1:  # sub
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ftype == 2:  # up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif ftype == 3:  # average
             for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
+                a = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
         elif ftype == 4:  # paeth
             for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
+                a = line[i - bpp] if i >= bpp else 0
                 b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -147,19 +151,44 @@ def _unfilter_lines(raw: bytes, offset: int, w: int, h: int, ch: int):
     return lines, pos
 
 
+def _unpack_line(line: bytearray, w: int, ch: int, depth: int, color: int) -> bytes:
+    """One native-depth scanline -> w·ch samples at 8 bits. depth 16 keeps
+    the high byte (the standard 16→8 reduction); sub-byte depths unpack
+    MSB-first and greyscale values scale by 255/(2^d − 1) so full-scale
+    white stays 255 — palette indices stay raw for the PLTE lookup."""
+    if depth == 8:
+        return bytes(line)
+    if depth == 16:
+        return bytes(line[i * 2] for i in range(w * ch))
+    mask = (1 << depth) - 1
+    out = bytearray(w)  # sub-byte depths are single-channel (grey/palette)
+    for x in range(w):
+        bitpos = x * depth
+        v = (line[bitpos // 8] >> (8 - depth - (bitpos % 8))) & mask
+        out[x] = v * 255 // mask if color == 0 else v
+    return bytes(out)
+
+
+# spec-legal (color type -> bit depths); anything else is a corrupt file
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+
+
 def _decode_png(payload: bytes) -> dict:
     """Pure-stdlib PNG decoder: zlib (stdlib) inflates the IDAT stream,
     then per-scanline filter reconstruction (all five filter types: none/
-    sub/up/average/paeth) rebuilds the raster. Supports 8-bit depth,
-    color types greyscale/RGB/palette/grey+alpha/RGBA, both sequential
-    and Adam7-interlaced layouts (each pass unfiltered independently,
-    pixels scattered back through the pass grid) — the deflate-era twin
-    of the uncompressed-BMP parser above; exact-pixel tested against
-    self-authored fixtures exercising every filter type and every pass
+    sub/up/average/paeth) rebuilds the raster. Supports EVERY spec-legal
+    IHDR combination: color types greyscale/RGB/palette/grey+alpha/RGBA,
+    bit depths 1/2/4/8/16 (16-bit keeps the high byte — the standard
+    16→8 reduction; sub-byte greyscale scales by 255/(2^d−1)), both
+    sequential and Adam7-interlaced layouts (each pass unfiltered
+    independently, pixels scattered back through the pass grid) — the
+    deflate-era twin of the uncompressed-BMP parser above; exact-pixel
+    tested against self-authored fixtures exercising every filter type,
+    every pass, and every depth
     (tests/test_pipeline.py::test_decode_image_png_via_stdlib,
-    ::test_decode_png_adam7_interlaced). 1/2/4/16-bit depths stay
-    honestly env-gated on Pillow. Chunk CRCs are verified (zlib.crc32)
-    so corruption raises rather than yielding silently wrong pixels."""
+    ::test_decode_png_adam7_interlaced, ::test_decode_png_bit_depths).
+    Chunk CRCs are verified (zlib.crc32) so corruption raises rather
+    than yielding silently wrong pixels."""
     import struct
     import zlib
 
@@ -189,20 +218,21 @@ def _decode_png(payload: bytes) -> dict:
     width, height, depth, color, _comp, _filt, interlace = ihdr
     if width == 0 or height == 0:
         raise ValueError(f"invalid PNG dimensions {width}x{height}")
-    if depth != 8 or interlace not in (0, 1) or color not in _PNG_MODES:
-        raise NotImplementedError(
-            f"PNG depth={depth} color={color} interlace={interlace} "
-            "needs Pillow (stdlib path is 8-bit, sequential or Adam7)"
-        )
+    if color not in _PNG_MODES or depth not in _PNG_DEPTHS.get(color, ()):
+        raise ValueError(f"illegal PNG depth={depth} for color type {color}")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     mode, ch = _PNG_MODES[color]
     raw = zlib.decompress(bytes(idat))
     flat = bytearray(width * height * ch)
     if interlace == 0:
-        lines, end = _unfilter_lines(raw, 0, width, height, ch)
+        lines, end = _unfilter_lines(raw, 0, width, height, ch, depth)
         if end != len(raw):
             raise ValueError("PNG IDAT size does not match dimensions")
         for y, line in enumerate(lines):
-            flat[y * width * ch : (y + 1) * width * ch] = line
+            flat[y * width * ch : (y + 1) * width * ch] = _unpack_line(
+                line, width, ch, depth, color
+            )
     else:  # Adam7: seven independently-filtered passes scattered back
         off = 0
         for x0, y0, xs, ys in _ADAM7:
@@ -210,12 +240,13 @@ def _decode_png(payload: bytes) -> dict:
             ph = (height - y0 + ys - 1) // ys
             if pw <= 0 or ph <= 0:
                 continue
-            lines, off = _unfilter_lines(raw, off, pw, ph, ch)
+            lines, off = _unfilter_lines(raw, off, pw, ph, ch, depth)
             for ri, line in enumerate(lines):
                 y = y0 + ri * ys
+                unpacked = _unpack_line(line, pw, ch, depth, color)
                 for ci in range(pw):
                     x = x0 + ci * xs
-                    flat[(y * width + x) * ch : (y * width + x + 1) * ch] = line[
+                    flat[(y * width + x) * ch : (y * width + x + 1) * ch] = unpacked[
                         ci * ch : (ci + 1) * ch
                     ]
         if off != len(raw):

@@ -618,18 +618,20 @@ def test_decode_png_rejects_malformed():
     with pytest.raises(ValueError, match="CRC mismatch"):
         decode_image(bytes(bad))
 
-    # 16-bit depth is an honest env-gated seam, not silent garbage
+    # depth flipped to 16 without re-encoding the 8-bit IDAT: the stdlib
+    # path now DECODES 16-bit (test_decode_png_bit_depths), so this file
+    # is plain corruption — the scanline size check must catch it
     deep = bytearray(good)
     ihdr_at = good.index(b"IHDR")
     deep[ihdr_at + 12] = 16  # bit-depth byte inside IHDR
-    # fix the CRC so the depth check (not the CRC check) fires
+    # fix the CRC so the size check (not the CRC check) fires
     import zlib as _z
 
     data = bytes(deep[ihdr_at + 4 : ihdr_at + 17])
     deep[ihdr_at + 17 : ihdr_at + 21] = struct.pack(
         ">I", _z.crc32(b"IHDR" + data) & 0xFFFFFFFF
     )
-    with pytest.raises(NotImplementedError, match="depth=16"):
+    with pytest.raises(ValueError, match="does not match dimensions"):
         decode_image(bytes(deep))
 
 
@@ -957,3 +959,108 @@ def test_null_rows_are_dropped_not_crashes(spark, tmp_path):
 
     resized = q77_multimodal_resize(spark, sf).collect()
     assert [r["doc_id"] for r in resized] == [0, 2]
+
+
+def test_decode_png_bit_depths():
+    """Every spec-legal non-8-bit IHDR combination decodes exactly:
+    sub-byte greyscale (1/2/4-bit, MSB-first, scaled by 255/(2^d-1)),
+    sub-byte palette indices, and 16-bit channels (high byte kept), with
+    filters applied at the spec's whole-byte bpp distance. Illegal
+    depth/color combos raise ValueError (corrupt file), not a stub."""
+    import random
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from mapreduce_framework_spark.pipeline.multimodal import decode_image
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, depth, color, scanlines, plte=None):
+        parts = [b"\x89PNG\r\n\x1a\n",
+                 chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0))]
+        if plte is not None:
+            parts.append(chunk(b"PLTE", plte))
+        parts.append(chunk(b"IDAT", zlib.compress(bytes(scanlines))))
+        parts.append(chunk(b"IEND", b""))
+        return b"".join(parts)
+
+    def filt(rows, bpp, ftypes):
+        """PNG-filter packed rows (inverse of reconstruction)."""
+        stride = len(rows[0])
+        scan = bytearray()
+        prev = bytes(stride)
+        for row, ftype in zip(rows, ftypes):
+            line = bytearray(row)
+            if ftype == 1:
+                for i in range(stride - 1, bpp - 1, -1):
+                    line[i] = (line[i] - row[i - bpp]) & 0xFF
+            elif ftype == 2:
+                for i in range(stride):
+                    line[i] = (line[i] - prev[i]) & 0xFF
+            elif ftype == 3:
+                for i in range(stride):
+                    a = row[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] - ((a + prev[i]) >> 1)) & 0xFF
+            elif ftype == 4:
+                for i in range(stride):
+                    a = row[i - bpp] if i >= bpp else 0
+                    b, c = prev[i], (prev[i - bpp] if i >= bpp else 0)
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    line[i] = (line[i] - pred) & 0xFF
+            scan += bytes([ftype]) + line
+            prev = row
+        return scan
+
+    def pack_bits(vals, depth):
+        out, acc, nbits = bytearray(), 0, 0
+        for v in vals:
+            acc = (acc << depth) | v
+            nbits += depth
+            if nbits == 8:
+                out.append(acc)
+                acc, nbits = 0, 0
+        if nbits:
+            out.append(acc << (8 - nbits))
+        return bytes(out)
+
+    rng = random.Random(7)
+
+    # sub-byte greyscale: odd width 10 -> ragged final byte at d=1,2,4
+    for depth in (1, 2, 4):
+        W, H = 10, 5
+        mask = (1 << depth) - 1
+        vals = [[rng.randrange(mask + 1) for _ in range(W)] for _ in range(H)]
+        rows = [pack_bits(r, depth) for r in vals]
+        out = decode_image(png(W, H, depth, 0, filt(rows, 1, [(i * 2) % 5 for i in range(H)])))
+        assert (out["width"], out["height"], out["mode"]) == (W, H, "L")
+        assert out["pixels"] == bytes(v * 255 // mask for r in vals for v in r)
+
+    # sub-byte palette: 4-bit indices into a 6-entry PLTE
+    W, H = 7, 4
+    plte = bytes(range(18))
+    idx = [[rng.randrange(6) for _ in range(W)] for _ in range(H)]
+    rows = [pack_bits(r, 4) for r in idx]
+    out = decode_image(png(W, H, 4, 3, filt(rows, 1, [0, 1, 2, 4]), plte=plte))
+    assert (out["width"], out["height"], out["mode"]) == (W, H, "RGB")
+    assert out["pixels"] == b"".join(plte[3 * i : 3 * i + 3] for r in idx for i in r)
+
+    # 16-bit greyscale and RGB: high byte kept, filters at bpp = 2 / 6
+    for color, ch in ((0, 1), (2, 3)):
+        W, H = 5, 4
+        samples = [[rng.randrange(65536) for _ in range(W * ch)] for _ in range(H)]
+        rows = [struct.pack(f">{W * ch}H", *r) for r in samples]
+        out = decode_image(png(W, H, 16, color, filt(rows, 2 * ch, [(i + 1) % 5 for i in range(H)])))
+        assert (out["width"], out["height"]) == (W, H)
+        assert out["pixels"] == bytes(s >> 8 for r in samples for s in r)
+
+    # illegal combo: 2-bit RGB is corrupt, not unsupported
+    with _pytest.raises(ValueError, match="illegal PNG depth"):
+        decode_image(png(2, 2, 2, 2, filt([pack_bits([0, 1], 2)] * 2, 1, [0, 0])))
