@@ -304,13 +304,15 @@ def _lzw_decode(min_code_size: int, data: bytes) -> bytes:
 
 
 def _decode_gif(payload: bytes) -> dict:
-    """Pure-stdlib decoder for non-interlaced GIF87a/89a: logical screen
-    descriptor + color tables parsed directly, pixel indices recovered by
-    the LZW decoder above, first frame returned as RGB (animation frames
-    beyond the first, and interlaced images, raise NotImplementedError;
-    GCE transparency is ignored — the raster keeps the palette color).
-    Exact-pixel tested against self-authored fixtures (clear-code
-    "uncompressed" streams, a round-tripping LZW encoder, and a
+    """Pure-stdlib decoder for GIF87a/89a: logical screen descriptor +
+    color tables parsed directly, pixel indices recovered by the LZW
+    decoder above, first frame returned as RGB — both sequential and
+    interlaced row layouts (the four-pass 8/8+4/4/2 grid, deinterleaved
+    after decode). Animation frames beyond the first raise
+    NotImplementedError; GCE transparency is ignored — the raster keeps
+    the palette color. Exact-pixel tested against self-authored fixtures
+    (clear-code "uncompressed" streams, a round-tripping LZW encoder, an
+    interlaced twin pinned row-equal to its sequential encoding, and a
     well-known real-world 1x1 GIF) in tests/test_pipeline.py."""
     import struct
 
@@ -335,8 +337,7 @@ def _decode_gif(payload: bytes) -> dict:
                 "<HHHHB", payload, pos + 1
             )
             pos += 10
-            if ipacked & 0x40:
-                raise NotImplementedError("interlaced GIF needs Pillow")
+            interlaced = bool(ipacked & 0x40)
             ct = gct
             if ipacked & 0x80:
                 n = 2 << (ipacked & 0x07)
@@ -356,8 +357,19 @@ def _decode_gif(payload: bytes) -> dict:
             indices = _lzw_decode(min_code_size, bytes(data))
             if len(indices) < width * height:
                 raise ValueError("truncated GIF pixel data")
+            indices = indices[: width * height]
+            if interlaced:
+                # rows are stored pass-by-pass (starts 0/4/2/1, steps
+                # 8/8/4/2); scatter them back to display order
+                rows = [b""] * height
+                r = 0
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    for y in range(start, height, step):
+                        rows[y] = indices[r * width : (r + 1) * width]
+                        r += 1
+                indices = b"".join(rows)
             out = bytearray()
-            for i in indices[: width * height]:
+            for i in indices:
                 out += ct[3 * i : 3 * i + 3]
             return {
                 "width": width,

@@ -680,7 +680,7 @@ def _lzw_encode(mcs, indices):
     return _pack_codes(codes)
 
 
-def _gif_fixture(width, height, palette, lzw_data, mcs):
+def _gif_fixture(width, height, palette, lzw_data, mcs, interlaced=False):
     import struct
 
     n = max(2, len(palette) // 3)
@@ -688,7 +688,8 @@ def _gif_fixture(width, height, palette, lzw_data, mcs):
     gct = palette + bytes(3 * ((2 << (bits - 1)) * 1) - len(palette))
     out = b"GIF89a" + struct.pack("<HHBBB", width, height, 0x80 | (bits - 1), 0, 0)
     out += gct
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    ipacked = 0x40 if interlaced else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, ipacked)
     out += bytes([mcs])
     for i in range(0, len(lzw_data), 255):
         chunk = lzw_data[i : i + 255]
@@ -756,12 +757,13 @@ def test_decode_gif_rejects_malformed():
     with pytest.raises(ValueError, match="truncated GIF"):
         decode_image(short)
 
-    # interlace flag is an honest env-gated seam
+    # interlaced is now decoded (test_decode_gif_interlaced); on a 1-row
+    # image the pass scatter is the identity, so flipping the flag on the
+    # same stream must yield identical pixels
     interlaced = bytearray(good)
     at = good.index(b"\x2c")
     interlaced[at + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_image(bytes(interlaced))
+    assert decode_image(bytes(interlaced)) == decode_image(good)
 
 
 def test_decode_gif_local_color_table_and_first_frame():
@@ -1064,3 +1066,35 @@ def test_decode_png_bit_depths():
     # illegal combo: 2-bit RGB is corrupt, not unsupported
     with _pytest.raises(ValueError, match="illegal PNG depth"):
         decode_image(png(2, 2, 2, 2, filt([pack_bits([0, 1], 2)] * 2, 1, [0, 0])))
+
+
+def test_decode_gif_interlaced():
+    """Interlaced GIF: rows stored pass-by-pass (starts 0/4/2/1, steps
+    8/8/4/2) must scatter back to display order — an 11-row raster (all
+    four passes non-empty, odd height) encoded interlaced decodes to
+    exactly the pixels of its sequential encoding."""
+    import random
+
+    from mapreduce_framework_spark.pipeline.multimodal import decode_image
+
+    W, H = 5, 11
+    pal4 = bytes((255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9))
+    rng = random.Random(11)
+    raster = [[rng.randrange(4) for _ in range(W)] for _ in range(H)]
+
+    seq = bytes(i for row in raster for i in row)
+    inter_rows = [
+        raster[y]
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+        for y in range(start, H, step)
+    ]
+    inter = bytes(i for row in inter_rows for i in row)
+
+    g_seq = _gif_fixture(W, H, pal4, _lzw_encode(2, seq), 2)
+    g_int = _gif_fixture(W, H, pal4, _lzw_encode(2, inter), 2, interlaced=True)
+    out_seq = decode_image(g_seq)
+    out_int = decode_image(g_int)
+    assert out_int == out_seq
+    assert out_int["pixels"] == b"".join(
+        pal4[3 * i : 3 * i + 3] for row in raster for i in row
+    )
