@@ -387,14 +387,17 @@ def _decode_gif(payload: bytes) -> dict:
 def decode_image(payload: bytes) -> dict:
     """Decode an image payload to (width, height, mode, raw pixel bytes).
 
-    Uncompressed 24-bit BMP, 8-bit non-interlaced PNG, and non-interlaced
-    GIF decode via the pure-stdlib parsers above — real in any
-    environment (tests/test_pipeline.py::test_decode_image_bmp_via_stdlib,
-    ::test_decode_image_png_via_stdlib, ::test_decode_image_gif_via_stdlib).
-    Other formats use Pillow when importable; this container ships no
-    imaging libs, so they raise NotImplementedError. The conditional test
-    (tests/test_pipeline.py::test_decode_image_with_pillow) exercises the
-    Pillow path wherever it exists, so the seam cannot silently rot."""
+    Uncompressed 24-bit BMP, the FULL PNG surface (every spec-legal
+    depth/color combination, sequential and Adam7), and the full GIF
+    surface (sequential and interlaced, global/local color tables, first
+    frame of animations) decode via the pure-stdlib parsers above — real
+    in any environment (tests/test_pipeline.py::test_decode_image_*,
+    ::test_decode_png_bit_depths, ::test_decode_gif_interlaced). Other
+    formats (JPEG and friends) use Pillow when importable; this container
+    ships no imaging libs, so they raise NotImplementedError. The
+    conditional test (tests/test_pipeline.py::test_decode_image_with_pillow)
+    exercises the Pillow path wherever it exists, so the seam cannot
+    silently rot."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
@@ -636,7 +639,7 @@ def media_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                                i -> CAST(unicode(substr(text, i, 1)) AS BIGINT))),
                 (acc, b) -> ((xor(acc, b) * 16777619) % 4294967296)) END AS fingerprint,
            CAST(CASE WHEN length(text) > 0 THEN unicode(substr(text, 1, 1)) ELSE -1 END AS BIGINT) AS first_byte
-    FROM documents ORDER BY doc_id
+    FROM documents WHERE text IS NOT NULL ORDER BY doc_id
     """,
     tags=("ext", "multimodal"),
 )
@@ -704,7 +707,7 @@ _FNV_OVER = (
       SELECT doc_id, text,
              unnest(range(0, CAST(ceil(length(text) / {FRAME_SIZE}.0) AS BIGINT),
                           {FRAME_EVERY})) AS frame_idx
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), fr AS (
       SELECT doc_id, frame_idx,
              substr(text, CAST(frame_idx * {FRAME_SIZE} + 1 AS INT), {FRAME_SIZE}) AS s
@@ -774,7 +777,7 @@ def resize_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
            CASE WHEN length(text) = 0 THEN CAST(2166136261 AS BIGINT)
            ELSE {_FNV_OVER.format(positions=f"range(1, length(text) + 1, {RESIZE_STRIDE})", s="text")}
            END AS fingerprint
-    FROM documents ORDER BY doc_id
+    FROM documents WHERE text IS NOT NULL ORDER BY doc_id
     """,
     tags=("ext", "multimodal"),
 )

@@ -63,7 +63,7 @@ from mapreduce_framework_spark.catalog import table
 from mapreduce_framework_spark.registry import register
 from mapreduce_framework_spark.pipeline.similarity import (
     _DOT_SPARK,
-    _NORM_DUCK,
+    _E_CTE_DUCK,
     _dot_duck,
     _norms_spark,
     prepare_centroids,
@@ -160,7 +160,7 @@ def semantic_dedup(
 _CENT_COS = f"{_dot_duck('e.embedding', 'cents.cent')} / (e.norm * cents.cent_norm)"
 
 Q102_ORACLE = f"""
-    WITH e AS (SELECT vec_id, embedding, {_NORM_DUCK} AS norm FROM embeddings),
+    WITH {_E_CTE_DUCK},
     cents AS (
       SELECT vec_id AS cent_id, embedding AS cent, norm AS cent_norm
       FROM e WHERE vec_id % {SEM_STRIDE} = 0

@@ -66,8 +66,18 @@ def _norms_spark(df: DataFrame, vec: str = "embedding") -> DataFrame:
 
 _NORM_DUCK = f"sqrt({_dot_duck('embedding', 'embedding')})"
 
+# the oracle twin of _norms_spark's row gate: NULL embeddings propagate a
+# NULL norm and zero vectors a 0.0 norm, and `norm > 0` excludes both —
+# identically on both engines. Every cosine oracle builds its `e` CTE
+# from this so the exclusion policy cannot drift between engines (the
+# dirty-data differential in tools/robustness_sweep.py relies on it).
+_E_CTE_DUCK = (
+    f"e AS (SELECT * FROM (SELECT vec_id, embedding, {_NORM_DUCK} AS norm"
+    " FROM embeddings) WHERE norm > 0)"
+)
+
 _PAIR_COS_DUCK = f"""
-    e AS (SELECT vec_id, embedding, {_NORM_DUCK} AS norm FROM embeddings),
+    {_E_CTE_DUCK},
     pairs AS (
       SELECT q.vec_id AS qid, c.vec_id AS cid,
              {_dot_duck('q.embedding', 'c.embedding')} / (q.norm * c.norm) AS cos
@@ -191,7 +201,7 @@ _RANKED_TOPK_DUCK = f"""
     # and reproduced verbatim in SQL — approximate-by-design vs q34, but
     # bit-exactly reproducible, so hash-checkable.
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding, {_NORM_DUCK} AS norm FROM embeddings),
+    WITH {_E_CTE_DUCK},
     b AS ({_bucket_cte_duck()}),
     qb AS (SELECT vec_id AS qid, tbl, bucket FROM b WHERE vec_id < {N_QUERIES}),
     cb AS (SELECT vec_id AS cid, tbl, bucket FROM b),
@@ -357,7 +367,7 @@ def _pair_cos_batches(sf_dir: str, threshold: float, chunk_rows: int = CORPUS_CH
 @register(
     "q36_embedding_neardup",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding, {_NORM_DUCK} AS norm FROM embeddings)
+    WITH {_E_CTE_DUCK}
     SELECT a.vec_id AS id1, b.vec_id AS id2,
            {_dot_duck('a.embedding', 'b.embedding')} / (a.norm * b.norm) AS cos
     FROM e a, e b
@@ -415,7 +425,7 @@ _CENT_COS_DUCK = (
     # fold-order cosines, cent_id/cid tie-breaks — the approximate
     # algorithm itself is bit-exactly reproducible in SQL.
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding, {_NORM_DUCK} AS norm FROM embeddings),
+    WITH {_E_CTE_DUCK},
     cents AS (
       SELECT vec_id AS cent_id, embedding AS cent, norm AS cent_norm
       FROM e WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
@@ -570,8 +580,11 @@ QUANT_LEVELS = 127.0  # int8 symmetric range
 
 def quantize_embeddings(vecs: DataFrame, vec: str = "embedding") -> DataFrame:
     """Adds scale (double), codes (array<int>), sse (double reconstruction
-    squared error) to any frame with an array<float> column."""
-    q = vecs.withColumn(
+    squared error) to any frame with an array<float> column. Rows with a
+    NULL vector are dropped (nothing to compress; their codes would be
+    meaningless NULLs that diverge between engines) — the same
+    dirty-corpus policy as _norms_spark, mirrored in the q93 oracle."""
+    q = vecs.where(F.col(vec).isNotNull()).withColumn(
         "scale", F.expr(f"array_max(transform({vec}, x -> abs(CAST(x AS DOUBLE))))")
     ).withColumn(
         "codes",
@@ -605,7 +618,7 @@ _QUANT_TERM_DUCK = (
     WITH s AS (
       SELECT vec_id, embedding,
              list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     c AS (
       SELECT vec_id, embedding, scale,

@@ -137,6 +137,7 @@ def q42_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH fp AS (
       SELECT doc_id, {fnv1a32_duckdb('text')} AS fingerprint FROM documents
+      WHERE text IS NOT NULL
     )
     SELECT f.doc_id, f.fingerprint, c.n_same
     FROM fp f
@@ -150,7 +151,12 @@ def q43_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document rolling-hash fingerprint (FNV-1a over the byte stream,
     the same hash family as the reference partitioner src/mr/worker.go:16-20)
     plus the collision-group size — the primitive exact-dedup builds on."""
-    docs = table(spark, "documents", sf_dir)
+    # NULL text is excluded explicitly on BOTH engines: Spark would drop
+    # such rows anyway at the NULL-keyed fingerprint equi-join, while
+    # DuckDB's list_prepend treats a NULL token list like an empty one and
+    # would hash NULL text equal to "" — the explicit filter replaces that
+    # engine-dependent accident with stated policy (dirty-data differential)
+    docs = table(spark, "documents", sf_dir).where(F.col("text").isNotNull())
     fp = docs.select("doc_id", fnv1a32("text").alias("fingerprint"))
     counts = fp.groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n_same"))
     return fp.join(counts, "fingerprint").select(

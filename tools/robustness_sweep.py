@@ -13,9 +13,17 @@ raising. This sweep found and motivated the round-5 guards:
 - Pandas-UDF worker crashes on NULL payloads (multimodal family) and
   NULL embeddings (tiled near-dup).
 
+With ``--differential``, the nulls variant additionally runs the FULL
+Spark-vs-DuckDB oracle comparison (the driver's own check) on the dirty
+data — every exclusion policy (NULL text, NULL/zero-norm embeddings) is
+stated identically in the operator and its oracle SQL, so the two
+engines must agree row-for-row even on data the sf tables never contain.
+Clean at HEAD (98/98 oracle queries).
+
 Usage:
     python tools/robustness_sweep.py [--sf /root/testdata/sf0.001]
                                      [--variant empty|nulls|all]
+                                     [--differential]
 Exit code 1 if any builder fails.
 """
 
@@ -90,10 +98,56 @@ def sweep(spark, sf_dir: str, label: str) -> list[str]:
     return fails
 
 
+def differential(spark, sf_dir: str, label: str) -> list[str]:
+    """Spark vs DuckDB oracle comparison (the driver's normalization) for
+    every oracle-bearing query, on this dataset."""
+    import duckdb
+
+    from mapreduce_framework_spark.registry import all_queries
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+        )
+
+    def norm(rows, cols):
+        idx = sorted(range(len(cols)), key=lambda i: cols[i])
+        return sorted([tuple(str(r[i]) for i in idx) for r in rows])
+
+    fails = []
+    for name, spec in all_queries().items():
+        if spec.oracle is None:
+            continue
+        try:
+            sdf = spec.builder(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            res = con.execute(spec.oracle)
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+            ok = len(srows) == len(drows) and norm(srows, sdf.columns) == norm(
+                drows, dcols
+            )
+        except Exception as ex:  # noqa: BLE001
+            print(f"[{label}-diff] {name} ERR {type(ex).__name__}", flush=True)
+            fails.append(name)
+            continue
+        if not ok:
+            print(
+                f"[{label}-diff] {name} MISMATCH spark={len(srows)} duck={len(drows)}",
+                flush=True,
+            )
+            fails.append(name)
+    print(f"[{label}-diff] fails: {fails if fails else 'none'}", flush=True)
+    return fails
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--variant", default="all", choices=["empty", "nulls", "all"])
+    ap.add_argument("--differential", action="store_true")
     args = ap.parse_args()
 
     from mapreduce_framework_spark.session import get_spark
@@ -113,6 +167,8 @@ def main() -> int:
             os.makedirs(d)
             build_nulls(args.sf, d)
             all_fails += sweep(spark, d, "nulls")
+            if args.differential:
+                all_fails += differential(spark, d, "nulls")
     return 1 if all_fails else 0
 
 
