@@ -711,13 +711,45 @@ _BOILER_DUCK = f"""
 """
 
 
-def _doc_grams5(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _grams5_of(docs: DataFrame) -> DataFrame:
     """All word 5-gram positions per doc (duplicates kept — one row per
     position, so per-doc totals count spans, not distinct grams)."""
+    return docs.withColumn("toks", F.expr(TOKS_SPARK)).select(
+        "doc_id", F.explode(F.expr(_GRAMS5_SPARK)).alias("g")
+    )
+
+
+def boilerplate_ngrams(docs: DataFrame, min_df: int = BOILER_DF) -> DataFrame:
+    """Library form of q86: the boilerplate dictionary — word 5-grams in
+    >= min_df distinct documents, with their document frequency."""
     return (
-        table(spark, "documents", sf_dir)
-        .withColumn("toks", F.expr(TOKS_SPARK))
-        .select("doc_id", F.explode(F.expr(_GRAMS5_SPARK)).alias("g"))
+        _grams5_of(docs)
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select(F.col("g").alias("gram"), "df")
+    )
+
+
+def boilerplate_doc_stats(docs: DataFrame, min_df: int = BOILER_DF) -> DataFrame:
+    """Library form of q87: per-doc span totals, boilerplate-hit counts,
+    and the flagged fraction (see q87's docstring)."""
+    pos = _grams5_of(docs)
+    boiler = boilerplate_ngrams(docs, min_df).select(
+        F.col("gram").alias("g"), F.lit(1).alias("hit")
+    )
+    return (
+        pos.join(F.broadcast(boiler), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_flagged"),
+            (
+                F.coalesce(F.sum("hit"), F.lit(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("flag_ratio"),
+        )
     )
 
 
@@ -734,17 +766,7 @@ def q86_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     {BOILER_DF} distinct documents, with their document frequency. One
     corpus scan + one partial-aggregated count shuffle; the output is the
     small list the scrub step (q87) broadcasts."""
-    dfreq = (
-        _doc_grams5(spark, sf_dir)
-        .distinct()
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    return (
-        dfreq.where(F.col("df") >= BOILER_DF)
-        .select(F.col("g").alias("gram"), "df")
-        .orderBy("gram")
-    )
+    return boilerplate_ngrams(table(spark, "documents", sf_dir)).orderBy("gram")
 
 
 @register(
@@ -768,23 +790,7 @@ def q87_boilerplate_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     before span removal. The dictionary side is broadcast; the corpus
     streams through one scan. Docs with fewer than {BOILER_N} tokens have
     no spans and drop out (same on both engines)."""
-    pos = _doc_grams5(spark, sf_dir)
-    boiler = q86_boilerplate_ngrams(spark, sf_dir).select(
-        F.col("gram").alias("g"), F.lit(1).alias("hit")
-    )
-    return (
-        pos.join(F.broadcast(boiler), "g", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_flagged"),
-            (
-                F.coalesce(F.sum("hit"), F.lit(0)).cast("double")
-                / F.count(F.lit(1))
-            ).alias("flag_ratio"),
-        )
-        .orderBy("doc_id")
-    )
+    return boilerplate_doc_stats(table(spark, "documents", sf_dir)).orderBy("doc_id")
 
 
 @register(

@@ -48,8 +48,15 @@ _SW_SPARK = ", ".join(f"'{w}'" for w in STOPWORDS)
 def q40_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language heuristic (the n-gram-profile family of
     detectors reduced to its simplest deterministic form): docs whose
-    lowercase stopword ratio exceeds 5% are tagged 'en'."""
-    docs = table(spark, "documents", sf_dir)
+    lowercase stopword ratio STRICTLY exceeds 5% are tagged 'en' (see
+    :func:`lang_id`, the library form)."""
+    return lang_id(table(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Library form of q40 over any (doc_id, lang, text) frame; the ratio
+    comparison is strict (> 0.05), so exactly 1 stopword in 20 tokens is
+    'unknown' — pinned by tests/test_text_props.py."""
     toks = tokenize(F.lower(F.col("text")))
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
@@ -61,7 +68,7 @@ def q40_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unknown")
         .alias("lang_guess"),
         F.col("lang").alias("lang_label"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(
@@ -85,8 +92,15 @@ def q40_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q41_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-signal battery: length, token count, whitespace count,
     long-word ratio, punctuation ratio — the standard cheap filters an LLM
-    data pipeline applies before expensive dedup."""
-    docs = table(spark, "documents", sf_dir)
+    data pipeline applies before expensive dedup (see
+    :func:`quality_signals`, the library form)."""
+    return quality_signals(table(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+def quality_signals(docs: DataFrame) -> DataFrame:
+    """Library form of q41 over any (doc_id, text) frame; the
+    greatest(·, 1) guards keep empty/token-free docs at ratio 0 instead
+    of NULL or a division error."""
     toks = tokenize("text")
     return docs.select(
         "doc_id",
@@ -103,7 +117,7 @@ def q41_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", "")).cast("double")
             / F.greatest(F.length("text"), F.lit(1))
         ).alias("punct_ratio"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(

@@ -230,3 +230,68 @@ def test_lsh_sound_and_signature_complete(spark_global, texts):
         est = sum(1 for x, y in zip(a, b) if x == y)
         if band_agree and est >= min_matches:
             assert (i, j) in got, f"signature-complete pair {(i, j)} missing"
+
+
+# --- boilerplate family (q86/q87) vs sequential model -----------------------
+
+from mapreduce_framework_spark.pipeline.dedup import (
+    boilerplate_doc_stats,
+    boilerplate_ngrams,
+)
+
+_BOILER_TOKENS = ["alpha", "beta", "gam", "dd", "e", "ff"]
+_boiler_doc = st.lists(st.sampled_from(_BOILER_TOKENS), min_size=0, max_size=8).map(
+    " ".join
+)
+
+
+@st.composite
+def _boiler_corpus(draw) -> list[str]:
+    bases = draw(st.lists(_boiler_doc, min_size=1, max_size=3))
+    docs = list(bases)
+    for b in bases:  # duplicates force cross-doc grams over the df cutoff
+        if draw(st.booleans()):
+            docs.append(b)
+    return docs
+
+
+def _grams5(text: str) -> list[str]:
+    t = _toks(text)
+    return [" ".join(t[i : i + 5]) for i in range(len(t) - 4)]
+
+
+@settings(max_examples=12, deadline=None)
+@given(texts=_boiler_corpus())
+def test_boilerplate_family_matches_model(spark_global, texts):
+    """q86/q87's engines at min_df=2 on arbitrary corpora: the dictionary
+    counts DISTINCT docs per gram while doc stats count POSITIONS
+    (within-doc repeats hit once in df, each span once in n_flagged);
+    sub-5-token docs have no spans and drop out."""
+    min_df = 2
+    df = _df(spark_global, texts)
+
+    gram_docs: dict[str, set[int]] = {}
+    for i, t in enumerate(texts):
+        for g in set(_grams5(t)):
+            gram_docs.setdefault(g, set()).add(i)
+    dict_model = {
+        g: len(ids) for g, ids in gram_docs.items() if len(ids) >= min_df
+    }
+    got_dict = {
+        r["gram"]: r["df"]
+        for r in boilerplate_ngrams(df, min_df=min_df).collect()
+    }
+    assert got_dict == dict_model
+
+    stats_model = {}
+    for i, t in enumerate(texts):
+        spans = _grams5(t)
+        if not spans:
+            continue
+        flagged = sum(1 for g in spans if g in dict_model)
+        stats_model[i] = (len(spans), flagged, flagged / len(spans))
+    got_stats = {
+        r["doc_id"]: (r["n_grams"], r["n_flagged"], r["flag_ratio"])
+        for r in boilerplate_doc_stats(df, min_df=min_df).collect()
+    }
+    assert got_stats == stats_model

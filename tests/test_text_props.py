@@ -175,3 +175,81 @@ def test_tfidf_topk_matches_model(spark_global, texts):
         for r in tfidf_topk(df).collect()
     }
     assert got == _tfidf_model(texts)
+
+
+# --- lang-id (q40) and quality signals (q41) vs sequential models -----------
+
+from mapreduce_framework_spark.pipeline.text_analysis import (
+    STOPWORDS,
+    lang_id,
+    quality_signals,
+)
+
+
+@st.composite
+def _lang_corpus(draw):
+    """(doc_id, text) rows built as explicit stop/non-stop token counts so
+    the exact 5% boundary (1 stopword in 20 tokens) is reachable."""
+    rows = []
+    for i in range(draw(st.integers(1, 5))):
+        n_stop = draw(st.integers(0, 3))
+        n_other = draw(st.integers(0, 19))
+        words = [draw(st.sampled_from(STOPWORDS)) for _ in range(n_stop)] + [
+            draw(st.sampled_from(["zzz", "qqqq", "W"])) for _ in range(n_other)
+        ]
+        rows.append((i, " ".join(words)))
+    return rows
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=_lang_corpus())
+def test_lang_id_matches_model(spark_global, rows):
+    """The stopword-ratio rule is STRICT (> 0.05): exactly 1 stopword in
+    20 tokens stays 'unknown', 0-token docs stay 'unknown', and the
+    engine lowercases before matching."""
+    df = spark_global.createDataFrame(
+        [(i, t, "x") for i, t in rows], "doc_id bigint, text string, lang string"
+    )
+    got = {r["doc_id"]: r["lang_guess"] for r in lang_id(df).collect()}
+    model = {}
+    for i, t in rows:
+        toks = _model_tokens(t.lower())
+        n_stop = sum(1 for w in toks if w in STOPWORDS)
+        model[i] = (
+            "en" if toks and n_stop / len(toks) > 0.05 else "unknown"
+        )
+    assert got == model
+
+
+_q_text = st.text(
+    alphabet=st.sampled_from(list("ab QZ09.,!?") + ["é"]), min_size=0, max_size=30
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=st.dictionaries(st.integers(0, 9), _q_text, min_size=1, max_size=6))
+def test_quality_signals_match_model(spark_global, texts):
+    """q41's battery on adversarial text: char/token/space counts and both
+    guarded ratios equal the model — including empty text (ratios 0, not
+    NULL) and all-punct text."""
+    df = spark_global.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_chars"], r["n_tokens"], r["n_spaces"],
+            r["long_word_ratio"], r["punct_ratio"],
+        )
+        for r in quality_signals(df).collect()
+    }
+    model = {}
+    for i, t in texts.items():
+        toks = _model_tokens(t)
+        model[i] = (
+            len(t),
+            len(toks),
+            t.count(" "),
+            len([w for w in toks if len(w) >= 4]) / max(len(toks), 1),
+            len(re.sub("[a-zA-Z0-9 ]", "", t)) / max(len(t), 1),
+        )
+    assert got == model
