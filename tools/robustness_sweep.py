@@ -98,9 +98,28 @@ def sweep(spark, sf_dir: str, label: str) -> list[str]:
     return fails
 
 
-def differential(spark, sf_dir: str, label: str) -> list[str]:
+# Known, documented divergences on the EMPTY variant only — engine or
+# oracle-domain semantics, not operator bugs (verified by hand, round 5):
+# - Spark's ROLLUP/CUBE/GROUPING SETS emit ZERO rows on empty input,
+#   while ANSI (and DuckDB) emit the one `()` grand-total row. Engine
+#   behavior, outside our control; both sides are empty-safe.
+# - q85's oracle is a static OPS_N-config CTE chain that presumes the
+#   events table holds >= OPS_N rows; on empty input the OPERATOR is the
+#   correct side (initial config only). The oracle's domain is the sf
+#   tables, where the assumption always holds.
+EMPTY_DIFF_EXPECTED = {
+    "q17_rollup": "Spark ROLLUP on empty input: no () row (ANSI emits one)",
+    "q45_cube": "Spark CUBE on empty input: no () row (ANSI emits one)",
+    "q60_grouping_sets": "Spark GROUPING SETS on empty input: no () row",
+    "q85_shardctrler_replay": "oracle's static op-CTE chain assumes OPS_N events",
+}
+
+
+def differential(spark, sf_dir: str, label: str, expected=None) -> list[str]:
     """Spark vs DuckDB oracle comparison (the driver's normalization) for
-    every oracle-bearing query, on this dataset."""
+    every oracle-bearing query, on this dataset. ``expected`` maps query
+    names to reasons for known, documented divergences — skipped with a
+    note rather than silently, so anything NEW still fails."""
     import duckdb
 
     from mapreduce_framework_spark.registry import all_queries
@@ -119,6 +138,9 @@ def differential(spark, sf_dir: str, label: str) -> list[str]:
     fails = []
     for name, spec in all_queries().items():
         if spec.oracle is None:
+            continue
+        if expected and name in expected:
+            print(f"[{label}-diff] {name} SKIP (known: {expected[name]})", flush=True)
             continue
         try:
             sdf = spec.builder(spark, sf_dir)
@@ -162,6 +184,8 @@ def main() -> int:
             os.makedirs(d)
             build_empty(args.sf, d)
             all_fails += sweep(spark, d, "empty")
+            if args.differential:
+                all_fails += differential(spark, d, "empty", EMPTY_DIFF_EXPECTED)
         if args.variant in ("nulls", "all"):
             d = os.path.join(root, "nulls")
             os.makedirs(d)
