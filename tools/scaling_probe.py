@@ -301,6 +301,55 @@ def probe_events_families(spark, sf_dir) -> None:
         )
 
 
+def probe_multimodal(spark, sf_dir) -> None:
+    """Arrow-batched mapInPandas throughput for the multimodal family
+    (q37 featurize / q76 frame-sample / q77 resize) at amplified payload
+    counts. The number to watch: wall vs payload rows must stay ~linear
+    (each operator is a single scan through Python workers, no shuffle),
+    and the per-row cost must not grow with corpus size."""
+    from mapreduce_framework_spark.pipeline.multimodal import (
+        FEATURE_SCHEMA,
+        FRAME_SCHEMA,
+        RESIZE_SCHEMA,
+        extract_byte_features,
+        resize_payloads,
+        sample_frames,
+    )
+
+    # 8x-repeated text per payload: individual payloads in the KB range,
+    # so per-row Python overhead doesn't drown the byte-throughput signal
+    base = table(spark, "documents", sf_dir).select(
+        "doc_id", F.repeat("text", 8).alias("text")
+    )
+    total_bytes = base.select(
+        F.sum(F.length(F.encode("text", "utf-8")))
+    ).collect()[0][0]
+    print("| payload rows | MB | featurize | frame-sample (rows) | resize |")
+    print("|---|---|---|---|---|")
+    warmed = False
+    for factor in (1, 1, 2, 4):
+        media = (
+            amplify(base, factor)
+            .select(
+                "doc_id",
+                F.lit("text/plain").alias("media_type"),
+                F.encode("text", "utf-8").alias("payload"),
+            )
+            .where(F.col("payload").isNotNull())
+            .localCheckpoint(eager=True)
+        )
+        n = media.count()
+        mb = round(total_bytes * factor / 1e6, 1)
+        if not warmed:  # first pass warms the Python workers; not reported
+            warmed = True
+            media.mapInPandas(extract_byte_features, schema=FEATURE_SCHEMA).count()
+            continue
+        t_feat, _ = timed(media.mapInPandas(extract_byte_features, schema=FEATURE_SCHEMA))
+        t_frame, n_frames = timed(media.mapInPandas(sample_frames, schema=FRAME_SCHEMA))
+        t_rs, _ = timed(media.mapInPandas(resize_payloads, schema=RESIZE_SCHEMA))
+        print(f"| {n} | {mb} | {t_feat} s | {t_frame} s ({n_frames}) | {t_rs} s |")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="mfs-scaling-probe")
@@ -322,6 +371,9 @@ def main() -> None:
         return
     if "--span-sf1" in sys.argv:  # round-5 sf1-equivalent span series
         probe_span_dedup(spark, base, factors=(2, 4, 10))
+        return
+    if "--multimodal" in sys.argv:  # round-5 mapInPandas throughput series
+        probe_multimodal(spark, sf_dir)
         return
     probe_incremental(spark, base)
     print()
