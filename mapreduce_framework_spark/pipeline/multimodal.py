@@ -52,11 +52,13 @@ FEATURE_SCHEMA = StructType(
 
 
 def _decode_bmp(payload: bytes) -> dict:
-    """Pure-stdlib decoder for uncompressed 24-bit BMP (BITMAPINFOHEADER):
-    the image counterpart of the stdlib WAV path in decode_audio — no
-    external dependency, real pixels. Rows are 4-byte padded and stored
-    bottom-up (top-down when height < 0); pixels are BGR on disk and
-    returned as RGB."""
+    """Pure-stdlib decoder for uncompressed (BI_RGB) BMP with a
+    BITMAPINFOHEADER-or-later header, at every uncompressed bit depth:
+    1/4/8-bit palette (BGRA-quad color table, sub-byte indices packed
+    MSB-first), 24-bit BGR, and 32-bit BGRX (the reserved 4th byte is
+    dropped, as Pillow does for BI_RGB). Rows are 4-byte padded and
+    stored bottom-up (top-down when height < 0); output is always RGB.
+    RLE/bitfield compressions remain env-gated on Pillow."""
     import struct
 
     if payload[:2] != b"BM":
@@ -68,13 +70,28 @@ def _decode_bmp(payload: bytes) -> dict:
     width, height = struct.unpack_from("<ii", payload, 18)
     _planes, bpp = struct.unpack_from("<HH", payload, 26)
     (compression,) = struct.unpack_from("<I", payload, 30)
-    if bpp != 24 or compression != 0:
-        raise NotImplementedError("only uncompressed 24-bit BMP supported")
-    row_size = (width * 3 + 3) & ~3
+    if compression != 0:
+        raise NotImplementedError("compressed BMP (RLE/bitfields) needs Pillow")
+    if bpp not in (1, 4, 8, 24, 32):
+        raise ValueError(f"invalid BMP bit depth {bpp}")
     top_down = height < 0
     h = abs(height)
     if width <= 0 or h == 0:
         raise ValueError(f"invalid BMP dimensions {width}x{height}")
+    palette = None
+    if bpp <= 8:
+        (clr_used,) = struct.unpack_from("<I", payload, 46)
+        n_colors = clr_used or (1 << bpp)
+        pal_at = 14 + hdr_size
+        if len(payload) < pal_at + 4 * n_colors:
+            raise ValueError("truncated BMP color table")
+        palette = [
+            payload[pal_at + 4 * i + 2 : pal_at + 4 * i + 3]
+            + payload[pal_at + 4 * i + 1 : pal_at + 4 * i + 2]
+            + payload[pal_at + 4 * i : pal_at + 4 * i + 1]
+            for i in range(n_colors)
+        ]
+    row_size = ((width * bpp + 31) // 32) * 4
     if len(payload) < data_offset + h * row_size:
         raise ValueError(
             f"truncated BMP payload: {len(payload)} bytes < "
@@ -84,9 +101,26 @@ def _decode_bmp(payload: bytes) -> dict:
     for r in range(h):
         src = r if top_down else h - 1 - r
         off = data_offset + src * row_size
-        row = payload[off : off + width * 3]
-        for i in range(width):
-            out += bytes((row[3 * i + 2], row[3 * i + 1], row[3 * i]))
+        row = payload[off : off + row_size]
+        if bpp == 24:
+            for i in range(width):
+                out += bytes((row[3 * i + 2], row[3 * i + 1], row[3 * i]))
+        elif bpp == 32:
+            for i in range(width):
+                out += bytes((row[4 * i + 2], row[4 * i + 1], row[4 * i]))
+        elif bpp == 8:
+            for i in range(width):
+                if row[i] >= len(palette):
+                    raise ValueError(f"BMP palette index {row[i]} out of range")
+                out += palette[row[i]]
+        else:  # 1/4-bit palette indices, MSB-first
+            mask = (1 << bpp) - 1
+            for i in range(width):
+                bitpos = i * bpp
+                idx = (row[bitpos // 8] >> (8 - bpp - (bitpos % 8))) & mask
+                if idx >= len(palette):
+                    raise ValueError(f"BMP palette index {idx} out of range")
+                out += palette[idx]
     return {"width": width, "height": h, "mode": "RGB", "pixels": bytes(out)}
 
 

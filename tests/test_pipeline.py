@@ -1098,3 +1098,68 @@ def test_decode_gif_interlaced():
     assert out_int["pixels"] == b"".join(
         pal4[3 * i : 3 * i + 3] for row in raster for i in row
     )
+
+
+def test_decode_bmp_palette_and_32bit():
+    """Every uncompressed BMP depth decodes exactly: 1/4/8-bit palette
+    (BGRA color table, MSB-first sub-byte indices, biClrUsed honored),
+    32-bit BGRX (reserved byte dropped), plus an out-of-range palette
+    index raising rather than IndexError-ing in the swizzle."""
+    import struct
+
+    import pytest as _pytest
+
+    from mapreduce_framework_spark.pipeline.multimodal import decode_image
+
+    def bmp(width, height, bpp, rows, palette=(), clr_used=None):
+        """rows: top-to-bottom list of packed row payloads (pre-padding).
+        biClrUsed defaults to the actual table size (0 would declare the
+        full 2^bpp table per spec)."""
+        if clr_used is None:
+            clr_used = len(palette)
+        row_size = ((width * bpp + 31) // 32) * 4
+        pal = b"".join(bytes((b, g, r, 0)) for (r, g, b) in palette)
+        data_offset = 14 + 40 + len(pal)
+        pixel_data = b"".join(
+            row + b"\x00" * (row_size - len(row)) for row in reversed(rows)
+        )
+        header = b"BM" + struct.pack(
+            "<IHHI", data_offset + len(pixel_data), 0, 0, data_offset
+        )
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, bpp, 0,
+            len(pixel_data), 2835, 2835, clr_used, 0,
+        )
+        return header + dib + pal + pixel_data
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 8, 7)]
+
+    # 8-bit palette, 3x2
+    idx = [[0, 1, 2], [3, 2, 0]]
+    out = decode_image(bmp(3, 2, 8, [bytes(r) for r in idx], pal))
+    assert (out["width"], out["height"], out["mode"]) == (3, 2, "RGB")
+    assert out["pixels"] == b"".join(bytes(pal[i]) for r in idx for i in r)
+
+    # 4-bit palette, width 3 (ragged nibble)
+    out = decode_image(bmp(3, 2, 4, [bytes([0x01, 0x20]), bytes([0x32, 0x10])], pal))
+    assert out["pixels"] == b"".join(bytes(pal[i]) for i in (0, 1, 2, 3, 2, 1))
+
+    # 1-bit palette, width 10 (ragged byte), two colors
+    bw = [(0, 0, 0), (255, 255, 255)]
+    bits0 = 0b1010101010  # alternating
+    bits1 = 0b1111100000
+    rows = [bytes([(b >> 2) & 0xFF, (b & 0x3) << 6]) for b in (bits0, bits1)]
+    out = decode_image(bmp(10, 2, 1, rows, bw))
+    want = [(b >> (9 - i)) & 1 for b in (bits0, bits1) for i in range(10)]
+    assert out["pixels"] == b"".join(bytes(bw[v]) for v in want)
+
+    # 32-bit BGRX: reserved byte dropped
+    px = [(1, 2, 3), (200, 100, 50)]
+    row = b"".join(bytes((b, g, r, 0xEE)) for (r, g, b) in px)
+    out = decode_image(bmp(2, 1, 32, [row]))
+    assert (out["width"], out["height"]) == (2, 1)
+    assert out["pixels"] == b"".join(bytes(p) for p in px)
+
+    # biClrUsed = 2 with an index of 2 -> clear error, not IndexError
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_image(bmp(1, 1, 8, [bytes([2])], pal, clr_used=2))
