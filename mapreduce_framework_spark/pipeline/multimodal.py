@@ -5,12 +5,18 @@ Pattern for 100 TB image/audio/video pipelines: the payload is an opaque
 struct, and decode / feature-extraction runs as Arrow-batched Python over
 ``mapInPandas`` — never row-at-a-time UDFs.
 
-The container has no image/audio libraries, so the actual decoders are
-STUBS (NotImplementedError) behind a clearly-marked seam; the Spark-side
-plumbing — schema, batching, partitioning, deterministic featurization —
-is real and oracle-checked: q37 builds binary payloads from document text,
-extracts byte-level features in Python (mapInPandas), and must agree with
-the DuckDB twin computed in SQL.
+The container has no image/audio/video libraries, yet the decoders here
+are REAL for every uncompressed/deflate-era family, pure stdlib: BMP (all
+uncompressed depths), PNG (every spec-legal IHDR combination, Adam7
+included), GIF (LZW, interlace, animation first-frame), WAV/PCM audio,
+and uncompressed-AVI frame sampling — each exact-pixel/sample tested
+against self-authored fixtures. Only transform-coded formats (JPEG, MP3,
+H.264, RLE-BMP) are env-gated behind clearly-marked NotImplementedError
+seams with conditional tests that light up wherever Pillow/pyav/cv2
+exist. The Spark-side plumbing — schema, batching, partitioning,
+deterministic featurization — is oracle-checked: q37 builds binary
+payloads from document text, extracts byte-level features in Python
+(mapInPandas), and must agree with the DuckDB twin computed in SQL.
 """
 
 from __future__ import annotations
@@ -455,24 +461,60 @@ def decode_image(payload: bytes) -> dict:
 
 
 def decode_audio(payload: bytes) -> dict:
-    """Decode a WAV/PCM audio payload to raw samples via the stdlib ``wave``
-    module (no external dependency); non-WAV codecs need an audio library
-    and raise NotImplementedError."""
+    """Decode a WAV audio payload to raw samples, no external deps:
+    PCM (format tag 1) via the stdlib ``wave`` module, and the telephony
+    companding codecs µ-law (tag 7) / A-law (tag 6) via stdlib ``audioop``
+    (expanded to 16-bit linear PCM — sample_width reports the DECODED
+    width, 2). The fmt tag is parsed from the RIFF chunks directly, so an
+    unsupported codec raises a clear NotImplementedError instead of an
+    opaque ``wave.Error``. Transform-coded audio (MP3/AAC/...) stays
+    env-gated on a real audio library."""
     import io
+    import struct
     import wave
 
     if not payload.startswith(b"RIFF"):
         raise NotImplementedError(
             "non-WAV audio decode requires an audio library"
         )
-    with wave.open(io.BytesIO(payload)) as w:
+    fmt_tag = None
+    fmt = data = None
+    for fourcc, p, size in _riff_chunks(payload, 12, len(payload)):
+        if fourcc == b"fmt " and size >= 16:
+            fmt = struct.unpack_from("<HHIIHH", payload, p)
+            fmt_tag = fmt[0]
+        elif fourcc == b"data":
+            data = payload[p : p + size]
+    if fmt_tag == 1 or fmt_tag is None:  # PCM (or let wave report corruption)
+        with wave.open(io.BytesIO(payload)) as w:
+            return {
+                "n_channels": w.getnchannels(),
+                "sample_width": w.getsampwidth(),
+                "sample_rate": w.getframerate(),
+                "n_frames": w.getnframes(),
+                "pcm": w.readframes(w.getnframes()),
+            }
+    if fmt_tag in (6, 7):  # A-law / mu-law companded telephony WAV
+        try:
+            import audioop  # stdlib here (3.11); removed in 3.13+
+        except ImportError as e:
+            raise NotImplementedError(
+                "A-law/mu-law WAV decode requires audioop or an audio library"
+            ) from e
+        if data is None:
+            raise ValueError("WAV missing data chunk")
+        n_channels, rate = fmt[1], fmt[2]
+        pcm = (audioop.alaw2lin if fmt_tag == 6 else audioop.ulaw2lin)(data, 2)
         return {
-            "n_channels": w.getnchannels(),
-            "sample_width": w.getsampwidth(),
-            "sample_rate": w.getframerate(),
-            "n_frames": w.getnframes(),
-            "pcm": w.readframes(w.getnframes()),
+            "n_channels": n_channels,
+            "sample_width": 2,
+            "sample_rate": rate,
+            "n_frames": len(data) // max(n_channels, 1),
+            "pcm": pcm,
         }
+    raise NotImplementedError(
+        f"WAV format tag {fmt_tag} requires an audio library"
+    )
 
 
 def _riff_chunks(buf: bytes, start: int, end: int):

@@ -1163,3 +1163,41 @@ def test_decode_bmp_palette_and_32bit():
     # biClrUsed = 2 with an index of 2 -> clear error, not IndexError
     with _pytest.raises(ValueError, match="palette index"):
         decode_image(bmp(1, 1, 8, [bytes([2])], pal, clr_used=2))
+
+
+def test_decode_audio_ulaw_alaw_via_audioop():
+    """The telephony companding codecs decode via stdlib audioop: a
+    hand-built RIFF with fmt tag 7 (mu-law) / 6 (A-law) expands to
+    exactly audioop's 16-bit reference expansion; an unknown tag raises
+    NotImplementedError (not an opaque wave.Error)."""
+    import struct
+
+    import pytest as _pytest
+
+    audioop = _pytest.importorskip(
+        "audioop", reason="audioop removed from stdlib (3.13+) — env-gated seam"
+    )
+    from mapreduce_framework_spark.pipeline.multimodal import decode_audio
+
+    lin = struct.pack("<8h", 0, 1000, -1000, 32000, -32000, 7, -7, 0)
+
+    def wav(tag, body, rate=8000, width=1):
+        fmt = struct.pack("<HHIIHH", tag, 1, rate, rate * width, width, 8 * width)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    for tag, enc, dec in (
+        (7, audioop.lin2ulaw, audioop.ulaw2lin),
+        (6, audioop.lin2alaw, audioop.alaw2lin),
+    ):
+        body = enc(lin, 2)
+        out = decode_audio(wav(tag, body))
+        assert out["n_channels"] == 1
+        assert out["sample_width"] == 2  # decoded width
+        assert out["sample_rate"] == 8000
+        assert out["n_frames"] == 8
+        assert out["pcm"] == dec(body, 2)
+
+    with _pytest.raises(NotImplementedError, match="format tag 2"):
+        decode_audio(wav(2, b"\x00" * 8))  # ADPCM: honestly env-gated
