@@ -134,8 +134,17 @@ def quality_signals(docs: DataFrame) -> DataFrame:
 def q42_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting three ways: whitespace split, letter-run words, and a
     BPE-ish lexer regex (letter runs | digit runs | single punctuation) —
-    the cheap proxy pipelines use to budget LLM token counts."""
-    docs = table(spark, "documents", sf_dir)
+    the cheap proxy pipelines use to budget LLM token counts (see
+    :func:`token_stats`, the library form)."""
+    return token_stats(table(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Library form of q42 over any (doc_id, text) frame. NB the lexer's
+    ``\\s`` is Java/RE2 semantics (ASCII whitespace only) — a unicode
+    NBSP is a punctuation TOKEN, not a separator, identically on Spark
+    and DuckDB (pinned by tests/test_text_props.py against an re.ASCII
+    model)."""
     return docs.select(
         "doc_id",
         F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("ws_tokens"),
@@ -143,7 +152,7 @@ def q42_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)")
         ).alias("bpe_ish_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 @register(

@@ -253,3 +253,40 @@ def test_quality_signals_match_model(spark_global, texts):
             len(re.sub("[a-zA-Z0-9 ]", "", t)) / max(len(t), 1),
         )
     assert got == model
+
+
+# --- token stats (q42's three lexers) vs sequential models ------------------
+
+from mapreduce_framework_spark.pipeline.text_analysis import token_stats
+
+_ts_text = st.text(
+    alphabet=st.sampled_from(list("ab Z0 9.,;!\t\n") + ["\xa0", "é"]),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=st.dictionaries(st.integers(0, 9), _ts_text, min_size=1, max_size=6))
+def test_token_stats_match_models(spark_global, texts):
+    """The three lexers against re models — with the \\s subtlety pinned:
+    Spark (Java) and DuckDB (RE2) treat \\s as ASCII whitespace only, so
+    a unicode NBSP is a punctuation TOKEN; the model uses re.ASCII to
+    encode exactly that. Tabs/newlines are \\s (separators) but NOT the
+    ws_tokens split char (that one splits on literal ' ' alone)."""
+    df = spark_global.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["ws_tokens"], r["word_tokens"], r["bpe_ish_tokens"])
+        for r in token_stats(df).collect()
+    }
+    model = {
+        i: (
+            len([w for w in t.split(" ") if w]),
+            len(_model_tokens(t)),
+            len(re.findall(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]", t, re.ASCII)),
+        )
+        for i, t in texts.items()
+    }
+    assert got == model
