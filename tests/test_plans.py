@@ -312,3 +312,38 @@ def test_temporal_joins_keep_scale_shapes(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in rng
     # candidate generation is an equi-join keyed on the exploded bin
     assert "Join" in rng and "bin" in rng
+
+
+def test_whole_registry_plan_audit(spark, sf_dir):
+    """Every registered query's physical plan, audited for the three
+    scale anti-patterns: CartesianProduct (unbounded quadratic),
+    BatchEvalPython (row-at-a-time Python — the banned slow path;
+    Arrow-batched mapInPandas plans as ArrowEvalPython/MapInPandas
+    instead), and BroadcastNestedLoopJoin anywhere outside the FOUR
+    sanctioned broadcast-bounded forms (q34's brute-force oracle, q55's
+    all-pairs exact twin, and the q56/q102 broadcast codebook
+    assignments — each the documented cross join of a corpus scan with a
+    bounded broadcast side, verified per-query above and in
+    SCALING.md). A new registration that introduces any of these fails
+    here, not in a 100x-scale postmortem."""
+    from mapreduce_framework_spark.registry import all_queries
+
+    sanctioned_bnlj = {
+        "q34_ann_bruteforce",
+        "q55_simhash_neardup",
+        "q56_ann_ivf",
+        "q102_semantic_dedup",
+    }
+    offenders = {}
+    for name, spec in all_queries().items():
+        plan = _plan(spec.builder(spark, sf_dir))
+        bad = []
+        if "CartesianProduct" in plan:
+            bad.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            bad.append("BatchEvalPython")
+        if "BroadcastNestedLoopJoin" in plan and name not in sanctioned_bnlj:
+            bad.append("BroadcastNestedLoopJoin")
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, f"scale anti-patterns: {offenders}"
