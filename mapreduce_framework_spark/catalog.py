@@ -120,24 +120,35 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     inferTimestampNTZ disabled) — the LTZ→NTZ conversion goes through
     epoch microseconds (ltz_to_ntz_expr), so the result is the stored UTC
     wall-clock regardless of the enclosing session's timezone, with no
-    session-config side effects."""
+    session-config side effects.
+
+    Rows with a NULL ts are EXCLUDED here, once for every consumer: every
+    events operator is time-anchored (windows, sessions, funnels, as-of,
+    rollups, the ts-ordered KV replay), an untimable event has no defined
+    place in any of them, and the engines disagree on the accident that
+    would otherwise decide (Spark's window()/session_window drop NULL-ts
+    rows while DuckDB's date_trunc groups them; ORDER BY puts NULLs FIRST
+    on Spark, LAST on DuckDB). The oracle twin of this loader policy is
+    the events VIEW definition (tools/robustness_sweep.py registers it
+    with the same WHERE for the dirty-data differential); the sf tables
+    contain no NULL ts, so driver-side oracles are unaffected."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, LongType):  # legacy nanos-as-long
-        return df.withColumn("ts", F.expr(_NANOS_TO_NTZ))
-    if isinstance(ts_type, TimestampType):  # LTZ leak-through
-        return df.withColumn("ts", F.expr(ltz_to_ntz_expr("ts")))
-    if isinstance(ts_type, TimestampNTZType):  # already canonical
-        return df
-    # anything else (string, date, double...) is a generation change this
-    # normalizer does not understand — passing it through would let a wrong
-    # ts type flow silently into every window/watermark downstream
-    raise TypeError(
-        f"events.ts has unhandled type {ts_type.simpleString()}; expected "
-        "nanos-as-long, timestamp (LTZ), or timestamp_ntz"
-    )
+        df = df.withColumn("ts", F.expr(_NANOS_TO_NTZ))
+    elif isinstance(ts_type, TimestampType):  # LTZ leak-through
+        df = df.withColumn("ts", F.expr(ltz_to_ntz_expr("ts")))
+    elif not isinstance(ts_type, TimestampNTZType):
+        # anything else (string, date, double...) is a generation change
+        # this normalizer does not understand — passing it through would
+        # let a wrong ts type flow silently into every window/watermark
+        raise TypeError(
+            f"events.ts has unhandled type {ts_type.simpleString()}; expected "
+            "nanos-as-long, timestamp (LTZ), or timestamp_ntz"
+        )
+    return df.where(F.col("ts").isNotNull())
 
 
 def parquet_path(sf_dir: str, name: str) -> str:

@@ -835,3 +835,41 @@ def test_streaming_replays_handle_empty_input(spark, tmp_path):
         "cnt",
         "val",
     ]
+
+
+def test_events_loader_excludes_null_ts(spark, tmp_path):
+    """The loader policy for untimable events: a NULL ts row is excluded
+    by normalize_events_ts once for every consumer — every events
+    operator is time-anchored, and the engines disagree on the accident
+    that would otherwise decide (Spark windows drop NULL-ts rows,
+    DuckDB's date_trunc groups them; ORDER BY NULL placement differs).
+    The oracle twin is the events VIEW definition in
+    tools/robustness_sweep.py."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduce_framework_spark.catalog import table
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    n = src.num_rows
+    mask = pa.array([i % 3 == 0 for i in range(n)])
+    import pyarrow.compute as pc
+
+    cols = {
+        name: (
+            pc.if_else(mask, pa.nulls(n, src.column(name).type),
+                       src.column(name).combine_chunks())
+            if name == "ts"
+            else src.column(name)
+        )
+        for name in src.column_names
+    }
+    pq.write_table(pa.table(cols), str(tmp_path / "events.parquet"))
+
+    ev = table(spark, "events", str(tmp_path))
+    rows = ev.collect()
+    assert len(rows) == n - sum(1 for i in range(n) if i % 3 == 0)
+    assert all(r["ts"] is not None for r in rows)
+    assert all(isinstance(r["ts"], dt.datetime) for r in rows[:5])

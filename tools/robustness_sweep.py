@@ -53,30 +53,28 @@ def build_empty(src: str, dst: str) -> None:
 
 def build_nulls(src: str, dst: str) -> None:
     """documents: text/lang/source NULL on every 7th row; embeddings:
-    embedding NULL on every 9th row. Other tables unchanged."""
+    embedding NULL on every 9th row; events: event_type NULL on every
+    11th, value on every 13th, ts on every 17th. Other tables
+    unchanged."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    null_plan = {
+        "documents": {"text": 7, "lang": 7, "source": 7},
+        "embeddings": {"embedding": 9},
+        "events": {"event_type": 11, "value": 13, "ts": 17},
+    }
     for t in TABLES:
         tbl = pq.read_table(os.path.join(src, f"{t}.parquet"))
-        if t == "documents":
+        plan = null_plan.get(t)
+        if plan:
             n = tbl.num_rows
-            mask = pa.array([i % 7 == 0 for i in range(n)])
             cols = {}
             for name in tbl.column_names:
                 col = tbl.column(name)
-                if name in ("text", "lang", "source"):
-                    col = pc.if_else(mask, pa.nulls(n, col.type), col)
-                cols[name] = col
-            tbl = pa.table(cols)
-        elif t == "embeddings":
-            n = tbl.num_rows
-            mask = pa.array([i % 9 == 0 for i in range(n)])
-            cols = {}
-            for name in tbl.column_names:
-                col = tbl.column(name)
-                if name == "embedding":
+                if name in plan:
+                    mask = pa.array([i % plan[name] == 0 for i in range(n)])
                     col = pc.if_else(mask, pa.nulls(n, col.type), col.combine_chunks())
                 cols[name] = col
             tbl = pa.table(cols)
@@ -126,9 +124,13 @@ def differential(spark, sf_dir: str, label: str, expected=None) -> list[str]:
 
     con = duckdb.connect()
     for t in TABLES:
+        # the events view mirrors the loader policy (catalog.table /
+        # normalize_events_ts): untimable NULL-ts rows are excluded once
+        # at load, so the oracle side must state the same
+        where = " WHERE ts IS NOT NULL" if t == "events" else ""
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+            f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}'){where}"
         )
 
     def norm(rows, cols):
