@@ -130,6 +130,28 @@ def _decode_bmp(payload: bytes) -> dict:
     return {"width": width, "height": h, "mode": "RGB", "pixels": bytes(out)}
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _corruption_as_value_error(what: str):
+    """Normalize parser stumbles over truncated/garbage payloads into
+    ValueError: a dirty 100 TB corpus contains malformed media, and the
+    pipeline must get ONE catchable, classified error family
+    (ValueError = corrupt, NotImplementedError = env-gated codec) — never
+    a struct.error, IndexError, or EOFError leaking implementation
+    detail out of a Python worker (fuzz-pinned by
+    tests/test_pipeline.py::test_decoders_raise_only_clean_errors)."""
+    import struct
+    import wave
+    import zlib
+
+    try:
+        yield
+    except (struct.error, IndexError, EOFError, zlib.error, wave.Error) as e:
+        raise ValueError(f"corrupt {what} payload: {e}") from e
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> (mode, channels); palette (3) expands to RGB on output
 _PNG_MODES = {0: ("L", 1), 2: ("RGB", 3), 3: ("RGB", 1), 4: ("LA", 2), 6: ("RGBA", 4)}
@@ -439,11 +461,14 @@ def decode_image(payload: bytes) -> dict:
     exercises the Pillow path wherever it exists, so the seam cannot
     silently rot."""
     if payload[:2] == b"BM":
-        return _decode_bmp(payload)
+        with _corruption_as_value_error("BMP"):
+            return _decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
-        return _decode_png(payload)
+        with _corruption_as_value_error("PNG"):
+            return _decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
-        return _decode_gif(payload)
+        with _corruption_as_value_error("GIF"):
+            return _decode_gif(payload)
     try:
         from PIL import Image
     except ImportError as e:  # env-blocked: no imaging libs in container
@@ -477,6 +502,11 @@ def decode_audio(payload: bytes) -> dict:
         raise NotImplementedError(
             "non-WAV audio decode requires an audio library"
         )
+    with _corruption_as_value_error("WAV"):
+        return _decode_wav(payload, io, struct, wave)
+
+
+def _decode_wav(payload: bytes, io, struct, wave) -> dict:
     fmt_tag = None
     fmt = data = None
     for fourcc, p, size in _riff_chunks(payload, 12, len(payload)):
@@ -642,28 +672,36 @@ def sample_video_frames(payload: bytes, every_n: int = 30) -> list[dict]:
             elif fourcc in (b"00db", b"00dc"):
                 frames_raw.append(payload[p : p + size])
 
-    walk(12, len(payload))
-    if width is None or not frames_raw or bpp != 24 or compression != 0:
-        # a RIFF-AVI the stdlib path can't handle (compressed codec, no
-        # video stream) still decodes when a video lib is importable
-        return _sample_frames_via_video_lib(payload, every_n)
-    row_size = (width * 3 + 3) & ~3
-    top_down = height < 0
-    h = abs(height)
-    out = []
-    for idx in range(0, len(frames_raw), every_n):
-        dib = frames_raw[idx]
-        px = bytearray()
-        for r in range(h):
-            src = r if top_down else h - 1 - r
-            off = src * row_size
-            row = dib[off : off + width * 3]
-            for i in range(width):
-                px += bytes((row[3 * i + 2], row[3 * i + 1], row[3 * i]))
-        out.append(
-            {"frame_index": idx, "width": width, "height": h, "pixels": bytes(px)}
-        )
-    return out
+    with _corruption_as_value_error("AVI"):
+        walk(12, len(payload))
+        if width is None or not frames_raw or bpp != 24 or compression != 0:
+            # a RIFF-AVI the stdlib path can't handle (compressed codec, no
+            # video stream) still decodes when a video lib is importable
+            return _sample_frames_via_video_lib(payload, every_n)
+        row_size = (width * 3 + 3) & ~3
+        top_down = height < 0
+        h = abs(height)
+        if width <= 0 or h == 0:
+            raise ValueError(f"invalid AVI dimensions {width}x{height}")
+        out = []
+        for idx in range(0, len(frames_raw), every_n):
+            dib = frames_raw[idx]
+            if len(dib) < h * row_size:
+                raise ValueError(
+                    f"truncated AVI frame {idx}: {len(dib)} bytes < "
+                    f"{h * row_size} required for {width}x{h}"
+                )
+            px = bytearray()
+            for r in range(h):
+                src = r if top_down else h - 1 - r
+                off = src * row_size
+                row = dib[off : off + width * 3]
+                for i in range(width):
+                    px += bytes((row[3 * i + 2], row[3 * i + 1], row[3 * i]))
+            out.append(
+                {"frame_index": idx, "width": width, "height": h, "pixels": bytes(px)}
+            )
+        return out
 
 
 def extract_byte_features(

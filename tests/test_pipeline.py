@@ -1201,3 +1201,54 @@ def test_decode_audio_ulaw_alaw_via_audioop():
 
     with _pytest.raises(NotImplementedError, match="format tag 2"):
         decode_audio(wav(2, b"\x00" * 8))  # ADPCM: honestly env-gated
+
+
+def test_decoders_raise_only_clean_errors():
+    """Malformed media in a dirty corpus must produce ONE catchable,
+    classified error family — ValueError (corrupt) or NotImplementedError
+    (env-gated codec) — never struct.error / IndexError / EOFError /
+    wave.Error leaking out of a Python worker. Fuzzed over magic-prefixed
+    garbage and byte-truncations of valid fixtures of every format."""
+    import random
+    import struct
+    import zlib
+
+    from mapreduce_framework_spark.pipeline.multimodal import (
+        decode_audio,
+        decode_image,
+        sample_video_frames,
+    )
+
+    rng = random.Random(0)
+    seeds = []
+    for magic in (b"BM", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"RIFF",
+                  b"RIFF\x00\x00\x00\x00WAVE", b"RIFF\x00\x00\x00\x00AVI "):
+        for n in (0, 1, 4, 10, 30, 100, 400):
+            seeds.append(magic + bytes(rng.randrange(256) for _ in range(n)))
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(2 * 13)))
+        + chunk(b"IEND", b"")
+    )
+    gif = _gif_fixture(2, 1, bytes(6), _lzw_encode(2, [0, 1]), 2)
+    for valid in (png, gif):
+        seeds += [valid[:cut] for cut in range(0, len(valid), 5)]
+        for _ in range(40):  # random single-byte corruptions
+            b = bytearray(valid)
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            seeds.append(bytes(b))
+
+    for fn in (decode_image, decode_audio, sample_video_frames):
+        for s in seeds:
+            try:
+                fn(s)
+            except (ValueError, NotImplementedError):
+                pass  # the classified families
