@@ -32,13 +32,20 @@ def fnv1a32(col: str | Column) -> Column:
     if name is None:
         # Materialize through a SQL expression on the column object.
         raise TypeError("fnv1a32 takes a column *name* so it can be spliced into expr()")
+    # Fold over split(s, '') — one linear pass — NOT over
+    # sequence(1, length) with substring(s, i, 1): Spark's substring walks
+    # the UTF8String from the start on every call, making that form
+    # QUADRATIC in the document (a single 100 KB web doc stalled for
+    # minutes; 5 MB via split folds in ~1 s). Identical hash values —
+    # only the fold's cost model changes (pinned by
+    # tests/test_text_props.py::test_fnv_linear_in_document_size).
     return F.expr(
         f"""
         CASE WHEN length({name}) = 0 THEN CAST({FNV_OFFSET_BASIS} AS BIGINT)
         ELSE aggregate(
-            sequence(1, length({name})),
+            split({name}, ''),
             CAST({FNV_OFFSET_BASIS} AS BIGINT),
-            (acc, i) -> ((acc ^ CAST(ascii(substring({name}, i, 1)) AS BIGINT))
+            (acc, ch) -> ((acc ^ CAST(ascii(ch) AS BIGINT))
                          * {FNV_PRIME}) % {TWO32}
         ) END
         """

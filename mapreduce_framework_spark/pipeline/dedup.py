@@ -52,11 +52,14 @@ N_BANDS = 16  # 16 bands x 4 rows; P(miss | J>=0.9) ~ 4e-8 per pair
 
 
 def _fnv_sql(expr: str) -> str:
-    """Spark SQL FNV-1a32 of an arbitrary string expression (ASCII)."""
+    """Spark SQL FNV-1a32 of an arbitrary string expression (ASCII).
+    Linear split-fold form — see functions/hashing.py: the
+    sequence+substring form is quadratic in string length because
+    substring walks the UTF8String per call."""
     return (
         f"CASE WHEN length({expr}) = 0 THEN CAST({FNV_OFFSET_BASIS} AS BIGINT) "
-        f"ELSE aggregate(sequence(1, length({expr})), CAST({FNV_OFFSET_BASIS} AS BIGINT), "
-        f"(acc, i) -> ((acc ^ CAST(ascii(substring({expr}, i, 1)) AS BIGINT)) * {FNV_PRIME}) % {TWO32}) END"
+        f"ELSE aggregate(split({expr}, ''), CAST({FNV_OFFSET_BASIS} AS BIGINT), "
+        f"(acc, ch) -> ((acc ^ CAST(ascii(ch) AS BIGINT)) * {FNV_PRIME}) % {TWO32}) END"
     )
 
 

@@ -290,3 +290,36 @@ def test_token_stats_match_models(spark_global, texts):
         for i, t in texts.items()
     }
     assert got == model
+
+
+# --- FNV cost model: linear in document size --------------------------------
+
+
+def test_fnv_linear_in_document_size(spark_global):
+    """The JVM-side FNV fold must be LINEAR in the string: the old
+    sequence(1, length) + substring(s, i, 1) form was quadratic (Spark's
+    substring walks the UTF8String from the start per call — a single
+    100 KB web doc stalled for minutes). The split-fold form hashes a
+    1 MB doc in seconds AND produces exactly the sequential model's
+    value, empty string included."""
+    import time
+
+    from pyspark.sql import Row
+
+    from mapreduce_framework_spark.functions.hashing import (
+        FNV_OFFSET_BASIS,
+        fnv1a32,
+    )
+    from tests.test_dedup_props import _fnv1a32
+
+    text = ("the quick brown fox " * 50_000)[:1_000_000]
+    df = spark_global.createDataFrame(
+        [Row(doc_id=0, text=text), Row(doc_id=1, text="")],
+        "doc_id bigint, text string",
+    )
+    t0 = time.perf_counter()
+    got = {r["doc_id"]: r["fp"] for r in df.select("doc_id", fnv1a32("text").alias("fp")).collect()}
+    wall = time.perf_counter() - t0
+    assert got[0] == _fnv1a32(text)
+    assert got[1] == FNV_OFFSET_BASIS
+    assert wall < 60, f"FNV fold no longer linear: {wall:.0f}s for 1 MB"
