@@ -646,18 +646,28 @@ def _char_jaccard_oracle(cap: int | None) -> str:
 def char_shingles_of(docs: DataFrame) -> DataFrame:
     """Distinct (doc_id, shingle) pairs — character 8-gram shingling (the
     tokenizer-free twin of shingles_of; docs shorter than K chars yield no
-    shingles, matching the SQL range() emptiness)."""
-    return docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(sequence(1, greatest(length(text) - {CHAR_NGRAM_K} + 1, 1)), "
-                    f"i -> substring(text, i, {CHAR_NGRAM_K}))"
+    shingles, matching the SQL range() emptiness).
+
+    Built over a split-once char array with O(K) slices — NOT
+    ``substring(text, i, K)`` per position, which walks the UTF8String
+    from the start each call and made shingling QUADRATIC in document
+    length (the same cost bug the FNV fold had, functions/hashing.py).
+    Identical shingles; linear cost in the document."""
+    return (
+        docs.withColumn("cs", F.split("text", ""))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, greatest(size(cs) - {CHAR_NGRAM_K} + 1, 1)), "
+                        f"i -> concat_ws('', slice(cs, i, {CHAR_NGRAM_K})))"
+                    )
                 )
-            )
-        ).alias("s"),
-    ).where(F.length("s") == CHAR_NGRAM_K)
+            ).alias("s"),
+        )
+        .where(F.length("s") == CHAR_NGRAM_K)
+    )
 
 
 @register(
