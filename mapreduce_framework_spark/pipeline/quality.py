@@ -145,7 +145,15 @@ def q88_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark and DuckDB regex engines agree. The synthetic corpus contains no
 # emails/phones (counts prove the negative); the term denylist fires on
 # ~80% of docs, exercising the replacement path end-to-end.
-EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# RFC-bounded quantifiers ({1,64} local part, {1,255} domain, {2,63}
+# TLD), NOT unbounded +: Java's regex re-consumes an unbounded char-class
+# run from every start offset, so `[...]+@` against a giant
+# separator-free token (an MB-scale "aaaa…" doc — web crawls have them)
+# is O(n²) and pins a task for hours. Bounds cap the per-offset work at a
+# constant → linear scan, with identical matches on anything that is
+# actually an email (DuckDB's RE2 oracle twin is linear either way).
+# Pinned by tests/test_text_props.py::test_scrub_linear_on_giant_tokens.
+EMAIL_RE = r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,63}"
 PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
 DENYLIST = ("customer", "value")
 DENY_RE = r"\b(" + "|".join(DENYLIST) + r")\b"

@@ -323,3 +323,32 @@ def test_fnv_linear_in_document_size(spark_global):
     assert got[0] == _fnv1a32(text)
     assert got[1] == FNV_OFFSET_BASIS
     assert wall < 60, f"FNV fold no longer linear: {wall:.0f}s for 1 MB"
+
+
+def test_scrub_linear_on_giant_tokens(spark_global):
+    """The PII scrub regexes must be linear in document size: the old
+    unbounded email local-part (`[...]+@`) re-consumed a giant
+    separator-free token from every start offset — O(n²), pinning a task
+    for hours on one MB-scale "aaaa…" doc. The RFC-bounded form scans a
+    1 MB single-token doc within a hard wall bound and still matches real
+    emails/phones/denylist terms."""
+    import time
+
+    from pyspark.sql import Row
+
+    from mapreduce_framework_spark.pipeline.quality import scrub_documents
+
+    rows = [
+        Row(doc_id=0, text="a" * 1_000_000),
+        Row(doc_id=1, text=(".,;! " * 200_000)[:1_000_000]),
+        Row(doc_id=2, text="at bob.smith+x@ex-ample.co.uk or 555-123-4567 customer value"),
+    ]
+    df = spark_global.createDataFrame(rows, "doc_id bigint, text string")
+    t0 = time.perf_counter()
+    out = {
+        r["doc_id"]: (r["n_email"], r["n_phone"], r["n_deny"])
+        for r in scrub_documents(df).collect()
+    }
+    wall = time.perf_counter() - t0
+    assert out == {0: (0, 0, 0), 1: (0, 0, 0), 2: (1, 1, 2)}
+    assert wall < 60, f"PII regex no longer linear: {wall:.0f}s for 1 MB docs"

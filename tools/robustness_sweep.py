@@ -81,6 +81,36 @@ def build_nulls(src: str, dst: str) -> None:
         pq.write_table(tbl, os.path.join(dst, f"{t}.parquet"))
 
 
+def build_giant(src: str, dst: str) -> None:
+    """documents plus three MB-scale docs (repeated text, so distinct
+    shingle/token sets stay small while per-CHARACTER costs are fully
+    exercised — the axis that exposed the quadratic substring folds,
+    SCALING.md 'Giant-document linearity'). Other tables unchanged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(src, f"{t}.parquet"))
+        if t == "documents":
+            base_id = 90_000_000
+            giants = {
+                "doc_id": [base_id + i for i in range(3)],
+                "text": [
+                    ("the quick brown fox jumps over the lazy dog " * 25_000)[:1_000_000],
+                    "a" * 1_000_000,                      # one 1 MB token
+                    (".,;! " * 200_000)[:1_000_000],      # token-free punct
+                ],
+            }
+            for name in tbl.column_names:
+                if name not in giants:
+                    giants[name] = [tbl.column(name)[0].as_py()] * 3
+            ext = pa.table(
+                {n: pa.array(giants[n], tbl.column(n).type) for n in tbl.column_names}
+            )
+            tbl = pa.concat_tables([tbl, ext])
+        pq.write_table(tbl, os.path.join(dst, f"{t}.parquet"))
+
+
 def sweep(spark, sf_dir: str, label: str) -> list[str]:
     from mapreduce_framework_spark.registry import all_queries
 
@@ -170,7 +200,9 @@ def differential(spark, sf_dir: str, label: str, expected=None) -> list[str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
-    ap.add_argument("--variant", default="all", choices=["empty", "nulls", "all"])
+    ap.add_argument(
+        "--variant", default="all", choices=["empty", "nulls", "giant", "all"]
+    )
     ap.add_argument("--differential", action="store_true")
     args = ap.parse_args()
 
@@ -195,6 +227,11 @@ def main() -> int:
             all_fails += sweep(spark, d, "nulls")
             if args.differential:
                 all_fails += differential(spark, d, "nulls")
+        if args.variant in ("giant", "all"):
+            d = os.path.join(root, "giant")
+            os.makedirs(d)
+            build_giant(args.sf, d)
+            all_fails += sweep(spark, d, "giant")
     return 1 if all_fails else 0
 
 
