@@ -316,8 +316,11 @@ def _decode_png(payload: bytes) -> dict:
     if color == 3:  # palette index -> RGB
         if plte is None:
             raise ValueError("palette PNG missing PLTE chunk")
+        n_pal = len(plte) // 3
         out = bytearray()
         for i in flat:
+            if i >= n_pal:
+                raise ValueError(f"PNG palette index {i} out of range")
             out += plte[3 * i : 3 * i + 3]
     else:
         out = flat
@@ -430,8 +433,11 @@ def _decode_gif(payload: bytes) -> dict:
                         rows[y] = indices[r * width : (r + 1) * width]
                         r += 1
                 indices = b"".join(rows)
+            n_pal = len(ct) // 3
             out = bytearray()
             for i in indices:
+                if i >= n_pal:
+                    raise ValueError(f"GIF palette index {i} out of range")
                 out += ct[3 * i : 3 * i + 3]
             return {
                 "width": width,

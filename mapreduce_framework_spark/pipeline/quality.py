@@ -153,6 +153,13 @@ def q88_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # constant → linear scan, with identical matches on anything that is
 # actually an email (DuckDB's RE2 oracle twin is linear either way).
 # Pinned by tests/test_text_props.py::test_scrub_linear_on_giant_tokens.
+# DOCUMENTED TRADE-OFF: an address-like token whose local part exceeds 64
+# chars (not a valid email per RFC 5321 §4.5.3.1) is PARTIALLY scrubbed —
+# the match starts 64 chars before the '@', leaving the leading overflow
+# in place. This is by design: RFC-overflow tokens aren't deliverable
+# addresses, full-run scrubbing would reintroduce the unbounded-quantifier
+# O(n²) scan, and both engines share the pattern so there is no oracle
+# drift. Pinned by tests/test_text_props.py::test_scrub_overlong_local_part.
 EMAIL_RE = r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,63}"
 PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
 DENYLIST = ("customer", "value")

@@ -95,14 +95,25 @@ def assign_cells(
     ``centroids``: a fitted fixed-K codebook ``(cent_id, cent[, cent_norm])``
     — the production seam, broadcast O(K·dim). Default: the stride-derived
     deterministic stand-in (cardinality n/SEM_STRIDE; test/oracle form
-    only). An explicitly-passed empty frame raises; the stride default on
-    an empty corpus yields the correct empty output."""
+    only). An explicitly-passed empty frame raises (prepare_centroids), and
+    so does a stride default that derives ZERO centroids from a non-empty
+    corpus (vec_ids never hitting the stride — e.g. a caller-filtered
+    slice): silently assigning nothing would emit an empty drop list that
+    looks like "no duplicates". The stride default on an empty corpus
+    yields the correct empty output. The emptiness probe is two limit-1
+    jobs — acceptable on the test/oracle path only, which is the only
+    place the default is sanctioned (module docstring)."""
     e = _norms_spark(embs)
-    cents = (
-        stride_centroids(embs)
-        if centroids is None
-        else prepare_centroids(centroids, op="semantic dedup")
-    )
+    if centroids is None:
+        cents = stride_centroids(embs)
+        if cents.isEmpty() and not embs.isEmpty():
+            raise ValueError(
+                "stride-derived centroid set is empty on a non-empty corpus "
+                f"(no vec_id % {SEM_STRIDE} == 0); pass a fitted `centroids` "
+                "codebook instead"
+            )
+    else:
+        cents = prepare_centroids(centroids, op="semantic dedup")
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cent_id",

@@ -635,6 +635,28 @@ def test_decode_png_rejects_malformed():
         decode_image(bytes(deep))
 
 
+def test_decode_palette_index_out_of_range():
+    """A decoded index past the palette must raise ValueError in every
+    palette branch (round-5 ADVICE: PNG/GIF silently appended b'' —
+    yielding a short pixel buffer — while BMP raised; one corrupt-input
+    policy now, matching the decoders' stated ValueError contract)."""
+    import pytest
+
+    from mapreduce_framework_spark.pipeline.multimodal import decode_image
+
+    # PNG: 2-entry PLTE, scanline references index 5
+    plte2 = bytes((10, 20, 30, 40, 50, 60))
+    png = _png_fixture(2, 1, 3, [bytes((0, 5))], [0], plte=plte2)
+    with pytest.raises(ValueError, match="PNG palette index 5 out of range"):
+        decode_image(png)
+
+    # GIF: 2-entry color table but a 2-bit LZW stream emitting root code 3
+    pal2 = bytes((0, 0, 0, 255, 255, 255))
+    gif = _gif_fixture(2, 1, pal2, _lzw_encode(2, [0, 3]), 2)
+    with pytest.raises(ValueError, match="GIF palette index 3 out of range"):
+        decode_image(gif)
+
+
 # --- GIF stdlib decoder -----------------------------------------------------
 
 

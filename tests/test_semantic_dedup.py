@@ -145,6 +145,22 @@ def test_empty_centroid_frame_raises(spark):
         semantic_dedup(embs, centroids=empty).collect()
 
 
+def test_stride_default_empty_centroids_raises(spark):
+    """Round-5 VERDICT residual: the stride DEFAULT could go silently
+    empty on a caller-supplied frame whose vec_ids never satisfy
+    % SEM_STRIDE == 0 (e.g. a filtered slice), emitting an empty drop
+    list that reads as "no duplicates". It must now raise, mirroring the
+    explicit-empty-codebook path; an empty CORPUS still returns the
+    correct empty output without raising."""
+    non_multiples = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0, 0.0], label=0) for i in (1, 2, 30, 31)]
+    )
+    with pytest.raises(ValueError, match="stride-derived centroid set is empty"):
+        semantic_dedup(non_multiples).collect()
+    empty = spark.createDataFrame([], "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT")
+    assert semantic_dedup(empty).count() == 0
+
+
 def test_min_id_kept_within_synthetic_cell(spark):
     """Three near-identical vectors: the smallest id survives, the other
     two are condemned by it (transitive chains collapse to min id)."""

@@ -352,3 +352,37 @@ def test_scrub_linear_on_giant_tokens(spark_global):
     wall = time.perf_counter() - t0
     assert out == {0: (0, 0, 0), 1: (0, 0, 0), 2: (1, 1, 2)}
     assert wall < 60, f"PII regex no longer linear: {wall:.0f}s for 1 MB docs"
+
+
+def test_scrub_overlong_local_part(spark_global):
+    """Documented trade-off of the RFC-bounded email pattern
+    (quality.py EMAIL_RE comment): a local part LONGER than 64 chars (not
+    a deliverable address per RFC 5321) is PARTIALLY scrubbed — the match
+    starts 64 chars before the '@', so the leading overflow stays. Pins
+    (a) the exact residue both engines produce and (b) Spark/DuckDB
+    agreement on it, so the product semantics can't drift silently."""
+    import duckdb
+    from pyspark.sql import Row
+
+    from mapreduce_framework_spark.pipeline.quality import EMAIL_RE, scrub_documents
+
+    overlong = "x" * 100 + "@example.com suffix"
+    valid = "y" * 64 + "@example.com suffix"
+    df = spark_global.createDataFrame(
+        [Row(doc_id=0, text=overlong), Row(doc_id=1, text=valid)],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: (r["n_email"], r["scrub_len"], r["scrub_fp"])
+           for r in scrub_documents(df).collect()}
+    # overlong: 36 leading chars survive, the trailing 64+domain are scrubbed
+    assert got[0][1] == len("x" * 36 + "[EMAIL] suffix")
+    # at exactly 64 the whole token is an email and is fully scrubbed
+    assert got[1][1] == len("[EMAIL] suffix")
+
+    con = duckdb.connect()
+    for doc_id, text in ((0, overlong), (1, valid)):
+        (duck_scrub,) = con.execute(
+            "SELECT regexp_replace(?, ?, '[EMAIL]', 'g')", [text, EMAIL_RE]
+        ).fetchone()
+        (duck_fp,) = con.execute("SELECT md5(?)", [duck_scrub]).fetchone()
+        assert (len(duck_scrub), duck_fp) == (got[doc_id][1], got[doc_id][2]), doc_id
