@@ -171,3 +171,183 @@ def q101_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide keep-first span dedup over documents (module docstring);
     C4-style repeated-span removal per Raffel et al. §2.2."""
     return span_dedup(table(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+# --- any-offset exact-substring dedup (ExactSubstr complement to q101) ------
+#
+# q101's blocks are non-overlapping SPAN_W tiles, so a repeat that straddles
+# a tile boundary at a non-multiple of SPAN_W is invisible to it. The
+# Lee-et-al form ("Deduplicating Training Data Makes Language Models
+# Better", 2022, §4.1 ExactSubstr) removes ANY duplicated substring of at
+# least a minimum length, wherever it starts. Their single-node tool builds
+# a corpus-wide suffix array; the Spark-first equivalent below reaches the
+# same detection power for token-level repeats via STRIDE-1 shingles:
+#
+#   a duplicated token span of length >= w exists at (doc, p)
+#   <=> every w-shingle it contains is duplicated
+#   <=> the w-shingle starting at p occurs >= 2 times corpus-wide.
+#
+# So: explode every offset's w-shingle (md5), keep-first per distinct
+# shingle (same partial-agg min() rule as q101 — no window, hot-shingle
+# safe), mark every NON-first instance's w token positions as covered,
+# merge covered positions into maximal drop spans per doc, and reassemble
+# the residue. Library-first (registry at capacity, registry.py note):
+# differential + property tests in tests/test_span_dedup.py, no
+# registration.
+#
+# Scale shape (100 TB): stride-1 instances are n_tokens rows per doc —
+# 10x q101's n/W, the documented price of any-offset sensitivity (the
+# suffix array is token-linear too). Every stage is linear and sanely
+# keyed: keep-first is the partial-agg min(); coverage explode is w rows
+# per REDUNDANT instance keyed by (doc_id, tpos) — spread across docs, no
+# hot key even when one boilerplate shingle repeats 10^9 times; the only
+# windows are per-doc (bounded by doc length, not corpus).
+
+EXSUB_W = SPAN_W  # minimum duplicated-substring length, in tokens
+
+
+def _sliding_spark(w: int) -> str:
+    return (
+        f"CASE WHEN size(toks) >= {w} THEN "
+        f"transform(sequence(1, size(toks) - {w - 1}), "
+        f"p -> concat_ws(' ', slice(toks, p, {w}))) "
+        "ELSE array() END"
+    )
+
+
+def sliding_shingles(docs: DataFrame, w: int = EXSUB_W) -> DataFrame:
+    """(doc_id, pos, sh): the md5 of the w-token shingle at EVERY 1-based
+    offset (stride 1; docs shorter than w yield none — they cannot contain
+    a w-token repeat). One scan, zero shuffles."""
+    return (
+        docs.withColumn("toks", F.expr(TOKS_SPARK))
+        .select("doc_id", F.posexplode(F.expr(_sliding_spark(w))).alias("pos0", "s"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), F.md5("s").alias("sh"))
+    )
+
+
+def exact_substring_dedup(docs: DataFrame, w: int = EXSUB_W) -> DataFrame:
+    """Per-document result of corpus-wide any-offset exact-substring dedup:
+    (doc_id, n_tokens, n_dup_tokens, n_spans, clean_fp). A token position
+    is DROPPED when it lies inside any non-first instance of a duplicated
+    w-shingle (comment block above); n_spans counts the maximal merged
+    drop spans, clean_fp is the md5 of the surviving tokens space-joined
+    ('' for empty docs). Every input document appears in the output."""
+    from pyspark.sql import Window
+
+    toks = docs.withColumn("toks", F.expr(TOKS_SPARK)).select("doc_id", "toks")
+    inst = sliding_shingles(docs, w).withColumn(
+        "key",
+        F.when(F.col("pos") < _POS_CAP, F.col("doc_id") * _POS_CAP + F.col("pos")).otherwise(
+            F.raise_error(F.lit(f"exact_substring_dedup: document exceeds {_POS_CAP} tokens"))
+        ),
+    )
+    first = inst.groupBy("sh").agg(F.min("key").alias("min_key"))
+    redundant = inst.join(first, "sh").where(F.col("key") != F.col("min_key"))
+    covered = redundant.select(
+        "doc_id", F.explode(F.expr(f"sequence(pos, pos + {w - 1})")).alias("tpos")
+    ).distinct()
+    per_doc = Window.partitionBy("doc_id").orderBy("tpos")
+    spans = (
+        covered.withColumn("prev", F.lag("tpos").over(per_doc))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_tokens"),
+            F.sum(
+                F.when(F.col("prev").isNull() | (F.col("tpos") > F.col("prev") + 1), 1).otherwise(0)
+            ).alias("n_spans"),
+        )
+    )
+    tok_rows = toks.select(
+        "doc_id", F.posexplode("toks").alias("tpos0", "tok")
+    ).select("doc_id", (F.col("tpos0") + 1).alias("tpos"), "tok")
+    clean = (
+        tok_rows.join(covered, ["doc_id", "tpos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                        lambda x: x["tok"],
+                    ),
+                )
+            ).alias("clean_fp")
+        )
+    )
+    base = toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    return (
+        base.join(spans, "doc_id", "left")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("clean_fp", F.md5(F.lit(""))).alias("clean_fp"),
+        )
+    )
+
+
+def _sliding_duck(w: int) -> str:
+    return (
+        f"CASE WHEN len(toks) >= {w} THEN "
+        f"list_transform(range(1, len(toks) - {w - 1} + 1), "
+        f"p -> array_to_string(toks[p : p + {w - 1}], ' ')) "
+        "ELSE [] END"
+    )
+
+
+# DuckDB twin of exact_substring_dedup at w = EXSUB_W — identical
+# keep-first / coverage / island-merge semantics (tests/test_span_dedup.py).
+EXSUB_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+    raw AS (
+      SELECT doc_id, unnest({_sliding_duck(EXSUB_W)}) AS s,
+             unnest(range(1, len({_sliding_duck(EXSUB_W)}) + 1)) AS pos
+      FROM t
+    ),
+    inst AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos, md5(s) AS sh,
+             doc_id * {_POS_CAP} + pos AS key
+      FROM raw
+    ),
+    first AS (SELECT sh, min(key) AS min_key FROM inst GROUP BY sh),
+    redundant AS (
+      SELECT inst.* FROM inst JOIN first USING (sh) WHERE key <> min_key
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, CAST(unnest(range(pos, pos + {EXSUB_W})) AS BIGINT) AS tpos
+      FROM redundant
+    ),
+    spans AS (
+      SELECT doc_id, count(*) AS n_dup_tokens,
+             sum(CASE WHEN prev IS NULL OR tpos > prev + 1 THEN 1 ELSE 0 END) AS n_spans
+      FROM (
+        SELECT doc_id, tpos,
+               lag(tpos) OVER (PARTITION BY doc_id ORDER BY tpos) AS prev
+        FROM covered
+      ) GROUP BY doc_id
+    ),
+    tok_rows AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             CAST(unnest(range(1, len(toks) + 1)) AS BIGINT) AS tpos
+      FROM t
+    ),
+    clean AS (
+      SELECT doc_id,
+             md5(array_to_string(list(tok ORDER BY tpos), ' ')) AS clean_fp
+      FROM tok_rows ANTI JOIN covered USING (doc_id, tpos)
+      GROUP BY doc_id
+    ),
+    base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+    SELECT b.doc_id, b.n_tokens,
+           CAST(coalesce(s.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+           CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,
+           coalesce(c.clean_fp, md5('')) AS clean_fp
+    FROM base b
+    LEFT JOIN spans s USING (doc_id)
+    LEFT JOIN clean c USING (doc_id)
+    ORDER BY doc_id
+"""

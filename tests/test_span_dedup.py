@@ -142,3 +142,141 @@ def test_matches_sequential_model(spark_global, docs):
         for r in span_dedup(df).collect()
     }
     assert got == _model_span_dedup(docs)
+
+
+# --- any-offset exact-substring dedup (ExactSubstr complement to q101) ------
+
+from mapreduce_framework_spark.pipeline.span_dedup import (
+    EXSUB_ORACLE,
+    EXSUB_W,
+    exact_substring_dedup,
+    sliding_shingles,
+)
+
+
+def test_exsub_matches_duckdb_oracle(spark, sf_dir):
+    compare(
+        exact_substring_dedup(table_docs(spark, sf_dir)).orderBy("doc_id"),
+        EXSUB_ORACLE,
+        sf_dir,
+    )
+
+
+def table_docs(spark, sf_dir):
+    from mapreduce_framework_spark.catalog import table
+
+    return table(spark, "documents", sf_dir)
+
+
+def test_exsub_catches_block_straddling_repeat(spark):
+    """The motivating case: a repeated span that straddles q101's tile
+    boundary at a NON-multiple of SPAN_W is invisible to the block form
+    (no common block) but fully dropped by the any-offset form."""
+    shared = " ".join(f"s{chr(97 + i)}" for i in range(EXSUB_W))
+    pre1 = " ".join(f"p{chr(97 + i)}" for i in range(3))
+    suf1 = " ".join(f"q{chr(97 + i)}" for i in range(7))
+    pre2 = " ".join(f"r{chr(97 + i)}" for i in range(7))
+    suf2 = " ".join(f"t{chr(97 + i)}" for i in range(3))
+    docs = _docs(spark, [(1, f"{pre1} {shared} {suf1}"), (2, f"{pre2} {shared} {suf2}")])
+    # block form: offsets 3 and 7 -> no shared tile, nothing dropped
+    blocks = {r["doc_id"]: r for r in span_dedup(docs).collect()}
+    assert blocks[1]["n_kept"] == blocks[1]["n_blocks"]
+    assert blocks[2]["n_kept"] == blocks[2]["n_blocks"]
+    # any-offset form: doc 2's copy is dropped as one maximal span
+    out = {r["doc_id"]: r for r in exact_substring_dedup(docs).collect()}
+    assert out[1]["n_dup_tokens"] == 0 and out[1]["n_spans"] == 0
+    assert out[2]["n_dup_tokens"] == EXSUB_W and out[2]["n_spans"] == 1
+    import hashlib
+
+    assert out[2]["clean_fp"] == hashlib.md5(f"{pre2} {suf2}".encode()).hexdigest()
+
+
+def test_exsub_unique_and_short_docs(spark):
+    """All-unique docs survive untouched; docs shorter than w yield no
+    shingles and survive whole; empty docs fingerprint as md5('')."""
+    import hashlib
+
+    text = " ".join(f"u{chr(97 + i % 26)}{chr(97 + i // 26)}" for i in range(EXSUB_W * 2))
+    docs = _docs(spark, [(1, text), (2, "short doc"), (3, "")])
+    out = {r["doc_id"]: r for r in exact_substring_dedup(docs).collect()}
+    assert out[1]["n_dup_tokens"] == 0
+    assert out[1]["clean_fp"] == hashlib.md5(text.encode()).hexdigest()
+    assert out[2]["n_tokens"] == 2 and out[2]["n_dup_tokens"] == 0
+    assert out[2]["clean_fp"] == hashlib.md5(b"short doc").hexdigest()
+    assert out[3]["n_tokens"] == 0
+    assert out[3]["clean_fp"] == hashlib.md5(b"").hexdigest()
+
+
+def test_exsub_intra_doc_periodic_repeat(spark):
+    """'a a a ... a' (3w tokens): every shingle after the first is
+    redundant, covering positions 2..3w — ONE maximal span, residue 'a'."""
+    import hashlib
+
+    n = 3 * EXSUB_W
+    docs = _docs(spark, [(5, " ".join(["aa"] * n))])
+    (row,) = exact_substring_dedup(docs).collect()
+    assert row["n_tokens"] == n
+    assert row["n_dup_tokens"] == n - 1 and row["n_spans"] == 1
+    assert row["clean_fp"] == hashlib.md5(b"aa").hexdigest()
+
+
+def test_exsub_plan_shape_scale_safe(spark, sf_dir):
+    """Keep-first stays a partial-agg min (no per-shingle window — the
+    hot-boilerplate-shingle skew case); the only Window is the per-doc
+    island merge, bounded by doc length. No cartesian anywhere."""
+    plan = (
+        exact_substring_dedup(table_docs(spark, sf_dir))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+    # per-doc lag window only: every Window node partitions by doc_id
+    import re as _re
+
+    for spec in _re.findall(r"Window \[[^\]]*partitionBy=\[([^\]]*)\]", plan):
+        assert "doc_id" in spec
+
+
+def _model_exsub(docs: dict[int, str], w: int):
+    """Pure-Python sequential model of exact_substring_dedup's contract."""
+    toks = {
+        d: [x for x in re.split("[^a-zA-Z]+", t) if x] for d, t in docs.items()
+    }
+    first: dict[str, tuple[int, int]] = {}
+    for d in sorted(docs):
+        for p in range(1, len(toks[d]) - w + 2):
+            s = " ".join(toks[d][p - 1 : p - 1 + w])
+            if s not in first or (d, p) < first[s]:
+                first[s] = (d, p)
+    out = {}
+    for d in sorted(docs):
+        n = len(toks[d])
+        covered: set[int] = set()
+        for p in range(1, n - w + 2):
+            s = " ".join(toks[d][p - 1 : p - 1 + w])
+            if first[s] != (d, p):
+                covered.update(range(p, p + w))
+        n_spans = sum(1 for i in sorted(covered) if i - 1 not in covered)
+        clean = " ".join(t for i, t in enumerate(toks[d], 1) if i not in covered)
+        out[d] = (n, len(covered), n_spans, hashlib.md5(clean.encode()).hexdigest())
+    return out
+
+
+_exsub_doc = st.lists(st.sampled_from(["aa", "bb"]), min_size=0, max_size=15).map(" ".join)
+_exsub_corpus = st.dictionaries(
+    st.integers(min_value=0, max_value=50), _exsub_doc, min_size=1, max_size=5
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(docs=_exsub_corpus)
+def test_exsub_matches_sequential_model(spark_global, docs):
+    df = spark_global.createDataFrame([Row(doc_id=d, text=t) for d, t in docs.items()])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"], r["n_spans"], r["clean_fp"])
+        for r in exact_substring_dedup(df, w=3).collect()
+    }
+    assert got == _model_exsub(docs, 3)
