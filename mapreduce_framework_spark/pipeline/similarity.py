@@ -501,56 +501,82 @@ def ivf_stride_centroids(embs: DataFrame) -> DataFrame:
     )
 
 
-def ann_ivf(
-    embs: DataFrame,
-    centroids: DataFrame | None = None,
-    nprobe: int = IVF_NPROBE,
-    top_k: int = TOP_K,
-    n_queries: int = N_QUERIES,
-) -> DataFrame:
-    """Library form of q56 over any (vec_id, embedding) frame.
-
-    ``centroids``: a fitted fixed-K codebook ``(cent_id, cent[, cent_norm])``
-    — the production seam; assignment is one broadcast pass, O(K·dim) per
-    executor, independent of corpus size. Default: the stride-derived
-    deterministic codebook (cardinality n/stride; test/oracle form only).
-    An explicitly-passed empty codebook raises."""
-    e = _norms_spark(embs)
-    cents = (
-        ivf_stride_centroids(embs) if centroids is None else prepare_centroids(centroids)
+def _nearest_cells(df: DataFrame, cents: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Each vector's k nearest cells by cosine (ties -> smaller cent_id):
+    one broadcast pass over ``df`` (which must carry ``norm``)."""
+    scored = df.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        "cent_id",
+        (
+            F.expr(_DOT_SPARK.format(a="embedding", b="cent"))
+            / (F.col("norm") * F.col("cent_norm"))
+        ).alias("ccos"),
     )
+    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    return scored.withColumn("r", F.row_number().over(w)).where(F.col("r") <= k)
 
-    def nearest_cells(df, id_col, k):
-        scored = df.crossJoin(F.broadcast(cents)).select(
-            F.col(id_col),
+
+def _ivf_postings(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(cent_id, cid, ce, cnorm): every corpus vector in its nearest cell,
+    with the columns exact re-ranking needs. ``e`` must carry ``norm``."""
+    return (
+        _nearest_cells(e, cents, "vec_id", 1)
+        .join(e, "vec_id")
+        .select(
             "cent_id",
-            (
-                F.expr(_DOT_SPARK.format(a="embedding", b="cent"))
-                / (F.col("norm") * F.col("cent_norm"))
-            ).alias("ccos"),
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            F.col("norm").alias("cnorm"),
         )
-        w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cent_id"))
-        return scored.withColumn("r", F.row_number().over(w)).where(F.col("r") <= k)
-
-    assign = nearest_cells(e, "vec_id", 1).select(
-        F.col("vec_id").alias("cid"), "cent_id"
     )
-    queries = e.where(F.col("vec_id") < n_queries)
-    probes = nearest_cells(queries, "vec_id", nprobe).select(
+
+
+def _ivf_probe(
+    index: DataFrame,
+    qn: DataFrame,
+    cents: DataFrame,
+    nprobe: int,
+    top_k: int,
+    vectors: DataFrame | None = None,
+) -> DataFrame:
+    """Probe a posting table with a normed query frame ``qn``: queries find
+    their ``nprobe`` nearest cells, candidates come from the cent_id
+    equi-join, exact cosine re-ranks. Only (cent_id, cid) is read for
+    candidates and (cid, ce, cnorm) for re-ranking — the index is consumed
+    column-pruned, so a parquet-persisted artifact never reads extra
+    columns (tests/test_pipeline.py pins the ReadSchema).
+
+    ``vectors``: optional normed corpus frame to re-rank against INSTEAD
+    of the index's stored (ce, cnorm). The persisted lifecycle omits it
+    (the artifact is materialized — reading it twice is two cheap parquet
+    scans); the from-scratch form passes its corpus frame so the UNindexed
+    plan runs the centroid-assignment pass once, not once per consumer of
+    the posting subtree (plan-pinned at <= 2 nested loops in test_plans)."""
+    probes = _nearest_cells(qn, cents, "vec_id", nprobe).select(
         F.col("vec_id").alias("qid"), "cent_id"
     )
     cand = (
         F.broadcast(probes)
-        .join(assign, "cent_id")
+        .join(index.select("cent_id", "cid"), "cent_id")
         .where(F.col("qid") != F.col("cid"))
         .select("qid", "cid")
         .distinct()
     )
-    q = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("norm").alias("qnorm"))
-    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), F.col("norm").alias("cnorm"))
+    q = qn.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("norm").alias("qnorm")
+    )
+    rerank = (
+        index.select("cid", "ce", "cnorm")
+        if vectors is None
+        else vectors.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            F.col("norm").alias("cnorm"),
+        )
+    )
     scored = (
         cand.join(F.broadcast(q), "qid")
-        .join(c, "cid")
+        .join(rerank, "cid")
         .select(
             "qid",
             "cid",
@@ -565,6 +591,74 @@ def ann_ivf(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
         .orderBy("qid", "rank")
+    )
+
+
+def ivf_index(embs: DataFrame, centroids: DataFrame | None = None) -> DataFrame:
+    """The persistable IVF index artifact: the (cent_id, cid, ce, cnorm)
+    posting table — every corpus vector assigned to its nearest cell, with
+    embedding and norm stored for exact re-ranking. The q91
+    ``index_signatures`` lifecycle applied to ANN: build ONCE when a
+    corpus snapshot is ingested, write to parquet (partition or
+    sort-by cent_id so probes touch few row groups), then serve every
+    later query batch with :func:`probe_ivf_index` at O(batch) — no
+    per-run assignment recompute over the corpus. ``centroids``: fitted
+    fixed-K codebook (production; broadcast O(K·dim)); default is the
+    stride-derived test/oracle form. Persist the codebook alongside the
+    postings — probing requires the same one the index was built with."""
+    e = _norms_spark(embs)
+    cents = (
+        ivf_stride_centroids(embs) if centroids is None else prepare_centroids(centroids)
+    )
+    return _ivf_postings(e, cents)
+
+
+def probe_ivf_index(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = IVF_NPROBE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Per-batch ANN against a PRECOMPUTED posting table (``ivf_index``
+    output read back from parquet): only the batch computes centroid
+    distances; the index contributes column-pruned equi-join sides. With
+    the same codebook, bit-identical to running :func:`ann_ivf` from
+    scratch (parquet round-trips doubles losslessly) —
+    tests/test_pipeline.py::test_probe_ivf_index_equals_from_scratch."""
+    return _ivf_probe(
+        index, _norms_spark(queries), prepare_centroids(centroids), nprobe, top_k
+    )
+
+
+def ann_ivf(
+    embs: DataFrame,
+    centroids: DataFrame | None = None,
+    nprobe: int = IVF_NPROBE,
+    top_k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """Library form of q56 over any (vec_id, embedding) frame: build the
+    posting table and probe it in one plan (the registry/oracle form —
+    the driver contract rebuilds per run so DuckDB can check it; the
+    persisted lifecycle is :func:`ivf_index` + :func:`probe_ivf_index`).
+
+    ``centroids``: a fitted fixed-K codebook ``(cent_id, cent[, cent_norm])``
+    — the production seam; assignment is one broadcast pass, O(K·dim) per
+    executor, independent of corpus size. Default: the stride-derived
+    deterministic codebook (cardinality n/stride; test/oracle form only).
+    An explicitly-passed empty codebook raises."""
+    e = _norms_spark(embs)
+    cents = (
+        ivf_stride_centroids(embs) if centroids is None else prepare_centroids(centroids)
+    )
+    return _ivf_probe(
+        _ivf_postings(e, cents),
+        e.where(F.col("vec_id") < n_queries),
+        cents,
+        nprobe,
+        top_k,
+        vectors=e,
     )
 
 

@@ -215,6 +215,75 @@ def test_ann_ivf_external_codebook_seam(spark, sf_dir):
     assert got and all(len(v) <= 5 for v in got.values())
 
 
+def test_probe_ivf_index_equals_from_scratch(spark, sf_dir, tmp_path):
+    """The q91 lifecycle applied to ANN (round-5 VERDICT item): build the
+    (cent_id, posting) artifact ONCE, persist to parquet, then probe the
+    read-back table per query batch — bit-identical (incl. cosines) to
+    rebuilding the whole index from scratch."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.similarity import (
+        N_QUERIES,
+        ann_ivf,
+        ivf_index,
+        ivf_stride_centroids,
+        probe_ivf_index,
+    )
+
+    embs = table(spark, "embeddings", sf_dir)
+    cents = ivf_stride_centroids(embs).localCheckpoint(eager=True)
+    idx_dir = str(tmp_path / "ivf_index")
+    # snapshot-ish metadata column: probes must never read it (plan test)
+    ivf_index(embs, centroids=cents).withColumn(
+        "snapshot", F.lit("s1")
+    ).write.parquet(idx_dir)
+    queries = embs.where(F.col("vec_id") < N_QUERIES)
+    probed = probe_ivf_index(spark.read.parquet(idx_dir), queries, cents)
+    scratch = ann_ivf(embs, centroids=cents)
+    assert sorted(map(tuple, probed.collect())) == sorted(map(tuple, scratch.collect()))
+
+
+def test_probe_ivf_index_reads_index_column_pruned(spark, sf_dir, tmp_path):
+    """The probe's parquet scans of the artifact must be column-pruned:
+    the candidate join reads (cent_id, cid), re-ranking adds (ce, cnorm),
+    and extra artifact columns (snapshot metadata) never enter ReadSchema
+    — at 100 TB that's the difference between touching the posting
+    columns you need and scanning the whole index."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.similarity import (
+        N_QUERIES,
+        ivf_index,
+        ivf_stride_centroids,
+        probe_ivf_index,
+    )
+
+    embs = table(spark, "embeddings", sf_dir)
+    cents = ivf_stride_centroids(embs).localCheckpoint(eager=True)
+    idx_dir = str(tmp_path / "ivf_index")
+    ivf_index(embs, centroids=cents).withColumn(
+        "snapshot", F.lit("s1")
+    ).write.parquet(idx_dir)
+    probed = probe_ivf_index(
+        spark.read.parquet(idx_dir),
+        embs.where(F.col("vec_id") < N_QUERIES),
+        cents,
+    )
+    plan = probed._sc._jvm.PythonSQLUtils.explainString(
+        probed._jdf.queryExecution(), "formatted"
+    )
+    import re as _re
+
+    index_schemas = [
+        s for s in _re.findall(r"ReadSchema: struct<([^>]*)>", plan) if "cid" in s
+    ]
+    assert index_schemas, plan
+    assert all("snapshot" not in s for s in index_schemas), index_schemas
+    assert "CartesianProduct" not in plan
+
+
 def test_embedding_neardup_tiling_invariance(sf_dir):
     """q36's blocked-tile exact pass must be bit-identical at any tile size
     (per-task memory is bounded by CORPUS_CHUNK_ROWS, not the corpus): run
