@@ -1,0 +1,131 @@
+"""Pluggable tokenizer seam: deterministic pure-Python BPE behind the
+same interface a real subword tokenizer (tiktoken-style) plugs into.
+
+The corpus operators that budget by token count — q42's ``token_stats``,
+q79's sequence packing, q100's ``chunk_documents`` — default to JVM
+regex proxies (whitespace / letter-run / BPE-ish lexer), which is what
+keeps them oracle-checkable in SQL. Production pipelines budget with the
+REAL model tokenizer; this module is that seam:
+
+- :class:`BpeTokenizer` — a deterministic byte-free (character-level)
+  BPE: pre-tokenize with the same lexer regex q42 documents
+  (letter runs | digit runs | single punctuation), then greedily merge
+  the lowest-rank adjacent pair within each pre-token, GPT-2 style
+  (Sennrich et al. 2016 algorithm; rank = training merge order).
+- :func:`train_bpe` — learns the merge table from corpus text with a
+  fully deterministic tie-break (count desc, then lexicographic pair),
+  so the same sample always yields the same vocabulary.
+- Anything else with an ``.encode(text) -> list`` method (e.g.
+  ``tiktoken.get_encoding("gpt2")``) drops into the same Spark seams —
+  the env-gated parity test in tests/test_tokenizers.py proves it when
+  tiktoken is importable.
+
+Spark-side plumbing lives next to the operators
+(pipeline/text_analysis.py, pipeline/sampling.py): the tokenizer rides
+to executors inside an Arrow-batched pandas UDF closure (cloudpickle),
+never row-at-a-time Python. Training is a driver-side artifact operation
+on a BOUNDED sample — the same boundary as fitting the k-means codebook
+q56/q102 take as input: at 100 TB you train once on a few MB sample,
+persist the merge table, and broadcast it; you do not stream the corpus
+through Python.
+
+The reference has no tokenizer surface (wc tokenizes on unicode
+letters, src/mrapps/wc.go:23-26); this is [EXT] LLM-pipeline depth
+(round-5 VERDICT item 4).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+# The q42 "BPE-ish" lexer (text_analysis.py token_stats): letter runs,
+# digit runs, single punctuation — ASCII \s semantics, matching the
+# Java/RE2 twin behavior documented there.
+PRETOKEN_RE = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]", re.ASCII)
+
+
+class BpeTokenizer:
+    """Deterministic character-level BPE over lexer pre-tokens.
+
+    ``merges``: ordered list of (left, right) string pairs; rank = list
+    index. ``encode`` splits text with :data:`PRETOKEN_RE`, explodes each
+    pre-token to characters, then repeatedly merges the adjacent pair
+    with the LOWEST rank (ties impossible: each pair has one rank) until
+    no adjacent pair is mergeable — the GPT-2 greedy algorithm, so two
+    encoders with the same merge table always agree. Lossless within
+    pre-tokens: ``''.join(encode(t))`` == ``''.join(pretokens(t))``.
+    Instances are small (the merge table) and cloudpickle-safe, so they
+    ride into Arrow UDF closures."""
+
+    def __init__(self, merges: list[tuple[str, str]], name: str = "corpus-bpe"):
+        self.merges = list(merges)
+        self.name = name
+        self._rank = {pair: i for i, pair in enumerate(self.merges)}
+
+    def encode(self, text: str | None) -> list[str]:
+        if not text:
+            return []
+        out: list[str] = []
+        for pre in PRETOKEN_RE.findall(text):
+            out.extend(self._encode_pretoken(pre))
+        return out
+
+    def _encode_pretoken(self, pre: str) -> list[str]:
+        parts = list(pre)
+        rank = self._rank
+        while len(parts) > 1:
+            best_i, best_r = -1, None
+            for i in range(len(parts) - 1):
+                r = rank.get((parts[i], parts[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+        return parts
+
+    def __getstate__(self):  # keep the pickle minimal; rank is derived
+        return {"merges": self.merges, "name": self.name}
+
+    def __setstate__(self, state):
+        self.__init__(state["merges"], state["name"])
+
+
+def train_bpe(texts: list[str], n_merges: int, name: str = "corpus-bpe") -> BpeTokenizer:
+    """Learn ``n_merges`` BPE merges from ``texts``, deterministically:
+    each round merges the adjacent pair with the highest total count,
+    ties broken by lexicographically smallest (left, right). Runs on the
+    driver over a bounded sample (module docstring); cost is
+    O(n_merges x distinct pre-tokens)."""
+    words = Counter()
+    for t in texts:
+        if t:
+            words.update(PRETOKEN_RE.findall(t))
+    seqs: dict[tuple[str, ...], int] = {
+        tuple(w): c for w, c in words.items() if len(w) > 1
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for seq, c in seqs.items():
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged: dict[tuple[str, ...], int] = {}
+        for seq, c in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and (seq[i], seq[i + 1]) == best:
+                    out.append(seq[i] + seq[i + 1])
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            if len(out) > 1:
+                merged[tuple(out)] = merged.get(tuple(out), 0) + c
+        seqs = merged
+    return BpeTokenizer(merges, name)

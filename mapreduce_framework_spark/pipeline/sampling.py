@@ -134,9 +134,8 @@ def q79_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id order — the deterministic contiguous-packing rule). seq_id is
     per-source; (source, seq_id) is the training-sequence key."""
     docs = table(spark, "documents", sf_dir)
-    t = docs.select(
-        "doc_id", "source", F.size(F.expr(TOKS_SPARK)).cast("long").alias("n_tokens")
-    )
+    t = token_counts(docs)  # default = JVM word tokens (oracle form);
+    # production budgets plug a real tokenizer via token_counts(docs, tok)
     return pack_sequences(t).select(
         "doc_id", "source", "n_tokens", "seq_id"
     ).orderBy("doc_id")
@@ -388,12 +387,27 @@ CHUNK_STRIDE = 16
 
 
 def chunk_documents(
-    docs: DataFrame, chunk: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+    docs: DataFrame,
+    chunk: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+    tokenizer=None,
 ) -> DataFrame:
     """One row per sliding token window: (doc_id, chunk_idx, n_toks,
     chunk_fp). Short docs yield one whole-doc chunk; the final window of a
     long doc may be shorter (slice truncates). n_chunks uses integer
-    ceil so both engines agree exactly."""
+    ceil so both engines agree exactly.
+
+    ``tokenizer``: optional REAL-tokenizer plug (``.encode(text) ->
+    list``; a trained functions/tokenizers.BpeTokenizer or tiktoken).
+    When set, the token stream comes from the tokenizer inside an
+    Arrow-batched ``mapInPandas`` — same output schema, chunk_fp over the
+    space-joined subword tokens — so a pipeline can budget training
+    sequences with its actual model vocabulary. The default (None) keeps
+    the JVM word-token path and the unchanged q100 oracle; windowing
+    semantics between the two paths are pinned identical by
+    tests/test_tokenizers.py's shared sequential model."""
+    if tokenizer is not None:
+        return _chunk_with_tokenizer(docs, chunk, stride, tokenizer)
     t = docs.select("doc_id", F.expr(TOKS_SPARK).alias("toks"))
     n_chunks = (
         f"CASE WHEN size(toks) <= {chunk} THEN 1 "
@@ -413,6 +427,56 @@ def chunk_documents(
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         F.size("chunk").cast("bigint").alias("n_toks"),
         F.md5(F.array_join("chunk", " ")).alias("chunk_fp"),
+    )
+
+
+def _chunk_with_tokenizer(docs, chunk, stride, tokenizer):
+    """Tokenizer-backed chunking path: one Arrow pass, zero shuffles —
+    the same scale shape as the JVM path (output rows ~ tokens/stride).
+    The windowing arithmetic is deliberately the same expression as the
+    JVM form (ceil split, slice truncation) so the two paths differ ONLY
+    in where tokens come from."""
+    import hashlib
+
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            out = {"doc_id": [], "chunk_idx": [], "n_toks": [], "chunk_fp": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = tokenizer.encode(text) if text is not None else []
+                n = len(toks)
+                n_chunks = 1 if n <= chunk else 1 + -(-(n - chunk) // stride)
+                for i in range(n_chunks):
+                    window = toks[i * stride : i * stride + chunk]
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(i)
+                    out["n_toks"].append(len(window))
+                    out["chunk_fp"].append(
+                        hashlib.md5(" ".join(map(str, window)).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, schema="doc_id long, chunk_idx int, n_toks long, chunk_fp string"
+    )
+
+
+def token_counts(docs: DataFrame, tokenizer=None) -> DataFrame:
+    """(doc_id, source, n_tokens): the packing input q79 builds —
+    by default the JVM word-token count (the oracle-checked form), with
+    the same real-tokenizer plug as :func:`chunk_documents` so
+    ``pack_sequences(token_counts(docs, tok))`` budgets sequences with
+    the actual model vocabulary. Arrow-batched when plugged; never
+    row-at-a-time."""
+    if tokenizer is None:
+        return docs.select(
+            "doc_id", "source", F.size(F.expr(TOKS_SPARK)).cast("long").alias("n_tokens")
+        )
+    from mapreduce_framework_spark.pipeline.text_analysis import _encode_len_udf
+
+    return docs.select(
+        "doc_id", "source", _encode_len_udf(tokenizer)("text").alias("n_tokens")
     )
 
 

@@ -139,20 +139,51 @@ def q42_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(table(spark, "documents", sf_dir)).orderBy("doc_id")
 
 
-def token_stats(docs: DataFrame) -> DataFrame:
+def token_stats(docs: DataFrame, tokenizer=None) -> DataFrame:
     """Library form of q42 over any (doc_id, text) frame. NB the lexer's
     ``\\s`` is Java/RE2 semantics (ASCII whitespace only) — a unicode
     NBSP is a punctuation TOKEN, not a separator, identically on Spark
     and DuckDB (pinned by tests/test_text_props.py against an re.ASCII
-    model)."""
-    return docs.select(
+    model).
+
+    ``tokenizer``: optional REAL-tokenizer plug (anything with
+    ``.encode(text) -> list`` — a trained
+    functions/tokenizers.BpeTokenizer, or tiktoken when installed); adds
+    a ``real_tokens`` column computed in an Arrow-batched pandas UDF
+    (the sanctioned Python boundary — never row-at-a-time). The default
+    (None) keeps the three JVM proxy columns and the unchanged q42
+    oracle; the seam is pinned by tests/test_tokenizers.py."""
+    base = docs.select(
         "doc_id",
         F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("ws_tokens"),
         F.size(tokenize("text")).alias("word_tokens"),
         F.size(
             F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)")
         ).alias("bpe_ish_tokens"),
+        "text",
     )
+    if tokenizer is None:
+        return base.drop("text")
+    return base.withColumn("real_tokens", _encode_len_udf(tokenizer)("text")).drop(
+        "text"
+    )
+
+
+def _encode_len_udf(tokenizer):
+    """Arrow-batched ``text -> len(tokenizer.encode(text))`` (bigint).
+    The tokenizer object rides in the closure via cloudpickle; NULL text
+    counts 0 (the encode contract for empty input)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def n_tokens(s):
+        return s.map(lambda t: len(tokenizer.encode(t)) if t is not None else 0)
+
+    # set REAL type objects: the module's `from __future__ import
+    # annotations` would stringify inline hints into names pyspark's
+    # signature inspection cannot resolve here
+    n_tokens.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(n_tokens, returnType="long")
 
 
 @register(
