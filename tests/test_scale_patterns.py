@@ -185,3 +185,82 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_hot_span_keep_first_collapses_map_side(spark):
+    """Hot-span skew guard (round-6 SCALING.md series, small form): one
+    licence-header block repeated 10^4 times across the corpus. The
+    keep-first aggregate must (a) stay correct — the hot block survives
+    exactly once corpus-wide — and (b) collapse the hot key MAP-SIDE: the
+    rows entering the shuffle for the hot bh are bounded by the partition
+    count, not its 10^4 instance count. (b) is the property that holds at
+    10^9 instances on a 1000-executor cluster, where the row_number()
+    window form ships every instance into one unsplittable task."""
+    from pyspark.sql import Row
+
+    from mapreduce_framework_spark.pipeline.span_dedup import span_blocks, span_dedup
+
+    header = "hotword " * 100  # 10 identical hot blocks per doc
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=header + f"unique{i}a unique{i}b unique{i}c")
+            for i in range(1000)
+        ]
+    ).repartition(8)
+    out = span_dedup(docs)
+    # hot block kept exactly once; every doc's unique tail block kept
+    inst = span_blocks(docs)
+    n_distinct = inst.select("bh").distinct().count()
+    assert out.agg(F.sum("n_kept")).collect()[0][0] == n_distinct
+    hot_bh = inst.groupBy("bh").count().orderBy(F.col("count").desc()).first()
+    assert hot_bh["count"] == 10_000
+    # map-side collapse: per-partition distinct rows are what the combine
+    # ships — the hot key contributes <= n_partitions rows, not 10^4
+    shipped_hot = (
+        inst.select(F.spark_partition_id().alias("pid"), "bh")
+        .where(F.col("bh") == hot_bh["bh"])
+        .distinct()
+        .count()
+    )
+    assert shipped_hot <= 8, shipped_hot
+
+
+def test_semantic_fixed_k_amplification_invariants(spark, sf_dir):
+    """Semantic-dedup amplification guard (round-6 SCALING.md series,
+    small form): corpus amplified x3 with exact copies, codebook FIXED.
+    (a) the drop list grows exactly linearly — every amplified copy is
+    condemned via its base vector's cells, so fixed-K assignment loses no
+    exact-duplicate recall; (b) the cell-bounded candidate volume stays
+    far under the all-pairs quadratic."""
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        assign_cells,
+        semantic_dedup,
+        stride_centroids,
+    )
+
+    base = table(spark, "embeddings", sf_dir)
+    n_base = base.count()
+    cents = stride_centroids(base).orderBy("cent_id").limit(16).localCheckpoint(eager=True)
+    base_drops = semantic_dedup(base, centroids=cents).count()
+    factor, span = 3, 10_000_000
+    embs = base
+    for i in range(1, factor):
+        embs = embs.unionAll(
+            base.select(
+                (F.col("vec_id") + F.lit(i * span)).alias("vec_id"), "embedding", "label"
+            )
+        )
+    n = n_base * factor
+    drops = semantic_dedup(embs, centroids=cents).count()
+    assert drops == (factor - 1) * n_base + base_drops
+    asg = assign_cells(embs, centroids=cents)
+    n_cand = (
+        asg.alias("a")
+        .join(asg.alias("b"), F.col("a.cent_id") == F.col("b.cent_id"))
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select("a.vec_id", "b.vec_id")
+        .distinct()
+        .count()
+    )
+    assert n_cand < 0.35 * n * (n - 1) / 2, (n_cand, n)

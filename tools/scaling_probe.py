@@ -156,14 +156,18 @@ def probe_lsh_sf1(spark, base) -> None:
         )
 
 
-def probe_semantic_fixed_k(spark, sf_dir) -> None:
-    """Round-5 series: semantic dedup with a FIXED-K external codebook
-    (the parameterization that makes the broadcast O(K·dim) at scale).
-    The corpus is amplified; the codebook is NOT — assignment wall must
-    track rows, and the drop list must grow linearly (every amplified
-    copy is an exact duplicate of its base vector, condemned via their
-    shared nearest cells)."""
+def probe_semantic_fixed_k(spark, sf_dir, factors=(1, 2, 4, 10)) -> None:
+    """Round-5 series, extended to sf1-equivalent rows in round 6: semantic
+    dedup with a FIXED-K external codebook (the parameterization that makes
+    the broadcast O(K·dim) at scale). The corpus is amplified; the codebook
+    is NOT — assignment wall must track rows, and the drop list must grow
+    linearly (every amplified copy is an exact duplicate of its base
+    vector, condemned via their shared nearest cells). Round 6 adds the
+    CANDIDATE-VOLUME column — the within-cell pair count the cell bound
+    exists to control — recorded against the all-pairs quadratic, the same
+    readout the LSH series has."""
     from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        assign_cells,
         semantic_dedup,
         stride_centroids,
     )
@@ -174,9 +178,9 @@ def probe_semantic_fixed_k(spark, sf_dir) -> None:
         stride_centroids(base).orderBy("cent_id").limit(k).localCheckpoint(eager=True)
     )
     span = 10_000_000
-    print(f"| vectors | K | semantic-dedup wall (drops) |")
-    print("|---|---|---|")
-    for factor in (1, 2, 4):
+    print("| vectors | K | candidates (n, % of all-pairs) | semantic-dedup wall (drops) |")
+    print("|---|---|---|---|")
+    for factor in factors:
         parts = [
             base.select(
                 (F.col("vec_id") + F.lit(i * span)).alias("vec_id"),
@@ -189,8 +193,93 @@ def probe_semantic_fixed_k(spark, sf_dir) -> None:
         for p in parts[1:]:
             embs = embs.unionAll(p)
         n = embs.count()
+        asg = assign_cells(embs, centroids=cents)
+        t_cand, n_cand = timed(
+            asg.alias("a")
+            .join(asg.alias("b"), F.col("a.cent_id") == F.col("b.cent_id"))
+            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select("a.vec_id", "b.vec_id")
+            .distinct()
+        )
+        all_pairs = n * (n - 1) / 2
         t, n_drop = timed(semantic_dedup(embs, centroids=cents))
-        print(f"| {n} | {k} | {t} s ({n_drop}) |")
+        print(
+            f"| {n} | {k} | {t_cand} s ({n_cand}, {100 * n_cand / all_pairs:.3f} %) | "
+            f"{t} s ({n_drop}) |"
+        )
+
+
+def probe_span_skew(spark, base, factor=20) -> None:
+    """Round-6 series: HOT-SPAN skew. Every document gets the same
+    100-token licence header (10 IDENTICAL blocks) prepended, then the
+    corpus is amplified ×``factor`` — at sf0.1×20 one bh key carries
+    10^6 instances. This is the case the span_dedup docstring designs
+    for. Timed LIKE-FOR-LIKE on one checkpointed instance frame,
+    keep-first stage only:
+
+    - agg form (shipped): groupBy(bh).min(key) + equi-join back — the hot
+      key collapses to one row per map partition before the shuffle;
+    - window form (anti-pattern baseline, not a shipped path):
+      row_number() over (partitionBy bh orderBy key) — the full hot
+      partition lands in ONE task and is sorted there.
+
+    Also runs the full span_dedup pipeline for the end-to-end wall and the
+    kept-exactly-once invariant."""
+    from pyspark.sql import Window
+
+    from mapreduce_framework_spark.pipeline.span_dedup import (
+        _POS_CAP,
+        span_blocks,
+        span_dedup,
+    )
+
+    # 1000 copies of one token -> 100 IDENTICAL hot blocks per doc, so ONE
+    # bh key carries 100 x n_docs rows (10^7 at sf0.1 x20)
+    header = "hotword " * 1000
+    hot_base = base.select(
+        "doc_id", F.concat(F.lit(header), F.col("text")).alias("text")
+    )
+    print("| docs | hot-key rows | keep-first agg | keep-first window | full span_dedup | hot kept once |")
+    print("|---|---|---|---|---|---|")
+    for f in (1, factor):
+        docs = amplify(hot_base, f).localCheckpoint(eager=True)
+        n = docs.count()
+        inst = (
+            span_blocks(docs)
+            .withColumn("key", F.col("doc_id") * _POS_CAP + F.col("pos"))
+            .select("doc_id", "pos", "bh", "key")
+            .localCheckpoint(eager=True)
+        )
+        n_hot = inst.groupBy("bh").count().agg(F.max("count")).collect()[0][0]
+        n_distinct = inst.select("bh").distinct().count()
+        n_inst = inst.count()
+        # rows that cross the wire into the keep-first stage: the agg form
+        # ships the MAP-SIDE-COMBINED rows (<= distinct bh per input
+        # partition — the hot key collapses to one row per partition); the
+        # window form ships EVERY instance row, hot key intact, into one
+        # partition that no AQE rule can split
+        agg_shuffle_rows = (
+            inst.select(F.spark_partition_id().alias("pid"), "bh").distinct().count()
+        )
+        # shipped form: partial-agg min + join back
+        first = inst.groupBy("bh").agg(F.min("key").alias("min_key"))
+        t_agg, kept_a = timed(inst.join(first, "bh").where(F.col("key") == F.col("min_key")))
+        # anti-pattern baseline: per-bh window sort
+        w = Window.partitionBy("bh").orderBy("key")
+        t_win, kept_w = timed(
+            inst.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        )
+        t_full0 = time.perf_counter()
+        n_kept_total = span_dedup(docs).agg(F.sum("n_kept")).collect()[0][0]
+        t_full = round(time.perf_counter() - t_full0, 2)
+        assert n_kept_total == n_distinct == kept_a == kept_w, (
+            n_kept_total, n_distinct, kept_a, kept_w,
+        )
+        print(
+            f"| {n} | {n_hot} | {t_agg} s (shuffles {agg_shuffle_rows}) | "
+            f"{t_win} s (shuffles {n_inst}, max-key-in-one-task {n_hot}) | {t_full} s | "
+            f"yes ({n_distinct} distinct) |"
+        )
 
 
 def _amplified_embeddings(base, factor: int):
@@ -371,6 +460,9 @@ def main() -> None:
         return
     if "--span-sf1" in sys.argv:  # round-5 sf1-equivalent span series
         probe_span_dedup(spark, base, factors=(2, 4, 10))
+        return
+    if "--span-skew" in sys.argv:  # round-6 hot-span skew series
+        probe_span_skew(spark, base)
         return
     if "--multimodal" in sys.argv:  # round-5 mapInPandas throughput series
         probe_multimodal(spark, sf_dir)
