@@ -79,6 +79,31 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 #      (the local oracle sweep still proves it every run); the name is
 #      appended to RETIRED below and never reused.
 #
+# RETIREMENT DRY-RUN (round 6; the ranking the policy requires, so any
+# future registration is a one-commit swap — no behavior change now).
+# Next retirements, in order, with the evidence that makes each safe:
+#   1. q55_simhash_hamming_pairs — capped exact-oracle twin (2b): its
+#      banded scale path q73 is registered, green since r4, and
+#      q73's own test battery includes the exhaustive pigeonhole-
+#      completeness property; q55's builder+oracle+pytest remain.
+#   2. q72_char_ngram_jaccard — capped exact-oracle twin (2b): scale
+#      path q84 is registered and green, r5 linear-shingling rework
+#      probed to 100k docs (SCALING.md LSH series); q72 remains the
+#      local differential for q84's verify stage.
+#   3. q30_ngram_jaccard_neardup — same shape as q72 (exact twin of
+#      q31), third only because q30 is the historic flagship-adjacent
+#      query with the longest green streak — prefer spending newer
+#      twins first.
+#   4. q28_kv_stateful_replay — demonstrative twin (2a) of q06; its
+#      point (the documented Arrow/Python boundary) is equally made by
+#      the streaming q83 path which shares fold_kv_history. Spend only
+#      after the 2b pool is exhausted: q28 is the registry's sole
+#      interpreted-stateful representative in the driver window.
+#   Swap mechanics per policy item 4: delete the name from
+#   CURATED_ORDER + its @register line, append it to RETIRED, register
+#   the newcomer in the same commit, and place the newcomer in the
+#   in-window half of CURATED_ORDER (new-this-round rule).
+#
 # The curated order below puts, inside the window: (a) every query new
 # or changed this round, (b) every query whose last driver row is a full
 # round old (rotation). Long-stable queries rotate behind position 50
@@ -87,62 +112,10 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # WINDOW_HISTORY below — that no registered query goes more than one
 # round without a driver window slot.
 CURATED_ORDER = [
-    # --- new this round (registered r5; library-first since r4) ---
-    "q101_span_dedup",
-    "q102_semantic_dedup",
-    # --- rotation: the 48 queries whose last driver row is round 3 ---
-    # (q89's md5 scrub_fp change and q91's index/match split land their
-    # first driver rows here, as the r4 curation note promised.)
-    "q89_denylist_scrub",
-    "q91_cross_snapshot_dedup",
-    "q01_wordcount",
-    "q06_kv_final_state",
-    "q31_minhash_lsh_neardup",
-    "q84_char_ngram_lsh_neardup",
-    "q85_shardctrler_replay",
-    "q86_boilerplate_ngrams",
-    "q87_boilerplate_doc_stats",
-    "q88_repetition_stats",
-    "q90_domain_mix_resample",
-    "q92_tfidf_topk",
-    "q36_embedding_neardup",
-    "q72_char_ngram_jaccard",
-    "q75_percentile_sketch_bound",
-    "q83_streaming_kv_replay",
-    "q28_kv_stateful_replay",
-    "q24_exact_dedup",
-    "q02_inverted_index",
-    "q11_filter_project",
-    "q30_ngram_jaccard_neardup",
-    "q49_neardup_components",
-    "q03_crash_emits",
-    "q04_per_doc_counts",
-    "q05_global_count",
-    "q09_fnv_bucket_histogram",
-    "q10_global_sort",
-    "q07_kv_point_in_time",
-    "q08_shard_histogram",
-    "q14_semi_join",
-    "q14_anti_join",
-    "q16_count_distinct",
-    "q18_window_topk_per_group",
-    "q20_global_topk",
-    "q21_set_ops",
-    "q23_array_functions",
-    "q25_tumbling_window",
-    "q26_sliding_window",
-    "q32_simhash",
-    "q33_exact_dedup_docs",
-    "q44_map_functions",
-    "q47_sql_frontend_window",
-    "q50_window_battery",
-    "q52_pandas_udf_path",
-    "q55_simhash_neardup",
-    "q57_asof_join",
-    "q73_simhash_banded_neardup",
-    "q81_training_corpus",
-    # ---- position 51+: driver-checked green in round 4;
-    #      pytest-swept every run; rotate back in round 6 ----
+    # --- round-6 window: the r5 behind-window half, verbatim (the
+    # enforced rotation — every name here last had a driver row in r4,
+    # so max staleness stays one round; no new registrations this round,
+    # registry at capacity) ---
     "q94_streaming_session_replay",
     "q95_incremental_ingest_dedup",
     "q96_incremental_rollup_replay",
@@ -193,7 +166,60 @@ CURATED_ORDER = [
     "q77_multimodal_resize",
     "q79_sequence_packing",
     "q80_contamination_check",
+    # --- behind the window this round (driver rows from r5; still swept
+    # by the local pytest oracle suite every run) ---
+    "q101_span_dedup",
+    "q102_semantic_dedup",
+    "q89_denylist_scrub",
+    "q91_cross_snapshot_dedup",
+    "q01_wordcount",
+    "q06_kv_final_state",
+    "q31_minhash_lsh_neardup",
+    "q84_char_ngram_lsh_neardup",
+    "q85_shardctrler_replay",
+    "q86_boilerplate_ngrams",
+    "q87_boilerplate_doc_stats",
+    "q88_repetition_stats",
+    "q90_domain_mix_resample",
+    "q92_tfidf_topk",
+    "q36_embedding_neardup",
+    "q72_char_ngram_jaccard",
+    "q75_percentile_sketch_bound",
+    "q83_streaming_kv_replay",
+    "q28_kv_stateful_replay",
+    "q24_exact_dedup",
+    "q02_inverted_index",
+    "q11_filter_project",
+    "q30_ngram_jaccard_neardup",
+    "q49_neardup_components",
+    "q03_crash_emits",
+    "q04_per_doc_counts",
+    "q05_global_count",
+    "q09_fnv_bucket_histogram",
+    "q10_global_sort",
+    "q07_kv_point_in_time",
+    "q08_shard_histogram",
+    "q14_semi_join",
+    "q14_anti_join",
+    "q16_count_distinct",
+    "q18_window_topk_per_group",
+    "q20_global_topk",
+    "q21_set_ops",
+    "q23_array_functions",
+    "q25_tumbling_window",
+    "q26_sliding_window",
+    "q32_simhash",
+    "q33_exact_dedup_docs",
+    "q44_map_functions",
+    "q47_sql_frontend_window",
+    "q50_window_battery",
+    "q52_pandas_udf_path",
+    "q55_simhash_neardup",
+    "q57_asof_join",
+    "q73_simhash_banded_neardup",
+    "q81_training_corpus",
 ]
+
 
 # Queries retired under the policy above (none yet). Append-only; names
 # here must never reappear in CURATED_ORDER, and their builders/oracles/
@@ -210,7 +236,7 @@ DRIVER_WINDOW = 50
 # records the window actually exposed in each past round (= the keys of
 # CORRECTNESS_r{N}.json, verbatim). Each new round: append the previous
 # round's first-DRIVER_WINDOW names here, bump CURRENT_ROUND, re-curate.
-CURRENT_ROUND = 5
+CURRENT_ROUND = 6
 
 WINDOW_HISTORY: dict[int, tuple[str, ...]] = {
     1: (
@@ -420,6 +446,58 @@ WINDOW_HISTORY: dict[int, tuple[str, ...]] = {
         "q77_multimodal_resize",
         "q79_sequence_packing",
         "q80_contamination_check",
+    ),
+    5: (
+        "q101_span_dedup",
+        "q102_semantic_dedup",
+        "q89_denylist_scrub",
+        "q91_cross_snapshot_dedup",
+        "q01_wordcount",
+        "q06_kv_final_state",
+        "q31_minhash_lsh_neardup",
+        "q84_char_ngram_lsh_neardup",
+        "q85_shardctrler_replay",
+        "q86_boilerplate_ngrams",
+        "q87_boilerplate_doc_stats",
+        "q88_repetition_stats",
+        "q90_domain_mix_resample",
+        "q92_tfidf_topk",
+        "q36_embedding_neardup",
+        "q72_char_ngram_jaccard",
+        "q75_percentile_sketch_bound",
+        "q83_streaming_kv_replay",
+        "q28_kv_stateful_replay",
+        "q24_exact_dedup",
+        "q02_inverted_index",
+        "q11_filter_project",
+        "q30_ngram_jaccard_neardup",
+        "q49_neardup_components",
+        "q03_crash_emits",
+        "q04_per_doc_counts",
+        "q05_global_count",
+        "q09_fnv_bucket_histogram",
+        "q10_global_sort",
+        "q07_kv_point_in_time",
+        "q08_shard_histogram",
+        "q14_semi_join",
+        "q14_anti_join",
+        "q16_count_distinct",
+        "q18_window_topk_per_group",
+        "q20_global_topk",
+        "q21_set_ops",
+        "q23_array_functions",
+        "q25_tumbling_window",
+        "q26_sliding_window",
+        "q32_simhash",
+        "q33_exact_dedup_docs",
+        "q44_map_functions",
+        "q47_sql_frontend_window",
+        "q50_window_battery",
+        "q52_pandas_udf_path",
+        "q55_simhash_neardup",
+        "q57_asof_join",
+        "q73_simhash_banded_neardup",
+        "q81_training_corpus",
     ),
 }
 
