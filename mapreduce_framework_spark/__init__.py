@@ -56,15 +56,22 @@ def __getattr__(name):
         "match_batch": "mapreduce_framework_spark.pipeline.dedup",
         "span_blocks": "mapreduce_framework_spark.pipeline.span_dedup",
         "span_dedup": "mapreduce_framework_spark.pipeline.span_dedup",
+        "exact_substring_dedup": "mapreduce_framework_spark.pipeline.span_dedup",
         "assign_cells": "mapreduce_framework_spark.pipeline.semantic_dedup",
         "semantic_dedup": "mapreduce_framework_spark.pipeline.semantic_dedup",
         "quantize_embeddings": "mapreduce_framework_spark.pipeline.similarity",
+        "ivf_index": "mapreduce_framework_spark.pipeline.similarity",
+        "probe_ivf_index": "mapreduce_framework_spark.pipeline.similarity",
         "connected_components": "mapreduce_framework_spark.operators.graph",
         # corpus shaping
         "stratified_sample": "mapreduce_framework_spark.pipeline.sampling",
         "pack_sequences": "mapreduce_framework_spark.pipeline.sampling",
         "domain_mix_sample": "mapreduce_framework_spark.pipeline.sampling",
         "chunk_documents": "mapreduce_framework_spark.pipeline.sampling",
+        "token_counts": "mapreduce_framework_spark.pipeline.sampling",
+        # tokenizer seam
+        "train_bpe": "mapreduce_framework_spark.functions.tokenizers",
+        "BpeTokenizer": "mapreduce_framework_spark.functions.tokenizers",
         # quality filters / scrubbing
         "repetition_stats": "mapreduce_framework_spark.pipeline.quality",
         "scrub_documents": "mapreduce_framework_spark.pipeline.quality",

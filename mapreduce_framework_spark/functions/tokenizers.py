@@ -91,6 +91,25 @@ class BpeTokenizer:
     def __setstate__(self, state):
         self.__init__(state["merges"], state["name"])
 
+    def save(self, path: str) -> None:
+        """Persist the merge table as JSON — the tokenizer's artifact
+        lifecycle (train once on a bounded sample, persist, load in every
+        later job), mirroring the q91 index_signatures / ivf_index
+        pattern. JSON, not pickle: the artifact is inspectable and stable
+        across Python versions."""
+        import json
+
+        with open(path, "w") as f:
+            json.dump({"name": self.name, "merges": self.merges}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "BpeTokenizer":
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        return cls([tuple(p) for p in d["merges"]], d["name"])
+
 
 def train_bpe(texts: list[str], n_merges: int, name: str = "corpus-bpe") -> BpeTokenizer:
     """Learn ``n_merges`` BPE merges from ``texts``, deterministically:

@@ -444,7 +444,11 @@ def _chunk_with_tokenizer(docs, chunk, stride, tokenizer):
         for pdf in it:
             out = {"doc_id": [], "chunk_idx": [], "n_toks": [], "chunk_fp": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = tokenizer.encode(text) if text is not None else []
+                if text is None:
+                    # the JVM path yields NO chunks for NULL text
+                    # (posexplode of a NULL chunk list) — same policy here
+                    continue
+                toks = tokenizer.encode(text)
                 n = len(toks)
                 n_chunks = 1 if n <= chunk else 1 + -(-(n - chunk) // stride)
                 for i in range(n_chunks):

@@ -276,7 +276,12 @@ def exact_substring_dedup(docs: DataFrame, w: int = EXSUB_W) -> DataFrame:
             ).alias("clean_fp")
         )
     )
-    base = toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    # NULL text tokenizes to a NULL array on both engines; the stated
+    # policy (dirty-data convention, as q101) is n_tokens = 0, no drops,
+    # md5('') residue — coalesced identically in the oracle's base CTE
+    base = toks.select(
+        "doc_id", F.coalesce(F.size("toks"), F.lit(0)).cast("long").alias("n_tokens")
+    )
     return (
         base.join(spans, "doc_id", "left")
         .join(clean, "doc_id", "left")
@@ -341,7 +346,9 @@ EXSUB_ORACLE = f"""
       FROM tok_rows ANTI JOIN covered USING (doc_id, tpos)
       GROUP BY doc_id
     ),
-    base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+    base AS (
+      SELECT doc_id, CAST(coalesce(len(toks), 0) AS BIGINT) AS n_tokens FROM t
+    )
     SELECT b.doc_id, b.n_tokens,
            CAST(coalesce(s.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
            CAST(coalesce(s.n_spans, 0) AS BIGINT) AS n_spans,

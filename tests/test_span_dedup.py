@@ -207,6 +207,34 @@ def test_exsub_unique_and_short_docs(spark):
     assert out[3]["clean_fp"] == hashlib.md5(b"").hexdigest()
 
 
+def test_exsub_null_text_policy(spark):
+    """Stated NULL policy (code + oracle, dirty-data convention): NULL
+    text behaves as an empty doc — n_tokens 0, nothing dropped, md5('')
+    residue — on BOTH engines (the dirty-variant differential relies on
+    the coalesce being in the oracle too)."""
+    import hashlib
+
+    import duckdb
+
+    from mapreduce_framework_spark.pipeline.span_dedup import EXSUB_ORACLE
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text="real words here")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in exact_substring_dedup(df).collect()}
+    assert out[1]["n_tokens"] == 0 and out[1]["n_dup_tokens"] == 0
+    assert out[1]["clean_fp"] == hashlib.md5(b"").hexdigest()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1::BIGINT, NULL::VARCHAR), (2::BIGINT, 'real words here')) t(doc_id, text)"
+    )
+    duck = {r[0]: r for r in con.execute(EXSUB_ORACLE).fetchall()}
+    for d in (1, 2):
+        assert tuple(out[d]) == duck[d], d
+
+
 def test_exsub_intra_doc_periodic_repeat(spark):
     """'a a a ... a' (3w tokens): every shingle after the first is
     redundant, covering positions 2..3w — ONE maximal span, residue 'a'."""

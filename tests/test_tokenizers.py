@@ -74,6 +74,17 @@ def test_tokenizer_pickle_roundtrip():
     assert back.encode("triple trip") == tok.encode("triple trip")
 
 
+def test_tokenizer_save_load_roundtrip(tmp_path):
+    """The artifact lifecycle: train once, persist the merge table as
+    inspectable JSON, load in a later job — identical encoding."""
+    tok = train_bpe(["persist the table table"], 8, name="v1")
+    p = str(tmp_path / "bpe.json")
+    tok.save(p)
+    back = BpeTokenizer.load(p)
+    assert back.name == "v1" and back.merges == tok.merges
+    assert back.encode("portable table") == tok.encode("portable table")
+
+
 # --- Spark seams ------------------------------------------------------------
 
 
@@ -109,7 +120,9 @@ def test_token_stats_real_tokens_matches_driver_side(spark, sf_dir):
 def _model_chunks(texts_by_id, tok, chunk, stride):
     out = {}
     for doc_id, text in texts_by_id.items():
-        toks = tok.encode(text) if text is not None else []
+        if text is None:  # NULL-text policy: no chunks (as the JVM path)
+            continue
+        toks = tok.encode(text)
         n = len(toks)
         n_chunks = 1 if n <= chunk else 1 + -(-(n - chunk) // stride)
         for i in range(n_chunks):
@@ -126,6 +139,12 @@ def test_chunk_documents_with_tokenizer_matches_model(spark, sf_dir):
     from mapreduce_framework_spark.pipeline.sampling import chunk_documents
 
     docs = table(spark, "documents", sf_dir).orderBy("doc_id").limit(80)
+    # add a NULL-text doc: both paths must yield NO chunks for it
+    docs = docs.unionAll(
+        docs.sparkSession.createDataFrame(
+            [(10_000_000, None, "en", "web", 0)], docs.schema
+        )
+    )
     tok = train_bpe(_sample_texts(spark, sf_dir), 48)
     out = chunk_documents(docs, chunk=16, stride=8, tokenizer=tok)
     got = {

@@ -209,6 +209,76 @@ def probe_semantic_fixed_k(spark, sf_dir, factors=(1, 2, 4, 10)) -> None:
         )
 
 
+def probe_semantic_kn(spark, sf_dir, factors=(1, 2, 4, 10)) -> None:
+    """Round-6 companion to the fixed-K series: K GROWS WITH THE CORPUS
+    (K = 64·f at amplification f — the documented scale knob). Mean cell
+    population stays constant, so the candidate count per vector is
+    O(cell × probes) and TOTAL candidates grow ~linearly — the wall curve
+    must flatten from the fixed-K quadratic back toward linear. The
+    codebook is re-derived per corpus (as a per-snapshot k-means fit
+    would be); its broadcast is O(K·dim), still corpus-fraction-tiny."""
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        assign_cells,
+        semantic_dedup,
+        stride_centroids,
+    )
+
+    base = table(spark, "embeddings", sf_dir)
+    span = 10_000_000
+    print("| vectors | K | candidates (n, % of all-pairs) | semantic-dedup wall (drops) |")
+    print("|---|---|---|---|")
+    for factor in factors:
+        parts = [
+            base.select(
+                (F.col("vec_id") + F.lit(i * span)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+            for i in range(factor)
+        ]
+        embs = parts[0]
+        for p in parts[1:]:
+            embs = embs.unionAll(p)
+        n = embs.count()
+        k = 64 * factor
+        cents = (
+            stride_centroids(embs).orderBy("cent_id").limit(k).localCheckpoint(eager=True)
+        )
+        asg = assign_cells(embs, centroids=cents)
+        t_cand, n_cand = timed(
+            asg.alias("a")
+            .join(asg.alias("b"), F.col("a.cent_id") == F.col("b.cent_id"))
+            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select("a.vec_id", "b.vec_id")
+            .distinct()
+        )
+        all_pairs = n * (n - 1) / 2
+        t, n_drop = timed(semantic_dedup(embs, centroids=cents))
+        print(
+            f"| {n} | {k} | {t_cand} s ({n_cand}, {100 * n_cand / all_pairs:.3f} %) | "
+            f"{t} s ({n_drop}) |"
+        )
+
+
+def probe_exsub(spark, base, factors=(1, 2, 4)) -> None:
+    """Round-6 series for the any-offset exact-substring dedup: stride-1
+    instance rows grow ~tokens (10x the block form's rows — the
+    documented price); wall must stay ~linear in rows while amplified
+    copies collapse (every copy's tokens fully covered by its base)."""
+    from mapreduce_framework_spark.pipeline.span_dedup import exact_substring_dedup
+
+    print("| docs | exsub wall | fully-covered docs |")
+    print("|---|---|---|")
+    for factor in factors:
+        docs = amplify(base, factor).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        out = exact_substring_dedup(docs)
+        gone = out.where(F.col("n_dup_tokens") == F.col("n_tokens")).count()
+        n = out.count()
+        t = round(time.perf_counter() - t0, 2)
+        print(f"| {n} | {t} s | {gone} |")
+
+
 def probe_span_skew(spark, base, factor=20) -> None:
     """Round-6 series: HOT-SPAN skew. Every document gets the same
     100-token licence header (10 IDENTICAL blocks) prepended, then the
@@ -463,6 +533,12 @@ def main() -> None:
         return
     if "--span-skew" in sys.argv:  # round-6 hot-span skew series
         probe_span_skew(spark, base)
+        return
+    if "--semantic-kn" in sys.argv:  # round-6 K-grows-with-corpus series
+        probe_semantic_kn(spark, sf_dir)
+        return
+    if "--exsub" in sys.argv:  # round-6 exact-substring series
+        probe_exsub(spark, base)
         return
     if "--multimodal" in sys.argv:  # round-5 mapInPandas throughput series
         probe_multimodal(spark, sf_dir)
