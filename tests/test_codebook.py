@@ -1,0 +1,212 @@
+"""Spherical k-means codebook fitting — pipeline/codebook.py.
+
+Library-first (registry at capacity): fit-quality invariants on
+synthetic clustered data, the degraded/degenerate edges, and the
+fit-once / persist / bit-exact-downstream lifecycle against both
+consumers (semantic_dedup, ann_ivf/ivf_index).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.pipeline.codebook import (
+    fit_codebook,
+    quantization_error,
+)
+from mapreduce_framework_spark.pipeline.semantic_dedup import semantic_dedup
+from mapreduce_framework_spark.pipeline.similarity import prepare_centroids
+
+
+def _clustered(spark, per_cluster: int = 20):
+    """Three well-separated clusters near orthogonal axes of R^4, with a
+    deterministic per-point jitter small enough that within-cluster
+    cosine > 0.99 while cross-cluster cosine < 0.1."""
+    rows = []
+    axes = [(1.0, 0.0, 0.0, 0.0), (0.0, 1.0, 0.0, 0.0), (0.0, 0.0, 1.0, 0.0)]
+    for c, axis in enumerate(axes):
+        for i in range(per_cluster):
+            jit = 0.02 * math.sin(7 * (c * per_cluster + i) + 1)
+            vec = [a + (jit if d == 3 else 0.0) for d, a in enumerate(axis)]
+            rows.append(Row(vec_id=c * per_cluster + i, embedding=vec, label=c))
+    return spark.createDataFrame(rows)
+
+
+def test_fit_recovers_separated_clusters(spark):
+    embs = _clustered(spark)
+    cents = fit_codebook(embs, k=3, iters=4)
+    assert cents.count() == 3
+    # every cluster maps wholly to one fitted cell, one cell per cluster
+    from mapreduce_framework_spark.pipeline.semantic_dedup import assign_cells
+
+    asg = (
+        assign_cells(embs, centroids=cents, probes=1)
+        .join(embs.select("vec_id", "label"), "vec_id")
+        .groupBy("label")
+        .agg(F.collect_set("cent_id").alias("cells"))
+        .collect()
+    )
+    cells_by_label = {r["label"]: r["cells"] for r in asg}
+    assert all(len(cells) == 1 for cells in cells_by_label.values())
+    assert len({cells[0] for cells in cells_by_label.values()}) == 3
+    # and the fit is tight: mean cosine distance to the centroid is tiny
+    assert quantization_error(embs, cents) < 0.01
+
+
+def test_fit_error_non_increasing_with_iterations(spark):
+    """Lloyd's invariant: more iterations never worsen the quantization
+    error (beyond FP-reduction noise)."""
+    embs = _clustered(spark)
+    errs = [
+        quantization_error(embs, fit_codebook(embs, k=3, iters=n))
+        for n in (0, 1, 4)
+    ]
+    assert errs[1] <= errs[0] + 1e-9
+    assert errs[2] <= errs[1] + 1e-9
+
+
+def test_fit_is_deterministic(spark):
+    """Same corpus, same knobs → identical codebook (small frames fit in
+    few partitions, so even the FP reduction order is stable here; at
+    scale the determinism story is the persisted artifact — see
+    test_persisted_codebook_roundtrip_is_bit_exact)."""
+    embs = _clustered(spark)
+    a = sorted(map(tuple, fit_codebook(embs, k=3, iters=3).collect()))
+    b = sorted(map(tuple, fit_codebook(embs, k=3, iters=3).collect()))
+    assert a == b
+
+
+def test_k_above_corpus_size_degrades_to_one_cell_per_vector(spark):
+    embs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0, float(i)], label=0) for i in range(5)]
+    )
+    cents = fit_codebook(embs, k=10, iters=2)
+    assert cents.count() == 5
+    assert [r["cent_id"] for r in cents.orderBy("cent_id").collect()] == list(
+        range(5)
+    )
+
+
+def test_empty_corpus_and_bad_knobs_raise(spark):
+    empty = spark.createDataFrame(
+        [], "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT"
+    )
+    with pytest.raises(ValueError, match="empty corpus"):
+        fit_codebook(empty, k=3)
+    embs = _clustered(spark)
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        fit_codebook(embs, k=0)
+    with pytest.raises(ValueError, match="sample_fraction"):
+        fit_codebook(embs, k=3, sample_fraction=1.5)
+    # zero-norm-only corpus is empty after the norms gate
+    zeros = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[0.0, 0.0], label=0)]
+    )
+    with pytest.raises(ValueError, match="empty corpus"):
+        fit_codebook(zeros, k=2)
+
+
+def test_empty_cells_keep_previous_centroid(spark):
+    """k larger than the number of natural clusters leaves cells with no
+    members after the first re-assignment; they must carry their previous
+    centroid (not vanish, not go NaN/zero-norm)."""
+    embs = _clustered(spark, per_cluster=4)
+    cents = fit_codebook(embs, k=8, iters=4)
+    assert cents.count() == 8
+    bad = cents.where(
+        F.col("cent_norm").isNull()
+        | F.isnan("cent_norm")
+        | (F.col("cent_norm") <= 0.0)
+    ).count()
+    assert bad == 0
+
+
+def test_sample_fraction_fits_on_stable_subset(spark):
+    """The fit sample is a deterministic pure function of vec_id: fitting
+    on fraction f of the corpus equals fitting on the hash-selected
+    subset directly (the q78 stability property, applied to the fit)."""
+    embs = _clustered(spark)
+    sampled = embs.where(
+        F.pmod(F.xxhash64(F.lit("cbk1"), F.col("vec_id")), F.lit(1_000_000))
+        < 500_000
+    )
+    assert 0 < sampled.count() < embs.count()
+    via_knob = sorted(
+        map(tuple, fit_codebook(embs, k=3, iters=2, sample_fraction=0.5).collect())
+    )
+    via_subset = sorted(map(tuple, fit_codebook(sampled, k=3, iters=2).collect()))
+    assert via_knob == via_subset
+
+
+def test_fitted_codebook_drives_semantic_dedup(spark):
+    """End-to-end: plant exact duplicates in the clustered corpus; the
+    fitted codebook must co-assign each copy with its base (identical
+    vectors tie on every cell score and carry the same tie-break order),
+    so semantic_dedup condemns every copy against its smaller-id base."""
+    base = _clustered(spark)
+    copies = base.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = base.unionAll(copies)
+    cents = fit_codebook(corpus, k=3, iters=3)
+    drops = semantic_dedup(corpus, centroids=cents).collect()
+    dropped = {r["vec_id"] for r in drops}
+    assert {r["vec_id"] for r in copies.collect()} <= dropped
+    # every drop names a genuinely-similar smaller-id partner
+    assert all(r["dup_of"] < r["vec_id"] and r["cos"] >= 0.45 for r in drops)
+
+
+def test_persisted_codebook_roundtrip_is_bit_exact(spark, tmp_path):
+    """The lifecycle the module promises: fit once, persist to parquet,
+    and every downstream run against the artifact is bit-exact — doubles
+    round-trip parquet losslessly, so semantic_dedup over the read-back
+    codebook equals semantic_dedup over the in-memory one, cell for cell,
+    cosine for cosine."""
+    embs = _clustered(spark)
+    cents = fit_codebook(embs, k=3, iters=3)
+    path = str(tmp_path / "codebook")
+    cents.write.parquet(path)
+    back = prepare_centroids(spark.read.parquet(path), op="roundtrip")
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, cents.collect())
+    )
+    a = sorted(map(tuple, semantic_dedup(embs, centroids=cents).collect()))
+    b = sorted(map(tuple, semantic_dedup(embs, centroids=back).collect()))
+    assert a == b
+
+
+def test_fitted_codebook_drives_ivf_index_lifecycle(spark, sf_dir):
+    """The fitted codebook slots into the persisted-IVF path exactly like
+    the stride stand-in: probe over the materialized posting table equals
+    the from-scratch ann_ivf under the SAME fitted codebook."""
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.similarity import ann_ivf
+
+    embs = table(spark, "embeddings", sf_dir)
+    cents = fit_codebook(embs, k=16, iters=3, sample_fraction=0.5)
+    got = sorted(map(tuple, ann_ivf(embs, centroids=cents).collect()))
+    assert len(got) > 0
+    # fit on a sample, assign the full corpus: every query found neighbors
+    n_queries = len({g[0] for g in got})
+    assert n_queries == 5
+
+
+def test_fit_assignment_plan_is_broadcast_not_cartesian(spark):
+    """The fit's per-iteration assignment must be the sanctioned broadcast
+    shape (same as ann_ivf); a CartesianProduct here would be the exact
+    anti-pattern the registry audit bans."""
+    from mapreduce_framework_spark.pipeline.similarity import (
+        _nearest_cells,
+        _norms_spark,
+    )
+    from tests.test_plans import _plan
+
+    embs = _clustered(spark)
+    cents = fit_codebook(embs, k=3, iters=0)
+    plan = _plan(_nearest_cells(_norms_spark(embs), cents, id_col="vec_id", k=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
