@@ -168,6 +168,82 @@ def semantic_dedup(
     ).select(F.col("id2").alias("vec_id"), "dup_of", "cos")
 
 
+def semantic_index(embs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """The persistable per-snapshot artifact of the semantic family —
+    the q91 ``index_signatures`` lifecycle applied to SemDeDup: one row
+    per (vector, probed cell) with the stored embedding and norm
+    alongside. Build ONCE per corpus snapshot (one broadcast assignment
+    pass — the only time the snapshot ever scores centroids) and write
+    to parquet next to the codebook; every later ``semantic_match_batch``
+    touches only the batch's own assignment plus equi-joins against this
+    frame. Storage: ``SEM_PROBES`` rows × (2 longs + the vector) per
+    vector. ``centroids`` is REQUIRED here (the artifact only makes
+    sense against a fixed fitted codebook — `pipeline/codebook.py`);
+    the stride default stays confined to the q102 oracle form."""
+    e = _norms_spark(embs)
+    cents = prepare_centroids(centroids, op="semantic_index")
+    return assign_cells(embs, centroids=cents).join(
+        e.select("vec_id", "embedding", "norm"), "vec_id"
+    )
+
+
+def semantic_match_batch(
+    index: DataFrame,
+    new_embs: DataFrame,
+    centroids: DataFrame,
+    threshold: float = SEMDEDUP_COS,
+) -> DataFrame:
+    """Semantic matches ``(index_id, new_id, cos)`` of a new batch
+    against a PRECOMPUTED ``semantic_index`` artifact (read back from
+    parquet): every (index vector, batch vector) pair sharing ≥ 1 cell
+    under the SAME codebook with cosine ≥ ``threshold``. The cross-side
+    twin of :func:`semantic_dedup`'s within-corpus pairs, and the
+    admission primitive of incremental semantic dedup: drop a batch
+    vector iff it has any index match (plus :func:`semantic_dedup` on
+    the batch alone for intra-batch copies), then append the admitted
+    rows' assignments to the index — O(batch) per batch, O(admitted)
+    index growth, exactly the q91/q95 cadence.
+
+    Only the batch side scores centroids here (one broadcast pass over
+    the BATCH); the index side contributes stored columns through
+    equi-joins — its ``cent_id`` comes off the artifact, never from a
+    recompute, so the per-batch plan touches the snapshot corpus only
+    through the shared-cell join (cell-population-bounded, the same
+    fan-out bound as semantic_dedup)."""
+    cents = prepare_centroids(centroids, op="semantic_match_batch")
+    n = _norms_spark(new_embs)
+    asg_n = assign_cells(new_embs, centroids=cents)
+    cand = (
+        index.select(F.col("vec_id").alias("index_id"), "cent_id")
+        .join(asg_n.select(F.col("vec_id").alias("new_id"), "cent_id"), "cent_id")
+        .select("index_id", "new_id")
+        .distinct()
+    )
+    xi = index.select(
+        F.col("vec_id").alias("index_id"),
+        F.col("embedding").alias("e1"),
+        F.col("norm").alias("n1"),
+    ).dropDuplicates(["index_id"])
+    yn = n.select(
+        F.col("vec_id").alias("new_id"),
+        F.col("embedding").alias("e2"),
+        F.col("norm").alias("n2"),
+    )
+    return (
+        cand.join(xi, "index_id")
+        .join(yn, "new_id")
+        .select(
+            "index_id",
+            "new_id",
+            (
+                F.expr(_DOT_SPARK.format(a="e1", b="e2"))
+                / (F.col("n1") * F.col("n2"))
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(threshold))
+    )
+
+
 _CENT_COS = f"{_dot_duck('e.embedding', 'cents.cent')} / (e.norm * cents.cent_norm)"
 
 Q102_ORACLE = f"""

@@ -210,3 +210,104 @@ def test_fit_assignment_plan_is_broadcast_not_cartesian(spark):
     plan = _plan(_nearest_cells(_norms_spark(embs), cents, id_col="vec_id", k=1))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# --- property: Spark fit == sequential Lloyd's model -------------------------
+#
+# The cluster-recovery tests above prove the fit on friendly data; what
+# they cannot prove is boundary behavior — zero vectors at the norms
+# gate, k > live corpus, empty cells, cosine TIES in assignment (broken
+# toward the smaller cent_id), and the exact init order. Hypothesis
+# builds corpora on an INTEGER grid so every sum either engine computes
+# is exact in doubles (integers < 2^53): the fit is then bit-comparable
+# to a from-scratch sequential Lloyd's model with the same init,
+# tie-breaks, and empty-cell carry-over — no FP-reduction-order slack
+# needed beyond division rounding, which both engines perform
+# identically (sum then divide).
+
+import math as _math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _model_fit(vecs, hashes, k, iters):
+    """Sequential spherical k-means with fit_codebook's exact contract."""
+    pts = {
+        i: v for i, v in vecs.items() if _math.sqrt(sum(x * x for x in v)) > 0
+    }
+    if not pts:
+        return None
+    order = sorted(pts, key=lambda i: (hashes[i], i))[:k]
+    cents = {cid: list(pts[vid]) for cid, vid in enumerate(order)}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    for _ in range(iters):
+        members = {cid: [] for cid in cents}
+        for vid, v in pts.items():
+            nv = _math.sqrt(dot(v, v))
+            best = min(
+                cents,
+                key=lambda cid: (
+                    -(dot(v, cents[cid]) / (nv * _math.sqrt(dot(cents[cid], cents[cid])))),
+                    cid,
+                ),
+            )
+            members[best].append(vid)
+        for cid, vids in members.items():
+            if not vids:
+                continue  # empty cell keeps its previous centroid
+            dim = len(cents[cid])
+            mean = [
+                sum(pts[v][d] for v in sorted(vids)) / len(vids)
+                for d in range(dim)
+            ]
+            if _math.sqrt(dot(mean, mean)) > 0:
+                cents[cid] = mean
+    return cents
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    data=st.lists(
+        st.lists(st.integers(min_value=-3, max_value=3), min_size=3, max_size=3),
+        min_size=1,
+        max_size=24,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+    iters=st.integers(min_value=0, max_value=3),
+)
+def test_fit_matches_sequential_model(spark_global, data, k, iters):
+    from pyspark.sql import functions as F
+
+    vecs = {i: [float(x) for x in v] for i, v in enumerate(data)}
+    embs = spark_global.createDataFrame(
+        [Row(vec_id=i, embedding=v, label=0) for i, v in vecs.items()]
+    )
+    hashes = {
+        r["vec_id"]: r["h"]
+        for r in embs.select(
+            "vec_id", F.xxhash64(F.lit("cbk1"), F.col("vec_id")).alias("h")
+        ).collect()
+    }
+    want = _model_fit(vecs, hashes, k, iters)
+    if want is None:  # all-zero corpus: the fit must refuse
+        with pytest.raises(ValueError, match="empty corpus"):
+            fit_codebook(embs, k=k, iters=iters)
+        return
+    got = {
+        r["cent_id"]: (list(r["cent"]), r["cent_norm"])
+        for r in fit_codebook(embs, k=k, iters=iters).collect()
+    }
+    assert set(got) == set(want)
+    for cid, cent in want.items():
+        gc, gn = got[cid]
+        assert gc == pytest.approx(cent, rel=1e-12, abs=1e-12), cid
+        assert gn == pytest.approx(
+            _math.sqrt(sum(x * x for x in cent)), rel=1e-12
+        )

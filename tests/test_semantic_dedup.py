@@ -259,3 +259,156 @@ def test_matches_sequential_model(spark_global, vecs):
     }
     want = {i: (d, round(c, 6)) for i, (d, c) in _model_semantic_dedup(vecs, SEM_PROBES, 0.9).items()}
     assert got == want
+
+
+# --- incremental lifecycle: semantic_index + semantic_match_batch -----------
+
+
+def _grid_cents(spark, vecs):
+    return spark.createDataFrame(
+        [Row(cent_id=i, cent=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+
+
+def test_semantic_match_batch_matches_sequential_model(spark):
+    """Integer-grid corpus, batch, and codebook (every sum both engines
+    compute is exact in doubles): the cross-side matches must equal a
+    from-scratch sequential model — top-SEM_PROBES cell assignment with
+    the (ccos desc, cent_id asc) tie-break on BOTH sides, every
+    shared-cell cross pair with cosine >= threshold."""
+    import math as m
+
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        semantic_index,
+        semantic_match_batch,
+    )
+
+    index_vecs = {0: [2, 0, 0], 1: [2, 1, 0], 2: [0, 3, 0], 3: [0, 0, 1], 4: [1, 1, 1]}
+    batch_vecs = {10: [2, 0, 0], 11: [0, 2, 1], 12: [-1, -1, 0], 13: [3, 1, 0]}
+    cent_vecs = [[1, 0, 0], [0, 1, 0], [0, 0, 2], [1, 1, 0]]
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    def assign(vecs):
+        out = {}
+        for vid, v in vecs.items():
+            nv = m.sqrt(dot(v, v))
+            scored = sorted(
+                (
+                    (-(dot(v, c) / (nv * m.sqrt(dot(c, c)))), cid)
+                    for cid, c in enumerate(cent_vecs)
+                ),
+            )
+            out[vid] = {cid for _, cid in scored[:SEM_PROBES]}
+        return out
+
+    ai, ab = assign(index_vecs), assign(batch_vecs)
+    want = {}
+    for iid, icells in ai.items():
+        for nid, ncells in ab.items():
+            if icells & ncells:
+                vi, vn = index_vecs[iid], batch_vecs[nid]
+                cos = dot(vi, vn) / (m.sqrt(dot(vi, vi)) * m.sqrt(dot(vn, vn)))
+                if cos >= SEMDEDUP_COS:
+                    want[(iid, nid)] = cos
+
+    cents = _grid_cents(spark, cent_vecs)
+    embs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v], label=0) for i, v in index_vecs.items()]
+    )
+    batch = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v], label=0) for i, v in batch_vecs.items()]
+    )
+    got = {
+        (r["index_id"], r["new_id"]): r["cos"]
+        for r in semantic_match_batch(semantic_index(embs, cents), batch, cents).collect()
+    }
+    assert set(got) == set(want)
+    for pair, cos in want.items():
+        assert got[pair] == pytest.approx(cos, rel=1e-12)
+
+
+def test_semantic_match_batch_with_persisted_index_equals_in_memory(spark, sf_dir, tmp_path):
+    """The lifecycle the artifact exists for: build the index once, write
+    it to parquet, and matching against the read-back equals matching
+    against the in-memory frame bit-for-bit (doubles round-trip parquet
+    losslessly) — on the real embeddings table under a FITTED codebook."""
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.codebook import fit_codebook
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        semantic_index,
+        semantic_match_batch,
+    )
+
+    embs = table(spark, "embeddings", sf_dir)
+    snapshot = embs.where(F.col("vec_id") % 3 != 0)
+    batch = embs.where(F.col("vec_id") % 3 == 0).limit(200)
+    cents = fit_codebook(snapshot, k=16, iters=2)
+    idx = semantic_index(snapshot, cents)
+    path = str(tmp_path / "sem_index")
+    idx.write.parquet(path)
+    back = spark.read.parquet(path)
+    a = sorted(map(tuple, semantic_match_batch(idx, batch, cents).collect()))
+    b = sorted(map(tuple, semantic_match_batch(back, batch, cents).collect()))
+    assert a == b
+
+
+def test_semantic_admission_drops_planted_copies_only(spark):
+    """End-to-end admission semantics: a batch holding exact copies of
+    index vectors plus orthogonal fresh vectors — every copy is matched
+    (exact copies co-assign with their base under any codebook and score
+    cos = 1), no fresh vector is (orthogonal => cos 0 below threshold)."""
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        semantic_index,
+        semantic_match_batch,
+    )
+
+    cents = _grid_cents(spark, [[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, 0]])
+    snapshot = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[5.0, 1.0, 0.0, 0.0], label=0),
+            Row(vec_id=1, embedding=[0.0, 4.0, 1.0, 0.0], label=0),
+            Row(vec_id=2, embedding=[1.0, 0.0, 6.0, 0.0], label=0),
+        ]
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(vec_id=10, embedding=[5.0, 1.0, 0.0, 0.0], label=0),  # copy of 0
+            Row(vec_id=11, embedding=[1.0, 0.0, 6.0, 0.0], label=0),  # copy of 2
+            Row(vec_id=12, embedding=[0.0, 0.0, 0.0, 9.0], label=0),  # fresh
+        ]
+    )
+    matches = semantic_match_batch(semantic_index(snapshot, cents), batch, cents)
+    got = {(r["index_id"], r["new_id"]) for r in matches.collect()}
+    assert {(0, 10), (2, 11)} <= got
+    assert all(nid != 12 for _, nid in got)
+    copies = {r["new_id"] for r in matches.where(F.col("cos") >= 0.999999).collect()}
+    assert copies == {10, 11}
+
+
+def test_semantic_match_batch_scores_centroids_on_batch_side_only(spark, sf_dir):
+    """The O(batch) claim, plan-pinned: exactly ONE sanctioned broadcast
+    nested loop (the BATCH assignment) in the whole match plan — the
+    index side's cent_id comes off the stored artifact, never from a
+    recompute of snapshot × codebook."""
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        semantic_index,
+        semantic_match_batch,
+    )
+    from tests.test_plans import _plan
+
+    embs = table(spark, "embeddings", sf_dir)
+    cents = stride_centroids(embs).localCheckpoint(eager=True)
+    idx = semantic_index(embs, cents).localCheckpoint(eager=True)  # as if read back
+    plan = _plan(semantic_match_batch(idx, embs.limit(50), cents))
+    # formatted explain lists each node twice (tree sketch + detail
+    # header); count the "(n) Op" detail headers for the true node count
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
+    assert "CartesianProduct" not in plan

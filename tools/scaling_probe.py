@@ -279,6 +279,44 @@ def probe_exsub(spark, base, factors=(1, 2, 4)) -> None:
         print(f"| {n} | {t} s | {gone} |")
 
 
+def probe_fit(spark, sf_dir, factors=(1, 2, 4, 10)) -> None:
+    """Round-6 series for the codebook fitter: fit K = 64·f on the ×f
+    corpus (4 Lloyd's iterations, K ∝ n as the semantic series
+    prescribes). Per iteration the corpus-side work is one broadcast
+    assignment + a K·dim partial agg, so the fit wall must stay ~linear
+    in rows; the quantization error is the fit-quality readout."""
+    from mapreduce_framework_spark.pipeline.codebook import (
+        fit_codebook,
+        quantization_error,
+    )
+
+    base = table(spark, "embeddings", sf_dir)
+    span = 10_000_000
+    print("| vectors | K | fit wall (4 iters) | quantization error |")
+    print("|---|---|---|---|")
+    for factor in factors:
+        parts = [
+            base.select(
+                (F.col("vec_id") + F.lit(i * span)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+            for i in range(factor)
+        ]
+        embs = parts[0]
+        for p in parts[1:]:
+            embs = embs.unionAll(p)
+        embs = embs.localCheckpoint(eager=True)
+        n = embs.count()
+        k = 64 * factor
+        t0 = time.perf_counter()
+        cents = fit_codebook(embs, k=k, iters=4)
+        cents.count()
+        t = round(time.perf_counter() - t0, 2)
+        err = round(quantization_error(embs, cents), 4)
+        print(f"| {n} | {k} | {t} s | {err} |")
+
+
 def probe_span_skew(spark, base, factor=20) -> None:
     """Round-6 series: HOT-SPAN skew. Every document gets the same
     100-token licence header (10 IDENTICAL blocks) prepended, then the
@@ -539,6 +577,9 @@ def main() -> None:
         return
     if "--exsub" in sys.argv:  # round-6 exact-substring series
         probe_exsub(spark, base)
+        return
+    if "--fit" in sys.argv:  # round-6 codebook-fitter series
+        probe_fit(spark, sf_dir)
         return
     if "--multimodal" in sys.argv:  # round-5 mapInPandas throughput series
         probe_multimodal(spark, sf_dir)
