@@ -136,3 +136,109 @@ def run_ingest_stream(
         q.stop()
         raise TimeoutError(f"ingest stream did not finish in {timeout_s}s")
     return spark.read.option("recursiveFileLookup", "true").parquet(decisions_root)
+
+
+def make_semantic_ingest_batch_fn(
+    spark: SparkSession,
+    index_root: str,
+    decisions_root: str,
+    centroids: DataFrame,
+    threshold: float | None = None,
+):
+    """The semantic-family twin of :func:`make_ingest_batch_fn`: each
+    embedding micro-batch is matched against the semantic cell index so
+    far (`pipeline/semantic_dedup.py::semantic_match_batch` — only the
+    batch scores centroids), rejected vectors are reported with their
+    best (highest-cosine, then smallest-id) index match, and admitted
+    vectors' cell assignments are appended as a delta. Same delta-
+    directory topology, same strictly-before-batch_id visibility rule,
+    and therefore the same crash-restart redelivery idempotence as the
+    MinHash ingest (pinned by
+    tests/test_streaming.py::test_semantic_ingest_redelivery_is_idempotent).
+    ``centroids`` is the FIXED fitted codebook every batch shares
+    (pipeline/codebook.py; typically read back from its parquet
+    artifact) — admission decisions are only meaningful against one
+    codebook, exactly as the index itself."""
+    from pyspark.sql.window import Window
+
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        SEMDEDUP_COS,
+        semantic_index,
+        semantic_match_batch,
+    )
+
+    if threshold is None:
+        threshold = SEMDEDUP_COS
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)  # read the source once
+        idx = _index_so_far(spark, index_root, before_batch=batch_id)
+        if idx is None:
+            best = None
+        else:
+            matches = semantic_match_batch(idx, batch, centroids, threshold)
+            w = Window.partitionBy("new_id").orderBy(
+                F.col("cos").desc(), F.col("index_id").asc()
+            )
+            best = (
+                matches.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select(
+                    F.col("new_id").alias("vec_id"),
+                    F.col("index_id").alias("matched_id"),
+                    "cos",
+                )
+                .localCheckpoint(eager=True)
+            )
+        if best is None:
+            decisions = batch.select(
+                "vec_id",
+                F.lit(True).alias("admitted"),
+                F.lit(-1).cast("long").alias("matched_id"),
+                F.lit(0.0).alias("cos"),
+            )
+            admitted = batch
+        else:
+            decisions = batch.join(best, "vec_id", "left").select(
+                "vec_id",
+                F.col("matched_id").isNull().alias("admitted"),
+                F.coalesce("matched_id", F.lit(-1)).cast("long").alias("matched_id"),
+                F.coalesce("cos", F.lit(0.0)).alias("cos"),
+            )
+            admitted = batch.join(best, "vec_id", "left_anti")
+        decisions.write.mode("overwrite").parquet(
+            os.path.join(decisions_root, f"d_v{batch_id}")
+        )
+        semantic_index(admitted, centroids).write.mode("overwrite").parquet(
+            os.path.join(index_root, f"delta_v{batch_id}")
+        )
+
+    return apply_batch
+
+
+def run_semantic_ingest_stream(
+    embs_stream: DataFrame,
+    spark: SparkSession,
+    index_root: str,
+    decisions_root: str,
+    checkpoint: str,
+    centroids: DataFrame,
+    threshold: float | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Drive the embedding stream through the semantic admission sink;
+    returns the union of all per-batch decision frames."""
+    q = (
+        embs_stream.writeStream.foreachBatch(
+            make_semantic_ingest_batch_fn(
+                spark, index_root, decisions_root, centroids, threshold
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"semantic ingest stream did not finish in {timeout_s}s")
+    return spark.read.option("recursiveFileLookup", "true").parquet(decisions_root)

@@ -873,3 +873,195 @@ def test_events_loader_excludes_null_ts(spark, tmp_path):
     assert len(rows) == n - sum(1 for i in range(n) if i % 3 == 0)
     assert all(r["ts"] is not None for r in rows)
     assert all(isinstance(r["ts"], dt.datetime) for r in rows[:5])
+
+
+# --- semantic admission loop (streaming/ingest.py, round 6) ------------------
+
+
+def _sem_batches(spark):
+    """Integer-grid codebook + three embedding batches with planted
+    copies/near-dups across batches (every sum exact in doubles, every
+    cell tie broken identically by both engines)."""
+    from pyspark.sql import Row
+
+    cent_vecs = [[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0]]
+    cents = spark.createDataFrame(
+        [Row(cent_id=i, cent=[float(x) for x in v]) for i, v in enumerate(cent_vecs)]
+    )
+    batches = [
+        {0: [4, 0, 0], 1: [0, 4, 0], 2: [0, 0, 4]},
+        {10: [4, 0, 0], 11: [3, 3, 0], 12: [0, 0, 5], 13: [-4, 0, 0]},
+        {20: [3, 3, 0], 21: [0, 4, 1], 22: [-1, -1, -1]},
+    ]
+    dfs = [
+        spark.createDataFrame(
+            [
+                Row(vec_id=i, embedding=[float(x) for x in v], label=0)
+                for i, v in vecs.items()
+            ]
+        )
+        for vecs in batches
+    ]
+    return cent_vecs, cents, batches, dfs
+
+
+def _sem_admission_model(cent_vecs, batches):
+    """Sequential semantic admission: per batch, match every vector
+    against the ADMITTED-so-far index (shared probed cell + cos >=
+    threshold; best = highest cos, then smallest index id), then append
+    the batch's admitted vectors — matching never sees the batch itself."""
+    import math as m
+
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        SEM_PROBES,
+        SEMDEDUP_COS,
+    )
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    def cells(v):
+        nv = m.sqrt(dot(v, v))
+        scored = sorted(
+            (-(dot(v, c) / (nv * m.sqrt(dot(c, c)))), cid)
+            for cid, c in enumerate(cent_vecs)
+        )
+        return {cid for _, cid in scored[:SEM_PROBES]}
+
+    index: dict[int, tuple[list, set]] = {}
+    decisions = {}
+    for vecs in batches:
+        admitted_now = []
+        for vid, v in vecs.items():
+            cs = cells(v)
+            cands = []
+            for iid, (iv, ics) in index.items():
+                if not (cs & ics):
+                    continue
+                cos = dot(v, iv) / (m.sqrt(dot(v, v)) * m.sqrt(dot(iv, iv)))
+                if cos >= SEMDEDUP_COS:
+                    cands.append((-cos, iid))
+            if cands:
+                ncos, iid = min(cands)
+                decisions[vid] = (False, iid, -ncos)
+            else:
+                decisions[vid] = (True, -1, 0.0)
+                admitted_now.append((vid, v, cs))
+        for vid, v, cs in admitted_now:
+            index[vid] = (v, cs)
+    return decisions
+
+
+def test_semantic_ingest_matches_sequential_model(spark, tmp_path):
+    """Direct foreachBatch calls in batch order == the sequential
+    admission model, decision for decision (admitted flag, matched id,
+    exact cosine)."""
+    from mapreduce_framework_spark.streaming.ingest import (
+        make_semantic_ingest_batch_fn,
+    )
+
+    cent_vecs, cents, batches, dfs = _sem_batches(spark)
+    want = _sem_admission_model(cent_vecs, batches)
+
+    index_root = str(tmp_path / "index")
+    dec_root = str(tmp_path / "decisions")
+    fn = make_semantic_ingest_batch_fn(spark, index_root, dec_root, cents)
+    for i, df in enumerate(dfs):
+        fn(df, i)
+    got = {
+        r["vec_id"]: (r["admitted"], r["matched_id"], r["cos"])
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(dec_root)
+        .collect()
+    }
+    assert set(got) == set(want)
+    for vid, (adm, mid, cos) in want.items():
+        g = got[vid]
+        assert (g[0], g[1]) == (adm, mid), vid
+        assert g[2] == pytest.approx(cos, rel=1e-12, abs=1e-15), vid
+    # index deltas hold exactly the admitted vectors' assignments
+    from mapreduce_framework_spark.pipeline.semantic_dedup import SEM_PROBES
+
+    n_admitted = sum(1 for adm, _, _ in want.values() if adm)
+    idx = spark.read.option("recursiveFileLookup", "true").parquet(index_root)
+    assert idx.select("vec_id").distinct().count() == n_admitted
+    assert idx.count() == n_admitted * SEM_PROBES
+
+
+def test_semantic_ingest_stream_equals_direct_batches(spark, tmp_path):
+    """The same three batches through a real availableNow file stream
+    (one staged file per batch, mtime-ordered) produce the identical
+    decision frame — checkpointing and FileStreamSource batching add
+    nothing and lose nothing."""
+    import os as _os
+
+    from mapreduce_framework_spark.operators.streaming_replay import (
+        _set_staged_mtime,
+    )
+    from mapreduce_framework_spark.streaming.ingest import (
+        run_semantic_ingest_stream,
+    )
+
+    cent_vecs, cents, batches, dfs = _sem_batches(spark)
+    want = _sem_admission_model(cent_vecs, batches)
+
+    staging = str(tmp_path / "staging")
+    _os.makedirs(staging)
+    for i, df in enumerate(dfs):
+        p = _os.path.join(staging, f"b{i}")
+        df.coalesce(1).write.parquet(p)
+        _set_staged_mtime(p, 1_000_000_000.0 + 100 * i)
+    stream = (
+        spark.readStream.schema(dfs[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_os.path.join(staging, "b*"))
+    )
+    decisions = run_semantic_ingest_stream(
+        stream,
+        spark,
+        index_root=str(tmp_path / "index"),
+        decisions_root=str(tmp_path / "decisions"),
+        checkpoint=str(tmp_path / "ckpt"),
+        centroids=cents,
+    )
+    got = {
+        r["vec_id"]: (r["admitted"], r["matched_id"])
+        for r in decisions.collect()
+    }
+    assert got == {vid: (adm, mid) for vid, (adm, mid, _) in want.items()}
+
+
+def test_semantic_ingest_redelivery_is_idempotent(spark, tmp_path):
+    """Crash-restart redelivery of the same batch_id: the batch's own
+    delta (from the failed attempt) must be invisible to its re-match —
+    otherwise every redelivered vector self-matches at cos = 1 against
+    its own assignments, flips to rejected, and the delta is rewritten
+    empty (the exact failure the MinHash twin pins)."""
+    from mapreduce_framework_spark.streaming.ingest import (
+        make_semantic_ingest_batch_fn,
+    )
+
+    _, cents, _, dfs = _sem_batches(spark)
+    index_root = str(tmp_path / "index")
+    dec_root = str(tmp_path / "decisions")
+    fn = make_semantic_ingest_batch_fn(spark, index_root, dec_root, cents)
+    fn(dfs[0], 0)
+    fn(dfs[1], 1)
+
+    def snapshot():
+        dec = {
+            (r["vec_id"], r["admitted"], r["matched_id"])
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(dec_root)
+            .collect()
+        }
+        delta1 = spark.read.parquet(str(tmp_path / "index" / "delta_v1")).count()
+        return dec, delta1
+
+    once = snapshot()
+    assert once[1] > 0, "batch 1 admitted nothing — test corpus broken"
+    fn(dfs[1], 1)  # redelivery with the same batch_id
+    assert snapshot() == once
