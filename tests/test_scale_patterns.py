@@ -264,3 +264,62 @@ def test_semantic_fixed_k_amplification_invariants(spark, sf_dir):
         .count()
     )
     assert n_cand < 0.35 * n * (n - 1) / 2, (n_cand, n)
+
+
+def test_semantic_k_prop_n_keeps_candidates_linear(spark, sf_dir):
+    """The K ∝ n knob, small form (round-6 SCALING.md `--semantic-kn`
+    series): amplify the corpus ×3 and grow the codebook with it. The
+    per-vector candidate load must stay ~flat (bounded by a small
+    multiple of the ×1 load — i.e. total candidates ~linear in rows, the
+    whole point of growing K), while exact-duplicate recall still loses
+    nothing: every amplified copy is condemned."""
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        assign_cells,
+        semantic_dedup,
+        stride_centroids,
+    )
+
+    base = table(spark, "embeddings", sf_dir)
+    n_base = base.count()
+    factor, span = 3, 10_000_000
+
+    def amplified(f):
+        embs = base
+        for i in range(1, f):
+            embs = embs.unionAll(
+                base.select(
+                    (F.col("vec_id") + F.lit(i * span)).alias("vec_id"),
+                    "embedding",
+                    "label",
+                )
+            )
+        return embs
+
+    def cand_count(embs, k):
+        cents = (
+            stride_centroids(embs).orderBy("cent_id").limit(k)
+            .localCheckpoint(eager=True)
+        )
+        asg = assign_cells(embs, centroids=cents)
+        n_cand = (
+            asg.alias("a")
+            .join(asg.alias("b"), F.col("a.cent_id") == F.col("b.cent_id"))
+            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select("a.vec_id", "b.vec_id")
+            .distinct()
+            .count()
+        )
+        return cents, n_cand
+
+    _, c1 = cand_count(base, 16)
+    embs3 = amplified(factor)
+    cents3, c3 = cand_count(embs3, 16 * factor)
+    # total candidates stay within ~2x linear growth of the x1 load
+    # (vs ~factor^2 = 9x for the fixed-K shape on identical data)
+    assert c3 <= 2.0 * factor * c1, (c1, c3)
+    # and recall on exact copies is intact under the grown codebook
+    base_drops = semantic_dedup(base, centroids=cents3).count()
+    drops = semantic_dedup(embs3, centroids=cents3).count()
+    assert drops >= (factor - 1) * n_base, (drops, n_base)
+    assert drops >= base_drops
