@@ -212,18 +212,33 @@ def semantic_match_batch(
     fan-out bound as semantic_dedup)."""
     cents = prepare_centroids(centroids, op="semantic_match_batch")
     n = _norms_spark(new_embs)
-    asg_n = assign_cells(new_embs, centroids=cents)
+    # the ONLY centroid scoring in the whole match: one eager pass over
+    # the batch (match_batch's localCheckpoint precedent; O(batch×probes)
+    # rows), so its result feeds both the candidate join and the
+    # candidate-bounded fetch without re-planning the broadcast loop
+    asg_n = assign_cells(new_embs, centroids=cents).localCheckpoint(eager=True)
     cand = (
         index.select(F.col("vec_id").alias("index_id"), "cent_id")
         .join(asg_n.select(F.col("vec_id").alias("new_id"), "cent_id"), "cent_id")
         .select("index_id", "new_id")
         .distinct()
     )
-    xi = index.select(
-        F.col("vec_id").alias("index_id"),
-        F.col("embedding").alias("e1"),
-        F.col("norm").alias("n1"),
-    ).dropDuplicates(["index_id"])
+    # candidate-bounded embedding fetch (match_batch's shape): only index
+    # rows that are actually candidates are deduped across their probed
+    # cells and carried into scoring — never an O(index) distinct
+    xi = (
+        index.join(
+            F.broadcast(cand.select(F.col("index_id").alias("vec_id")).distinct()),
+            "vec_id",
+            "leftsemi",
+        )
+        .select(
+            F.col("vec_id").alias("index_id"),
+            F.col("embedding").alias("e1"),
+            F.col("norm").alias("n1"),
+        )
+        .dropDuplicates(["index_id"])
+    )
     yn = n.select(
         F.col("vec_id").alias("new_id"),
         F.col("embedding").alias("e2"),

@@ -406,9 +406,12 @@ def test_semantic_match_batch_scores_centroids_on_batch_side_only(spark, sf_dir)
     cents = stride_centroids(embs).localCheckpoint(eager=True)
     idx = semantic_index(embs, cents).localCheckpoint(eager=True)  # as if read back
     plan = _plan(semantic_match_batch(idx, embs.limit(50), cents))
-    # formatted explain lists each node twice (tree sketch + detail
-    # header); count the "(n) Op" detail headers for the true node count
+    # the batch assignment ran ONCE, eagerly, at build (localCheckpoint —
+    # match_batch's precedent); the remaining match plan must therefore
+    # contain NO centroid-scoring loop at all and no cartesian anywhere —
+    # the index contributes only equi-join sides
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
     import re
 
-    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) == 1
-    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2
