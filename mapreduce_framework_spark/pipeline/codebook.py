@@ -13,9 +13,12 @@ entirely as DataFrame operations:
   — a deterministic, data-order-independent spread (same family as the
   FNV hash sampling in pipeline/sampling.py). ``TakeOrderedAndProject``
   over a by-contract small K.
-- **assign**: one broadcast pass per iteration — the identical sanctioned
-  shape as `ann_ivf` assignment (`similarity._nearest_cells`, broadcast
-  O(K·dim), ties → smaller cent_id).
+- **assign**: one broadcast pass per iteration (the same sanctioned
+  broadcast scoring as `ann_ivf` assignment, O(K·dim)), reduced to the
+  nearest cell by a partial-aggregatable ``min_by(struct(cent_id,
+  embedding), struct(-ccos, cent_id))`` — one shuffle, no per-vector
+  window sort, no join-back to recover the member vector, and the exact
+  `_nearest_cells` tie-break (ties → smaller cent_id).
 - **update**: per-dimension ``avg`` under ``groupBy(cent_id)`` — a
   partial aggregation (map-side combine collapses each cell to one
   partial per input partition; K·dim values cross the wire). Cosine is
@@ -59,6 +62,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mapreduce_framework_spark.pipeline.similarity import (
+    _DOT_SPARK,
     _nearest_cells,
     _norms_spark,
 )
@@ -127,11 +131,28 @@ def fit_codebook(
     ).localCheckpoint(eager=True)
 
     for _ in range(iters):
-        asg = (
-            _nearest_cells(e, cents, id_col="vec_id", k=1)
-            .select("vec_id", "cent_id")
-            .join(e.select("vec_id", "embedding"), "vec_id")
+        # nearest-1 assignment WITHOUT the consumer-facing window shape
+        # (_nearest_cells sorts per vec_id then would need a join back to
+        # recover the embedding — two corpus shuffles per iteration): a
+        # partial-aggregatable min_by over struct(-ccos, cent_id) picks
+        # the same cell with the same tie-break in ONE shuffle, carrying
+        # the member vector as the payload. Exact same argmin: negation
+        # is FP-exact and struct ordering is field-lexicographic.
+        scored = e.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            (
+                F.expr(_DOT_SPARK.format(a="embedding", b="cent"))
+                / (F.col("norm") * F.col("cent_norm"))
+            ).alias("ccos"),
         )
+        asg = scored.groupBy("vec_id").agg(
+            F.min_by(
+                F.struct("cent_id", "embedding"),
+                F.struct((-F.col("ccos")).alias("nc"), F.col("cent_id")),
+            ).alias("best")
+        ).select(F.col("best.cent_id").alias("cent_id"), F.col("best.embedding").alias("embedding"))
         means = asg.groupBy("cent_id").agg(
             F.array(*[F.avg(F.col("embedding")[i]) for i in range(dim)]).alias(
                 "mean"
