@@ -415,3 +415,46 @@ def test_semantic_match_batch_scores_centroids_on_batch_side_only(spark, sf_dir)
     import re
 
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2
+
+
+def test_match_batch_empty_sides_and_null_embeddings(spark):
+    """Edge policies of the lifecycle, stated and pinned: an EMPTY index
+    (a snapshot that admitted nothing) matches nothing; an empty batch
+    matches nothing; NULL or zero-norm embeddings are excluded on BOTH
+    sides by the shared norms gate (cosine is undefined for them), so
+    they neither match nor get indexed — the family-wide policy
+    (_norms_spark) the whole module inherits."""
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        semantic_index,
+        semantic_match_batch,
+    )
+
+    cents = _grid_cents(spark, [[1, 0], [0, 1]])
+    empty = spark.createDataFrame(
+        [], "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT"
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(vec_id=10, embedding=[2.0, 0.0], label=0),
+            Row(vec_id=11, embedding=None, label=0),
+            Row(vec_id=12, embedding=[0.0, 0.0], label=0),
+        ]
+    )
+    empty_idx = semantic_index(empty, cents)
+    assert empty_idx.count() == 0
+    assert semantic_match_batch(empty_idx, batch, cents).count() == 0
+
+    snapshot = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[2.0, 0.0], label=0),
+            Row(vec_id=1, embedding=None, label=0),
+            Row(vec_id=2, embedding=[0.0, 0.0], label=0),
+        ]
+    )
+    idx = semantic_index(snapshot, cents)
+    # only the one sound vector is indexed (NULL + zero-norm excluded)
+    assert {r["vec_id"] for r in idx.select("vec_id").distinct().collect()} == {0}
+    got = semantic_match_batch(idx, batch, cents).collect()
+    # and only the sound batch vector can match it
+    assert {(r["index_id"], r["new_id"]) for r in got} == {(0, 10)}
+    assert semantic_match_batch(idx, empty, cents).count() == 0

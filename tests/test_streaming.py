@@ -1065,3 +1065,66 @@ def test_semantic_ingest_redelivery_is_idempotent(spark, tmp_path):
     assert once[1] > 0, "batch 1 admitted nothing — test corpus broken"
     fn(dfs[1], 1)  # redelivery with the same batch_id
     assert snapshot() == once
+
+
+def test_semantic_ingest_restart_processes_only_new_files(spark, tmp_path):
+    """Checkpoint recovery: run the admission stream over two staged
+    batches, stop, stage a third, run AGAIN with the SAME checkpoint —
+    the restarted query must process only the new file (its decisions
+    append; batches 0/1's decisions and deltas are byte-stable), and the
+    combined decisions equal the sequential model over all three batches."""
+    import os as _os
+
+    from mapreduce_framework_spark.operators.streaming_replay import (
+        _set_staged_mtime,
+    )
+    from mapreduce_framework_spark.streaming.ingest import (
+        run_semantic_ingest_stream,
+    )
+
+    cent_vecs, cents, batches, dfs = _sem_batches(spark)
+    want = _sem_admission_model(cent_vecs, batches)
+
+    staging = str(tmp_path / "staging")
+    _os.makedirs(staging)
+
+    def stage(i):
+        p = _os.path.join(staging, f"b{i}")
+        dfs[i].coalesce(1).write.parquet(p)
+        _set_staged_mtime(p, 1_000_000_000.0 + 100 * i)
+
+    def run():
+        return run_semantic_ingest_stream(
+            spark.readStream.schema(dfs[0].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_os.path.join(staging, "b*")),
+            spark,
+            index_root=str(tmp_path / "index"),
+            decisions_root=str(tmp_path / "decisions"),
+            checkpoint=str(tmp_path / "ckpt"),
+            centroids=cents,
+        )
+
+    stage(0)
+    stage(1)
+    run()
+    first = {
+        r["vec_id"]: (r["admitted"], r["matched_id"])
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "decisions"))
+        .collect()
+    }
+    assert set(first) == set(batches[0]) | set(batches[1])
+    deltas_before = sorted(_os.listdir(str(tmp_path / "index")))
+
+    stage(2)
+    combined = {
+        r["vec_id"]: (r["admitted"], r["matched_id"]) for r in run().collect()
+    }
+    # restart appended exactly one new delta and touched nothing else
+    deltas_after = sorted(_os.listdir(str(tmp_path / "index")))
+    assert len(deltas_after) == len(deltas_before) + 1
+    assert deltas_before == deltas_after[: len(deltas_before)]
+    # batches 0/1 decisions unchanged; batch 2 matches the model
+    assert {v: combined[v] for v in first} == first
+    assert combined == {vid: (adm, mid) for vid, (adm, mid, _) in want.items()}
