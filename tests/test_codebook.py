@@ -179,12 +179,17 @@ def test_persisted_codebook_roundtrip_is_bit_exact(spark, tmp_path):
     assert a == b
 
 
-def test_fitted_codebook_drives_ivf_index_lifecycle(spark, sf_dir):
+def test_fitted_codebook_drives_ivf_index_lifecycle(spark, sf_dir, tmp_path):
     """The fitted codebook slots into the persisted-IVF path exactly like
-    the stride stand-in: probe over the materialized posting table equals
-    the from-scratch ann_ivf under the SAME fitted codebook."""
+    the stride stand-in: probe over the parquet-persisted posting table
+    equals the from-scratch ann_ivf under the SAME fitted codebook,
+    result for result."""
     from mapreduce_framework_spark.catalog import table
-    from mapreduce_framework_spark.pipeline.similarity import ann_ivf
+    from mapreduce_framework_spark.pipeline.similarity import (
+        ann_ivf,
+        ivf_index,
+        probe_ivf_index,
+    )
 
     embs = table(spark, "embeddings", sf_dir)
     cents = fit_codebook(embs, k=16, iters=3, sample_fraction=0.5)
@@ -193,6 +198,16 @@ def test_fitted_codebook_drives_ivf_index_lifecycle(spark, sf_dir):
     # fit on a sample, assign the full corpus: every query found neighbors
     n_queries = len({g[0] for g in got})
     assert n_queries == 5
+    # persist postings + codebook, probe the read-back: bit-identical
+    ivf_index(embs, centroids=cents).write.parquet(str(tmp_path / "ivf"))
+    cents.write.parquet(str(tmp_path / "cb"))
+    idx = spark.read.parquet(str(tmp_path / "ivf"))
+    cb = spark.read.parquet(str(tmp_path / "cb"))
+    from pyspark.sql import functions as F2
+
+    queries = embs.where(F2.col("vec_id") < 5)
+    via_artifact = sorted(map(tuple, probe_ivf_index(idx, queries, cb).collect()))
+    assert via_artifact == got
 
 
 def test_fit_assignment_plan_is_broadcast_not_cartesian(spark):
