@@ -840,7 +840,7 @@ def q84_char_ngram_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already deduped, and the batch self-dedup is q31's job.
 
 
-def index_signatures(index_docs: DataFrame) -> DataFrame:
+def index_signatures(index_docs: DataFrame, shingler=None) -> DataFrame:
     """The persistable per-snapshot index artifact: one row per doc with
     the 64 MinHash columns (m0..m63) AND the exact shingle set.
 
@@ -851,22 +851,35 @@ def index_signatures(index_docs: DataFrame) -> DataFrame:
     Storage is ~64 longs + the shingle array per doc (the shingle set is
     what exact verification needs; at 100 TB it lives next to the corpus
     as a column-pruned parquet read, and only candidate rows are ever
-    fetched thanks to the semi-join below)."""
-    sh = shingles_of(index_docs)
+    fetched thanks to the semi-join below).
+
+    ``shingler``: the (docs → (doc_id, s)) shingle builder — default word
+    {SHINGLE_K}-grams (``shingles_of``, the q91 form); pass
+    ``char_shingles_of`` for the character-8-gram family (q84's tier, the
+    realistic one for text without word boundaries) with
+    ``CHAR_JACCARD_THRESHOLD`` at match time. MinHash/banding/verify are
+    shingle-agnostic, so the whole lifecycle (persisted artifact,
+    O(batch) matching, streaming admission) carries over unchanged —
+    index and batch must of course use the SAME shingler."""
+    sh = (shingler or shingles_of)(index_docs)
     sets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("shingles"))
     return _minhash_columns(sh).join(sets, "doc_id")
 
 
 def match_batch(
-    index_sigs: DataFrame, new_docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+    index_sigs: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    shingler=None,
 ) -> DataFrame:
     """Near-dup matches (id1 = index doc, id2 = new doc, jaccard) of a new
     batch against a PRECOMPUTED index (``index_signatures`` output, read
     back from its parquet table), via MinHash-LSH candidates + estimate
     prune + exact verification — the cross-side twin of
     ``_lsh_verified_pairs``. Only the batch side is scanned/shingled here;
-    the index side contributes projections of stored columns."""
-    sh_n = shingles_of(new_docs).localCheckpoint(eager=True)
+    the index side contributes projections of stored columns.
+    ``shingler``: must match the index build's (see index_signatures)."""
+    sh_n = (shingler or shingles_of)(new_docs).localCheckpoint(eager=True)
     mh_n = _minhash_columns(sh_n).localCheckpoint(eager=True)
     mh_i = index_sigs  # m0..m63 projections; shingles pruned until verify
     a = _band_frame(mh_i).alias("a")
@@ -922,7 +935,10 @@ def match_batch(
 
 
 def cross_snapshot_matches(
-    index_docs: DataFrame, new_docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+    index_docs: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    shingler=None,
 ) -> DataFrame:
     """From-scratch convenience form: builds the index artifact inline
     (one localCheckpoint so the band join and the verification share the
@@ -930,9 +946,10 @@ def cross_snapshot_matches(
     scale persists ``index_signatures`` once per snapshot instead — that
     is what makes repeated batch matching O(batch)."""
     return match_batch(
-        index_signatures(index_docs).localCheckpoint(eager=True),
+        index_signatures(index_docs, shingler).localCheckpoint(eager=True),
         new_docs,
         threshold,
+        shingler,
     )
 
 

@@ -55,11 +55,18 @@ def _index_so_far(
 
 
 def make_ingest_batch_fn(
-    spark: SparkSession, index_root: str, decisions_root: str, threshold: float
+    spark: SparkSession,
+    index_root: str,
+    decisions_root: str,
+    threshold: float,
+    shingler=None,
 ):
     """foreachBatch function: match the batch against the index-so-far,
     write decisions (admitted / matched_id / jaccard) and the admitted
-    docs' signature delta."""
+    docs' signature delta. ``shingler``: the shingle builder shared by
+    index build and matching (default word shingles; pass
+    ``char_shingles_of`` + ``CHAR_JACCARD_THRESHOLD`` for the
+    character-8-gram tier — see pipeline/dedup.py:index_signatures)."""
     from pyspark.sql.window import Window
 
     from mapreduce_framework_spark.pipeline.dedup import (
@@ -73,7 +80,7 @@ def make_ingest_batch_fn(
         if idx is None:
             best = None
         else:
-            matches = match_batch(idx, batch, threshold)
+            matches = match_batch(idx, batch, threshold, shingler)
             w = Window.partitionBy("id2").orderBy(
                 F.col("jaccard").desc(), F.col("id1").asc()
             )
@@ -106,7 +113,7 @@ def make_ingest_batch_fn(
         decisions.write.mode("overwrite").parquet(
             os.path.join(decisions_root, f"d_v{batch_id}")
         )
-        index_signatures(admitted_docs).write.mode("overwrite").parquet(
+        index_signatures(admitted_docs, shingler).write.mode("overwrite").parquet(
             os.path.join(index_root, f"delta_v{batch_id}")
         )
 
@@ -121,12 +128,13 @@ def run_ingest_stream(
     checkpoint: str,
     threshold: float,
     timeout_s: int = 300,
+    shingler=None,
 ) -> DataFrame:
     """Drive the document stream through the ingest-dedup sink; returns
     the union of all per-batch decision frames."""
     q = (
         docs_stream.writeStream.foreachBatch(
-            make_ingest_batch_fn(spark, index_root, decisions_root, threshold)
+            make_ingest_batch_fn(spark, index_root, decisions_root, threshold, shingler)
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

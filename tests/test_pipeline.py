@@ -1343,3 +1343,64 @@ def test_decoders_raise_only_clean_errors():
                 fn(s)
             except (ValueError, NotImplementedError):
                 pass  # the classified families
+
+
+def test_char_shingler_lifecycle_matches_union_form(spark, sf_dir, tmp_path):
+    """The shingler seam (round 6): the persisted-index lifecycle under
+    ``char_shingles_of`` must equal (a) its own from-scratch form and
+    (b) the cross-side restriction of q84's union machinery — banding,
+    estimate prune, and exact verification are shingle-agnostic, so the
+    char family inherits the whole q91 lifecycle unchanged. A planted
+    near-copy in the batch guarantees the match set is non-empty."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.dedup import (
+        CHAR_JACCARD_THRESHOLD,
+        _lsh_verified_pairs,
+        char_shingles_of,
+        cross_snapshot_matches,
+        index_signatures,
+        match_batch,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    cut = docs.agg(((F.max("doc_id") + 1) / 2).cast("long")).collect()[0][0]
+    index_docs = docs.where(F.col("doc_id") < cut)
+    planted = index_docs.orderBy("doc_id").limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail-edit")).alias("text"),
+    )
+    new_docs = (
+        docs.where(F.col("doc_id") >= cut).select("doc_id", "text").unionAll(planted)
+    )
+
+    idx_path = str(tmp_path / "char_index_sigs")
+    index_signatures(index_docs, shingler=char_shingles_of).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    got = sorted(
+        (r["id1"], r["id2"], round(r["jaccard"], 12))
+        for r in match_batch(
+            idx, new_docs, CHAR_JACCARD_THRESHOLD, shingler=char_shingles_of
+        ).collect()
+    )
+    scratch = sorted(
+        (r["id1"], r["id2"], round(r["jaccard"], 12))
+        for r in cross_snapshot_matches(
+            index_docs, new_docs, CHAR_JACCARD_THRESHOLD, shingler=char_shingles_of
+        ).collect()
+    )
+    assert got == scratch and len(got) > 0
+    # the planted near-copy is caught against its base
+    assert any(id2 >= 1_000_000 for _, id2, _ in got)
+
+    # cross-side restriction of the union (q84) machinery agrees exactly
+    union = index_docs.select("doc_id", "text").unionAll(new_docs)
+    sh = char_shingles_of(union).localCheckpoint(eager=True)
+    union_pairs = sorted(
+        (r["id1"], r["id2"], round(r["jaccard"], 12))
+        for r in _lsh_verified_pairs(sh, CHAR_JACCARD_THRESHOLD).collect()
+        if r["id1"] < cut and (r["id2"] >= cut or r["id2"] >= 1_000_000)
+    )
+    assert got == union_pairs

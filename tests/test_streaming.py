@@ -1128,3 +1128,47 @@ def test_semantic_ingest_restart_processes_only_new_files(spark, tmp_path):
     # batches 0/1 decisions unchanged; batch 2 matches the model
     assert {v: combined[v] for v in first} == first
     assert combined == {vid: (adm, mid) for vid, (adm, mid, _) in want.items()}
+
+
+def test_ingest_loop_accepts_char_shingler(spark, sf_dir, tmp_path):
+    """The shingler seam threads through the streaming admission loop: a
+    char-8-gram ingest catches a cross-batch near-copy that differs only
+    by a short tail edit, and its index deltas store char shingles."""
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.dedup import (
+        CHAR_JACCARD_THRESHOLD,
+        CHAR_NGRAM_K,
+        char_shingles_of,
+    )
+    from mapreduce_framework_spark.streaming.ingest import make_ingest_batch_fn
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    planted = b0.orderBy("doc_id").limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail-edit")).alias("text"),
+    )
+    b1 = docs.where(F.col("doc_id") % 2 == 1).unionAll(planted)
+
+    fn = make_ingest_batch_fn(
+        spark,
+        str(tmp_path / "index"),
+        str(tmp_path / "decisions"),
+        CHAR_JACCARD_THRESHOLD,
+        shingler=char_shingles_of,
+    )
+    fn(b0, 0)
+    fn(b1, 1)
+    dec = {
+        r["doc_id"]: (r["admitted"], r["matched_id"])
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "decisions"))
+        .collect()
+    }
+    planted_id = [r["doc_id"] for r in planted.collect()][0]
+    assert dec[planted_id][0] is False
+    assert dec[planted_id][1] == planted_id - 1_000_000
+    # the delta's stored shingles are char 8-grams, not word shingles
+    delta0 = spark.read.parquet(str(tmp_path / "index" / "delta_v0"))
+    one = delta0.select(F.explode("shingles").alias("s")).limit(5).collect()
+    assert all(len(r["s"]) == CHAR_NGRAM_K for r in one)
