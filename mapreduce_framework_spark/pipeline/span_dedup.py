@@ -358,3 +358,72 @@ EXSUB_ORACLE = f"""
     LEFT JOIN clean c USING (doc_id)
     ORDER BY doc_id
 """
+
+
+# --- span-level decontamination (round 6, library-first) ---------------------
+#
+# The cross-corpus complement of exact_substring_dedup, and the span-level
+# deepening of q80's doc-level contamination check: training pipelines
+# decontaminate against evaluation/benchmark corpora by flagging any
+# w-token window of a candidate document that appears verbatim in the
+# reference set (the "n-gram overlap" rule used for benchmark
+# decontamination; same instance machinery as ExactSubstr, Lee et al.
+# 2021, arXiv:2107.06499 §4). q80 answers "does this doc overlap the
+# benchmark at all" via shingle Jaccard; span_contamination answers "which
+# tokens, how many, in how many spans" so the pipeline can drop or TRIM.
+
+
+def span_index(docs: DataFrame, w: int = EXSUB_W) -> DataFrame:
+    """The persistable reference-side artifact: DISTINCT md5 hashes of
+    every w-token window of the reference corpus (benchmark/eval set, or
+    an admitted snapshot). Build ONCE per reference snapshot and persist
+    to parquet — one 32-hex-char column, ~n_tokens rows before dedup;
+    the q91/ivf_index/semantic_index lifecycle applied to spans."""
+    return sliding_shingles(docs, w).select("sh").distinct()
+
+
+def span_contamination(
+    index: DataFrame, new_docs: DataFrame, w: int = EXSUB_W
+) -> DataFrame:
+    """Per new document: (doc_id, n_tokens, n_cont_tokens, n_spans,
+    cont_frac) — token positions lying inside any w-token window whose
+    hash appears in the reference ``span_index``. Every input document
+    appears (clean docs report zeros; NULL text follows the family's
+    n_tokens = 0 policy). Only the batch is tokenized/shingled; the index
+    contributes one semi-join side on the hash — O(batch) per batch, and
+    the coverage explode is keyed by (doc_id, tpos), bounded by document
+    length (no corpus-wide hot key even when one window hits everywhere)."""
+    from pyspark.sql import Window
+
+    toks = new_docs.withColumn("toks", F.expr(TOKS_SPARK)).select("doc_id", "toks")
+    inst = sliding_shingles(new_docs, w)
+    hit = inst.join(index.select("sh").distinct(), "sh", "leftsemi")
+    covered = hit.select(
+        "doc_id", F.explode(F.expr(f"sequence(pos, pos + {w - 1})")).alias("tpos")
+    ).distinct()
+    per_doc = Window.partitionBy("doc_id").orderBy("tpos")
+    spans = (
+        covered.withColumn("prev", F.lag("tpos").over(per_doc))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cont_tokens"),
+            F.sum(
+                F.when(
+                    F.col("prev").isNull() | (F.col("tpos") > F.col("prev") + 1), 1
+                ).otherwise(0)
+            ).alias("n_spans"),
+        )
+    )
+    base = toks.select(
+        "doc_id", F.coalesce(F.size("toks"), F.lit(0)).cast("long").alias("n_tokens")
+    )
+    return base.join(spans, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_cont_tokens", F.lit(0)).cast("long").alias("n_cont_tokens"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.when(F.col("n_tokens") > 0,
+               F.coalesce("n_cont_tokens", F.lit(0)) / F.col("n_tokens"))
+        .otherwise(F.lit(0.0))
+        .alias("cont_frac"),
+    )

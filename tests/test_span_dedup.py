@@ -308,3 +308,94 @@ def test_exsub_matches_sequential_model(spark_global, docs):
         for r in exact_substring_dedup(df, w=3).collect()
     }
     assert got == _model_exsub(docs, 3)
+
+
+# --- span-level decontamination (round 6) ------------------------------------
+
+
+def _model_contamination(ref: dict[int, str], new: dict[int, str], w: int):
+    """Sequential model: reference window set, then per-new-doc coverage."""
+    def tok(t):
+        return [x for x in re.split("[^a-zA-Z]+", t) if x]
+
+    seen = set()
+    for t in ref.values():
+        ts = tok(t)
+        for p in range(1, len(ts) - w + 2):
+            seen.add(" ".join(ts[p - 1 : p - 1 + w]))
+    out = {}
+    for d, t in new.items():
+        ts = tok(t)
+        n = len(ts)
+        covered: set[int] = set()
+        for p in range(1, n - w + 2):
+            if " ".join(ts[p - 1 : p - 1 + w]) in seen:
+                covered.update(range(p, p + w))
+        n_spans = sum(1 for i in sorted(covered) if i - 1 not in covered)
+        frac = len(covered) / n if n else 0.0
+        out[d] = (n, len(covered), n_spans, frac)
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(ref=_exsub_corpus, new=_exsub_corpus)
+def test_contamination_matches_sequential_model(spark_global, ref, new):
+    from mapreduce_framework_spark.pipeline.span_dedup import (
+        span_contamination,
+        span_index,
+    )
+
+    ref_df = spark_global.createDataFrame(
+        [Row(doc_id=d, text=t) for d, t in ref.items()]
+    )
+    new_df = spark_global.createDataFrame(
+        [Row(doc_id=d, text=t) for d, t in new.items()]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_cont_tokens"], r["n_spans"], r["cont_frac"])
+        for r in span_contamination(span_index(ref_df, w=3), new_df, w=3).collect()
+    }
+    want = _model_contamination(ref, new, 3)
+    assert set(got) == set(want)
+    for d, (n, c, s, f) in want.items():
+        gn, gc, gs, gf = got[d]
+        assert (gn, gc, gs) == (n, c, s), d
+        assert abs(gf - f) < 1e-12, d
+
+
+def test_contamination_artifact_roundtrip_and_edges(spark, tmp_path):
+    """The lifecycle + stated edges: parquet round-trip of the index is
+    exact; clean docs report zeros; NULL/short texts follow the family
+    n_tokens policy; a doc fully inside the reference reports frac 1."""
+    from mapreduce_framework_spark.pipeline.span_dedup import (
+        span_contamination,
+        span_index,
+    )
+
+    ref = _docs(spark, [(0, "aa bb cc dd ee ff gg hh ii jj kk ll")])
+    new = _docs(
+        spark,
+        [
+            (10, "aa bb cc dd ee ff gg hh ii jj"),  # fully covered
+            (11, "zz yy xx ww vv uu tt ss rr qq"),  # clean
+            (12, None),                               # NULL text
+            (13, "aa bb"),                            # shorter than w
+        ],
+    )
+    idx = span_index(ref)
+    path = str(tmp_path / "span_index")
+    idx.write.parquet(path)
+    back = spark.read.parquet(path)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_cont_tokens"], r["n_spans"], r["cont_frac"])
+        for r in span_contamination(back, new).collect()
+    }
+    direct = {
+        r["doc_id"]: (r["n_tokens"], r["n_cont_tokens"], r["n_spans"], r["cont_frac"])
+        for r in span_contamination(idx, new).collect()
+    }
+    assert got == direct
+    assert got[10] == (10, 10, 1, 1.0)
+    assert got[11] == (10, 0, 0, 0.0)
+    assert got[12] == (0, 0, 0, 0.0)
+    assert got[13] == (2, 0, 0, 0.0)
