@@ -279,6 +279,42 @@ def probe_exsub(spark, base, factors=(1, 2, 4)) -> None:
         print(f"| {n} | {t} s | {gone} |")
 
 
+def probe_decon(spark, base, factors=(1, 2, 4)) -> None:
+    """Round-6 series for span-level decontamination: the reference index
+    (lower half of the corpus) is FIXED and persisted once; the candidate
+    batch is amplified ×f. Per-batch cost must stay ~linear in batch rows
+    (batch-side shingling + one hash semi-join), and the per-doc coverage
+    of the amplified copies must equal their base's exactly."""
+    from mapreduce_framework_spark.pipeline.span_dedup import (
+        span_contamination,
+        span_index,
+    )
+
+    cut = base.agg(((F.max("doc_id") + 1) / 2).cast("long")).collect()[0][0]
+    idx = span_index(base.where(F.col("doc_id") < cut)).localCheckpoint(eager=True)
+    new_base = base.where(F.col("doc_id") >= cut)
+    t0 = time.perf_counter()
+    n_idx = idx.count()
+    print(f"index: {n_idx} distinct windows ({round(time.perf_counter() - t0, 2)} s)")
+    print("| batch docs | decon wall | contaminated docs | cont tokens |")
+    print("|---|---|---|---|")
+    base_rows = None
+    for factor in factors:
+        batch = amplify(new_base, factor).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        out = span_contamination(idx, batch)
+        n_cont = out.where(F.col("n_cont_tokens") > 0).count()
+        tot = out.agg(F.sum("n_cont_tokens")).collect()[0][0]
+        n = out.count()
+        t = round(time.perf_counter() - t0, 2)
+        print(f"| {n} | {t} s | {n_cont} | {tot} |")
+        if factor == 1:
+            base_rows = (n_cont, tot)
+        else:
+            assert n_cont == base_rows[0] * factor, "coverage must replicate per copy"
+            assert tot == base_rows[1] * factor
+
+
 def probe_fit(spark, sf_dir, factors=(1, 2, 4, 10)) -> None:
     """Round-6 series for the codebook fitter: fit K = 64·f on the ×f
     corpus (4 Lloyd's iterations, K ∝ n as the semantic series
@@ -580,6 +616,9 @@ def main() -> None:
         return
     if "--fit" in sys.argv:  # round-6 codebook-fitter series
         probe_fit(spark, sf_dir)
+        return
+    if "--decon" in sys.argv:  # round-6 span-decontamination series
+        probe_decon(spark, base)
         return
     if "--multimodal" in sys.argv:  # round-5 mapInPandas throughput series
         probe_multimodal(spark, sf_dir)
