@@ -427,3 +427,51 @@ def span_contamination(
         .otherwise(F.lit(0.0))
         .alias("cont_frac"),
     )
+
+
+def decontaminate(
+    index: DataFrame, new_docs: DataFrame, w: int = EXSUB_W
+) -> DataFrame:
+    """The TRIM form of :func:`span_contamination`: per new document,
+    (doc_id, n_tokens, n_cont_tokens, clean_text) where ``clean_text``
+    joins the surviving tokens (contaminated positions removed) with
+    single spaces — the actionable output a pipeline feeds onward, the
+    cross-corpus twin of ``exact_substring_dedup``'s reassembly. Same
+    whitespace normalization caveat as exsub's clean_fp: the token join
+    canonicalizes inter-token whitespace (documented, deterministic on
+    both engines). NULL text → n_tokens 0, clean_text '' (family
+    policy)."""
+    toks = new_docs.withColumn("toks", F.expr(TOKS_SPARK)).select("doc_id", "toks")
+    inst = sliding_shingles(new_docs, w)
+    hit = inst.join(index.select("sh").distinct(), "sh", "leftsemi")
+    covered = hit.select(
+        "doc_id", F.explode(F.expr(f"sequence(pos, pos + {w - 1})")).alias("tpos")
+    ).distinct()
+    tok_rows = toks.select(
+        "doc_id", F.posexplode("toks").alias("tpos0", "tok")
+    ).select("doc_id", (F.col("tpos0") + 1).alias("tpos"), "tok")
+    clean = (
+        tok_rows.join(covered, ["doc_id", "tpos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    base = toks.select(
+        "doc_id", F.coalesce(F.size("toks"), F.lit(0)).cast("long").alias("n_tokens")
+    )
+    return base.join(clean, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).cast("long").alias(
+            "n_cont_tokens"
+        ),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

@@ -399,3 +399,45 @@ def test_contamination_artifact_roundtrip_and_edges(spark, tmp_path):
     assert got[11] == (10, 0, 0, 0.0)
     assert got[12] == (0, 0, 0, 0.0)
     assert got[13] == (2, 0, 0, 0.0)
+
+
+@settings(max_examples=10, deadline=None)
+@given(ref=_exsub_corpus, new=_exsub_corpus)
+def test_decontaminate_matches_sequential_model(spark_global, ref, new):
+    """The trim form agrees with the coverage model token for token: the
+    surviving text is exactly the non-covered tokens in order, and the
+    removed-token count equals the model's coverage count."""
+    from mapreduce_framework_spark.pipeline.span_dedup import (
+        decontaminate,
+        span_index,
+    )
+
+    def tok(t):
+        return [x for x in re.split("[^a-zA-Z]+", t) if x]
+
+    want_cov = _model_contamination(ref, new, 3)
+    ref_df = spark_global.createDataFrame(
+        [Row(doc_id=d, text=t) for d, t in ref.items()]
+    )
+    new_df = spark_global.createDataFrame(
+        [Row(doc_id=d, text=t) for d, t in new.items()]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_cont_tokens"], r["clean_text"])
+        for r in decontaminate(span_index(ref_df, w=3), new_df, w=3).collect()
+    }
+    assert set(got) == set(new)
+    seen = set()
+    for t in ref.values():
+        ts = tok(t)
+        for p in range(1, len(ts) - 1):  # 1-based starts of 3-token windows
+            seen.add(" ".join(ts[p - 1 : p + 2]))
+    for d, t in new.items():
+        ts = tok(t)
+        covered: set[int] = set()
+        for p in range(1, len(ts) - 1):
+            if " ".join(ts[p - 1 : p + 2]) in seen:
+                covered.update(range(p, p + 3))
+        clean = " ".join(x for i, x in enumerate(ts, 1) if i not in covered)
+        n, c, _, _ = want_cov[d]
+        assert got[d] == (n, c, clean), d
