@@ -59,6 +59,13 @@ def __getattr__(name):
         "exact_substring_dedup": "mapreduce_framework_spark.pipeline.span_dedup",
         "assign_cells": "mapreduce_framework_spark.pipeline.semantic_dedup",
         "semantic_dedup": "mapreduce_framework_spark.pipeline.semantic_dedup",
+        "semantic_index": "mapreduce_framework_spark.pipeline.semantic_dedup",
+        "semantic_match_batch": "mapreduce_framework_spark.pipeline.semantic_dedup",
+        "fit_codebook": "mapreduce_framework_spark.pipeline.codebook",
+        "quantization_error": "mapreduce_framework_spark.pipeline.codebook",
+        "span_index": "mapreduce_framework_spark.pipeline.span_dedup",
+        "span_contamination": "mapreduce_framework_spark.pipeline.span_dedup",
+        "decontaminate": "mapreduce_framework_spark.pipeline.span_dedup",
         "quantize_embeddings": "mapreduce_framework_spark.pipeline.similarity",
         "ivf_index": "mapreduce_framework_spark.pipeline.similarity",
         "probe_ivf_index": "mapreduce_framework_spark.pipeline.similarity",
@@ -83,6 +90,8 @@ def __getattr__(name):
         # streaming
         "streaming_exact_dedup": "mapreduce_framework_spark.streaming.dedup",
         "streaming_dedup_within_watermark": "mapreduce_framework_spark.streaming.dedup",
+        "run_ingest_stream": "mapreduce_framework_spark.streaming.ingest",
+        "run_semantic_ingest_stream": "mapreduce_framework_spark.streaming.ingest",
     }
     if name in _EXPORTS:
         return getattr(import_module(_EXPORTS[name]), name)

@@ -126,6 +126,82 @@ def sweep(spark, sf_dir: str, label: str) -> list[str]:
     return fails
 
 
+def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
+    """The round-6 LIBRARY-FIRST surfaces (no registry slot, so the
+    builder sweep never touches them), run against the same dirty
+    variants with their STATED edge policies honored: fit_codebook's
+    documented raise on a corpus that is empty after the norms gate
+    counts as a pass on such variants — the policy firing is the
+    behavior under test."""
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.codebook import fit_codebook
+    from mapreduce_framework_spark.pipeline.dedup import (
+        CHAR_JACCARD_THRESHOLD,
+        char_shingles_of,
+        index_signatures,
+        match_batch,
+    )
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        semantic_index,
+        semantic_match_batch,
+    )
+    from mapreduce_framework_spark.pipeline.similarity import _norms_spark
+    from mapreduce_framework_spark.pipeline.span_dedup import (
+        decontaminate,
+        exact_substring_dedup,
+        span_contamination,
+        span_index,
+    )
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    embs = table(spark, "embeddings", sf_dir)
+
+    def _semantic_lifecycle():
+        if not _norms_spark(embs).take(1):
+            try:
+                fit_codebook(embs, k=8, iters=1)
+            except ValueError as ex:
+                if "empty corpus" in str(ex):
+                    return 0  # stated policy fired — pass
+                raise
+            raise AssertionError("fit_codebook must raise on empty corpus")
+        cb = fit_codebook(embs, k=8, iters=1)
+        idx = semantic_index(embs, cb)
+        return semantic_match_batch(idx, embs.limit(50), cb).count()
+
+    checks = [
+        ("lib_exact_substring_dedup", lambda: exact_substring_dedup(docs).count()),
+        (
+            "lib_span_contamination",
+            lambda: span_contamination(span_index(docs), docs).count(),
+        ),
+        (
+            "lib_decontaminate",
+            lambda: decontaminate(span_index(docs), docs).count(),
+        ),
+        (
+            "lib_char_lifecycle",
+            lambda: match_batch(
+                index_signatures(docs, char_shingles_of).localCheckpoint(eager=True),
+                docs,
+                CHAR_JACCARD_THRESHOLD,
+                char_shingles_of,
+            ).count(),
+        ),
+        ("lib_semantic_lifecycle", _semantic_lifecycle),
+    ]
+    fails = []
+    for name, fn in checks:
+        try:
+            fn()
+        except Exception as ex:  # noqa: BLE001 — report, don't mask
+            fails.append(name)
+            first = str(ex).split("\n")[0][:160]
+            print(f"[{label}-lib] {name} FAIL {type(ex).__name__}: {first}", flush=True)
+    print(f"[{label}-lib] fails: {fails if fails else 'none'}", flush=True)
+    return fails
+
+
 # Known, documented divergences on the EMPTY variant only — engine or
 # oracle-domain semantics, not operator bugs (verified by hand, round 5):
 # - Spark's ROLLUP/CUBE/GROUPING SETS emit ZERO rows on empty input,
@@ -218,6 +294,7 @@ def main() -> int:
             os.makedirs(d)
             build_empty(args.sf, d)
             all_fails += sweep(spark, d, "empty")
+            all_fails += library_sweep(spark, d, "empty")
             if args.differential:
                 all_fails += differential(spark, d, "empty", EMPTY_DIFF_EXPECTED)
         if args.variant in ("nulls", "all"):
@@ -225,6 +302,7 @@ def main() -> int:
             os.makedirs(d)
             build_nulls(args.sf, d)
             all_fails += sweep(spark, d, "nulls")
+            all_fails += library_sweep(spark, d, "nulls")
             if args.differential:
                 all_fails += differential(spark, d, "nulls")
         if args.variant in ("giant", "all"):
@@ -232,6 +310,7 @@ def main() -> int:
             os.makedirs(d)
             build_giant(args.sf, d)
             all_fails += sweep(spark, d, "giant")
+            all_fails += library_sweep(spark, d, "giant")
     return 1 if all_fails else 0
 
 
