@@ -138,8 +138,13 @@ def semantic_dedup(
     """Drop list of cell-bounded semantic dedup: (vec_id, dup_of, cos) for
     every vector condemned by a smaller-id partner sharing one of its
     cells (see module docstring). ``centroids``: fitted fixed-K codebook
-    (production); default is the stride-derived oracle form."""
-    asg = assign_cells(embs, centroids)
+    (production); default is the stride-derived oracle form.
+
+    The assignment is materialized once (eager localCheckpoint — the
+    match_batch/LSH family precedent): it feeds BOTH sides of the
+    shared-cell self-join, and left lazy the broadcast scoring subtree
+    plans — and executes — twice."""
+    asg = assign_cells(embs, centroids).localCheckpoint(eager=True)
     cand = (
         asg.alias("a")
         .join(asg.alias("b"), F.col("a.cent_id") == F.col("b.cent_id"))
