@@ -236,17 +236,22 @@ def exact_substring_dedup(docs: DataFrame, w: int = EXSUB_W) -> DataFrame:
     from pyspark.sql import Window
 
     toks = docs.withColumn("toks", F.expr(TOKS_SPARK)).select("doc_id", "toks")
+    # materialize the stride-1 instance frame once (the q84/lsh family
+    # precedent): it feeds keep-first AND the redundant join, and lazy it
+    # would re-tokenize + re-shingle the corpus per consumer
     inst = sliding_shingles(docs, w).withColumn(
         "key",
         F.when(F.col("pos") < _POS_CAP, F.col("doc_id") * _POS_CAP + F.col("pos")).otherwise(
             F.raise_error(F.lit(f"exact_substring_dedup: document exceeds {_POS_CAP} tokens"))
         ),
-    )
+    ).localCheckpoint(eager=True)
     first = inst.groupBy("sh").agg(F.min("key").alias("min_key"))
     redundant = inst.join(first, "sh").where(F.col("key") != F.col("min_key"))
+    # covered feeds the span stats AND the clean-text anti-join — one
+    # materialization (rows = covered positions, bounded by tokens)
     covered = redundant.select(
         "doc_id", F.explode(F.expr(f"sequence(pos, pos + {w - 1})")).alias("tpos")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     per_doc = Window.partitionBy("doc_id").orderBy("tpos")
     spans = (
         covered.withColumn("prev", F.lag("tpos").over(per_doc))
