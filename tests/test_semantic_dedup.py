@@ -458,3 +458,33 @@ def test_match_batch_empty_sides_and_null_embeddings(spark):
     # and only the sound batch vector can match it
     assert {(r["index_id"], r["new_id"]) for r in got} == {(0, 10)}
     assert semantic_match_batch(idx, empty, cents).count() == 0
+
+
+def test_index_with_fewer_cells_than_probes(spark):
+    """K smaller than SEM_PROBES: each vector gets one row per EXISTING
+    cell (row_number <= probes over a 1-cell ranking yields 1), the index
+    stays well-formed, and matching against it is still exact — every
+    pair shares the single cell, so this degenerates to the global form."""
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        semantic_index,
+        semantic_match_batch,
+    )
+
+    cents = _grid_cents(spark, [[1, 1]])
+    snapshot = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[2.0, 0.0], label=0),
+            Row(vec_id=1, embedding=[0.0, 2.0], label=0),
+        ]
+    )
+    batch = spark.createDataFrame(
+        [Row(vec_id=10, embedding=[2.0, 0.0], label=0)]
+    )
+    idx = semantic_index(snapshot, cents)
+    assert idx.count() == 2  # one row per vector, not SEM_PROBES
+    got = {
+        (r["index_id"], r["new_id"]): r["cos"]
+        for r in semantic_match_batch(idx, batch, cents).collect()
+    }
+    assert set(got) == {(0, 10)}  # cos(1,10)=0 < threshold; (0,10)=1.0
+    assert got[(0, 10)] == 1.0
