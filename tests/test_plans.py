@@ -347,3 +347,60 @@ def test_whole_registry_plan_audit(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert offenders == {}, f"scale anti-patterns: {offenders}"
+
+
+def test_library_surface_plan_audit(spark, sf_dir, tmp_path):
+    """The registry audit's twin for the round-6 LIBRARY-FIRST surfaces
+    (no registry slot ⇒ the whole-registry audit never sees them): every
+    lifecycle plan is scanned for the same three anti-patterns. The only
+    sanctioned BroadcastNestedLoopJoin is the codebook-fit/assignment
+    broadcast scoring — and the current forms materialize it eagerly, so
+    the audited downstream plans must contain NONE at all."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.codebook import fit_codebook
+    from mapreduce_framework_spark.pipeline.dedup import (
+        CHAR_JACCARD_THRESHOLD,
+        char_shingles_of,
+        index_signatures,
+        match_batch,
+    )
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        semantic_index,
+        semantic_match_batch,
+    )
+    from mapreduce_framework_spark.pipeline.span_dedup import (
+        decontaminate,
+        exact_substring_dedup,
+        span_contamination,
+        span_index,
+    )
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    embs = table(spark, "embeddings", sf_dir)
+    cb = fit_codebook(embs, k=8, iters=1)
+    sem_idx = semantic_index(embs, cb).localCheckpoint(eager=True)
+    char_idx = index_signatures(docs, char_shingles_of).localCheckpoint(eager=True)
+    span_idx = span_index(docs).localCheckpoint(eager=True)
+
+    surfaces = {
+        "exact_substring_dedup": exact_substring_dedup(docs),
+        "span_contamination": span_contamination(span_idx, docs),
+        "decontaminate": decontaminate(span_idx, docs),
+        "char_match_batch": match_batch(
+            char_idx, docs, CHAR_JACCARD_THRESHOLD, char_shingles_of
+        ),
+        "semantic_match_batch": semantic_match_batch(sem_idx, embs.limit(50), cb),
+    }
+    offenders = {}
+    for name, df in surfaces.items():
+        plan = _plan(df)
+        bad = [
+            p
+            for p in ("CartesianProduct", "BatchEvalPython", "BroadcastNestedLoopJoin")
+            if p in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
