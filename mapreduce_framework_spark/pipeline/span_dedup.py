@@ -215,15 +215,24 @@ def _sliding_spark(w: int) -> str:
     )
 
 
+def _toks_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks): tokenize once; the shared input of every exsub/
+    decontamination stage (shingles, per-doc counts, reassembly)."""
+    return docs.withColumn("toks", F.expr(TOKS_SPARK)).select("doc_id", "toks")
+
+
+def _shingle_rows(toks: DataFrame, w: int) -> DataFrame:
+    """sliding_shingles over a pre-tokenized ``_toks_frame``."""
+    return toks.select(
+        "doc_id", F.posexplode(F.expr(_sliding_spark(w))).alias("pos0", "s")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), F.md5("s").alias("sh"))
+
+
 def sliding_shingles(docs: DataFrame, w: int = EXSUB_W) -> DataFrame:
     """(doc_id, pos, sh): the md5 of the w-token shingle at EVERY 1-based
     offset (stride 1; docs shorter than w yield none — they cannot contain
     a w-token repeat). One scan, zero shuffles."""
-    return (
-        docs.withColumn("toks", F.expr(TOKS_SPARK))
-        .select("doc_id", F.posexplode(F.expr(_sliding_spark(w))).alias("pos0", "s"))
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), F.md5("s").alias("sh"))
-    )
+    return _shingle_rows(_toks_frame(docs), w)
 
 
 def exact_substring_dedup(docs: DataFrame, w: int = EXSUB_W) -> DataFrame:
@@ -235,11 +244,14 @@ def exact_substring_dedup(docs: DataFrame, w: int = EXSUB_W) -> DataFrame:
     ('' for empty docs). Every input document appears in the output."""
     from pyspark.sql import Window
 
-    toks = docs.withColumn("toks", F.expr(TOKS_SPARK)).select("doc_id", "toks")
+    # tokenize the corpus ONCE: toks feeds the shingle build, the per-doc
+    # token counts, and the reassembly rows (lazy, each consumer would
+    # re-run the tokenizer over the corpus)
+    toks = _toks_frame(docs).localCheckpoint(eager=True)
     # materialize the stride-1 instance frame once (the q84/lsh family
     # precedent): it feeds keep-first AND the redundant join, and lazy it
-    # would re-tokenize + re-shingle the corpus per consumer
-    inst = sliding_shingles(docs, w).withColumn(
+    # would re-shingle the corpus per consumer
+    inst = _shingle_rows(toks, w).withColumn(
         "key",
         F.when(F.col("pos") < _POS_CAP, F.col("doc_id") * _POS_CAP + F.col("pos")).otherwise(
             F.raise_error(F.lit(f"exact_substring_dedup: document exceeds {_POS_CAP} tokens"))
@@ -400,8 +412,8 @@ def span_contamination(
     length (no corpus-wide hot key even when one window hits everywhere)."""
     from pyspark.sql import Window
 
-    toks = new_docs.withColumn("toks", F.expr(TOKS_SPARK)).select("doc_id", "toks")
-    inst = sliding_shingles(new_docs, w)
+    toks = _toks_frame(new_docs).localCheckpoint(eager=True)  # tokenize once
+    inst = _shingle_rows(toks, w)
     hit = inst.join(index.select("sh").distinct(), "sh", "leftsemi")
     covered = hit.select(
         "doc_id", F.explode(F.expr(f"sequence(pos, pos + {w - 1})")).alias("tpos")
@@ -446,8 +458,8 @@ def decontaminate(
     canonicalizes inter-token whitespace (documented, deterministic on
     both engines). NULL text → n_tokens 0, clean_text '' (family
     policy)."""
-    toks = new_docs.withColumn("toks", F.expr(TOKS_SPARK)).select("doc_id", "toks")
-    inst = sliding_shingles(new_docs, w)
+    toks = _toks_frame(new_docs).localCheckpoint(eager=True)  # tokenize once
+    inst = _shingle_rows(toks, w)
     hit = inst.join(index.select("sh").distinct(), "sh", "leftsemi")
     covered = hit.select(
         "doc_id", F.explode(F.expr(f"sequence(pos, pos + {w - 1})")).alias("tpos")
