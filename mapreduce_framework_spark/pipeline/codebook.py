@@ -113,7 +113,17 @@ def fit_codebook(
             F.pmod(F.xxhash64(F.lit(salt), F.col("vec_id")), F.lit(1_000_000))
             < int(sample_fraction * 1_000_000)
         )
-    dim = _dim_of(e, op="fit_codebook")
+    dim = _dim_of(
+        e,
+        op=(
+            "fit_codebook"
+            if sample_fraction is None
+            # _dim_of runs AFTER the hash sample: name the sample in the
+            # error so an empty SAMPLE of a non-empty corpus isn't
+            # misdiagnosed as an empty corpus.
+            else f"fit_codebook (after sample_fraction={sample_fraction} hash sample)"
+        ),
+    )
     e = e.localCheckpoint(eager=True)  # the fit re-scans it iters times
 
     # deterministic data-order-independent init: K smallest by hash

@@ -106,11 +106,15 @@ def assign_cells(
     e = _norms_spark(embs)
     if centroids is None:
         cents = stride_centroids(embs)
-        if cents.isEmpty() and not embs.isEmpty():
+        # Probe emptiness on the norm-gated frame: a corpus whose vectors
+        # are ALL zero-norm is correctly "empty" for cosine purposes (the
+        # drop list is empty, not an error) — only a non-empty gated
+        # corpus that the stride misses deserves the hard failure.
+        if cents.isEmpty() and not e.isEmpty():
             raise ValueError(
                 "stride-derived centroid set is empty on a non-empty corpus "
-                f"(no vec_id % {SEM_STRIDE} == 0); pass a fitted `centroids` "
-                "codebook instead"
+                f"(no non-zero-norm vec_id % {SEM_STRIDE} == 0); pass a "
+                "fitted `centroids` codebook instead"
             )
     else:
         cents = prepare_centroids(centroids, op="semantic dedup")

@@ -82,7 +82,7 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # RETIREMENT DRY-RUN (round 6; the ranking the policy requires, so any
 # future registration is a one-commit swap — no behavior change now).
 # Next retirements, in order, with the evidence that makes each safe:
-#   1. q55_simhash_hamming_pairs — capped exact-oracle twin (2b): its
+#   1. q55_simhash_neardup — capped exact-oracle twin (2b): its
 #      banded scale path q73 is registered, green since r4, and
 #      q73's own test battery includes the exhaustive pigeonhole-
 #      completeness property; q55's builder+oracle+pytest remain.

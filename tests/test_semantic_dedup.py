@@ -161,6 +161,17 @@ def test_stride_default_empty_centroids_raises(spark):
     assert semantic_dedup(empty).count() == 0
 
 
+def test_stride_default_all_zero_norm_corpus_is_empty_not_error(spark):
+    """Round-6 ADVICE: a corpus whose vectors are ALL zero-norm is
+    cosine-empty — semantic_dedup must return the correct empty drop
+    list (the pre-guard behavior), not raise the stride-miss error with
+    the wrong cause. The guard probes the norm-GATED frame."""
+    all_zero = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[0.0, 0.0], label=0) for i in (0, 1, 30)]
+    )
+    assert semantic_dedup(all_zero).count() == 0
+
+
 def test_min_id_kept_within_synthetic_cell(spark):
     """Three near-identical vectors: the smallest id survives, the other
     two are condemned by it (transitive chains collapse to min id)."""

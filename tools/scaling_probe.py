@@ -355,9 +355,10 @@ def probe_fit(spark, sf_dir, factors=(1, 2, 4, 10)) -> None:
 
 def probe_span_skew(spark, base, factor=20) -> None:
     """Round-6 series: HOT-SPAN skew. Every document gets the same
-    100-token licence header (10 IDENTICAL blocks) prepended, then the
-    corpus is amplified ×``factor`` — at sf0.1×20 one bh key carries
-    10^6 instances. This is the case the span_dedup docstring designs
+    1000-token licence header (100 IDENTICAL 10-token blocks, all
+    hashing to ONE bh key) prepended, then the corpus is amplified
+    ×``factor`` — at sf0.1×20 that one bh key carries
+    100 × n_docs ≈ 10^7 instances. This is the case the span_dedup docstring designs
     for. Timed LIKE-FOR-LIKE on one checkpointed instance frame,
     keep-first stage only:
 
