@@ -29,7 +29,9 @@ surface required by the 100 TB target.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -84,6 +86,150 @@ def write_range_sorted(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# --- incremental-index manifest (streaming/ingest.py lifecycles) -------------
+#
+# An incremental index (MinHash signatures, semantic cell assignments) grows
+# one `delta_v{batch}` parquet dir per micro-batch. Addressing the index by
+# DIRECTORY LISTING has two 100 TB failure modes: (a) at 1e5 batches every
+# batch pays an O(batches) list + an O(batches)-path parquet read, and
+# (b) object storage has no cheap consistent listing at all. The manifest
+# makes the artifact self-describing: ONE small JSON file is the sole source
+# of truth for which dirs constitute the index, committed atomically via
+# write-temp + os.replace — the same atomic-rename commit discipline the
+# reference applies to task outputs (src/mr/worker.go:68-75; on object
+# storage the single-object PUT of the manifest is the atomic step).
+#
+# Manifest schema (version 1):
+#   {"version": 1,
+#    "compacted_path": "compact_v{B}" | null,  # dir holding all folded deltas
+#    "compacted_through": B-1 | -1,            # max batch id folded in
+#    "deltas": [[batch_id, "delta_v{id}"], ...]}  # the UNFOLDED tail, sorted
+#
+# Invariants (validated on every read, hard error on violation — a missing
+# or out-of-sequence delta means index corruption and MUST NOT be silently
+# skipped):
+#   - tail batch ids are strictly increasing and CONTIGUOUS from
+#     compacted_through+1 (every batch writes a delta, even an empty one);
+#   - every referenced dir exists.
+
+INDEX_MANIFEST = "_manifest.json"  # underscore: invisible to Spark file scans (like _SUCCESS)
+
+
+def new_index_manifest() -> dict:
+    return {"version": 1, "compacted_path": None, "compacted_through": -1, "deltas": []}
+
+
+def read_index_manifest(index_root: str) -> dict | None:
+    """The committed manifest, or None if the root has never been written.
+    A torn write cannot be observed: the writer publishes via atomic
+    rename, so the file is either absent or a complete JSON document."""
+    path = os.path.join(index_root, INDEX_MANIFEST)
+    if not os.path.isfile(path):
+        return None
+    with open(path, encoding="utf-8") as f:
+        man = json.load(f)
+    if man.get("version") != 1:
+        raise ValueError(f"unsupported index manifest version: {man.get('version')!r}")
+    return man
+
+
+def write_index_manifest(index_root: str, manifest: dict) -> None:
+    """Atomically publish ``manifest`` (write temp sibling + os.replace)."""
+    os.makedirs(index_root, exist_ok=True)
+    path = os.path.join(index_root, INDEX_MANIFEST)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, path)
+
+
+def manifest_visible_paths(
+    index_root: str, manifest: dict, before_batch: int | None = None
+) -> list[str]:
+    """The dirs that constitute the index visible to ``before_batch``
+    (strictly-before rule; None = everything). Validates the manifest
+    invariants — a gap in the tail sequence or a listed-but-missing dir
+    raises instead of silently reading a partial index."""
+    tail = sorted(manifest["deltas"])
+    if before_batch is not None:
+        if manifest["compacted_through"] >= before_batch:
+            raise ValueError(
+                f"index manifest compacted through batch "
+                f"{manifest['compacted_through']} but batch {before_batch} is "
+                "being (re)delivered — the compaction boundary must stay "
+                "strictly below any in-flight batch"
+            )
+        tail = [e for e in tail if e[0] < before_batch]
+    expect = manifest["compacted_through"] + 1
+    for bid, _ in tail:
+        if bid != expect:
+            raise ValueError(
+                f"index manifest has a gap: expected delta for batch {expect}, "
+                f"found batch {bid} — refusing to read a partial index"
+            )
+        expect += 1
+    paths = []
+    if manifest["compacted_path"] is not None:
+        paths.append(os.path.join(index_root, manifest["compacted_path"]))
+    paths.extend(os.path.join(index_root, name) for _, name in tail)
+    missing = [p for p in paths if not os.path.isdir(p)]
+    if missing:
+        raise ValueError(
+            f"index manifest references missing dirs {missing} — refusing to "
+            "read a partial index"
+        )
+    return paths
+
+
+def compact_index_manifest(
+    spark: SparkSession,
+    index_root: str,
+    manifest: dict,
+    below_batch: int,
+    target_files: int = 8,
+) -> dict:
+    """Fold the compacted artifact + every tail delta with batch id
+    < ``below_batch`` into one new ``compact_v{below_batch}`` dir and
+    return the updated (NOT yet published) manifest. Caller publishes via
+    write_index_manifest — crash between the fold and the publish leaves
+    the old manifest authoritative and the new dir an overwritable orphan,
+    so redelivery is idempotent. The fold excludes the in-flight batch's
+    own delta (strictly-before visibility is preserved for redelivery).
+
+    One shuffle-free coalesce rewrite of O(index) — amortized: run every
+    ``compact_every`` batches, so steady-state per-batch index reads touch
+    1 compacted dir + a bounded tail instead of O(batches) dirs."""
+    fold = manifest_visible_paths(index_root, manifest, before_batch=below_batch)
+    if not fold:
+        return manifest
+    dst = f"compact_v{below_batch}"
+    spark.read.option("recursiveFileLookup", "true").parquet(*fold).coalesce(
+        target_files
+    ).write.mode("overwrite").parquet(os.path.join(index_root, dst))
+    out = dict(manifest)
+    out["compacted_path"] = dst
+    out["compacted_through"] = below_batch - 1
+    out["deltas"] = [e for e in sorted(manifest["deltas"]) if e[0] >= below_batch]
+    return out
+
+
+def prune_superseded_index_dirs(index_root: str, manifest: dict) -> None:
+    """Best-effort removal of dirs no longer referenced by the PUBLISHED
+    manifest (folded deltas, previous compact generations). Runs strictly
+    after the manifest commit: a crash here only leaves harmless orphans
+    that the next compaction's prune sweeps up."""
+    keep = {INDEX_MANIFEST}
+    if manifest["compacted_path"] is not None:
+        keep.add(manifest["compacted_path"])
+    keep.update(name for _, name in manifest["deltas"])
+    for entry in os.listdir(index_root):
+        if entry in keep or not (
+            entry.startswith("delta_v") or entry.startswith("compact_v")
+        ):
+            continue
+        shutil.rmtree(os.path.join(index_root, entry), ignore_errors=True)
 
 
 def parquet_file_column_ranges(path: str, column: str) -> list[tuple]:

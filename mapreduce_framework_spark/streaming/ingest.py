@@ -10,9 +10,18 @@ appended to the index.
 100 TB shape:
 - The index lives as parquet **delta directories** (``delta_v{batch}``):
   each batch appends only its admitted docs' signatures — per-batch write
-  is O(admitted batch), never an O(index) rewrite. Reading the index is a
-  recursive parquet scan over the root (a table format would make this a
-  real APPEND, same topology).
+  is O(admitted batch), never an O(index) rewrite.
+- The root is addressed through a **manifest** (storage.py: one JSON file,
+  atomic-rename commit per batch — the reference's task-output commit
+  discipline, src/mr/worker.go:68-75). No directory listing on the read
+  path, so the layout is object-storage-safe; a gap or missing dir is a
+  hard error, never a silent partial read.
+- Every ``compact_every`` batches the delta tail is **folded** into one
+  compacted dir (shuffle-free coalesce), so the steady-state per-batch
+  index read opens 1 compacted dir + a bounded tail instead of
+  O(batches) dirs — at 1e5 micro-batches the unmanaged layout's read is
+  dominated by file listing + a 1e5-path parquet open (measured series in
+  SCALING.md). Decisions are byte-identical with compaction on or off.
 - Per-batch match cost is O(batch) — the index side contributes only
   column-pruned projections of stored signatures (see
   pipeline/dedup.py:match_batch).
@@ -31,6 +40,23 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_framework_spark.storage import (
+    compact_index_manifest,
+    manifest_visible_paths,
+    new_index_manifest,
+    prune_superseded_index_dirs,
+    read_index_manifest,
+    write_index_manifest,
+)
+
+# Fold the delta tail into the compacted artifact once it reaches this many
+# dirs: steady-state per-batch index reads touch 1 compacted dir + <64
+# deltas instead of O(batches) dirs (at 1e5 micro-batches the unmanaged
+# layout's per-batch cost is dominated by listing + a 1e5-path parquet
+# read). 64 amortizes the O(index) rewrite to 1/64 of batches while keeping
+# the tail a single-digit share of a steady-state read.
+DEFAULT_COMPACT_EVERY = 64
+
 
 def _index_so_far(
     spark: SparkSession, index_root: str, before_batch: int | None = None
@@ -41,7 +67,20 @@ def _index_so_far(
     failed attempt may have written the batch's own delta already, and
     matching against it would self-reject every redelivered doc and then
     overwrite the delta empty (pinned by
-    tests/test_streaming.py::test_ingest_batch_redelivery_is_idempotent)."""
+    tests/test_streaming.py::test_ingest_batch_redelivery_is_idempotent).
+
+    The index is addressed through its MANIFEST (storage.py: one atomic
+    JSON commit per batch — object-storage-safe, no directory listing on
+    the read path, hard error on a gap or missing dir). A root with delta
+    dirs but no manifest is the pre-manifest legacy layout: fall back to
+    the POSIX listing once; the next published batch adopts the dirs into
+    a manifest."""
+    man = read_index_manifest(index_root)
+    if man is not None:
+        paths = manifest_visible_paths(index_root, man, before_batch)
+        if not paths:
+            return None
+        return spark.read.option("recursiveFileLookup", "true").parquet(*paths)
     if not os.path.isdir(index_root):
         return None
     deltas = [d for d in os.listdir(index_root) if d.startswith("delta_v")]
@@ -54,19 +93,61 @@ def _index_so_far(
     )
 
 
+def _publish_delta(
+    spark: SparkSession,
+    index_root: str,
+    batch_id: int,
+    delta_df: DataFrame,
+    compact_every: int | None,
+) -> None:
+    """Write the batch's admitted-docs delta and commit it to the manifest
+    (the single atomic step), compacting the tail first when it reaches
+    ``compact_every`` dirs. Compaction folds only deltas STRICTLY BELOW
+    ``batch_id`` — the in-flight batch's own delta stays an unfolded tail
+    entry, so a crash-restart redelivery of ``batch_id`` still sees
+    exactly the strictly-before index (pinned by
+    tests/test_streaming.py::test_ingest_redelivery_after_compaction).
+    Superseded dirs are pruned only AFTER the manifest commit: a crash at
+    any point leaves either the old manifest with all its dirs intact or
+    the new manifest with (at worst) unreferenced orphans."""
+    name = f"delta_v{batch_id}"
+    delta_df.write.mode("overwrite").parquet(os.path.join(index_root, name))
+    man = read_index_manifest(index_root)
+    if man is None:
+        man = new_index_manifest()
+        # adopt a pre-manifest legacy layout so its deltas stay visible
+        man["deltas"] = sorted(
+            [int(d[len("delta_v") :]), d]
+            for d in os.listdir(index_root)
+            if d.startswith("delta_v") and d != name
+        )
+    man["deltas"] = sorted(
+        [e for e in man["deltas"] if e[0] != batch_id] + [[batch_id, name]]
+    )
+    tail_before = [e for e in man["deltas"] if e[0] < batch_id]
+    if compact_every is not None and len(tail_before) >= compact_every:
+        man = compact_index_manifest(spark, index_root, man, below_batch=batch_id)
+    write_index_manifest(index_root, man)
+    prune_superseded_index_dirs(index_root, man)
+
+
 def make_ingest_batch_fn(
     spark: SparkSession,
     index_root: str,
     decisions_root: str,
     threshold: float,
     shingler=None,
+    compact_every: int | None = DEFAULT_COMPACT_EVERY,
 ):
     """foreachBatch function: match the batch against the index-so-far,
     write decisions (admitted / matched_id / jaccard) and the admitted
     docs' signature delta. ``shingler``: the shingle builder shared by
     index build and matching (default word shingles; pass
     ``char_shingles_of`` + ``CHAR_JACCARD_THRESHOLD`` for the
-    character-8-gram tier — see pipeline/dedup.py:index_signatures)."""
+    character-8-gram tier — see pipeline/dedup.py:index_signatures).
+    ``compact_every``: fold the delta tail into one compacted dir once it
+    reaches this many entries (None = never; decisions are byte-identical
+    either way — tests/test_streaming.py::test_ingest_compaction_preserves_decisions)."""
     from pyspark.sql.window import Window
 
     from mapreduce_framework_spark.pipeline.dedup import (
@@ -113,8 +194,9 @@ def make_ingest_batch_fn(
         decisions.write.mode("overwrite").parquet(
             os.path.join(decisions_root, f"d_v{batch_id}")
         )
-        index_signatures(admitted_docs, shingler).write.mode("overwrite").parquet(
-            os.path.join(index_root, f"delta_v{batch_id}")
+        _publish_delta(
+            spark, index_root, batch_id, index_signatures(admitted_docs, shingler),
+            compact_every,
         )
 
     return apply_batch
@@ -129,12 +211,15 @@ def run_ingest_stream(
     threshold: float,
     timeout_s: int = 300,
     shingler=None,
+    compact_every: int | None = DEFAULT_COMPACT_EVERY,
 ) -> DataFrame:
     """Drive the document stream through the ingest-dedup sink; returns
     the union of all per-batch decision frames."""
     q = (
         docs_stream.writeStream.foreachBatch(
-            make_ingest_batch_fn(spark, index_root, decisions_root, threshold, shingler)
+            make_ingest_batch_fn(
+                spark, index_root, decisions_root, threshold, shingler, compact_every
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
@@ -152,6 +237,7 @@ def make_semantic_ingest_batch_fn(
     decisions_root: str,
     centroids: DataFrame,
     threshold: float | None = None,
+    compact_every: int | None = DEFAULT_COMPACT_EVERY,
 ):
     """The semantic-family twin of :func:`make_ingest_batch_fn`: each
     embedding micro-batch is matched against the semantic cell index so
@@ -166,7 +252,18 @@ def make_semantic_ingest_batch_fn(
     ``centroids`` is the FIXED fitted codebook every batch shares
     (pipeline/codebook.py; typically read back from its parquet
     artifact) — admission decisions are only meaningful against one
-    codebook, exactly as the index itself."""
+    codebook, exactly as the index itself.
+
+    Edge policies (mirroring similarity._norms_spark's zero-norm gate):
+    - A ZERO-NORM batch vector has no cosine neighborhood, so it can
+      never match the index: its decision row says ``admitted=True``,
+      but ``semantic_index``'s norm gate silently EXCLUDES it from the
+      written delta — it is admitted into the corpus yet never indexed,
+      so later duplicates of it are not rejected against it.
+    - INTRA-BATCH duplicates are all admitted: this sink owns only the
+      batch-vs-index decision; within-batch self-dedup is upstream's job
+      (q102 / semantic_dedup), same division of labor as the MinHash
+      sink's within-batch policy (module docstring)."""
     from pyspark.sql.window import Window
 
     from mapreduce_framework_spark.pipeline.semantic_dedup import (
@@ -217,8 +314,9 @@ def make_semantic_ingest_batch_fn(
         decisions.write.mode("overwrite").parquet(
             os.path.join(decisions_root, f"d_v{batch_id}")
         )
-        semantic_index(admitted, centroids).write.mode("overwrite").parquet(
-            os.path.join(index_root, f"delta_v{batch_id}")
+        _publish_delta(
+            spark, index_root, batch_id, semantic_index(admitted, centroids),
+            compact_every,
         )
 
     return apply_batch
@@ -233,13 +331,14 @@ def run_semantic_ingest_stream(
     centroids: DataFrame,
     threshold: float | None = None,
     timeout_s: int = 300,
+    compact_every: int | None = DEFAULT_COMPACT_EVERY,
 ) -> DataFrame:
     """Drive the embedding stream through the semantic admission sink;
     returns the union of all per-batch decision frames."""
     q = (
         embs_stream.writeStream.foreachBatch(
             make_semantic_ingest_batch_fn(
-                spark, index_root, decisions_root, centroids, threshold
+                spark, index_root, decisions_root, centroids, threshold, compact_every
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -1172,3 +1172,183 @@ def test_ingest_loop_accepts_char_shingler(spark, sf_dir, tmp_path):
     delta0 = spark.read.parquet(str(tmp_path / "index" / "delta_v0"))
     one = delta0.select(F.explode("shingles").alias("s")).limit(5).collect()
     assert all(len(r["s"]) == CHAR_NGRAM_K for r in one)
+
+
+# --- manifest + compaction lifecycle (round 7) -------------------------------
+
+
+def _split_docs(spark, sf_dir, n):
+    from mapreduce_framework_spark.catalog import table
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    return [docs.where(F.col("doc_id") % n == i) for i in range(n)]
+
+
+def test_ingest_compaction_preserves_decisions(spark, sf_dir, tmp_path):
+    """VERDICT r6 item 1 gate: N batches with compaction interleaved must
+    produce decisions identical to the never-compacted run — compaction
+    changes the index LAYOUT, never its content — and the compacted root
+    must read through ONE compacted dir plus a bounded tail."""
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.storage import read_index_manifest
+    from mapreduce_framework_spark.streaming.ingest import make_ingest_batch_fn
+
+    batches = _split_docs(spark, sf_dir, 5)
+
+    def run(tag, compact_every):
+        fn = make_ingest_batch_fn(
+            spark,
+            str(tmp_path / tag / "index"),
+            str(tmp_path / tag / "decisions"),
+            JACCARD_THRESHOLD,
+            compact_every=compact_every,
+        )
+        for i, b in enumerate(batches):
+            fn(b, i)
+        return {
+            (r["doc_id"], r["admitted"], r["matched_id"], round(r["jaccard"], 9))
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(tmp_path / tag / "decisions"))
+            .collect()
+        }
+
+    plain = run("plain", compact_every=None)
+    compacted = run("compact", compact_every=2)
+    assert compacted == plain
+
+    man = read_index_manifest(str(tmp_path / "compact" / "index"))
+    assert man["compacted_path"] is not None
+    assert len(man["deltas"]) <= 2  # bounded tail, not O(batches)
+    # superseded dirs were pruned after the manifest commit
+    left = sorted(
+        d
+        for d in (tmp_path / "compact" / "index").iterdir()
+        if d.name.startswith(("delta_v", "compact_v"))
+    )
+    assert {d.name for d in left} == {man["compacted_path"]} | {
+        name for _, name in man["deltas"]
+    }
+    # the manifest-addressed index equals the plain root's full content
+    from mapreduce_framework_spark.streaming.ingest import _index_so_far
+
+    a = _index_so_far(spark, str(tmp_path / "compact" / "index"))
+    b = _index_so_far(spark, str(tmp_path / "plain" / "index"))
+    assert {r["doc_id"] for r in a.select("doc_id").collect()} == {
+        r["doc_id"] for r in b.select("doc_id").collect()
+    }
+
+
+def test_ingest_redelivery_after_compaction(spark, sf_dir, tmp_path):
+    """The compaction boundary stays strictly below any in-flight batch,
+    so a crash-restart redelivery of the batch whose sink run ALSO
+    compacted sees exactly the strictly-before index and reproduces its
+    decisions and delta byte-for-byte."""
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.streaming.ingest import make_ingest_batch_fn
+
+    batches = _split_docs(spark, sf_dir, 4)
+    index_root = str(tmp_path / "index")
+    dec_root = str(tmp_path / "decisions")
+    fn = make_ingest_batch_fn(
+        spark, index_root, dec_root, JACCARD_THRESHOLD, compact_every=2
+    )
+    for i, b in enumerate(batches):
+        fn(b, i)
+
+    def state():
+        dec = {
+            (r["doc_id"], r["admitted"], r["matched_id"])
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(dec_root)
+            .collect()
+        }
+        delta3 = spark.read.parquet(str(tmp_path / "index" / "delta_v3")).count()
+        return dec, delta3
+
+    before = state()
+    fn(batches[3], 3)  # redeliver the batch that triggered a compaction run
+    assert state() == before
+
+
+def test_manifest_gap_or_missing_dir_is_hard_error(spark, tmp_path):
+    """VERDICT r6 item 5 gate: a manifest whose tail skips a batch id, or
+    that references a dir not on disk, must raise — silently reading a
+    partial index would admit duplicates of every lost signature."""
+    import pytest as _pytest
+
+    from mapreduce_framework_spark.storage import (
+        new_index_manifest,
+        write_index_manifest,
+    )
+    from mapreduce_framework_spark.streaming.ingest import _index_so_far
+
+    root = str(tmp_path / "index")
+    one = spark.range(1).select(F.col("id").alias("doc_id"))
+    one.write.parquet(str(tmp_path / "index" / "delta_v0"))
+    one.write.parquet(str(tmp_path / "index" / "delta_v2"))
+
+    man = new_index_manifest()
+    man["deltas"] = [[0, "delta_v0"], [2, "delta_v2"]]  # batch 1 missing
+    write_index_manifest(root, man)
+    with _pytest.raises(ValueError, match="gap"):
+        _index_so_far(spark, root)
+
+    man["deltas"] = [[0, "delta_v0"], [1, "delta_v1"]]  # dir not on disk
+    write_index_manifest(root, man)
+    with _pytest.raises(ValueError, match="missing"):
+        _index_so_far(spark, root)
+
+    # compacted boundary at-or-above an in-flight batch id = corruption
+    man["deltas"] = [[4, "delta_v0"]]
+    man["compacted_path"] = "delta_v2"
+    man["compacted_through"] = 3
+    write_index_manifest(root, man)
+    with _pytest.raises(ValueError, match="strictly below"):
+        _index_so_far(spark, root, before_batch=2)
+
+
+def test_semantic_ingest_compaction_preserves_decisions(spark, tmp_path):
+    """The semantic admission loop rides the same manifest lifecycle:
+    compacted vs never-compacted runs decide identically."""
+    from pyspark.sql import Row
+
+    from mapreduce_framework_spark.storage import read_index_manifest
+    from mapreduce_framework_spark.streaming.ingest import (
+        make_semantic_ingest_batch_fn,
+    )
+
+    base = [1.0] + [0.0] * 15
+    alt = [0.0, 1.0] + [0.0] * 14
+    rows = []
+    for i in range(24):
+        vec = list(base) if i % 2 == 0 else list(alt)
+        vec[8] = i * 1e-6  # tiny jitter: near-dups across batches
+        rows.append(Row(vec_id=i, embedding=vec, label=i % 2))
+    embs = spark.createDataFrame(rows)
+    cents = spark.createDataFrame(
+        [Row(cent_id=0, cent=base), Row(cent_id=1, cent=alt)]
+    )
+    batches = [embs.where(F.col("vec_id") % 4 == i) for i in range(4)]
+
+    def run(tag, compact_every):
+        fn = make_semantic_ingest_batch_fn(
+            spark,
+            str(tmp_path / tag / "index"),
+            str(tmp_path / tag / "decisions"),
+            cents,
+            compact_every=compact_every,
+        )
+        for i, b in enumerate(batches):
+            fn(b, i)
+        return {
+            (r["vec_id"], r["admitted"], r["matched_id"])
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(tmp_path / tag / "decisions"))
+            .collect()
+        }
+
+    plain = run("plain", compact_every=None)
+    compacted = run("compact", compact_every=2)
+    assert compacted == plain
+    man = read_index_manifest(str(tmp_path / "compact" / "index"))
+    assert man["compacted_path"] is not None and len(man["deltas"]) <= 2
