@@ -334,24 +334,54 @@ _PUNCT_SPARK = "length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))"
     tags=("ext", "sampling", "pipeline", "flagship"),
 )
 def q81_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed training-data deliverable — near-dedup, quality filter,
-    stratified sample, sequence pack, in one plan:
+    """The composed training-data deliverable (library form:
+    :func:`training_corpus` — this registered entry runs it without a
+    benchmark index so the DuckDB oracle stays the 4-stage composition;
+    the decontaminated 5-stage form has its own 2-corpus DuckDB
+    differential in tests/test_sampling.py)."""
+    return training_corpus(table(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+def training_corpus(
+    docs: DataFrame, benchmark_index: DataFrame | None = None, w: int | None = None
+) -> DataFrame:
+    """The composed training-data pipeline — near-dedup, (optional)
+    benchmark decontamination, quality filter, stratified sample,
+    sequence pack, in one plan:
 
     1. drop near-duplicates (LSH-path drop list, neardup_drop_list;
        broadcast anti-join — the corpus streams),
-    2. quality-filter in pure integer arithmetic (>= {MIN_TOKENS} tokens,
-       punctuation <= 30% of chars),
-    3. per-language deterministic hash sampling (the q78 rule),
-    4. pack survivors into {SEQ_LEN}-token sequences per source (q79's
+    2. [when ``benchmark_index`` is given] TRIM benchmark-contaminated
+       spans (span_dedup.decontaminate against a persisted span_index —
+       the probe side stays a semi-join on the window hash; Lee et al.
+       2021 §4: decontaminate BEFORE packing, so contaminated tokens
+       never consume sequence budget and trimmed-to-short docs fall to
+       the quality filter),
+    3. quality-filter in pure integer arithmetic (>= {MIN_TOKENS} tokens,
+       punctuation <= 30% of chars — both measured on the text actually
+       packed, i.e. the trimmed text when stage 2 ran),
+    4. per-language deterministic hash sampling (the q78 rule),
+    5. pack survivors into {SEQ_LEN}-token sequences per source (q79's
        pack_sequences).
 
-    One broadcast join + exactly one window shuffle beyond the dedup
-    stage (pinned in test_plans); every stage is the scale shape of its
-    standalone query."""
+    One broadcast join + exactly one window shuffle beyond the dedup and
+    decontamination stages (pinned in test_plans); every stage is the
+    scale shape of its standalone query."""
     from mapreduce_framework_spark.pipeline.dedup import neardup_drop_list
 
-    docs = table(spark, "documents", sf_dir)
     kept = docs.join(F.broadcast(neardup_drop_list(docs)), "doc_id", "left_anti")
+    if benchmark_index is not None:
+        from mapreduce_framework_spark.pipeline.span_dedup import (
+            EXSUB_W,
+            decontaminate,
+        )
+
+        kept = decontaminate(
+            benchmark_index,
+            kept,
+            w=EXSUB_W if w is None else w,
+            carry=("lang", "source"),
+        ).select("doc_id", "lang", "source", F.col("clean_text").alias("text"))
 
     n_punct = (F.length("text") - F.expr(_PUNCT_SPARK)).cast("long")
     q = kept.select(
@@ -368,9 +398,7 @@ def q81_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (10 * F.col("n_punct") <= 3 * F.col("n_chars"))
         & ((h % 100) < F.expr(_RATE_CASE_SQL))
     )
-    return pack_sequences(f).select(
-        "doc_id", "lang", "source", "n_tokens", "seq_id"
-    ).orderBy("doc_id")
+    return pack_sequences(f).select("doc_id", "lang", "source", "n_tokens", "seq_id")
 
 
 # --- sliding-window token chunking (q100) ------------------------------------

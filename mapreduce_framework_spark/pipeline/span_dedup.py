@@ -447,19 +447,25 @@ def span_contamination(
 
 
 def decontaminate(
-    index: DataFrame, new_docs: DataFrame, w: int = EXSUB_W
+    index: DataFrame, new_docs: DataFrame, w: int = EXSUB_W, carry: tuple = ()
 ) -> DataFrame:
     """The TRIM form of :func:`span_contamination`: per new document,
-    (doc_id, n_tokens, n_cont_tokens, clean_text) where ``clean_text``
-    joins the surviving tokens (contaminated positions removed) with
-    single spaces — the actionable output a pipeline feeds onward, the
-    cross-corpus twin of ``exact_substring_dedup``'s reassembly. Same
-    whitespace normalization caveat as exsub's clean_fp: the token join
-    canonicalizes inter-token whitespace (documented, deterministic on
-    both engines). NULL text → n_tokens 0, clean_text '' (family
-    policy)."""
-    toks = _toks_frame(new_docs).localCheckpoint(eager=True)  # tokenize once
-    inst = _shingle_rows(toks, w)
+    (doc_id[, *carry], n_tokens, n_cont_tokens, clean_text) where
+    ``clean_text`` joins the surviving tokens (contaminated positions
+    removed) with single spaces — the actionable output a pipeline feeds
+    onward, the cross-corpus twin of ``exact_substring_dedup``'s
+    reassembly. Same whitespace normalization caveat as exsub's clean_fp:
+    the token join canonicalizes inter-token whitespace (documented,
+    deterministic on both engines). NULL text → n_tokens 0, clean_text ''
+    (family policy). ``carry``: passthrough columns of ``new_docs`` (e.g.
+    lang/source) preserved on the output so a composed pipeline
+    (sampling.py:training_corpus) needs no re-join against the input."""
+    toks = (
+        new_docs.withColumn("toks", F.expr(TOKS_SPARK))
+        .select("doc_id", *carry, "toks")
+        .localCheckpoint(eager=True)
+    )  # tokenize once
+    inst = _shingle_rows(toks.select("doc_id", "toks"), w)
     hit = inst.join(index.select("sh").distinct(), "sh", "leftsemi")
     covered = hit.select(
         "doc_id", F.explode(F.expr(f"sequence(pos, pos + {w - 1})")).alias("tpos")
@@ -482,10 +488,13 @@ def decontaminate(
         )
     )
     base = toks.select(
-        "doc_id", F.coalesce(F.size("toks"), F.lit(0)).cast("long").alias("n_tokens")
+        "doc_id",
+        *carry,
+        F.coalesce(F.size("toks"), F.lit(0)).cast("long").alias("n_tokens"),
     )
     return base.join(clean, "doc_id", "left").select(
         "doc_id",
+        *carry,
         "n_tokens",
         (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).cast("long").alias(
             "n_cont_tokens"

@@ -151,6 +151,28 @@ def test_q81_composed_pipeline_keeps_scale_shapes(spark, sf_dir):
     assert len(re.findall(r"\) Window\b", plan)) == 1, plan
 
 
+def test_training_corpus_decontaminated_keeps_scale_shapes(spark, sf_dir):
+    """The 5-stage decontaminated composition keeps every stage's scale
+    shape: the benchmark probe stays a SEMI-join on the window hash (the
+    index side never explodes into the corpus), the drop list stays a
+    broadcast anti-join, no cross joins, and the pack stays the only
+    per-source window beyond decontamination's span-merge lag."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.sampling import training_corpus
+    from mapreduce_framework_spark.pipeline.span_dedup import span_index
+
+    docs = table(spark, "documents", sf_dir)
+    train = docs.where(F.col("doc_id") % 17 != 0)
+    bench = docs.where(F.col("doc_id") % 17 == 0)
+    plan = _plan(training_corpus(train, benchmark_index=span_index(bench)))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_whole_stage_codegen_on_scan_paths(spark, sf_dir):
     # AQE shows codegen spans only in the final (executed) plan
     df = q11_filter_project(spark, sf_dir)
