@@ -62,6 +62,7 @@ def __getattr__(name):
         "semantic_index": "mapreduce_framework_spark.pipeline.semantic_dedup",
         "semantic_match_batch": "mapreduce_framework_spark.pipeline.semantic_dedup",
         "fit_codebook": "mapreduce_framework_spark.pipeline.codebook",
+        "refit_codebook": "mapreduce_framework_spark.pipeline.codebook",
         "quantization_error": "mapreduce_framework_spark.pipeline.codebook",
         "span_index": "mapreduce_framework_spark.pipeline.span_dedup",
         "span_contamination": "mapreduce_framework_spark.pipeline.span_dedup",
@@ -71,6 +72,7 @@ def __getattr__(name):
         "probe_ivf_index": "mapreduce_framework_spark.pipeline.similarity",
         "connected_components": "mapreduce_framework_spark.operators.graph",
         # corpus shaping
+        "training_corpus": "mapreduce_framework_spark.pipeline.sampling",
         "stratified_sample": "mapreduce_framework_spark.pipeline.sampling",
         "pack_sequences": "mapreduce_framework_spark.pipeline.sampling",
         "domain_mix_sample": "mapreduce_framework_spark.pipeline.sampling",
@@ -87,6 +89,8 @@ def __getattr__(name):
         "write_bucketed": "mapreduce_framework_spark.storage",
         "compact_parquet": "mapreduce_framework_spark.storage",
         "write_range_sorted": "mapreduce_framework_spark.storage",
+        "read_index_manifest": "mapreduce_framework_spark.storage",
+        "write_index_manifest": "mapreduce_framework_spark.storage",
         # streaming
         "streaming_exact_dedup": "mapreduce_framework_spark.streaming.dedup",
         "streaming_dedup_within_watermark": "mapreduce_framework_spark.streaming.dedup",

@@ -139,7 +139,15 @@ def fit_codebook(
         F.col("embedding").alias("cent"),
         F.col("norm").alias("cent_norm"),
     ).localCheckpoint(eager=True)
+    return _lloyd_iterations(e, cents, dim, iters)
 
+
+def _lloyd_iterations(e: DataFrame, cents: DataFrame, dim: int, iters: int) -> DataFrame:
+    """The shared Lloyd loop of fit_codebook / refit_codebook: ``iters``
+    rounds of (broadcast nearest-1 assignment, per-cell mean, empty-cell
+    carry-over), 2 shuffles per iteration, per-iteration localCheckpoint
+    to cut lineage. ``e`` must be norm-gated and checkpointed; ``cents``
+    is the (cent_id, cent, cent_norm) init."""
     for _ in range(iters):
         # nearest-1 assignment WITHOUT the consumer-facing window shape
         # (_nearest_cells sorts per vec_id then would need a join back to
@@ -199,6 +207,63 @@ def fit_codebook(
             .localCheckpoint(eager=True)
         )
     return cents
+
+
+def refit_codebook(
+    embs: DataFrame,
+    old_centroids: DataFrame,
+    iters: int = FIT_ITERS,
+    sample_fraction: float | None = None,
+    salt: str = "cbk1",
+) -> DataFrame:
+    """Refresh a fitted codebook on a DRIFTED corpus: the same Lloyd loop
+    as :func:`fit_codebook`, warm-started from ``old_centroids`` instead
+    of hash seeds. K and ``cent_id`` continuity are preserved — cell i of
+    the refreshed book is the drift-adjusted successor of old cell i, so
+    downstream artifacts (semantic_index cells, IVF postings) can measure
+    assignment churn across the refresh; a cell that captures no vectors
+    of the new corpus keeps its old position (the fitter's empty-cell
+    rule). The refresh lifecycle is: ``refit_codebook`` → rebuild the
+    index artifact against the new book (``semantic_index`` /
+    ``ivf_index``) → swap both atomically (decisions are only meaningful
+    against ONE codebook — streaming/ingest.py docstring). Drift series
+    (quantization error + match-decision churn before/after refresh):
+    SCALING.md round-7 section, `tools/scaling_probe.py --refit`.
+
+    ``sample_fraction``: same bounded-fit-sample seam as fit_codebook
+    (refit on a hash sample of the new corpus; assignment downstream)."""
+    from mapreduce_framework_spark.pipeline.similarity import prepare_centroids
+
+    e = _norms_spark(embs).select("vec_id", "embedding", "norm")
+    if sample_fraction is not None:
+        if not (0.0 < sample_fraction <= 1.0):
+            raise ValueError(
+                f"refit_codebook: sample_fraction must be in (0, 1], got "
+                f"{sample_fraction}"
+            )
+        e = e.where(
+            F.pmod(F.xxhash64(F.lit(salt), F.col("vec_id")), F.lit(1_000_000))
+            < int(sample_fraction * 1_000_000)
+        )
+    dim = _dim_of(
+        e,
+        op=(
+            "refit_codebook"
+            if sample_fraction is None
+            else f"refit_codebook (after sample_fraction={sample_fraction} hash sample)"
+        ),
+    )
+    cents = prepare_centroids(old_centroids, op="refit_codebook").localCheckpoint(
+        eager=True
+    )
+    (c0,) = cents.select(F.size("cent").alias("d")).take(1)
+    if c0["d"] != dim:
+        raise ValueError(
+            f"refit_codebook: old codebook dimensionality {c0['d']} does not "
+            f"match the new corpus ({dim})"
+        )
+    e = e.localCheckpoint(eager=True)  # the refit re-scans it iters times
+    return _lloyd_iterations(e, cents, dim, iters)
 
 
 def quantization_error(embs: DataFrame, centroids: DataFrame) -> float:

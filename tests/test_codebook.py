@@ -246,30 +246,25 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 
 
-def _model_fit(vecs, hashes, k, iters):
-    """Sequential spherical k-means with fit_codebook's exact contract."""
-    pts = {
-        i: v for i, v in vecs.items() if _math.sqrt(sum(x * x for x in v)) > 0
-    }
-    if not pts:
-        return None
-    order = sorted(pts, key=lambda i: (hashes[i], i))[:k]
-    cents = {cid: list(pts[vid]) for cid, vid in enumerate(order)}
+def _dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
 
-    def dot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += float(x) * float(y)
-        return acc
 
+def _model_lloyd(pts, cents, iters):
+    """The shared Lloyd loop of the fit/refit models: assignment with
+    the -cos/cent_id tie-break, sorted-member means, empty-cell and
+    zero-mean carry-over — exactly _lloyd_iterations' contract."""
     for _ in range(iters):
         members = {cid: [] for cid in cents}
         for vid, v in pts.items():
-            nv = _math.sqrt(dot(v, v))
+            nv = _math.sqrt(_dot(v, v))
             best = min(
                 cents,
                 key=lambda cid: (
-                    -(dot(v, cents[cid]) / (nv * _math.sqrt(dot(cents[cid], cents[cid])))),
+                    -(_dot(v, cents[cid]) / (nv * _math.sqrt(_dot(cents[cid], cents[cid])))),
                     cid,
                 ),
             )
@@ -282,9 +277,21 @@ def _model_fit(vecs, hashes, k, iters):
                 sum(pts[v][d] for v in sorted(vids)) / len(vids)
                 for d in range(dim)
             ]
-            if _math.sqrt(dot(mean, mean)) > 0:
+            if _math.sqrt(_dot(mean, mean)) > 0:
                 cents[cid] = mean
     return cents
+
+
+def _model_fit(vecs, hashes, k, iters):
+    """Sequential spherical k-means with fit_codebook's exact contract."""
+    pts = {
+        i: v for i, v in vecs.items() if _math.sqrt(sum(x * x for x in v)) > 0
+    }
+    if not pts:
+        return None
+    order = sorted(pts, key=lambda i: (hashes[i], i))[:k]
+    cents = {cid: list(pts[vid]) for cid, vid in enumerate(order)}
+    return _model_lloyd(pts, cents, iters)
 
 
 @settings(max_examples=8, deadline=None)
@@ -326,3 +333,134 @@ def test_fit_matches_sequential_model(spark_global, data, k, iters):
         assert gn == pytest.approx(
             _math.sqrt(sum(x * x for x in cent)), rel=1e-12
         )
+
+
+# --- codebook refresh lifecycle (round 7) ------------------------------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    data=st.lists(
+        st.lists(st.integers(min_value=-3, max_value=3), min_size=3, max_size=3),
+        min_size=1,
+        max_size=16,
+    ),
+    drift=st.lists(
+        st.lists(st.integers(min_value=-3, max_value=3), min_size=3, max_size=3),
+        min_size=0,
+        max_size=16,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+    iters=st.integers(min_value=0, max_value=3),
+)
+def test_refit_matches_sequential_model(spark_global, data, drift, k, iters):
+    """refit_codebook == the same Lloyd model warm-started from the old
+    book's centroids, on a drifted corpus (original ∪ shifted new
+    vectors). iters=0 pins the warm start itself: the refreshed book IS
+    the old book when no iterations run."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.pipeline.codebook import refit_codebook
+
+    vecs_a = {i: [float(x) for x in v] for i, v in enumerate(data)}
+    embs_a = spark_global.createDataFrame(
+        [Row(vec_id=i, embedding=v, label=0) for i, v in vecs_a.items()]
+    )
+    hashes = {
+        r["vec_id"]: r["h"]
+        for r in embs_a.select(
+            "vec_id", F.xxhash64(F.lit("cbk1"), F.col("vec_id")).alias("h")
+        ).collect()
+    }
+    old_model = _model_fit(vecs_a, hashes, k, 2)
+    if old_model is None:
+        return  # all-zero original corpus: fit refuses, nothing to refresh
+    old = fit_codebook(embs_a, k=k, iters=2)
+
+    # drifted corpus: half the originals survive, new shifted vectors join
+    vecs_b = {i: v for i, v in vecs_a.items() if i % 2 == 0}
+    vecs_b.update(
+        {100 + j: [float(x) for x in v] for j, v in enumerate(drift)}
+    )
+    pts_b = {
+        i: v for i, v in vecs_b.items() if _math.sqrt(sum(x * x for x in v)) > 0
+    }
+    embs_b = spark_global.createDataFrame(
+        [Row(vec_id=i, embedding=v, label=0) for i, v in vecs_b.items()],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT",
+    )
+    if not pts_b:
+        with pytest.raises(ValueError, match="empty corpus"):
+            refit_codebook(embs_b, old, iters=iters).collect()
+        return
+    want = _model_lloyd(pts_b, {c: list(v) for c, v in old_model.items()}, iters)
+    got = {
+        r["cent_id"]: (list(r["cent"]), r["cent_norm"])
+        for r in refit_codebook(embs_b, old, iters=iters).collect()
+    }
+    assert set(got) == set(want)
+    for cid, cent in want.items():
+        gc, gn = got[cid]
+        assert gc == pytest.approx(cent, rel=1e-12, abs=1e-12), cid
+        assert gn == pytest.approx(
+            _math.sqrt(sum(x * x for x in cent)), rel=1e-12
+        )
+
+
+def test_refit_roundtrip_and_reindex(spark, tmp_path):
+    """The refresh lifecycle end-to-end: persist the old book, read it
+    back, refit on a drifted corpus (parquet round-trip must be
+    refit-equivalent to the in-memory book), rebuild the semantic index
+    against the refreshed book, and verify cent_id continuity (same id
+    set as the old book) plus a drift improvement on a cleanly shifted
+    corpus (refreshed quantization error <= stale book's error)."""
+    from mapreduce_framework_spark.pipeline.codebook import (
+        quantization_error,
+        refit_codebook,
+    )
+    from mapreduce_framework_spark.pipeline.semantic_dedup import semantic_index
+
+    old_corpus = _clustered(spark)
+    old = fit_codebook(old_corpus, k=3, iters=4).localCheckpoint(eager=True)
+    path = str(tmp_path / "codebook_v1")
+    old.write.parquet(path)
+    back = spark.read.parquet(path)
+
+    # drifted corpus: every cluster center shifted by a constant offset
+    drifted = old_corpus.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x + F.lit(0.6)).alias("embedding"),
+        "label",
+    ).localCheckpoint(eager=True)
+
+    direct = {
+        r["cent_id"]: list(r["cent"])
+        for r in refit_codebook(drifted, old, iters=4).collect()
+    }
+    via_parquet = {
+        r["cent_id"]: list(r["cent"])
+        for r in refit_codebook(drifted, back, iters=4).collect()
+    }
+    assert direct.keys() == via_parquet.keys()
+    for cid in direct:
+        assert direct[cid] == pytest.approx(via_parquet[cid], rel=1e-12), cid
+    assert set(direct) == {r["cent_id"] for r in old.collect()}  # id continuity
+
+    refreshed = refit_codebook(drifted, old, iters=4).localCheckpoint(eager=True)
+    assert quantization_error(drifted, refreshed) <= quantization_error(
+        drifted, old
+    ) + 1e-12
+    # the re-index path: the refreshed book drives a fresh cell index
+    # (SEM_PROBES rows per vector — every vector of the drifted corpus
+    # must appear)
+    idx = semantic_index(drifted, refreshed)
+    assert idx.select("vec_id").distinct().count() == drifted.count()
+
+
+def test_refit_dimension_mismatch_raises(spark):
+    from mapreduce_framework_spark.pipeline.codebook import refit_codebook
+
+    old = spark.createDataFrame([Row(cent_id=0, cent=[1.0, 0.0])])
+    embs = spark.createDataFrame([Row(vec_id=0, embedding=[1.0, 0.0, 0.0], label=0)])
+    with pytest.raises(ValueError, match="dimensionality"):
+        refit_codebook(embs, old).collect()
