@@ -112,62 +112,11 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # WINDOW_HISTORY below — that no registered query goes more than one
 # round without a driver window slot.
 CURATED_ORDER = [
-    # --- round-6 window: the r5 behind-window half, verbatim (the
-    # enforced rotation — every name here last had a driver row in r4,
-    # so max staleness stays one round; no new registrations this round,
-    # registry at capacity) ---
-    "q94_streaming_session_replay",
-    "q95_incremental_ingest_dedup",
-    "q96_incremental_rollup_replay",
-    "q97_session_funnel",
-    "q98_cohort_retention",
-    "q99_session_transitions",
-    "q100_token_chunking",
-    "q82_streaming_tumbling_replay",
-    "q93_embedding_quantize",
-    "q58_range_join_binned",
-    "q12_join_revenue_per_nation",
-    "q74_hll_error_bound",
-    "q61_correlated_subqueries",
-    "q40_lang_id",
-    "q35_ann_lsh",
-    "q37_multimodal_features",
-    "q56_ann_ivf",
-    "q78_stratified_hash_sample",
-    "q13_broadcast_join",
-    "q15_tpch_q1_shape",
-    "q17_rollup",
-    "q19_window_running_sum",
-    "q22_scalar_battery",
-    "q45_cube",
-    "q46_sql_frontend_join",
-    "q48_salted_skew_agg",
-    "q51_pivot",
-    "q53_null_handling",
-    "q64_summary_stats",
-    "q66_json_functions",
-    "q68_merge_upsert",
-    "q29_approx_count_distinct",
-    "q69_approx_percentiles",
-    "q27_session_window",
-    "q65_hierarchical_rollup",
-    "q54_percentiles",
-    "q59_string_battery",
-    "q60_grouping_sets",
-    "q63_posexplode",
-    "q67_multiset_ops",
-    "q70_grouped_agg_pandas_udf",
-    "q71_dedup_corpus_output",
-    "q34_ann_bruteforce",
-    "q41_quality_score",
-    "q42_token_stats",
-    "q43_fingerprint",
-    "q76_multimodal_frame_sample",
-    "q77_multimodal_resize",
-    "q79_sequence_packing",
-    "q80_contamination_check",
-    # --- behind the window this round (driver rows from r5; still swept
-    # by the local pytest oracle suite every run) ---
+    # --- round-7 window: the r6 behind-window half, verbatim (the
+    # enforced rotation — every name here last had a driver row in r5,
+    # so max staleness stays one round; the round-7 changed query q81
+    # falls in this half naturally; no new registrations, registry at
+    # capacity) ---
     "q101_span_dedup",
     "q102_semantic_dedup",
     "q89_denylist_scrub",
@@ -218,6 +167,58 @@ CURATED_ORDER = [
     "q57_asof_join",
     "q73_simhash_banded_neardup",
     "q81_training_corpus",
+    # --- behind the window (driver rows recorded in round 6; swept by
+    # the local oracle suite every run) ---
+    "q94_streaming_session_replay",
+    "q95_incremental_ingest_dedup",
+    "q96_incremental_rollup_replay",
+    "q97_session_funnel",
+    "q98_cohort_retention",
+    "q99_session_transitions",
+    "q100_token_chunking",
+    "q82_streaming_tumbling_replay",
+    "q93_embedding_quantize",
+    "q58_range_join_binned",
+    "q12_join_revenue_per_nation",
+    "q74_hll_error_bound",
+    "q61_correlated_subqueries",
+    "q40_lang_id",
+    "q35_ann_lsh",
+    "q37_multimodal_features",
+    "q56_ann_ivf",
+    "q78_stratified_hash_sample",
+    "q13_broadcast_join",
+    "q15_tpch_q1_shape",
+    "q17_rollup",
+    "q19_window_running_sum",
+    "q22_scalar_battery",
+    "q45_cube",
+    "q46_sql_frontend_join",
+    "q48_salted_skew_agg",
+    "q51_pivot",
+    "q53_null_handling",
+    "q64_summary_stats",
+    "q66_json_functions",
+    "q68_merge_upsert",
+    "q29_approx_count_distinct",
+    "q69_approx_percentiles",
+    "q27_session_window",
+    "q65_hierarchical_rollup",
+    "q54_percentiles",
+    "q59_string_battery",
+    "q60_grouping_sets",
+    "q63_posexplode",
+    "q67_multiset_ops",
+    "q70_grouped_agg_pandas_udf",
+    "q71_dedup_corpus_output",
+    "q34_ann_bruteforce",
+    "q41_quality_score",
+    "q42_token_stats",
+    "q43_fingerprint",
+    "q76_multimodal_frame_sample",
+    "q77_multimodal_resize",
+    "q79_sequence_packing",
+    "q80_contamination_check",
 ]
 
 
@@ -236,7 +237,7 @@ DRIVER_WINDOW = 50
 # records the window actually exposed in each past round (= the keys of
 # CORRECTNESS_r{N}.json, verbatim). Each new round: append the previous
 # round's first-DRIVER_WINDOW names here, bump CURRENT_ROUND, re-curate.
-CURRENT_ROUND = 6
+CURRENT_ROUND = 7
 
 WINDOW_HISTORY: dict[int, tuple[str, ...]] = {
     1: (
@@ -498,6 +499,58 @@ WINDOW_HISTORY: dict[int, tuple[str, ...]] = {
         "q57_asof_join",
         "q73_simhash_banded_neardup",
         "q81_training_corpus",
+    ),
+    6: (
+        "q94_streaming_session_replay",
+        "q95_incremental_ingest_dedup",
+        "q96_incremental_rollup_replay",
+        "q97_session_funnel",
+        "q98_cohort_retention",
+        "q99_session_transitions",
+        "q100_token_chunking",
+        "q82_streaming_tumbling_replay",
+        "q93_embedding_quantize",
+        "q58_range_join_binned",
+        "q12_join_revenue_per_nation",
+        "q74_hll_error_bound",
+        "q61_correlated_subqueries",
+        "q40_lang_id",
+        "q35_ann_lsh",
+        "q37_multimodal_features",
+        "q56_ann_ivf",
+        "q78_stratified_hash_sample",
+        "q13_broadcast_join",
+        "q15_tpch_q1_shape",
+        "q17_rollup",
+        "q19_window_running_sum",
+        "q22_scalar_battery",
+        "q45_cube",
+        "q46_sql_frontend_join",
+        "q48_salted_skew_agg",
+        "q51_pivot",
+        "q53_null_handling",
+        "q64_summary_stats",
+        "q66_json_functions",
+        "q68_merge_upsert",
+        "q29_approx_count_distinct",
+        "q69_approx_percentiles",
+        "q27_session_window",
+        "q65_hierarchical_rollup",
+        "q54_percentiles",
+        "q59_string_battery",
+        "q60_grouping_sets",
+        "q63_posexplode",
+        "q67_multiset_ops",
+        "q70_grouped_agg_pandas_udf",
+        "q71_dedup_corpus_output",
+        "q34_ann_bruteforce",
+        "q41_quality_score",
+        "q42_token_stats",
+        "q43_fingerprint",
+        "q76_multimodal_frame_sample",
+        "q77_multimodal_resize",
+        "q79_sequence_packing",
+        "q80_contamination_check",
     ),
 }
 

@@ -94,3 +94,62 @@ def test_window_has_exactly_driver_window_slots_used_meaningfully():
     assert len(window) == DRIVER_WINDOW
     assert len(set(window)) == DRIVER_WINDOW
     assert len(CURATED_ORDER) == len(set(CURATED_ORDER))
+
+
+def test_retirement_dry_run_swap_preserves_invariants():
+    """VERDICT r6 item 7: execute the documented retirement mechanics
+    (registry.py policy item 4) as a SIMULATION against the top-ranked
+    dry-run entry, so a future real swap is one commit with known-good
+    invariants.
+
+    Timing constraint the simulation encodes: a name is retire-eligible
+    while its slot is IN the driver window (the retiree is removed, so
+    its own staleness is moot; the newcomer takes exactly that window
+    slot, so nothing is displaced). Retiring a behind-window name
+    instead would push the window's tail query behind without a driver
+    row, breaking the one-round staleness gate — both directions are
+    asserted."""
+    from mapreduce_framework_spark.registry import REGISTRY
+
+    all_queries()  # side-effect: operator modules register their builders
+    target = "q55_simhash_neardup"  # top of the dry-run ranking
+    assert target in REGISTRY and target in CURATED_ORDER
+    assert target in CURATED_ORDER[:DRIVER_WINDOW], (
+        "dry-run premise: the target holds a window slot this round "
+        "(if this fails, the swap must wait for the round it rotates in)"
+    )
+    newcomer = "q103_simulated_newcomer"
+
+    # the swap: newcomer takes the retiree's window slot, name retired
+    sim_order = list(CURATED_ORDER)
+    sim_order[sim_order.index(target)] = newcomer
+    sim_retired = RETIRED + (target,)
+
+    # every invariant the live gates enforce, on the simulated state
+    assert len(sim_order) == MAX_REGISTERED
+    assert len(set(sim_order)) == len(sim_order)
+    assert newcomer in sim_order[:DRIVER_WINDOW]  # new-this-round rule
+    assert target not in sim_order and target in sim_retired
+    window = set(sim_order[:DRIVER_WINDOW])
+    prev = set(WINDOW_HISTORY[CURRENT_ROUND - 1])
+    stale = [
+        n for n in sim_order if n not in window and n not in prev and n != newcomer
+    ]
+    assert not stale, stale
+    # the retiree's builder + oracle stay in the repo for the local sweep
+    assert REGISTRY[target].builder is not None
+    assert REGISTRY[target].oracle is not None
+
+    # and the WRONG-timing swap (retiring while behind-window) is shown
+    # to break staleness — the constraint the policy comment documents
+    bad_order = [n for n in CURATED_ORDER if n != target]
+    bad_order.insert(0, newcomer)  # displaces the window tail behind
+    bad_window = set(bad_order[:DRIVER_WINDOW])
+    bad_prev = set(WINDOW_HISTORY[CURRENT_ROUND - 1])
+    bad_stale = [
+        n
+        for n in bad_order
+        if n not in bad_window and n not in bad_prev and n != newcomer
+    ]
+    if target not in set(CURATED_ORDER[:DRIVER_WINDOW]):
+        assert bad_stale, "behind-window retirement should break staleness"
