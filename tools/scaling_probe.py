@@ -427,6 +427,160 @@ def probe_span_skew(spark, base, factor=20) -> None:
         )
 
 
+def probe_bpe(spark, base, factors=(1, 4, 10)) -> None:
+    """Round-7 series: the Python-boundary cost of the REAL-tokenizer
+    seam. token_stats with a trained BpeTokenizer (Arrow-batched pandas
+    UDF riding executor closures) vs the pure-JVM regex default, at
+    amplified corpus sizes. The number to watch is tokens/s of the UDF
+    path staying flat as rows grow (linear wall), and the plan staying
+    ArrowEvalPython — BatchEvalPython (row-at-a-time pickling) anywhere
+    is a hard failure."""
+    from mapreduce_framework_spark.functions.tokenizers import train_bpe
+    from mapreduce_framework_spark.pipeline.text_analysis import token_stats
+
+    sample = [r["text"] for r in base.limit(200).collect() if r["text"]]
+    tok = train_bpe(sample, n_merges=200)
+    print("| docs | JVM regex wall | BPE UDF wall | BPE tokens | BPE tokens/s |")
+    print("|---|---|---|---|---|")
+    for f in factors:
+        docs = amplify(base, f).localCheckpoint(eager=True)
+        n = docs.count()
+        t_jvm, _ = timed(token_stats(docs))
+        bpe = token_stats(docs, tokenizer=tok)
+        plan = bpe._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, "row-at-a-time Python in the plan"
+        t0 = time.perf_counter()
+        n_toks = bpe.agg(F.sum("real_tokens")).collect()[0][0]
+        t_bpe = round(time.perf_counter() - t0, 2)
+        print(
+            f"| {n} | {t_jvm} s | {t_bpe} s | {n_toks} | "
+            f"{int(n_toks / t_bpe)} |"
+        )
+
+
+def probe_refit(spark, sf_dir) -> None:
+    """Round-7 series: codebook refresh on a drifted corpus. Fit K=64 on
+    the sf embeddings, drift the corpus (every vector shifted by a
+    constant offset — a clean distribution shift), then compare three
+    books against the DRIFTED corpus: the stale original, the
+    warm-started refit (refit_codebook, 4 iters), and a cold re-fit
+    (fit_codebook from scratch, 8 iters). Reported per book:
+    quantization error, fit wall, and MATCH-DECISION CHURN — the size of
+    the symmetric difference between semantic_dedup drop lists under the
+    stale vs refreshed book (the number that tells an operator how many
+    admission decisions a refresh flips)."""
+    from mapreduce_framework_spark.pipeline.codebook import (
+        fit_codebook,
+        quantization_error,
+        refit_codebook,
+    )
+    from mapreduce_framework_spark.pipeline.semantic_dedup import semantic_dedup
+
+    embs = table(spark, "embeddings", sf_dir).localCheckpoint(eager=True)
+    n = embs.count()
+    t0 = time.perf_counter()
+    old = fit_codebook(embs, k=64, iters=4).localCheckpoint(eager=True)
+    t_fit0 = round(time.perf_counter() - t0, 2)
+    # drift: shift the first 4 dimensions only — a real distribution move
+    # without collapsing the corpus toward one direction (a uniform
+    # all-dims shift makes every pair cosine-similar and the decision
+    # series degenerate)
+    drifted = embs.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x, i: x + F.when(i < 4, F.lit(0.8)).otherwise(F.lit(0.0))
+        ).alias("embedding"),
+        "label",
+    ).localCheckpoint(eager=True)
+
+    t0 = time.perf_counter()
+    refreshed = refit_codebook(drifted, old, iters=4).localCheckpoint(eager=True)
+    t_refit = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    cold = fit_codebook(drifted, k=64, iters=8).localCheckpoint(eager=True)
+    t_cold = round(time.perf_counter() - t0, 2)
+
+    qe = {
+        "stale": round(quantization_error(drifted, old), 5),
+        "refit(4 it)": round(quantization_error(drifted, refreshed), 5),
+        "cold(8 it)": round(quantization_error(drifted, cold), 5),
+    }
+    drops = {}
+    for tag, book in (("stale", old), ("refit", refreshed)):
+        drops[tag] = {
+            r["vec_id"] for r in semantic_dedup(drifted, centroids=book).collect()
+        }
+    churn = len(drops["stale"] ^ drops["refit"])
+    print(f"corpus: {n} vectors, K=64; original fit {t_fit0} s")
+    print("| book | fit wall | quantization error on drifted corpus |")
+    print("|---|---|---|")
+    print(f"| stale (pre-drift) | — | {qe['stale']} |")
+    print(f"| refit warm-start (4 iters) | {t_refit} s | {qe['refit(4 it)']} |")
+    print(f"| cold re-fit (8 iters) | {t_cold} s | {qe['cold(8 it)']} |")
+    print(
+        f"match-decision churn stale→refit: {churn} flipped drop decisions "
+        f"({len(drops['stale'])} stale drops, {len(drops['refit'])} refit drops)"
+    )
+
+
+def probe_ingest_compaction(spark, base, n_batches=64, compact_every=16) -> None:
+    """Round-7 series: the ingest index-maintenance cost at many
+    micro-batches, compacted-manifest lifecycle vs unmanaged delta pile.
+    A FIXED small batch is admitted ``n_batches`` times (ids shifted so
+    nothing matches — every delta lands); measured per run:
+
+    - mean sink wall over the LAST 8 batches (steady state: contains the
+      index open, the match join, and the delta+manifest commit);
+    - the final index open+count wall and the dir/file counts the next
+      batch would pay to read.
+
+    The unmanaged pile pays O(batches) dirs × O(shuffle partitions) files
+    per read; the manifest+compaction run reads 1 compacted dir + a
+    ≤``compact_every`` tail. At 1e5 batches only the second shape
+    survives."""
+    import shutil
+    import tempfile
+
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.streaming.ingest import (
+        _index_so_far,
+        make_ingest_batch_fn,
+    )
+
+    batch0 = base.orderBy("doc_id").limit(50).localCheckpoint(eager=True)
+    print(f"| lifecycle | batches | last-8 sink wall/batch | final index read | dirs | files |")
+    print("|---|---|---|---|---|---|")
+    for tag, ce in (("unmanaged (no compaction)", None), (f"manifest, compact_every={compact_every}", compact_every)):
+        root = tempfile.mkdtemp(prefix="mfs_ingest_probe_")
+        try:
+            fn = make_ingest_batch_fn(
+                spark,
+                os.path.join(root, "index"),
+                os.path.join(root, "decisions"),
+                JACCARD_THRESHOLD,
+                compact_every=ce,
+            )
+            walls = []
+            for i in range(n_batches):
+                b = batch0.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"), "text"
+                )
+                t0 = time.perf_counter()
+                fn(b, i)
+                walls.append(time.perf_counter() - t0)
+            t_read, _ = timed(_index_so_far(spark, os.path.join(root, "index")))
+            idx_root = os.path.join(root, "index")
+            dirs = [d for d in os.listdir(idx_root) if os.path.isdir(os.path.join(idx_root, d))]
+            files = sum(
+                len([f for f in os.listdir(os.path.join(idx_root, d)) if f.endswith(".parquet")])
+                for d in dirs
+            )
+            last8 = round(sum(walls[-8:]) / 8, 2)
+            print(f"| {tag} | {n_batches} | {last8} s | {t_read} s | {len(dirs)} | {files} |")
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def _amplified_embeddings(base, factor: int):
     span = 10_000_000
     parts = [
@@ -620,6 +774,15 @@ def main() -> None:
         return
     if "--decon" in sys.argv:  # round-6 span-decontamination series
         probe_decon(spark, base)
+        return
+    if "--ingest-compaction" in sys.argv:  # round-7 manifest/compaction series
+        probe_ingest_compaction(spark, base)
+        return
+    if "--refit" in sys.argv:  # round-7 codebook-refresh drift series
+        probe_refit(spark, sf_dir)
+        return
+    if "--bpe" in sys.argv:  # round-7 tokenizer Python-boundary series
+        probe_bpe(spark, base)
         return
     if "--multimodal" in sys.argv:  # round-5 mapInPandas throughput series
         probe_multimodal(spark, sf_dir)
