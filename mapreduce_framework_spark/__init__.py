@@ -94,6 +94,8 @@ def __getattr__(name):
         # streaming
         "streaming_exact_dedup": "mapreduce_framework_spark.streaming.dedup",
         "streaming_dedup_within_watermark": "mapreduce_framework_spark.streaming.dedup",
+        "exact_fingerprint_index": "mapreduce_framework_spark.pipeline.dedup",
+        "exact_match_batch": "mapreduce_framework_spark.pipeline.dedup",
         "run_ingest_stream": "mapreduce_framework_spark.streaming.ingest",
         "run_semantic_ingest_stream": "mapreduce_framework_spark.streaming.ingest",
     }

@@ -953,6 +953,50 @@ def cross_snapshot_matches(
     )
 
 
+# --- exact admission tier (round 7) ------------------------------------------
+# The cheapest first stage of a tiered cross-snapshot dedup: reject batch
+# docs whose BYTE-IDENTICAL content is already in the corpus before any
+# shingling/MinHash work runs. Real pretraining pipelines run exactly this
+# cascade (exact → near-dup → semantic), each tier only seeing the previous
+# tier's survivors; the exact tier typically removes the bulk of crawl
+# re-fetches at a fingerprint-join's cost. Completes the incremental
+# lifecycle set: every dedup family (exact here, MinHash/char above,
+# semantic in semantic_dedup.py) now has a persisted artifact + O(batch)
+# matcher.
+
+
+def exact_fingerprint_index(index_docs: DataFrame) -> DataFrame:
+    """The persistable per-snapshot artifact of the EXACT tier: (doc_id,
+    fp) with fp = md5 of the raw text — one narrow row per corpus doc,
+    the q33/q43 content-hash convention applied to the q91 artifact
+    cadence. NULL text fingerprints as the empty string (the family's
+    NULL-behaves-as-empty-doc policy, stated here and in the oracle of
+    its differential test), so two NULL docs are exact duplicates."""
+    return index_docs.select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp")
+    )
+
+
+def exact_match_batch(index_fps: DataFrame, new_docs: DataFrame) -> DataFrame:
+    """Exact-content matches (id1 = index doc, id2 = new doc) of a new
+    batch against a precomputed ``exact_fingerprint_index`` (read back
+    from parquet): one fingerprint equi-join, column-pruned to (doc_id,
+    fp) on the index side. Only the batch is hashed here — per-batch
+    cost is O(batch), the same contract as match_batch /
+    semantic_match_batch. Ties (several index docs sharing the batch
+    doc's content) all surface; the admission decision picks min id1,
+    mirroring the other tiers' best-match rule."""
+    b = new_docs.select(
+        F.col("doc_id").alias("id2"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
+    )
+    return (
+        index_fps.select(F.col("doc_id").alias("id1"), "fp")
+        .join(b, "fp")
+        .select("id1", "id2")
+    )
+
+
 # Snapshot split rule shared by the Spark builder and the oracle: docs with
 # doc_id >= (max(doc_id)+1) div 2 form the "new crawl"; the lower half is
 # the existing index. Data-derived so the split scales with SF.

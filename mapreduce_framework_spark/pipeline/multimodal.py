@@ -555,13 +555,25 @@ def _decode_wav(payload: bytes, io, struct, wave) -> dict:
 
 def _riff_chunks(buf: bytes, start: int, end: int):
     """Iterate (fourcc, payload_start, payload_size) RIFF sub-chunks of
-    buf[start:end]; chunks are word-aligned (odd sizes padded)."""
+    buf[start:end]; chunks are word-aligned (odd sizes padded).
+
+    STRICT on declared sizes (round-7 sweep of the PNG/GIF/BMP
+    out-of-range pattern): a chunk whose declared payload runs past the
+    buffer raises ValueError instead of letting Python slice semantics
+    silently CLAMP it — the silent form surfaced as short WAV data (wrong
+    n_frames/pcm) or short AVI frames, exactly the truncation the corrupt
+    taxonomy exists to catch."""
     import struct
 
     pos = start
     while pos + 8 <= end:
         fourcc = buf[pos : pos + 4]
         (size,) = struct.unpack_from("<I", buf, pos + 4)
+        if pos + 8 + size > end:
+            raise ValueError(
+                f"RIFF chunk {fourcc!r} declares {size} payload bytes but "
+                f"only {end - pos - 8} remain — truncated payload"
+            )
         yield fourcc, pos + 8, size
         pos += 8 + size + (size & 1)
 

@@ -1404,3 +1404,193 @@ def test_char_shingler_lifecycle_matches_union_form(spark, sf_dir, tmp_path):
         if r["id1"] < cut and (r["id2"] >= cut or r["id2"] >= 1_000_000)
     )
     assert got == union_pairs
+
+
+def test_riff_declared_size_overflow_is_corrupt():
+    """Round-7 sweep of the PNG/GIF/BMP out-of-range pattern across the
+    RIFF family: a chunk whose DECLARED size runs past the payload must
+    raise the corrupt-ValueError — Python slice clamping previously let a
+    truncated WAV data chunk decode silently short (wrong n_frames/pcm),
+    and a truncated AVI frame list parse as fewer frames."""
+    import struct
+
+    import pytest as _pytest
+
+    from mapreduce_framework_spark.pipeline.multimodal import (
+        decode_audio,
+        sample_video_frames,
+    )
+
+    # WAV: fmt says 8 one-byte frames, data chunk declares 8 but carries 3
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", 8) + b"\x01\x02\x03"  # truncated
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    with _pytest.raises(ValueError, match="truncated|corrupt WAV"):
+        decode_audio(wav)
+
+    # AVI: a frame chunk declaring 64 bytes with 4 present
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(list_type, body):
+        return chunk(b"LIST", list_type + body)
+
+    strf = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 0, 0, 0, 0)
+    strh = b"vids" + b"DIB " + b"\x00" * 48
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", b"\x00" * 56)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"00db" + struct.pack("<I", 64) + b"\x00" * 4)
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    with _pytest.raises(ValueError, match="truncated|corrupt AVI"):
+        sample_video_frames(avi, every_n=1)
+
+
+# --- exact admission tier (round 7) ------------------------------------------
+
+
+def test_exact_tier_matches_duckdb_oracle(spark, sf_dir):
+    """exact_fingerprint_index + exact_match_batch against the md5-join
+    SQL model on the standard q91 snapshot split (lower half = index,
+    upper half = new crawl), with the NULL-behaves-as-empty policy in
+    BOTH engines."""
+    import os as _os
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.dedup import (
+        exact_fingerprint_index,
+        exact_match_batch,
+    )
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    cut = docs.agg(((F.max("doc_id") + 1) / 2).cast("long")).collect()[0][0]
+    idx_docs = docs.where(F.col("doc_id") < cut)
+    # new crawl = upper half + planted EXACT re-fetches of every 50th
+    # index doc (the corpus's planted pairs are near-dups, not
+    # byte-identical — the exact tier needs true re-fetches to bite)
+    batch = docs.where(F.col("doc_id") >= cut).unionAll(
+        idx_docs.where(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    got = sorted(
+        (r["id1"], r["id2"])
+        for r in exact_match_batch(exact_fingerprint_index(idx_docs), batch).collect()
+    )
+
+    con = duckdb.connect()
+    path = _os.path.join(sf_dir, "documents.parquet")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    want = sorted(
+        (r[0], r[1])
+        for r in con.execute(
+            """
+            WITH cut AS (SELECT (max(doc_id) + 1) // 2 AS c FROM documents),
+            i AS (SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents
+                  WHERE doc_id < (SELECT c FROM cut)),
+            b AS (
+              SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents
+              WHERE doc_id >= (SELECT c FROM cut)
+              UNION ALL
+              SELECT doc_id + 1000000, md5(coalesce(text, '')) FROM documents
+              WHERE doc_id < (SELECT c FROM cut) AND doc_id % 50 = 0
+            )
+            SELECT i.doc_id AS id1, b.doc_id AS id2 FROM i JOIN b USING (fp)
+            ORDER BY id1, id2
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_exact_tier_null_policy_and_roundtrip(spark, tmp_path):
+    """NULL text fingerprints as '' (two NULL docs are exact dups); the
+    parquet round-trip of the artifact is match-equivalent."""
+    from pyspark.sql import Row
+
+    from mapreduce_framework_spark.pipeline.dedup import (
+        exact_fingerprint_index,
+        exact_match_batch,
+    )
+
+    idx_docs = spark.createDataFrame(
+        [Row(doc_id=1, text=None), Row(doc_id=2, text="alpha beta")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=None),          # matches 1 (NULL == empty)
+            Row(doc_id=11, text=""),            # matches 1 too
+            Row(doc_id=12, text="alpha beta"),  # matches 2
+            Row(doc_id=13, text="alpha  beta"), # whitespace differs: no match
+        ],
+        "doc_id bigint, text string",
+    )
+    idx = exact_fingerprint_index(idx_docs)
+    path = str(tmp_path / "exact_fp_index")
+    idx.write.parquet(path)
+    back = spark.read.parquet(path)
+    direct = sorted(map(tuple, exact_match_batch(idx, batch).collect()))
+    via = sorted(map(tuple, exact_match_batch(back, batch).collect()))
+    assert direct == via == [(1, 10), (1, 11), (2, 12)]
+
+
+def test_tiered_cascade_decisions_equal_single_tier(spark, sf_dir):
+    """The exact→near-dup cascade (exact tier rejects byte-identical
+    copies, only survivors are shingled) must reach the same per-doc
+    admission decisions as running match_batch over the whole batch: an
+    exact copy has jaccard 1.0, so the near-dup tier would reject it
+    anyway — the cascade just pays a fingerprint join instead of
+    MinHash for those docs."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.dedup import (
+        JACCARD_THRESHOLD,
+        exact_fingerprint_index,
+        exact_match_batch,
+        index_signatures,
+        match_batch,
+    )
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    cut = docs.agg(((F.max("doc_id") + 1) / 2).cast("long")).collect()[0][0]
+    idx_docs = docs.where(F.col("doc_id") < cut).localCheckpoint(eager=True)
+    # plant exact re-fetches so the exact tier fires (see oracle test)
+    batch = (
+        docs.where(F.col("doc_id") >= cut)
+        .unionAll(
+            idx_docs.where(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    sigs = index_signatures(idx_docs).localCheckpoint(eager=True)
+    single = {
+        r["id2"] for r in match_batch(sigs, batch, JACCARD_THRESHOLD).collect()
+    }
+
+    exact_hits = exact_match_batch(exact_fingerprint_index(idx_docs), batch)
+    exact_rejected = {r["id2"] for r in exact_hits.collect()}
+    survivors = batch.join(
+        exact_hits.select(F.col("id2").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    near_rejected = {
+        r["id2"] for r in match_batch(sigs, survivors, JACCARD_THRESHOLD).collect()
+    }
+    assert exact_rejected <= single  # jaccard-1 copies are a subset
+    assert exact_rejected | near_rejected == single
+    assert len(exact_rejected) > 0  # the tier actually fired on planted copies

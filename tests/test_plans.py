@@ -371,6 +371,17 @@ def test_whole_registry_plan_audit(spark, sf_dir):
     assert offenders == {}, f"scale anti-patterns: {offenders}"
 
 
+def _exact_tier(docs):
+    from mapreduce_framework_spark.pipeline.dedup import (
+        exact_fingerprint_index,
+        exact_match_batch,
+    )
+
+    return exact_match_batch(
+        exact_fingerprint_index(docs).localCheckpoint(eager=True), docs
+    )
+
+
 def test_library_surface_plan_audit(spark, sf_dir, tmp_path):
     """The registry audit's twin for the round-6 LIBRARY-FIRST surfaces
     (no registry slot ⇒ the whole-registry audit never sees them): every
@@ -406,6 +417,10 @@ def test_library_surface_plan_audit(spark, sf_dir, tmp_path):
     char_idx = index_signatures(docs, char_shingles_of).localCheckpoint(eager=True)
     span_idx = span_index(docs).localCheckpoint(eager=True)
 
+    from mapreduce_framework_spark.pipeline.codebook import refit_codebook
+    from mapreduce_framework_spark.pipeline.sampling import training_corpus
+
+    docs_full = table(spark, "documents", sf_dir)
     surfaces = {
         "exact_substring_dedup": exact_substring_dedup(docs),
         "span_contamination": span_contamination(span_idx, docs),
@@ -414,6 +429,14 @@ def test_library_surface_plan_audit(spark, sf_dir, tmp_path):
             char_idx, docs, CHAR_JACCARD_THRESHOLD, char_shingles_of
         ),
         "semantic_match_batch": semantic_match_batch(sem_idx, embs.limit(50), cb),
+        # round-7 surfaces: the refreshed book (warm-start Lloyd output),
+        # the decontaminated 5-stage corpus composition, and the exact
+        # admission tier
+        "refit_codebook": refit_codebook(embs, cb, iters=1),
+        "training_corpus_decon": training_corpus(
+            docs_full, benchmark_index=span_idx
+        ),
+        "exact_match_batch": _exact_tier(docs),
     }
     offenders = {}
     for name, df in surfaces.items():

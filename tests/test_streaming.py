@@ -1246,14 +1246,21 @@ def test_ingest_redelivery_after_compaction(spark, sf_dir, tmp_path):
     from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
     from mapreduce_framework_spark.streaming.ingest import make_ingest_batch_fn
 
+    from mapreduce_framework_spark.storage import read_index_manifest
+
     batches = _split_docs(spark, sf_dir, 4)
     index_root = str(tmp_path / "index")
     dec_root = str(tmp_path / "decisions")
     fn = make_ingest_batch_fn(
         spark, index_root, dec_root, JACCARD_THRESHOLD, compact_every=2
     )
-    for i, b in enumerate(batches):
+    # batch 2 is the one whose sink run compacts (tail [0, 1] reaches
+    # compact_every); its crash-restart redelivery is the hazard case —
+    # the compacted artifact must not contain batch 2's own delta
+    for i, b in enumerate(batches[:3]):
         fn(b, i)
+    man = read_index_manifest(index_root)
+    assert man["compacted_through"] == 1 and [e[0] for e in man["deltas"]] == [2]
 
     def state():
         dec = {
@@ -1262,12 +1269,16 @@ def test_ingest_redelivery_after_compaction(spark, sf_dir, tmp_path):
             .parquet(dec_root)
             .collect()
         }
-        delta3 = spark.read.parquet(str(tmp_path / "index" / "delta_v3")).count()
-        return dec, delta3
+        delta2 = spark.read.parquet(str(tmp_path / "index" / "delta_v2")).count()
+        return dec, delta2
 
     before = state()
-    fn(batches[3], 3)  # redeliver the batch that triggered a compaction run
+    fn(batches[2], 2)  # redeliver the batch whose sink run compacted
     assert state() == before
+    # and the stream continues cleanly past the redelivered compaction
+    fn(batches[3], 3)
+    man = read_index_manifest(index_root)
+    assert [e[0] for e in man["deltas"]] == [2, 3]
 
 
 def test_manifest_gap_or_missing_dir_is_hard_error(spark, tmp_path):

@@ -138,6 +138,8 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
     from mapreduce_framework_spark.pipeline.dedup import (
         CHAR_JACCARD_THRESHOLD,
         char_shingles_of,
+        exact_fingerprint_index,
+        exact_match_batch,
         index_signatures,
         match_batch,
     )
@@ -146,6 +148,7 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
         semantic_match_batch,
     )
     from mapreduce_framework_spark.pipeline.similarity import _norms_spark
+    from mapreduce_framework_spark.pipeline.sampling import training_corpus
     from mapreduce_framework_spark.pipeline.span_dedup import (
         decontaminate,
         exact_substring_dedup,
@@ -153,7 +156,8 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
         span_index,
     )
 
-    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    docs_full = table(spark, "documents", sf_dir)
+    docs = docs_full.select("doc_id", "text")
     embs = table(spark, "embeddings", sf_dir)
 
     def _semantic_lifecycle():
@@ -168,6 +172,24 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
         cb = fit_codebook(embs, k=8, iters=1)
         idx = semantic_index(embs, cb)
         return semantic_match_batch(idx, embs.limit(50), cb).count()
+
+    def _refit_lifecycle():
+        from mapreduce_framework_spark.pipeline.codebook import refit_codebook
+
+        if not _norms_spark(embs).take(1):
+            # stated policy: both fit and refit refuse a cosine-empty corpus
+            seed = spark.createDataFrame(
+                [(0, [1.0, 0.0])], "cent_id BIGINT, cent ARRAY<DOUBLE>"
+            )
+            try:
+                refit_codebook(embs, seed, iters=1)
+            except ValueError as ex:
+                if "empty corpus" in str(ex):
+                    return 0
+                raise
+            raise AssertionError("refit_codebook must raise on empty corpus")
+        cb = fit_codebook(embs, k=8, iters=1)
+        return refit_codebook(embs, cb, iters=1).count()
 
     checks = [
         ("lib_exact_substring_dedup", lambda: exact_substring_dedup(docs).count()),
@@ -189,6 +211,20 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
             ).count(),
         ),
         ("lib_semantic_lifecycle", _semantic_lifecycle),
+        ("lib_refit_lifecycle", _refit_lifecycle),
+        (
+            "lib_exact_tier",
+            lambda: exact_match_batch(exact_fingerprint_index(docs), docs).count(),
+        ),
+        (
+            # round-7: the decontaminated 5-stage corpus composition —
+            # benchmark = the variant's own docs, so the trim stage bites
+            # (or cleanly no-ops on the empty/NULL variants)
+            "lib_training_corpus_decon",
+            lambda: training_corpus(
+                docs_full, benchmark_index=span_index(docs)
+            ).count(),
+        ),
     ]
     fails = []
     for name, fn in checks:
