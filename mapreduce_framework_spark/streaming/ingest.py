@@ -50,11 +50,11 @@ from mapreduce_framework_spark.storage import (
 )
 
 # Fold the delta tail into the compacted artifact once it reaches this many
-# dirs: steady-state per-batch index reads touch 1 compacted dir + <64
-# deltas instead of O(batches) dirs (at 1e5 micro-batches the unmanaged
-# layout's per-batch cost is dominated by listing + a 1e5-path parquet
-# read). 64 amortizes the O(index) rewrite to 1/64 of batches while keeping
-# the tail a single-digit share of a steady-state read.
+# dirs: steady-state per-batch index reads touch 1 compacted dir + a tail of
+# at most compact_every deltas instead of O(batches) dirs (at 1e5
+# micro-batches the unmanaged layout's per-batch cost is dominated by
+# listing + a 1e5-path parquet read). 64 amortizes the O(index) rewrite to
+# 1/64 of batches while keeping the tail read small.
 DEFAULT_COMPACT_EVERY = 64
 
 

@@ -155,8 +155,12 @@ def test_training_corpus_decontaminated_keeps_scale_shapes(spark, sf_dir):
     """The 5-stage decontaminated composition keeps every stage's scale
     shape: the benchmark probe stays a SEMI-join on the window hash (the
     index side never explodes into the corpus), the drop list stays a
-    broadcast anti-join, no cross joins, and the pack stays the only
-    per-source window beyond decontamination's span-merge lag."""
+    broadcast anti-join, no cross joins, and the per-source pack stays
+    the ONLY Window in the whole plan (decontaminate's trim is anti-join
+    + partial-agg reassembly, deliberately window-free — same as q81's
+    exactly-one-window pin)."""
+    import re
+
     from pyspark.sql import functions as F
 
     from mapreduce_framework_spark.catalog import table
@@ -171,6 +175,7 @@ def test_training_corpus_decontaminated_keeps_scale_shapes(spark, sf_dir):
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\) Window\b", plan)) == 1, plan
 
 
 def test_whole_stage_codegen_on_scan_paths(spark, sf_dir):
