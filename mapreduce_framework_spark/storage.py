@@ -117,32 +117,42 @@ def write_range_sorted(
 INDEX_MANIFEST = "_manifest.json"  # underscore: invisible to Spark file scans (like _SUCCESS)
 
 
+def read_json_atomic(path: str) -> dict | None:
+    """A JSON document published by :func:`write_json_atomic`, or None if
+    never written. A torn write cannot be observed: the writer publishes
+    via atomic rename, so the file is either absent or complete."""
+    if not os.path.isfile(path):
+        return None
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def write_json_atomic(path: str, obj: dict) -> None:
+    """Atomically publish ``obj`` as JSON (write temp sibling +
+    os.replace; on object storage the single-object PUT is the atomic
+    step)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
 def new_index_manifest() -> dict:
     return {"version": 1, "compacted_path": None, "compacted_through": -1, "deltas": []}
 
 
 def read_index_manifest(index_root: str) -> dict | None:
-    """The committed manifest, or None if the root has never been written.
-    A torn write cannot be observed: the writer publishes via atomic
-    rename, so the file is either absent or a complete JSON document."""
-    path = os.path.join(index_root, INDEX_MANIFEST)
-    if not os.path.isfile(path):
-        return None
-    with open(path, encoding="utf-8") as f:
-        man = json.load(f)
-    if man.get("version") != 1:
+    """The committed manifest, or None if the root has never been written."""
+    man = read_json_atomic(os.path.join(index_root, INDEX_MANIFEST))
+    if man is not None and man.get("version") != 1:
         raise ValueError(f"unsupported index manifest version: {man.get('version')!r}")
     return man
 
 
 def write_index_manifest(index_root: str, manifest: dict) -> None:
     """Atomically publish ``manifest`` (write temp sibling + os.replace)."""
-    os.makedirs(index_root, exist_ok=True)
-    path = os.path.join(index_root, INDEX_MANIFEST)
-    tmp = path + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, path)
+    write_json_atomic(os.path.join(index_root, INDEX_MANIFEST), manifest)
 
 
 def manifest_visible_paths(

@@ -10,14 +10,31 @@ then read-latest), which keeps each batch's write atomic-by-directory the
 same way the reference commits via temp-file + rename
 (src/mr/worker.go:68-75); a table format (Delta/Iceberg) would replace the
 versioned directories with a real MERGE INTO.
+
+Round 7: the root is addressed through a STATE MANIFEST (the ingest-index
+discipline of streaming/ingest.py applied to the latest-pointer shape):
+one atomic JSON commit per batch records the retained version numbers, so
+the read path never lists directories (object-storage-safe), and
+retention is bounded — only the last ``STATE_KEEP`` versions survive a
+commit, because the strictly-before redelivery rule only ever needs the
+version just below the in-flight batch. Without retention a 1e5-batch
+stream leaves 1e5 full-state snapshots on disk.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.storage import read_json_atomic, write_json_atomic
+
+STATE_MANIFEST = "_state_manifest.json"  # underscore: invisible to Spark scans
+# current version + the one a redelivered in-flight batch reads — the only
+# versions the protocol can ever need
+STATE_KEEP = 2
 
 
 def _latest_state(
@@ -28,7 +45,37 @@ def _latest_state(
     makes both merge sinks idempotent under foreachBatch's crash-restart
     redelivery: a failed attempt may already have written state_v{N}, and
     merging batch N on top of its own output would double-count it (pinned
-    by tests/test_streaming.py::test_merge_sinks_redelivery_idempotent)."""
+    by tests/test_streaming.py::test_merge_sinks_redelivery_idempotent).
+
+    Manifest-addressed (no directory listing; a root with state dirs but
+    no manifest is the pre-manifest legacy layout — POSIX listdir once,
+    adopted into a manifest at the next commit). Asking for a version
+    strictly below the whole retention window is a HARD ERROR, not an
+    empty state: it means the checkpoint and the state root belong to
+    different streams, and silently re-initializing would drop state."""
+    man = read_json_atomic(os.path.join(state_root, STATE_MANIFEST))
+    if man is not None:
+        versions = sorted(man["versions"])
+        eligible = (
+            versions
+            if before_batch is None
+            else [v for v in versions if v < before_batch]
+        )
+        if not eligible:
+            if versions and before_batch is not None:
+                raise ValueError(
+                    f"state root retains versions {versions} but batch "
+                    f"{before_batch} needs a version strictly below it — "
+                    "checkpoint and state root belong to different streams"
+                )
+            return None
+        path = os.path.join(state_root, f"state_v{eligible[-1]}")
+        if not os.path.isdir(path):
+            raise ValueError(
+                f"state manifest references missing dir {path} — refusing to "
+                "re-initialize state"
+            )
+        return spark.read.parquet(path)
     if not os.path.isdir(state_root):
         return None
     versions = sorted(
@@ -40,6 +87,29 @@ def _latest_state(
     if not versions:
         return None
     return spark.read.parquet(os.path.join(state_root, versions[-1]))
+
+
+def _commit_state_version(state_root: str, batch_id: int) -> None:
+    """Publish ``state_v{batch_id}`` to the manifest (atomic JSON commit;
+    adopts a pre-manifest legacy layout on first contact) and prune
+    versions that fell out of the ``STATE_KEEP`` retention window —
+    strictly AFTER the commit, so a crash anywhere leaves either the old
+    manifest with all its dirs or the new one with harmless orphans."""
+    man = read_json_atomic(os.path.join(state_root, STATE_MANIFEST))
+    if man is None:
+        existing = [
+            int(d.split("state_v")[1])
+            for d in os.listdir(state_root)
+            if d.startswith("state_v")
+        ]
+        man = {"version": 1, "versions": sorted(set(existing))}
+    keep = sorted(set(man["versions"]) | {batch_id})[-STATE_KEEP:]
+    write_json_atomic(
+        os.path.join(state_root, STATE_MANIFEST), {"version": 1, "versions": keep}
+    )
+    for d in os.listdir(state_root):
+        if d.startswith("state_v") and int(d.split("state_v")[1]) not in keep:
+            shutil.rmtree(os.path.join(state_root, d), ignore_errors=True)
 
 
 def make_kv_merge_batch_fn(spark: SparkSession, state_root: str):
@@ -75,6 +145,7 @@ def make_kv_merge_batch_fn(spark: SparkSession, state_root: str):
         )
         out = os.path.join(state_root, f"state_v{batch_id}")
         new_state.write.mode("overwrite").parquet(out)
+        _commit_state_version(state_root, batch_id)
 
     return apply_batch
 
@@ -110,6 +181,7 @@ def make_rollup_merge_batch_fn(spark: SparkSession, state_root: str):
         )
         out = os.path.join(state_root, f"state_v{batch_id}")
         merged.write.mode("overwrite").parquet(out)
+        _commit_state_version(state_root, batch_id)
 
     return apply_batch
 

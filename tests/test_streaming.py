@@ -1363,3 +1363,55 @@ def test_semantic_ingest_compaction_preserves_decisions(spark, tmp_path):
     assert compacted == plain
     man = read_index_manifest(str(tmp_path / "compact" / "index"))
     assert man["compacted_path"] is not None and len(man["deltas"]) <= 2
+
+
+def test_merge_sink_state_retention_and_manifest(spark, sf_dir, tmp_path):
+    """Round-7 state-manifest discipline on the merge sinks: N batches
+    leave exactly STATE_KEEP state dirs + the manifest (retention — the
+    strictly-before rule only ever needs the version just below the
+    in-flight batch), the final state still equals the all-at-once batch
+    aggregate, and a state root whose retained versions sit entirely at
+    or above the in-flight batch is a HARD error (mismatched checkpoint/
+    state roots), never a silent state re-initialization."""
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.storage import read_json_atomic
+    from mapreduce_framework_spark.streaming.foreach_batch import (
+        STATE_KEEP,
+        STATE_MANIFEST,
+        make_rollup_merge_batch_fn,
+        _latest_state,
+    )
+    from mapreduce_framework_spark.operators.streaming_replay import (
+        _hourly_rollup_batch_form,
+    )
+
+    ev = table(spark, "events", sf_dir)
+    root = str(tmp_path / "state")
+    fn = make_rollup_merge_batch_fn(spark, root)
+    for i in range(6):
+        fn(ev.where(F.col("event_id") % 6 == i), i)
+
+    man = read_json_atomic(os.path.join(root, STATE_MANIFEST))
+    assert man["versions"] == [4, 5]
+    dirs = sorted(d for d in os.listdir(root) if d.startswith("state_v"))
+    assert dirs == [f"state_v{v}" for v in man["versions"]]
+    assert len(dirs) == STATE_KEEP
+
+    final = {
+        (r["h"], r["event_type"]): (r["cnt"], float(r["val"]))
+        for r in _latest_state(spark, root).collect()
+    }
+    want = {
+        (r["h"], r["event_type"]): (r["cnt"], float(r["val"]))
+        for r in _hourly_rollup_batch_form(ev).collect()
+    }
+    assert final == want
+
+    # redelivery of the LAST batch still works after retention (reads v4)
+    fn(ev.where(F.col("event_id") % 6 == 5), 5)
+    assert man == read_json_atomic(os.path.join(root, STATE_MANIFEST))
+
+    # mismatched streams: in-flight batch below the whole retained window
+    with pytest.raises(ValueError, match="different streams"):
+        _latest_state(spark, root, before_batch=2)
+
