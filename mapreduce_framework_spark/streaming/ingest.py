@@ -31,6 +31,13 @@ appended to the index.
 
 The reference has no streaming surface (batch-only, hard map→reduce
 barrier, src/mr/coordinator.go:143-155); this is [EXT] (SURVEY §7 M5).
+
+Three admission sinks share the lifecycle: the single-tier MinHash sink
+(``make_ingest_batch_fn``), its semantic-embedding twin
+(``make_semantic_ingest_batch_fn``), and the TIERED CASCADE
+(``make_cascade_ingest_batch_fn``) that runs an exact md5-fingerprint
+tier in front of MinHash so crawl re-fetches are rejected at an
+equi-join's cost before any shingling runs.
 """
 
 from __future__ import annotations
@@ -348,4 +355,166 @@ def run_semantic_ingest_stream(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"semantic ingest stream did not finish in {timeout_s}s")
+    return spark.read.option("recursiveFileLookup", "true").parquet(decisions_root)
+
+
+def make_cascade_ingest_batch_fn(
+    spark: SparkSession,
+    fp_index_root: str,
+    sig_index_root: str,
+    decisions_root: str,
+    threshold: float,
+    shingler=None,
+    compact_every: int | None = DEFAULT_COMPACT_EVERY,
+):
+    """Tiered admission: the EXACT fingerprint tier runs in front of the
+    MinHash near-dup tier, each batch doc paying the cheapest test that
+    can reject it. Real pretraining ingest is exactly this cascade
+    (exact → near-dup → semantic): crawl re-fetches — typically the bulk
+    of rejects — fall to a narrow md5 equi-join
+    (pipeline/dedup.py:exact_match_batch) before any shingling/MinHash
+    work runs, and only the survivors are shingled. Both tiers keep
+    their own manifest-addressed delta index (fingerprints under
+    ``fp_index_root``, signatures under ``sig_index_root``), the same
+    strictly-before-batch_id visibility rule, and therefore the same
+    crash-restart redelivery idempotence as the single-tier sinks — a
+    crash BETWEEN the two delta publishes just redelivers the batch,
+    which overwrites both deltas (each manifest keys entries by
+    batch_id, so re-commits replace rather than duplicate).
+
+    Decisions add a ``tier`` column over the single-tier schema:
+    'exact' (jaccard reported as 1.0 — a byte-identical copy IS a
+    jaccard-1.0 pair), 'near_dup' (the verified estimate), or NULL for
+    admitted docs. ``matched_id`` is the smallest exact-matching index
+    id in the exact tier, else the near-dup best match (highest
+    jaccard, ties to the lowest index id).
+
+    Decision parity with the single-tier MinHash sink: identical
+    ``admitted`` sets for docs with at least SHINGLE_K tokens (pinned by
+    tests/test_streaming.py::test_cascade_ingest_decisions). Degenerate
+    docs diverge BY DESIGN: a shingle-free doc (< SHINGLE_K tokens,
+    incl. NULL/empty text — the family's NULL-behaves-as-empty policy)
+    is invisible to MinHash but byte-collapses in the exact tier, so
+    the cascade is strictly stricter there. ``matched_id`` may differ
+    from the single tier's when an exact copy ALSO jaccard-ties with a
+    lower-id non-identical index doc (the single tier picks the lowest
+    id among all 1.0 ties; the cascade never consults the near-dup tier
+    for exact-rejected docs)."""
+    from pyspark.sql.window import Window
+
+    from mapreduce_framework_spark.pipeline.dedup import (
+        exact_fingerprint_index,
+        exact_match_batch,
+        index_signatures,
+        match_batch,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)  # read the source once
+
+        fp_idx = _index_so_far(spark, fp_index_root, before_batch=batch_id)
+        if fp_idx is None:
+            exact_best = None
+            survivors = batch
+        else:
+            exact_best = (
+                exact_match_batch(fp_idx, batch)
+                .groupBy("id2")
+                .agg(F.min("id1").alias("ex_id"))
+                .select(F.col("id2").alias("doc_id"), "ex_id")
+                .localCheckpoint(eager=True)
+            )
+            survivors = batch.join(exact_best, "doc_id", "left_anti")
+
+        sig_idx = _index_so_far(spark, sig_index_root, before_batch=batch_id)
+        if sig_idx is None:
+            near_best = None
+            admitted = survivors
+        else:
+            w = Window.partitionBy("id2").orderBy(
+                F.col("jaccard").desc(), F.col("id1").asc()
+            )
+            near_best = (
+                match_batch(sig_idx, survivors, threshold, shingler)
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select(
+                    F.col("id2").alias("doc_id"),
+                    F.col("id1").alias("nd_id"),
+                    F.col("jaccard").alias("nd_jaccard"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            admitted = survivors.join(near_best, "doc_id", "left_anti")
+
+        decisions = batch.select("doc_id")
+        if exact_best is not None:
+            decisions = decisions.join(exact_best, "doc_id", "left")
+        else:
+            decisions = decisions.withColumn("ex_id", F.lit(None).cast("long"))
+        if near_best is not None:
+            decisions = decisions.join(near_best, "doc_id", "left")
+        else:
+            decisions = decisions.withColumn(
+                "nd_id", F.lit(None).cast("long")
+            ).withColumn("nd_jaccard", F.lit(None).cast("double"))
+        decisions = decisions.select(
+            "doc_id",
+            (F.col("ex_id").isNull() & F.col("nd_id").isNull()).alias("admitted"),
+            F.coalesce("ex_id", "nd_id", F.lit(-1)).cast("long").alias("matched_id"),
+            F.when(F.col("ex_id").isNotNull(), F.lit(1.0))
+            .otherwise(F.coalesce("nd_jaccard", F.lit(0.0)))
+            .alias("jaccard"),
+            F.when(F.col("ex_id").isNotNull(), F.lit("exact"))
+            .when(F.col("nd_id").isNotNull(), F.lit("near_dup"))
+            .alias("tier"),
+        )
+        decisions.write.mode("overwrite").parquet(
+            os.path.join(decisions_root, f"d_v{batch_id}")
+        )
+        _publish_delta(
+            spark, fp_index_root, batch_id, exact_fingerprint_index(admitted),
+            compact_every,
+        )
+        _publish_delta(
+            spark, sig_index_root, batch_id, index_signatures(admitted, shingler),
+            compact_every,
+        )
+
+    return apply_batch
+
+
+def run_cascade_ingest_stream(
+    docs_stream: DataFrame,
+    spark: SparkSession,
+    fp_index_root: str,
+    sig_index_root: str,
+    decisions_root: str,
+    checkpoint: str,
+    threshold: float,
+    timeout_s: int = 300,
+    shingler=None,
+    compact_every: int | None = DEFAULT_COMPACT_EVERY,
+) -> DataFrame:
+    """Drive the document stream through the tiered admission sink;
+    returns the union of all per-batch decision frames."""
+    q = (
+        docs_stream.writeStream.foreachBatch(
+            make_cascade_ingest_batch_fn(
+                spark,
+                fp_index_root,
+                sig_index_root,
+                decisions_root,
+                threshold,
+                shingler,
+                compact_every,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"cascade ingest stream did not finish in {timeout_s}s")
     return spark.read.option("recursiveFileLookup", "true").parquet(decisions_root)

@@ -1415,3 +1415,261 @@ def test_merge_sink_state_retention_and_manifest(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="different streams"):
         _latest_state(spark, root, before_batch=2)
 
+
+# --- tiered cascade admission (round 7) --------------------------------------
+
+
+def _cascade_batches(spark, sf_dir):
+    """b0 = lower-id half (the growing index's seed), b1 = upper half plus
+    planted byte-identical re-fetches of every 50th b0 doc under new ids.
+    Restricted to docs with >= SHINGLE_K tokens so the exact and near-dup
+    tiers agree on admission (degenerate docs diverge by design — see
+    test_cascade_degenerate_docs_are_exact_tier_only)."""
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.dedup import SHINGLE_K
+
+    docs = (
+        table(spark, "documents", sf_dir)
+        .select("doc_id", "text")
+        .where(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= SHINGLE_K)
+    )
+    cut = docs.agg(((F.max("doc_id") + 1) / 2).cast("long")).collect()[0][0]
+    b0 = docs.where(F.col("doc_id") < cut).localCheckpoint(eager=True)
+    b1 = (
+        docs.where(F.col("doc_id") >= cut)
+        .unionAll(
+            b0.where(F.col("doc_id") % 50 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    return b0, b1
+
+
+def _decisions(spark, root):
+    return {
+        r["doc_id"]: r
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(root)
+        .collect()
+    }
+
+
+def test_cascade_ingest_decisions(spark, sf_dir, tmp_path):
+    """The tiered sink's admitted set equals the single-tier MinHash
+    sink's on shingle-bearing docs; planted byte-identical re-fetches are
+    rejected by the EXACT tier (tier='exact', jaccard reported 1.0,
+    matched_id = the copied index doc); near-dup rejects carry the
+    verified jaccard and agree with the single tier wherever the single
+    tier's best match is below 1.0 (1.0 ties may legitimately resolve to
+    a different id — docstring of make_cascade_ingest_batch_fn)."""
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.streaming.ingest import (
+        make_cascade_ingest_batch_fn,
+        make_ingest_batch_fn,
+    )
+
+    b0, b1 = _cascade_batches(spark, sf_dir)
+
+    cfn = make_cascade_ingest_batch_fn(
+        spark,
+        str(tmp_path / "fp_idx"),
+        str(tmp_path / "sig_idx"),
+        str(tmp_path / "c_dec"),
+        JACCARD_THRESHOLD,
+    )
+    sfn = make_ingest_batch_fn(
+        spark, str(tmp_path / "s_idx"), str(tmp_path / "s_dec"), JACCARD_THRESHOLD
+    )
+    for i, b in enumerate([b0, b1]):
+        cfn(b, i)
+        sfn(b, i)
+
+    casc = _decisions(spark, str(tmp_path / "c_dec"))
+    single = _decisions(spark, str(tmp_path / "s_dec"))
+    assert set(casc) == set(single)
+    assert {d for d, r in casc.items() if r["admitted"]} == {
+        d for d, r in single.items() if r["admitted"]
+    }
+
+    planted = [d for d in casc if d >= 1_000_000]
+    assert planted
+    for d in planted:
+        r = casc[d]
+        assert not r["admitted"] and r["tier"] == "exact"
+        assert r["matched_id"] == d - 1_000_000 and r["jaccard"] == 1.0
+
+    for d, r in casc.items():
+        if r["admitted"]:
+            assert r["tier"] is None and r["matched_id"] == -1
+        elif r["tier"] == "near_dup":
+            s = single[d]
+            assert not s["admitted"]
+            if s["jaccard"] < 1.0:
+                assert (r["matched_id"], r["jaccard"]) == (
+                    s["matched_id"],
+                    s["jaccard"],
+                )
+    assert any(r["tier"] == "near_dup" for r in casc.values())
+
+
+def test_cascade_degenerate_docs_are_exact_tier_only(spark, tmp_path):
+    """Shingle-free docs (< SHINGLE_K tokens, incl. NULL/empty — the
+    family's NULL-behaves-as-empty policy) are invisible to MinHash but
+    byte-collapse in the exact tier: the cascade rejects their copies
+    where the single-tier sink admits them — strictly stricter BY
+    DESIGN."""
+    from pyspark.sql import Row
+
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.streaming.ingest import (
+        make_cascade_ingest_batch_fn,
+        make_ingest_batch_fn,
+    )
+
+    b0 = spark.createDataFrame(
+        [Row(doc_id=1, text="a b"), Row(doc_id=2, text=None)],
+        "doc_id bigint, text string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="a b"),  # byte copy of 1
+            Row(doc_id=11, text=None),   # NULL == '' collapses with 2
+            Row(doc_id=12, text=""),     # '' == NULL collapses with 2
+            Row(doc_id=13, text="b a"),  # shingle-free AND not byte-equal
+        ],
+        "doc_id bigint, text string",
+    )
+    cfn = make_cascade_ingest_batch_fn(
+        spark,
+        str(tmp_path / "fp_idx"),
+        str(tmp_path / "sig_idx"),
+        str(tmp_path / "c_dec"),
+        JACCARD_THRESHOLD,
+    )
+    sfn = make_ingest_batch_fn(
+        spark, str(tmp_path / "s_idx"), str(tmp_path / "s_dec"), JACCARD_THRESHOLD
+    )
+    for i, b in enumerate([b0, b1]):
+        cfn(b, i)
+        sfn(b, i)
+
+    casc = _decisions(spark, str(tmp_path / "c_dec"))
+    single = _decisions(spark, str(tmp_path / "s_dec"))
+    assert all(single[d]["admitted"] for d in [10, 11, 12, 13])
+    assert [
+        (casc[d]["admitted"], casc[d]["tier"], casc[d]["matched_id"])
+        for d in [10, 11, 12, 13]
+    ] == [
+        (False, "exact", 1),
+        (False, "exact", 2),
+        (False, "exact", 2),
+        (True, None, -1),
+    ]
+
+
+def test_cascade_ingest_redelivery_is_idempotent(spark, sf_dir, tmp_path):
+    """Redelivery of the in-flight batch — including from a crash BETWEEN
+    the two delta publishes (fp committed, signatures not) — must leave
+    decisions and both deltas exactly as a clean run: both tiers read
+    strictly-before state, so the half-published attempt is invisible."""
+    import shutil as _shutil
+
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.storage import (
+        read_index_manifest,
+        write_index_manifest,
+    )
+    from mapreduce_framework_spark.streaming.ingest import (
+        make_cascade_ingest_batch_fn,
+    )
+
+    b0, b1 = _cascade_batches(spark, sf_dir)
+    fp_root = str(tmp_path / "fp_idx")
+    sig_root = str(tmp_path / "sig_idx")
+    fn = make_cascade_ingest_batch_fn(
+        spark, fp_root, sig_root, str(tmp_path / "dec"), JACCARD_THRESHOLD
+    )
+    fn(b0, 0)
+    fn(b1, 1)
+    once = {
+        (r["doc_id"], r["admitted"], r["matched_id"], r["tier"])
+        for r in _decisions(spark, str(tmp_path / "dec")).values()
+    }
+    fp_once = spark.read.parquet(fp_root + "/delta_v1").count()
+    sig_once = spark.read.parquet(sig_root + "/delta_v1").count()
+    assert fp_once > 0 and sig_once > 0
+
+    # plain redelivery
+    fn(b1, 1)
+    assert once == {
+        (r["doc_id"], r["admitted"], r["matched_id"], r["tier"])
+        for r in _decisions(spark, str(tmp_path / "dec")).values()
+    }
+
+    # crash between the publishes: fp delta committed, signature delta not
+    man = read_index_manifest(sig_root)
+    man["deltas"] = [e for e in man["deltas"] if e[0] != 1]
+    write_index_manifest(sig_root, man)
+    _shutil.rmtree(sig_root + "/delta_v1")
+    fn(b1, 1)  # redelivery re-publishes both
+    assert once == {
+        (r["doc_id"], r["admitted"], r["matched_id"], r["tier"])
+        for r in _decisions(spark, str(tmp_path / "dec")).values()
+    }
+    assert spark.read.parquet(fp_root + "/delta_v1").count() == fp_once
+    assert spark.read.parquet(sig_root + "/delta_v1").count() == sig_once
+    assert [e[0] for e in read_index_manifest(sig_root)["deltas"]] == [0, 1]
+
+
+def test_cascade_stream_equals_direct_batches(spark, sf_dir, tmp_path):
+    """run_cascade_ingest_stream through a real file-source stream
+    (maxFilesPerTrigger=1) reaches the same decisions as driving the
+    batch fn directly — checkpoint/trigger wiring adds nothing."""
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.streaming.ingest import (
+        make_cascade_ingest_batch_fn,
+        run_cascade_ingest_stream,
+    )
+
+    b0, b1 = _cascade_batches(spark, sf_dir)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b0.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    time.sleep(1.1)
+    b1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "b*"))
+    )
+    got = run_cascade_ingest_stream(
+        stream,
+        spark,
+        str(tmp_path / "fp_idx"),
+        str(tmp_path / "sig_idx"),
+        str(tmp_path / "dec"),
+        str(tmp_path / "ckpt"),
+        JACCARD_THRESHOLD,
+        timeout_s=240,
+    )
+    fn = make_cascade_ingest_batch_fn(
+        spark,
+        str(tmp_path / "fp2"),
+        str(tmp_path / "sig2"),
+        str(tmp_path / "dec2"),
+        JACCARD_THRESHOLD,
+    )
+    for i, b in enumerate([b0, b1]):
+        fn(b, i)
+    want = _decisions(spark, str(tmp_path / "dec2"))
+    got_map = {r["doc_id"]: r for r in got.collect()}
+    assert set(got_map) == set(want)
+    for d in want:
+        assert (
+            got_map[d]["admitted"],
+            got_map[d]["matched_id"],
+            got_map[d]["tier"],
+        ) == (want[d]["admitted"], want[d]["matched_id"], want[d]["tier"]), d

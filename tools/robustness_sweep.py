@@ -191,6 +191,40 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
         cb = fit_codebook(embs, k=8, iters=1)
         return refit_codebook(embs, cb, iters=1).count()
 
+    def _cascade_lifecycle():
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+        from mapreduce_framework_spark.streaming.ingest import (
+            make_cascade_ingest_batch_fn,
+        )
+
+        root = tempfile.mkdtemp(prefix="mfs_sweep_cascade_")
+        try:
+            fn = make_cascade_ingest_batch_fn(
+                spark,
+                os.path.join(root, "fp"),
+                os.path.join(root, "sig"),
+                os.path.join(root, "dec"),
+                JACCARD_THRESHOLD,
+            )
+            fn(docs, 0)
+            fn(
+                docs.select(
+                    (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+                ),
+                1,
+            )
+            return (
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(os.path.join(root, "dec"))
+                .count()
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
     checks = [
         ("lib_exact_substring_dedup", lambda: exact_substring_dedup(docs).count()),
         (
@@ -216,6 +250,12 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
             "lib_exact_tier",
             lambda: exact_match_batch(exact_fingerprint_index(docs), docs).count(),
         ),
+        # round-7: the tiered streaming admission sink (exact tier in
+        # front of MinHash) driven for two batches — the second is an
+        # id-shifted copy of the variant, so on the NULLed variant every
+        # copy byte-collapses in the exact tier and on the empty variant
+        # both batches cleanly no-op
+        ("lib_cascade_ingest", lambda: _cascade_lifecycle()),
         (
             # round-7: the decontaminated 5-stage corpus composition —
             # benchmark = the variant's own docs, so the trim stage bites

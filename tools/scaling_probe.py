@@ -581,6 +581,100 @@ def probe_ingest_compaction(spark, base, n_batches=64, compact_every=16) -> None
             shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_cascade(spark, base, batch_n=5000) -> None:
+    """Round-7 series: per-batch admission wall of the tiered cascade
+    sink (exact fingerprint tier in front of MinHash) vs the single-tier
+    MinHash sink, as the batch's crawl re-fetch fraction grows. Batch 0
+    admits the whole corpus into each sink's index once; then a fixed-
+    size batch with {0, 50, 90}% byte-identical re-fetches of index docs
+    (rest fresh ids + perturbed text, so nothing else exact-matches) is
+    timed as a redelivered batch 1 — overwrite semantics keep the index
+    state identical across fractions.
+
+    The quantity that transfers to a cluster: the MinHash tier's work is
+    proportional to SURVIVORS of the exact tier (only they are shingled/
+    hashed/banded), so on re-fetch-heavy real crawls the cascade's
+    per-batch cost falls with the re-fetch fraction, while the exact
+    tier itself is one narrow md5 equi-join. At 0% the cascade pays the
+    fingerprint join as pure overhead — that delta is the price of the
+    tier, also measured here."""
+    import shutil
+    import tempfile
+
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.streaming.ingest import (
+        make_cascade_ingest_batch_fn,
+        make_ingest_batch_fn,
+    )
+
+    corpus = base.localCheckpoint(eager=True)
+    n_corpus = corpus.count()
+
+    def mixed_batch(refetch_pct: int):
+        n_re = batch_n * refetch_pct // 100
+        re = (
+            corpus.orderBy("doc_id")
+            .limit(n_re)
+            .select((F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"), "text")
+        )
+        fresh = (
+            corpus.orderBy(F.col("doc_id").desc())
+            .limit(batch_n - n_re)
+            .select(
+                (F.col("doc_id") + F.lit(30_000_000)).alias("doc_id"),
+                F.concat(F.lit("fresh marker xyzzy "), F.col("text")).alias("text"),
+            )
+        )
+        return re.unionAll(fresh).localCheckpoint(eager=True)
+
+    roots = {}
+    fns = {}
+    for tag in ("single", "cascade"):
+        root = tempfile.mkdtemp(prefix=f"mfs_cascade_probe_{tag}_")
+        roots[tag] = root
+        if tag == "single":
+            fns[tag] = make_ingest_batch_fn(
+                spark,
+                os.path.join(root, "sig"),
+                os.path.join(root, "dec"),
+                JACCARD_THRESHOLD,
+            )
+        else:
+            fns[tag] = make_cascade_ingest_batch_fn(
+                spark,
+                os.path.join(root, "fp"),
+                os.path.join(root, "sig"),
+                os.path.join(root, "dec"),
+                JACCARD_THRESHOLD,
+            )
+        t0 = time.perf_counter()
+        fns[tag](corpus, 0)
+        print(f"{tag}: index build (batch 0, {n_corpus} docs) {round(time.perf_counter() - t0, 2)} s")
+    try:
+        print(f"| re-fetch % | single-tier wall | cascade wall | minhash-tier docs (cascade) | batch |")
+        print("|---|---|---|---|---|")
+        for pct in (0, 50, 90):
+            b = mixed_batch(pct)
+            walls = {}
+            for tag in ("single", "cascade"):
+                t0 = time.perf_counter()
+                fns[tag](b, 1)  # redelivery of batch 1: state stays batch-0-only
+                walls[tag] = round(time.perf_counter() - t0, 2)
+            # the quantity that transfers: docs the cascade still had to
+            # shingle/minhash (= survivors of the exact tier)
+            dec = spark.read.parquet(os.path.join(roots["cascade"], "dec", "d_v1"))
+            survivors = dec.where(
+                F.col("tier").isNull() | (F.col("tier") == "near_dup")
+            ).count()
+            print(
+                f"| {pct} | {walls['single']} s | {walls['cascade']} s "
+                f"| {survivors} | {batch_n} |"
+            )
+    finally:
+        for root in roots.values():
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def _amplified_embeddings(base, factor: int):
     span = 10_000_000
     parts = [
@@ -777,6 +871,9 @@ def main() -> None:
         return
     if "--ingest-compaction" in sys.argv:  # round-7 manifest/compaction series
         probe_ingest_compaction(spark, base)
+        return
+    if "--cascade" in sys.argv:  # round-7 tiered-admission series
+        probe_cascade(spark, base)
         return
     if "--refit" in sys.argv:  # round-7 codebook-refresh drift series
         probe_refit(spark, sf_dir)
