@@ -28,6 +28,11 @@ appended to the index.
 - Within-batch self-dedup is deliberately out of scope here (it is q31's
   job, run upstream); this operator owns the batch-vs-corpus decision,
   exactly like q91.
+- The DECISIONS log shares the exact same lifecycle: per-batch
+  ``delta_v{batch}`` dirs under ``decisions_root``, manifest-addressed,
+  compacted on the same cadence — reading the log back after 1e5
+  batches opens 1 compacted dir + a bounded tail, not 1e5 dirs, and
+  redelivery replaces (never duplicates) the batch's decisions.
 
 The reference has no streaming surface (batch-only, hard map→reduce
 barrier, src/mr/coordinator.go:143-155); this is [EXT] (SURVEY §7 M5).
@@ -107,9 +112,10 @@ def _publish_delta(
     delta_df: DataFrame,
     compact_every: int | None,
 ) -> None:
-    """Write the batch's admitted-docs delta and commit it to the manifest
-    (the single atomic step), compacting the tail first when it reaches
-    ``compact_every`` dirs. Compaction folds only deltas STRICTLY BELOW
+    """Write one batch's delta (admitted-docs index rows, or the batch's
+    decision rows — both logs share this lifecycle) and commit it to the
+    manifest (the single atomic step), compacting the tail first when it
+    reaches ``compact_every`` dirs. Compaction folds only deltas STRICTLY BELOW
     ``batch_id`` — the in-flight batch's own delta stays an unfolded tail
     entry, so a crash-restart redelivery of ``batch_id`` still sees
     exactly the strictly-before index (pinned by
@@ -198,9 +204,7 @@ def make_ingest_batch_fn(
                 F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
             )
             admitted_docs = batch.join(best, "doc_id", "left_anti")
-        decisions.write.mode("overwrite").parquet(
-            os.path.join(decisions_root, f"d_v{batch_id}")
-        )
+        _publish_delta(spark, decisions_root, batch_id, decisions, compact_every)
         _publish_delta(
             spark, index_root, batch_id, index_signatures(admitted_docs, shingler),
             compact_every,
@@ -235,7 +239,12 @@ def run_ingest_stream(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"ingest stream did not finish in {timeout_s}s")
-    return spark.read.option("recursiveFileLookup", "true").parquet(decisions_root)
+    decisions = _index_so_far(spark, decisions_root)
+    if decisions is None:
+        raise ValueError(
+            f"stream processed no batches — no decisions under {decisions_root}"
+        )
+    return decisions
 
 
 def make_semantic_ingest_batch_fn(
@@ -318,9 +327,7 @@ def make_semantic_ingest_batch_fn(
                 F.coalesce("cos", F.lit(0.0)).alias("cos"),
             )
             admitted = batch.join(best, "vec_id", "left_anti")
-        decisions.write.mode("overwrite").parquet(
-            os.path.join(decisions_root, f"d_v{batch_id}")
-        )
+        _publish_delta(spark, decisions_root, batch_id, decisions, compact_every)
         _publish_delta(
             spark, index_root, batch_id, semantic_index(admitted, centroids),
             compact_every,
@@ -355,7 +362,12 @@ def run_semantic_ingest_stream(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"semantic ingest stream did not finish in {timeout_s}s")
-    return spark.read.option("recursiveFileLookup", "true").parquet(decisions_root)
+    decisions = _index_so_far(spark, decisions_root)
+    if decisions is None:
+        raise ValueError(
+            f"stream processed no batches — no decisions under {decisions_root}"
+        )
+    return decisions
 
 
 def make_cascade_ingest_batch_fn(
@@ -469,9 +481,7 @@ def make_cascade_ingest_batch_fn(
             .when(F.col("nd_id").isNotNull(), F.lit("near_dup"))
             .alias("tier"),
         )
-        decisions.write.mode("overwrite").parquet(
-            os.path.join(decisions_root, f"d_v{batch_id}")
-        )
+        _publish_delta(spark, decisions_root, batch_id, decisions, compact_every)
         _publish_delta(
             spark, fp_index_root, batch_id, exact_fingerprint_index(admitted),
             compact_every,
@@ -517,4 +527,9 @@ def run_cascade_ingest_stream(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"cascade ingest stream did not finish in {timeout_s}s")
-    return spark.read.option("recursiveFileLookup", "true").parquet(decisions_root)
+    decisions = _index_so_far(spark, decisions_root)
+    if decisions is None:
+        raise ValueError(
+            f"stream processed no batches — no decisions under {decisions_root}"
+        )
+    return decisions

@@ -662,7 +662,9 @@ def probe_cascade(spark, base, batch_n=5000) -> None:
                 walls[tag] = round(time.perf_counter() - t0, 2)
             # the quantity that transfers: docs the cascade still had to
             # shingle/minhash (= survivors of the exact tier)
-            dec = spark.read.parquet(os.path.join(roots["cascade"], "dec", "d_v1"))
+            dec = spark.read.parquet(
+                os.path.join(roots["cascade"], "dec", "delta_v1")
+            )
             survivors = dec.where(
                 F.col("tier").isNull() | (F.col("tier") == "near_dup")
             ).count()
