@@ -310,6 +310,145 @@ def q95_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decisions.orderBy("doc_id")
 
 
+def _q103_oracle() -> str:
+    from mapreduce_framework_spark.pipeline.dedup import (
+        JACCARD_THRESHOLD,
+        SHINGLES_DUCK,
+        TOKS_DUCK,
+    )
+
+    return f"""
+    WITH cut AS (SELECT (max(doc_id) + 1) // 2 AS c FROM documents),
+    b0 AS (SELECT doc_id, text FROM documents, cut WHERE doc_id < c),
+    b1 AS (
+      SELECT doc_id, text FROM documents, cut WHERE doc_id >= c
+      UNION ALL
+      SELECT doc_id + 10000000, text FROM documents, cut
+      WHERE doc_id < c AND doc_id % 50 = 0
+    ),
+    ex AS (
+      SELECT b1.doc_id AS id2, min(b0.doc_id) AS ex_id
+      FROM b0 JOIN b1 ON md5(coalesce(b0.text, '')) = md5(coalesce(b1.text, ''))
+      GROUP BY 1
+    ),
+    surv AS (SELECT * FROM b1 WHERE doc_id NOT IN (SELECT id2 FROM ex)),
+    t0 AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM b0),
+    sh0 AS (SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK}) AS s FROM t0),
+    sz0 AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
+    t1 AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM surv),
+    sh1 AS (SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK}) AS s FROM t1),
+    sz1 AS (SELECT doc_id, count(*) AS n FROM sh1 GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id1, p.doc_id AS id2, count(*) AS common
+      FROM sh0 a JOIN sh1 p ON a.s = p.s
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT id1, id2, CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
+      FROM pairs JOIN sz0 x ON pairs.id1 = x.doc_id
+                 JOIN sz1 y ON pairs.id2 = y.doc_id
+      WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {JACCARD_THRESHOLD}
+    ),
+    nb AS (
+      SELECT id2 AS doc_id, id1 AS nd_id, jaccard,
+             row_number() OVER (PARTITION BY id2
+                                ORDER BY jaccard DESC, id1 ASC) AS rn
+      FROM jac
+    ),
+    nd AS (SELECT doc_id, nd_id, jaccard FROM nb WHERE rn = 1)
+    SELECT doc_id, TRUE AS admitted, CAST(-1 AS BIGINT) AS matched_id,
+           0.0 AS jaccard, CAST(NULL AS VARCHAR) AS tier
+    FROM b0
+    UNION ALL
+    SELECT b1.doc_id,
+           (ex.ex_id IS NULL AND nd.nd_id IS NULL) AS admitted,
+           CAST(coalesce(ex.ex_id, nd.nd_id, -1) AS BIGINT) AS matched_id,
+           CASE WHEN ex.ex_id IS NOT NULL THEN 1.0
+                ELSE coalesce(nd.jaccard, 0.0) END AS jaccard,
+           CASE WHEN ex.ex_id IS NOT NULL THEN 'exact'
+                WHEN nd.nd_id IS NOT NULL THEN 'near_dup' END AS tier
+    FROM b1 LEFT JOIN ex ON b1.doc_id = ex.id2
+            LEFT JOIN nd ON b1.doc_id = nd.doc_id
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q103_cascade_admission",
+    oracle=_q103_oracle(),
+    tags=("ext", "streaming", "dedup", "incremental", "cascade", "replay"),
+)
+def q103_cascade_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered streaming admission run end-to-end (round 7; registered by
+    retiring q55 under the registry's retirement policy): the lower-id
+    half of the corpus is admitted as batch 0, then the upper half PLUS
+    planted byte-identical re-fetches of every 50th batch-0 doc (ids
+    shifted +10M) streams through ``run_cascade_ingest_stream`` — the
+    exact md5-fingerprint tier rejects the re-fetches at an equi-join's
+    cost before any shingling, the MinHash tier near-dup-matches only
+    the survivors, and decisions carry per-tier provenance ('exact' =
+    jaccard 1.0 with the smallest identical index doc; 'near_dup' = the
+    verified best match, ties to the lowest index id; NULL = admitted).
+    The oracle replays both tiers with exact SQL (md5 equi-join, then
+    exact cross-side Jaccard over exact-tier survivors); LSH banding at
+    J >= 0.8 has per-pair miss probability < 1e-7 and every candidate is
+    exact-verified — the q91/q95 argument. The planted re-fetches are
+    corpus-derived (no synthetic text), so the exact tier provably fires
+    on every sf table."""
+    import shutil
+    import time
+
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    if max_id is None:  # empty corpus: no batches, no decisions
+        return docs.select(
+            "doc_id",
+            F.lit(True).alias("admitted"),
+            F.lit(-1).cast("long").alias("matched_id"),
+            F.lit(0.0).alias("jaccard"),
+            F.lit(None).cast("string").alias("tier"),
+        )
+    cut = (max_id + 1) // 2
+    b0 = docs.where(F.col("doc_id") < cut)
+    b1 = docs.where(F.col("doc_id") >= cut).unionAll(
+        b0.where(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+    )
+    root = os.path.join("/tmp", f"mfs_q103_{uuid.uuid4().hex[:8]}")
+    staging = os.path.join(root, "staging")
+    os.makedirs(staging)
+    try:
+        from mapreduce_framework_spark.streaming.ingest import (
+            run_cascade_ingest_stream,
+        )
+
+        now = time.time()
+        for i, part in enumerate((b0, b1)):
+            part.coalesce(1).write.parquet(os.path.join(staging, f"b_{i}"))
+            _set_staged_mtime(os.path.join(staging, f"b_{i}"), now - 300 + i * 100)
+        stream = (
+            spark.readStream.schema(b0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(staging, "b_*"))
+        )
+        decisions = run_cascade_ingest_stream(
+            stream,
+            spark,
+            fp_index_root=os.path.join(root, "fp_index"),
+            sig_index_root=os.path.join(root, "sig_index"),
+            decisions_root=os.path.join(root, "decisions"),
+            checkpoint=os.path.join(root, "ckpt"),
+            threshold=JACCARD_THRESHOLD,
+        ).localCheckpoint(eager=True)  # survives the staging cleanup below
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return decisions.orderBy("doc_id")
+
+
 def _hourly_rollup_batch_form(ev: DataFrame) -> DataFrame:
     """The batch equivalent of the q96 merge loop's final state — same
     expressions as make_rollup_merge_batch_fn's per-batch aggregate, same

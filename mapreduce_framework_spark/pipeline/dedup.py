@@ -463,11 +463,12 @@ _SIMHASH_NEARDUP_ORACLE = f"""
     """
 
 
-@register(
-    "q55_simhash_neardup",
-    oracle=_SIMHASH_NEARDUP_ORACLE,
-    tags=("ext", "dedup", "simhash"),
-)
+# RETIRED from the registry in round 7 (registry.py policy item 4, dry-run
+# ranking entry 1): its registry slot funded q103_cascade_admission. The
+# builder, the shared oracle constant above, and a DEDICATED differential
+# test (tests/test_queries_oracle.py::test_retired_q55_matches_oracle)
+# remain permanently — the local sweep still proves it every run; only the
+# external driver slot moved to the newcomer.
 def q55_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: Hamming distance ≤ {HAMMING_MAX} between
     32-bit fingerprints. All-pairs here — kept as the exact oracle twin of

@@ -80,9 +80,13 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 #      appended to RETIRED below and never reused.
 #
 # RETIREMENT DRY-RUN (round 6; the ranking the policy requires, so any
-# future registration is a one-commit swap — no behavior change now).
+# future registration is a one-commit swap).
+# EXECUTED round 7: entry 1 (q55_simhash_neardup) was retired to register
+# q103_cascade_admission — the swap followed policy item 4 exactly
+# (CURATED_ORDER slot replaced in place, name appended to RETIRED,
+# @register removed, builder/oracle/dedicated-differential kept).
 # Next retirements, in order, with the evidence that makes each safe:
-#   1. q55_simhash_neardup — capped exact-oracle twin (2b): its
+#   1. [SPENT r7] q55_simhash_neardup — capped exact-oracle twin (2b): its
 #      banded scale path q73 is registered, green since r4, and
 #      q73's own test battery includes the exhaustive pigeonhole-
 #      completeness property; q55's builder+oracle+pytest remain.
@@ -112,11 +116,12 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # WINDOW_HISTORY below — that no registered query goes more than one
 # round without a driver window slot.
 CURATED_ORDER = [
-    # --- round-7 window: the r6 behind-window half, verbatim (the
-    # enforced rotation — every name here last had a driver row in r5,
-    # so max staleness stays one round; the round-7 changed query q81
-    # falls in this half naturally; no new registrations, registry at
-    # capacity) ---
+    # --- round-7 window: the r6 behind-window half (the enforced
+    # rotation — every name here last had a driver row in r5, so max
+    # staleness stays one round; the round-7 changed query q81 falls in
+    # this half naturally) with ONE executed swap: q55's slot now holds
+    # the round-7 newcomer q103_cascade_admission (retirement policy
+    # item 4; q55 → RETIRED below) ---
     "q101_span_dedup",
     "q102_semantic_dedup",
     "q89_denylist_scrub",
@@ -163,7 +168,7 @@ CURATED_ORDER = [
     "q47_sql_frontend_window",
     "q50_window_battery",
     "q52_pandas_udf_path",
-    "q55_simhash_neardup",
+    "q103_cascade_admission",  # round-7 newcomer in q55's retired slot
     "q57_asof_join",
     "q73_simhash_banded_neardup",
     "q81_training_corpus",
@@ -222,10 +227,16 @@ CURATED_ORDER = [
 ]
 
 
-# Queries retired under the policy above (none yet). Append-only; names
-# here must never reappear in CURATED_ORDER, and their builders/oracles/
+# Queries retired under the policy above. Append-only; names here must
+# never reappear in CURATED_ORDER, and their builders/oracles/
 # differential tests stay in the repo permanently.
-RETIRED: tuple[str, ...] = ()
+RETIRED: tuple[str, ...] = (
+    # round 7: dry-run ranking entry 1 spent to register
+    # q103_cascade_admission (tiered streaming admission). Builder +
+    # shared oracle constant stay in pipeline/dedup.py; dedicated local
+    # differential: tests/test_queries_oracle.py::test_retired_q55_matches_oracle.
+    "q55_simhash_neardup",
+)
 
 # Hard ceiling = 2 rounds × DRIVER_WINDOW (see capacity note).
 MAX_REGISTERED = 100

@@ -346,18 +346,18 @@ def test_whole_registry_plan_audit(spark, sf_dir):
     scale anti-patterns: CartesianProduct (unbounded quadratic),
     BatchEvalPython (row-at-a-time Python — the banned slow path;
     Arrow-batched mapInPandas plans as ArrowEvalPython/MapInPandas
-    instead), and BroadcastNestedLoopJoin anywhere outside the FOUR
-    sanctioned broadcast-bounded forms (q34's brute-force oracle, q55's
-    all-pairs exact twin, and the q56/q102 broadcast codebook
-    assignments — each the documented cross join of a corpus scan with a
-    bounded broadcast side, verified per-query above and in
-    SCALING.md). A new registration that introduces any of these fails
-    here, not in a 100x-scale postmortem."""
+    instead), and BroadcastNestedLoopJoin anywhere outside the THREE
+    sanctioned broadcast-bounded forms (q34's brute-force oracle and the
+    q56/q102 broadcast codebook assignments — each the documented cross
+    join of a corpus scan with a bounded broadcast side, verified
+    per-query above and in SCALING.md; q55, formerly the fourth, was
+    retired from the registry in round 7). A new registration that
+    introduces any of these fails here, not in a 100x-scale
+    postmortem."""
     from mapreduce_framework_spark.registry import all_queries
 
     sanctioned_bnlj = {
         "q34_ann_bruteforce",
-        "q55_simhash_neardup",
         "q56_ann_ivf",
         "q102_semantic_dedup",
     }

@@ -32,3 +32,17 @@ def test_query_runs(spark, sf_dir, name):
     """Rows-only smoke for non-SQL-expressible ops (driver's weaker check)."""
     df = QUERIES[name].builder(spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_retired_q55_matches_oracle(spark, sf_dir):
+    """q55_simhash_neardup was RETIRED from the registry in round 7
+    (registry.py policy item 4; its slot funded q103_cascade_admission).
+    Per the policy, its builder and oracle stay in the repo permanently
+    and THIS dedicated differential replaces its registry
+    parametrization — the local sweep still proves it every run."""
+    from mapreduce_framework_spark.pipeline.dedup import (
+        _SIMHASH_NEARDUP_ORACLE,
+        q55_simhash_neardup,
+    )
+
+    compare(q55_simhash_neardup(spark, sf_dir), _SIMHASH_NEARDUP_ORACLE, sf_dir)

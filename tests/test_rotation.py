@@ -100,7 +100,9 @@ def test_retirement_dry_run_swap_preserves_invariants():
     """VERDICT r6 item 7: execute the documented retirement mechanics
     (registry.py policy item 4) as a SIMULATION against the top-ranked
     dry-run entry, so a future real swap is one commit with known-good
-    invariants.
+    invariants. Round 7 SPENT the original target (q55 → q103, the real
+    swap — validated by the live gates above); the simulation now tracks
+    the next-ranked eligible entry.
 
     Timing constraint the simulation encodes: a name is retire-eligible
     while its slot is IN the driver window (the retiree is removed, so
@@ -112,7 +114,7 @@ def test_retirement_dry_run_swap_preserves_invariants():
     from mapreduce_framework_spark.registry import REGISTRY
 
     all_queries()  # side-effect: operator modules register their builders
-    target = "q55_simhash_neardup"  # top of the dry-run ranking
+    target = "q72_char_ngram_jaccard"  # top UNSPENT dry-run ranking entry
     assert target in REGISTRY and target in CURATED_ORDER
     assert target in CURATED_ORDER[:DRIVER_WINDOW], (
         "dry-run premise: the target holds a window slot this round "
