@@ -494,6 +494,246 @@ def make_cascade_ingest_batch_fn(
     return apply_batch
 
 
+def make_full_cascade_ingest_batch_fn(
+    spark: SparkSession,
+    fp_index_root: str,
+    sig_index_root: str,
+    sem_index_root: str,
+    decisions_root: str,
+    centroids: DataFrame,
+    threshold: float,
+    cos_threshold: float | None = None,
+    shingler=None,
+    compact_every: int | None = DEFAULT_COMPACT_EVERY,
+):
+    """The COMPLETE admission cascade the two-tier sink's docstring names
+    as the real pretraining shape: exact → near-dup → SEMANTIC. Batches
+    carry ``(doc_id, text, embedding)``; each doc pays the cheapest test
+    that can reject it — byte-identical re-fetches fall to the md5
+    equi-join, template/boilerplate rewrites to the MinHash tier, and
+    only the lexical survivors reach the semantic tier
+    (pipeline/semantic_dedup.py:semantic_match_batch — paraphrases and
+    translations that share no shingles but sit within ``cos_threshold``
+    cosine of an index doc, the SemDeDup motivation). Three
+    manifest-addressed delta indexes (fingerprints / signatures / cell
+    assignments), one decisions log, all on the q91 lifecycle: the same
+    strictly-before-batch_id visibility rule, so a crash between ANY of
+    the four publishes just redelivers the batch and every manifest
+    re-commit replaces rather than duplicates.
+
+    ``centroids`` is the FIXED fitted codebook all batches share
+    (pipeline/codebook.py) — cell assignments are only comparable under
+    one codebook, exactly as in the single-tier semantic sink.
+
+    Decisions schema: ``(doc_id, admitted, matched_id, score, tier)``.
+    ``tier`` ∈ {'exact', 'near_dup', 'semantic', NULL=admitted};
+    ``score`` is tier-typed — 1.0 for exact, the verified Jaccard for
+    near_dup, the exact cosine for semantic, 0.0 for admitted (the
+    two-tier sink's ``jaccard`` column generalized, since the third
+    tier's metric is not a Jaccard).
+
+    Edge policies (each pinned in tests/test_streaming.py):
+    - A NULL or zero-norm embedding has no cosine neighborhood
+      (similarity._norms_spark): the doc can never be semantic-rejected
+      and is never written to the semantic index — it remains fully
+      subject to the exact and MinHash tiers, so unembedded docs degrade
+      to the two-tier cascade rather than erroring.
+    - Tier precedence is strict: an exact-rejected doc never consults
+      the later tiers (its matched_id is the smallest byte-identical
+      index id even when a semantically closer index doc exists).
+    - Within-batch self-dedup stays upstream (q31/q102), as in every
+      sink in this module."""
+    from pyspark.sql.window import Window
+
+    from mapreduce_framework_spark.pipeline.dedup import (
+        exact_fingerprint_index,
+        exact_match_batch,
+        index_signatures,
+        match_batch,
+    )
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        SEMDEDUP_COS,
+        semantic_index,
+        semantic_match_batch,
+    )
+
+    if cos_threshold is None:
+        cos_threshold = SEMDEDUP_COS
+
+    def _sem_side(docs: DataFrame) -> DataFrame:
+        # NULL embeddings are invisible to the semantic tier (policy
+        # above); zero-norm ones are excluded downstream by _norms_spark.
+        return docs.where(F.col("embedding").isNotNull()).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint(eager=True)  # read the source once
+
+        fp_idx = _index_so_far(spark, fp_index_root, before_batch=batch_id)
+        if fp_idx is None:
+            exact_best = None
+            survivors = batch
+        else:
+            exact_best = (
+                exact_match_batch(fp_idx, batch)
+                .groupBy("id2")
+                .agg(F.min("id1").alias("ex_id"))
+                .select(F.col("id2").alias("doc_id"), "ex_id")
+                .localCheckpoint(eager=True)
+            )
+            survivors = batch.join(exact_best, "doc_id", "left_anti")
+
+        sig_idx = _index_so_far(spark, sig_index_root, before_batch=batch_id)
+        if sig_idx is None:
+            near_best = None
+            survivors2 = survivors
+        else:
+            w = Window.partitionBy("id2").orderBy(
+                F.col("jaccard").desc(), F.col("id1").asc()
+            )
+            near_best = (
+                match_batch(sig_idx, survivors, threshold, shingler)
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select(
+                    F.col("id2").alias("doc_id"),
+                    F.col("id1").alias("nd_id"),
+                    F.col("jaccard").alias("nd_jaccard"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            survivors2 = survivors.join(near_best, "doc_id", "left_anti")
+
+        sem_idx = _index_so_far(spark, sem_index_root, before_batch=batch_id)
+        if sem_idx is None:
+            sem_best = None
+            admitted = survivors2
+        else:
+            ws = Window.partitionBy("new_id").orderBy(
+                F.col("cos").desc(), F.col("index_id").asc()
+            )
+            sem_best = (
+                semantic_match_batch(
+                    sem_idx, _sem_side(survivors2), centroids, cos_threshold
+                )
+                .withColumn("rn", F.row_number().over(ws))
+                .where(F.col("rn") == 1)
+                .select(
+                    F.col("new_id").alias("doc_id"),
+                    F.col("index_id").alias("sm_id"),
+                    F.col("cos").alias("sm_cos"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            admitted = survivors2.join(sem_best, "doc_id", "left_anti")
+
+        decisions = batch.select("doc_id")
+        if exact_best is not None:
+            decisions = decisions.join(exact_best, "doc_id", "left")
+        else:
+            decisions = decisions.withColumn("ex_id", F.lit(None).cast("long"))
+        if near_best is not None:
+            decisions = decisions.join(near_best, "doc_id", "left")
+        else:
+            decisions = decisions.withColumn(
+                "nd_id", F.lit(None).cast("long")
+            ).withColumn("nd_jaccard", F.lit(None).cast("double"))
+        if sem_best is not None:
+            decisions = decisions.join(sem_best, "doc_id", "left")
+        else:
+            decisions = decisions.withColumn(
+                "sm_id", F.lit(None).cast("long")
+            ).withColumn("sm_cos", F.lit(None).cast("double"))
+        decisions = decisions.select(
+            "doc_id",
+            (
+                F.col("ex_id").isNull()
+                & F.col("nd_id").isNull()
+                & F.col("sm_id").isNull()
+            ).alias("admitted"),
+            F.coalesce("ex_id", "nd_id", "sm_id", F.lit(-1))
+            .cast("long")
+            .alias("matched_id"),
+            F.when(F.col("ex_id").isNotNull(), F.lit(1.0))
+            .when(F.col("nd_id").isNotNull(), F.col("nd_jaccard"))
+            .otherwise(F.coalesce("sm_cos", F.lit(0.0)))
+            .alias("score"),
+            F.when(F.col("ex_id").isNotNull(), F.lit("exact"))
+            .when(F.col("nd_id").isNotNull(), F.lit("near_dup"))
+            .when(F.col("sm_id").isNotNull(), F.lit("semantic"))
+            .alias("tier"),
+        )
+        _publish_delta(spark, decisions_root, batch_id, decisions, compact_every)
+        _publish_delta(
+            spark, fp_index_root, batch_id, exact_fingerprint_index(admitted),
+            compact_every,
+        )
+        _publish_delta(
+            spark, sig_index_root, batch_id, index_signatures(admitted, shingler),
+            compact_every,
+        )
+        _publish_delta(
+            spark,
+            sem_index_root,
+            batch_id,
+            semantic_index(_sem_side(admitted), centroids),
+            compact_every,
+        )
+
+    return apply_batch
+
+
+def run_full_cascade_ingest_stream(
+    docs_stream: DataFrame,
+    spark: SparkSession,
+    fp_index_root: str,
+    sig_index_root: str,
+    sem_index_root: str,
+    decisions_root: str,
+    checkpoint: str,
+    centroids: DataFrame,
+    threshold: float,
+    cos_threshold: float | None = None,
+    timeout_s: int = 300,
+    shingler=None,
+    compact_every: int | None = DEFAULT_COMPACT_EVERY,
+) -> DataFrame:
+    """Drive a ``(doc_id, text, embedding)`` stream through the
+    three-tier admission sink; returns the union of all per-batch
+    decision frames."""
+    q = (
+        docs_stream.writeStream.foreachBatch(
+            make_full_cascade_ingest_batch_fn(
+                spark,
+                fp_index_root,
+                sig_index_root,
+                sem_index_root,
+                decisions_root,
+                centroids,
+                threshold,
+                cos_threshold,
+                shingler,
+                compact_every,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"full-cascade ingest stream did not finish in {timeout_s}s"
+        )
+    decisions = _index_so_far(spark, decisions_root)
+    if decisions is None:
+        raise ValueError(
+            f"stream processed no batches — no decisions under {decisions_root}"
+        )
+    return decisions
+
+
 def run_cascade_ingest_stream(
     docs_stream: DataFrame,
     spark: SparkSession,

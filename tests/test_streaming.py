@@ -1673,3 +1673,314 @@ def test_cascade_stream_equals_direct_batches(spark, sf_dir, tmp_path):
             got_map[d]["matched_id"],
             got_map[d]["tier"],
         ) == (want[d]["admitted"], want[d]["matched_id"], want[d]["tier"]), d
+
+
+# ---------------------------------------------------------------------------
+# FULL three-tier cascade: exact → near-dup → semantic
+# (make_full_cascade_ingest_batch_fn — the complete pretraining admission
+# shape its two-tier sibling's docstring names)
+# ---------------------------------------------------------------------------
+
+
+def _full_cascade_fixture(spark):
+    """Integer-grid codebook + three (doc_id, text, embedding) batches
+    planting exactly one case per tier and per edge policy. Every cosine
+    is exact in doubles (integer grids), every Jaccard is a ratio of
+    small ints, so expectations are equalities, not approximations.
+
+    b0 (seed): docs 1/2/3, distinct texts, orthogonal embeddings.
+    b1: 10 byte-copy of 1 with an embedding ≈ doc2's  → 'exact'
+           (pins tier precedence: the semantic twin is never consulted);
+        11 near-dup of 2's text (J=0.8), orthogonal emb → 'near_dup';
+        12 disjoint vocabulary, embedding == doc1's    → 'semantic';
+        13 fresh text + embedding cos<0 to everything  → admitted;
+        14 fresh text, NULL embedding                  → admitted (policy);
+        15 fresh text, zero-norm embedding             → admitted (policy).
+    b2: 20 disjoint text, embedding == doc13's → 'semantic' matched 13
+           (proves the b1-admitted delta is live in the index).
+    """
+    from pyspark.sql import Row
+
+    cents = spark.createDataFrame(
+        [
+            Row(cent_id=i, cent=[float(x) for x in v])
+            for i, v in enumerate([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0]])
+        ]
+    )
+    t1 = "alpha beta gamma delta epsilon"
+    t2 = "one two three four five six"
+    rows = {
+        0: [
+            (1, t1, [4.0, 0.0, 0.0]),
+            (2, t2, [0.0, 4.0, 0.0]),
+            (3, "red orange yellow green blue", [0.0, 0.0, 4.0]),
+        ],
+        1: [
+            (10, t1, [0.0, 4.0, 0.0]),
+            (11, t2 + " seven", [0.0, 0.0, 5.0]),
+            (12, "lorem ipsum dolor sit amet", [4.0, 0.0, 0.0]),
+            (13, "zig zag zap zoom zest", [-4.0, 0.0, 0.0]),
+            (14, "completely unique words here indeed", None),
+            (15, "zero norm vector doc words", [0.0, 0.0, 0.0]),
+        ],
+        2: [(20, "quux corge grault garply waldo", [-4.0, 0.0, 0.0])],
+    }
+    dfs = [
+        spark.createDataFrame(
+            [Row(doc_id=i, text=t, embedding=e) for i, t, e in rows[b]],
+            "doc_id bigint, text string, embedding array<double>",
+        )
+        for b in sorted(rows)
+    ]
+    return cents, dfs
+
+
+def _run_full_cascade(spark, tmp_path, dfs, cents, prefix="fc", **kw):
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.streaming.ingest import (
+        make_full_cascade_ingest_batch_fn,
+    )
+
+    roots = {
+        k: str(tmp_path / f"{prefix}_{k}")
+        for k in ["fp", "sig", "sem", "dec"]
+    }
+    fn = make_full_cascade_ingest_batch_fn(
+        spark,
+        roots["fp"],
+        roots["sig"],
+        roots["sem"],
+        roots["dec"],
+        cents,
+        JACCARD_THRESHOLD,
+        **kw,
+    )
+    for i, df in enumerate(dfs):
+        fn(df, i)
+    return roots, fn
+
+
+def test_full_cascade_each_tier_fires(spark, tmp_path):
+    """One planted reject per tier with exact expected (admitted, tier,
+    matched_id, score) — including strict tier precedence (doc 10) and
+    cross-batch semantic index growth (doc 20 matches the batch-1
+    admittee 13, not anything from the seed)."""
+    cents, dfs = _full_cascade_fixture(spark)
+    roots, _ = _run_full_cascade(spark, tmp_path, dfs, cents)
+    got = {
+        d: (r["admitted"], r["tier"], r["matched_id"], r["score"])
+        for d, r in _decisions(spark, roots["dec"]).items()
+    }
+    want = {
+        1: (True, None, -1, 0.0),
+        2: (True, None, -1, 0.0),
+        3: (True, None, -1, 0.0),
+        10: (False, "exact", 1, 1.0),
+        11: (False, "near_dup", 2, 0.8),
+        12: (False, "semantic", 1, 1.0),
+        13: (True, None, -1, 0.0),
+        14: (True, None, -1, 0.0),
+        15: (True, None, -1, 0.0),
+        20: (False, "semantic", 13, 1.0),
+    }
+    assert got == want
+
+
+def test_full_cascade_unembeddable_docs_stay_out_of_sem_index(spark, tmp_path):
+    """The NULL-embedding (14) and zero-norm (15) admittees are subject
+    to the lexical tiers but invisible to the semantic one: admitted in
+    decisions, present in the fingerprint and signature indexes, ABSENT
+    from the semantic index — so the cascade degrades to two tiers for
+    unembedded docs instead of erroring (docstring policy)."""
+    from mapreduce_framework_spark.pipeline.semantic_dedup import SEM_PROBES
+
+    cents, dfs = _full_cascade_fixture(spark)
+    roots, _ = _run_full_cascade(spark, tmp_path, dfs, cents)
+    read = lambda r: spark.read.option("recursiveFileLookup", "true").parquet(r)
+    admitted = {1, 2, 3, 13, 14, 15}
+    assert {
+        r["doc_id"] for r in read(roots["fp"]).select("doc_id").collect()
+    } == admitted
+    assert {
+        r["doc_id"] for r in read(roots["sig"]).select("doc_id").collect()
+    } == admitted
+    sem = read(roots["sem"])
+    embeddable = {1, 2, 3, 13}
+    assert {r["vec_id"] for r in sem.select("vec_id").collect()} == embeddable
+    assert sem.count() == len(embeddable) * SEM_PROBES
+
+
+def test_full_cascade_redelivery_is_idempotent(spark, tmp_path):
+    """Crash-restart redelivery — including from a crash BETWEEN the
+    signature and semantic publishes (three of four logs committed) —
+    leaves decisions and all three index deltas exactly as a clean run:
+    every tier reads strictly-before state. The crash is simulated at the
+    point it would really happen — batch 1 half-published, batch 2 not
+    yet delivered — and the repaired world's final decisions are compared
+    against an untouched clean run of all three batches."""
+    from mapreduce_framework_spark.storage import (
+        read_index_manifest,
+        write_index_manifest,
+    )
+
+    cents, dfs = _full_cascade_fixture(spark)
+    ref_roots, _ = _run_full_cascade(spark, tmp_path, dfs, cents, prefix="ref")
+    want = {
+        d: (r["admitted"], r["tier"], r["matched_id"], r["score"])
+        for d, r in _decisions(spark, ref_roots["dec"]).items()
+    }
+
+    # crash world: batches 0 and 1 delivered, batch 2 still pending
+    roots, fn = _run_full_cascade(spark, tmp_path, dfs[:2], cents)
+    read = lambda r: spark.read.option("recursiveFileLookup", "true").parquet(r)
+    snap = lambda: {
+        d: (r["admitted"], r["tier"], r["matched_id"], r["score"])
+        for d, r in _decisions(spark, roots["dec"]).items()
+    }
+    once = snap()
+    assert once == {d: v for d, v in want.items() if d < 20}
+    sem_once = read(roots["sem"] + "/delta_v1").count()
+    assert sem_once > 0
+
+    fn(dfs[1], 1)  # plain redelivery
+    assert snap() == once
+
+    # crash between publish #3 (signatures) and #4 (semantic): batch 1's
+    # semantic delta never committed; fp/sig/decisions all did
+    man = read_index_manifest(roots["sem"])
+    man["deltas"] = [e for e in man["deltas"] if e[0] != 1]
+    write_index_manifest(roots["sem"], man)
+    shutil.rmtree(roots["sem"] + "/delta_v1")
+    fn(dfs[1], 1)
+    assert snap() == once
+    assert read(roots["sem"] + "/delta_v1").count() == sem_once
+    assert [e[0] for e in read_index_manifest(roots["sem"])["deltas"]] == [0, 1]
+    # batch 2's decision depends on batch 1's repaired semantic delta:
+    # doc 20 must semantic-match the batch-1 admittee 13 exactly as in
+    # the clean run
+    fn(dfs[2], 2)
+    assert snap() == want
+
+
+def test_full_cascade_parity_with_two_tier_when_semantic_cannot_fire(
+    spark, sf_dir, tmp_path
+):
+    """With cos_threshold above 1.0 the semantic tier can never reject,
+    so on real sf docs (+ their embeddings, + the planted re-fetches)
+    the three-tier decisions must equal the two-tier cascade's row for
+    row — admitted, tier, matched_id, and score == jaccard. Pins that
+    adding the third tier perturbs nothing upstream of it."""
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        stride_centroids,
+    )
+    from mapreduce_framework_spark.streaming.ingest import (
+        make_cascade_ingest_batch_fn,
+    )
+
+    b0, b1 = _cascade_batches(spark, sf_dir)
+    embs = table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("src_id"), "embedding"
+    )
+
+    def with_emb(b):
+        return (
+            b.withColumn(
+                "src_id",
+                F.when(
+                    F.col("doc_id") >= 1_000_000, F.col("doc_id") - 1_000_000
+                ).otherwise(F.col("doc_id")),
+            )
+            .join(embs, "src_id", "left")
+            .select("doc_id", "text", "embedding")
+            .localCheckpoint(eager=True)
+        )
+
+    cents = stride_centroids(
+        table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    )
+    roots, _ = _run_full_cascade(
+        spark,
+        tmp_path,
+        [with_emb(b0), with_emb(b1)],
+        cents,
+        cos_threshold=1.5,
+    )
+    tfn = make_cascade_ingest_batch_fn(
+        spark,
+        str(tmp_path / "t_fp"),
+        str(tmp_path / "t_sig"),
+        str(tmp_path / "t_dec"),
+        JACCARD_THRESHOLD,
+    )
+    for i, b in enumerate([b0, b1]):
+        tfn(b, i)
+
+    full = _decisions(spark, roots["dec"])
+    two = _decisions(spark, str(tmp_path / "t_dec"))
+    assert set(full) == set(two)
+    for d, r in full.items():
+        t = two[d]
+        assert (r["admitted"], r["tier"], r["matched_id"], r["score"]) == (
+            t["admitted"],
+            t["tier"],
+            t["matched_id"],
+            t["jaccard"],
+        ), d
+    assert any(r["tier"] == "near_dup" for r in full.values())
+    assert any(r["tier"] == "exact" for r in full.values())
+
+
+def test_full_cascade_stream_equals_direct_batches(spark, tmp_path):
+    """run_full_cascade_ingest_stream through a real file-source stream
+    (maxFilesPerTrigger=1, mtime-ordered staging) reaches the same
+    decisions as driving the batch fn directly."""
+    from mapreduce_framework_spark.operators.streaming_replay import (
+        _set_staged_mtime,
+    )
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.streaming.ingest import (
+        run_full_cascade_ingest_stream,
+    )
+
+    cents, dfs = _full_cascade_fixture(spark)
+    staging = str(tmp_path / "staging")
+    os.makedirs(staging)
+    for i, df in enumerate(dfs):
+        p = os.path.join(staging, f"b{i}")
+        df.coalesce(1).write.parquet(p)
+        _set_staged_mtime(p, 1_000_000_000.0 + 100 * i)
+    stream = (
+        spark.readStream.schema(dfs[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(staging, "b*"))
+    )
+    got = run_full_cascade_ingest_stream(
+        stream,
+        spark,
+        str(tmp_path / "s_fp"),
+        str(tmp_path / "s_sig"),
+        str(tmp_path / "s_sem"),
+        str(tmp_path / "s_dec"),
+        str(tmp_path / "s_ckpt"),
+        cents,
+        JACCARD_THRESHOLD,
+        timeout_s=240,
+    )
+    roots, _ = _run_full_cascade(spark, tmp_path, dfs, cents, prefix="d")
+    want = _decisions(spark, roots["dec"])
+    got_map = {r["doc_id"]: r for r in got.collect()}
+    assert set(got_map) == set(want)
+    for d in want:
+        assert (
+            got_map[d]["admitted"],
+            got_map[d]["tier"],
+            got_map[d]["matched_id"],
+            got_map[d]["score"],
+        ) == (
+            want[d]["admitted"],
+            want[d]["tier"],
+            want[d]["matched_id"],
+            want[d]["score"],
+        ), d
