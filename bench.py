@@ -215,6 +215,60 @@ def main() -> None:
     except Exception as ex:  # bench must still emit its line
         steady["sem_error"] = f"{type(ex).__name__}: {ex}"[:200]
 
+    # Steady-state FULL-cascade admission (round 7): per-batch cost of the
+    # three-tier sink (exact → MinHash → semantic) against prebuilt
+    # manifest-addressed indexes — the per-micro-batch number that holds at
+    # 1e5 batches (index reads are manifest-bounded and compacted; the seed
+    # batch is the one-time cost). Fixed-K fitted codebook = the production
+    # shape, so the semantic tier's broadcast side is O(K·dim), not O(n).
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from mapreduce_framework_spark.catalog import table
+        from mapreduce_framework_spark.pipeline.codebook import fit_codebook
+        from mapreduce_framework_spark.streaming.ingest import (
+            make_full_cascade_ingest_batch_fn,
+        )
+
+        docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+        embs = table(spark, "embeddings", sf_dir).select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        de = docs.join(embs, "doc_id", "left")
+        cut = de.agg(((F.max("doc_id") + 1) / 2).cast("long")).collect()[0][0]
+        b0 = de.where(F.col("doc_id") < cut).localCheckpoint(eager=True)
+        b1 = de.where(F.col("doc_id") >= cut).localCheckpoint(eager=True)
+        casc_dir = tempfile.mkdtemp(prefix="mfs_bench_casc_")
+        try:
+            cb = fit_codebook(
+                table(spark, "embeddings", sf_dir).where(F.col("vec_id") < cut),
+                k=64,
+                iters=2,
+            ).localCheckpoint(eager=True)
+            fn = make_full_cascade_ingest_batch_fn(
+                spark,
+                os.path.join(casc_dir, "fp"),
+                os.path.join(casc_dir, "sig"),
+                os.path.join(casc_dir, "sem"),
+                os.path.join(casc_dir, "dec"),
+                cb,
+                threshold=0.8,
+            )
+            t0 = time.perf_counter()
+            fn(b0, 0)
+            t1 = time.perf_counter()
+            fn(b1, 1)
+            t2 = time.perf_counter()
+            steady["cascade_seed_batch_sec"] = round(t1 - t0, 3)
+            steady["cascade_match_batch_sec"] = round(t2 - t1, 3)
+        finally:
+            shutil.rmtree(casc_dir, ignore_errors=True)
+    except Exception as ex:  # bench must still emit its line
+        steady["cascade_error"] = f"{type(ex).__name__}: {ex}"[:200]
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

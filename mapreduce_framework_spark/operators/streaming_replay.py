@@ -449,6 +449,270 @@ def q103_cascade_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decisions.orderBy("doc_id")
 
 
+def _q104_oracle() -> str:
+    from mapreduce_framework_spark.pipeline.dedup import (
+        JACCARD_THRESHOLD,
+        SHINGLES_DUCK,
+        TOKS_DUCK,
+    )
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        SEM_PROBES,
+        SEM_STRIDE,
+        SEMDEDUP_COS,
+    )
+    from mapreduce_framework_spark.pipeline.similarity import _E_CTE_DUCK, _dot_duck
+
+    icos = f"{_dot_duck('i.embedding', 'cents.cent')} / (i.norm * cents.cent_norm)"
+    ncos = f"{_dot_duck('nn.embedding', 'cents.cent')} / (nn.norm * cents.cent_norm)"
+    return f"""
+    WITH {_E_CTE_DUCK},
+    cut AS (SELECT (max(doc_id) + 1) // 2 AS c FROM documents),
+    b0 AS (SELECT doc_id, text FROM documents, cut WHERE doc_id < c),
+    up AS (SELECT doc_id, text FROM documents, cut WHERE doc_id >= c),
+    b1 AS (
+      SELECT doc_id, text, doc_id AS src FROM up
+      UNION ALL
+      SELECT doc_id + 10000000, text, doc_id FROM b0 WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT m.doc_id + 20000000, d.text, m.doc_id
+      FROM (SELECT doc_id FROM b0 WHERE doc_id % 70 = 0) m
+      CROSS JOIN cut
+      JOIN up d ON d.doc_id = m.doc_id + cut.c
+    ),
+    ex AS (
+      SELECT b1.doc_id AS id2, min(b0.doc_id) AS ex_id
+      FROM b0 JOIN b1 ON md5(coalesce(b0.text, '')) = md5(coalesce(b1.text, ''))
+      GROUP BY 1
+    ),
+    surv AS (SELECT * FROM b1 WHERE doc_id NOT IN (SELECT id2 FROM ex)),
+    t0 AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM b0),
+    sh0 AS (SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK}) AS s FROM t0),
+    sz0 AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
+    t1 AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM surv),
+    sh1 AS (SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK}) AS s FROM t1),
+    sz1 AS (SELECT doc_id, count(*) AS n FROM sh1 GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id1, p.doc_id AS id2, count(*) AS common
+      FROM sh0 a JOIN sh1 p ON a.s = p.s
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT id1, id2, CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
+      FROM pairs JOIN sz0 x ON pairs.id1 = x.doc_id
+                 JOIN sz1 y ON pairs.id2 = y.doc_id
+      WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {JACCARD_THRESHOLD}
+    ),
+    nb AS (
+      SELECT id2 AS doc_id, id1 AS nd_id, jaccard,
+             row_number() OVER (PARTITION BY id2
+                                ORDER BY jaccard DESC, id1 ASC) AS rn
+      FROM jac
+    ),
+    nd AS (SELECT doc_id, nd_id, jaccard FROM nb WHERE rn = 1),
+    surv2 AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent, norm AS cent_norm
+      FROM e WHERE vec_id % {SEM_STRIDE} = 0
+    ),
+    ie AS (
+      SELECT b0.doc_id, e.embedding, e.norm
+      FROM b0 JOIN e ON b0.doc_id = e.vec_id
+    ),
+    asg_i AS (
+      SELECT doc_id, cent_id FROM (
+        SELECT i.doc_id, cents.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY i.doc_id
+                 ORDER BY {icos} DESC, cents.cent_id) AS r
+        FROM ie i, cents
+      ) WHERE r <= {SEM_PROBES}
+    ),
+    ne AS (
+      SELECT s.doc_id, e.embedding, e.norm
+      FROM surv2 s JOIN e ON s.src = e.vec_id
+    ),
+    asg_n AS (
+      SELECT doc_id, cent_id FROM (
+        SELECT nn.doc_id, cents.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY nn.doc_id
+                 ORDER BY {ncos} DESC, cents.cent_id) AS r
+        FROM ne nn, cents
+      ) WHERE r <= {SEM_PROBES}
+    ),
+    scand AS (
+      SELECT DISTINCT a.doc_id AS index_id, b.doc_id AS new_id
+      FROM asg_i a JOIN asg_n b ON a.cent_id = b.cent_id
+    ),
+    sp AS (
+      SELECT scand.new_id, scand.index_id,
+             {_dot_duck('x.embedding', 'y.embedding')} / (x.norm * y.norm) AS cos
+      FROM scand JOIN ie x ON scand.index_id = x.doc_id
+                 JOIN ne y ON scand.new_id = y.doc_id
+    ),
+    sb AS (
+      SELECT new_id AS doc_id, index_id AS sm_id, cos,
+             row_number() OVER (PARTITION BY new_id
+                                ORDER BY cos DESC, index_id ASC) AS rn
+      FROM sp WHERE cos >= {SEMDEDUP_COS}
+    ),
+    sm AS (SELECT doc_id, sm_id, cos FROM sb WHERE rn = 1)
+    SELECT doc_id, TRUE AS admitted, CAST(-1 AS BIGINT) AS matched_id,
+           0.0 AS score, CAST(NULL AS VARCHAR) AS tier
+    FROM b0
+    UNION ALL
+    SELECT b1.doc_id,
+           (ex.ex_id IS NULL AND nd.nd_id IS NULL AND sm.sm_id IS NULL)
+             AS admitted,
+           CAST(coalesce(ex.ex_id, nd.nd_id, sm.sm_id, -1) AS BIGINT)
+             AS matched_id,
+           CASE WHEN ex.ex_id IS NOT NULL THEN 1.0
+                WHEN nd.nd_id IS NOT NULL THEN nd.jaccard
+                ELSE coalesce(sm.cos, 0.0) END AS score,
+           CASE WHEN ex.ex_id IS NOT NULL THEN 'exact'
+                WHEN nd.nd_id IS NOT NULL THEN 'near_dup'
+                WHEN sm.sm_id IS NOT NULL THEN 'semantic' END AS tier
+    FROM b1 LEFT JOIN ex ON b1.doc_id = ex.id2
+            LEFT JOIN nd ON b1.doc_id = nd.doc_id
+            LEFT JOIN sm ON b1.doc_id = sm.doc_id
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "q104_full_cascade_admission",
+    oracle=_q104_oracle(),
+    tags=("ext", "streaming", "dedup", "semantic", "incremental", "cascade", "replay"),
+)
+def q104_full_cascade_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE three-tier admission cascade (exact → MinHash →
+    semantic; streaming/ingest.py::run_full_cascade_ingest_stream) run
+    end-to-end and hash-checked (round 7; registered by retiring q72
+    under the registry's retirement policy — q72's exact char-Jaccard
+    differential stays in the local sweep). q103's two-batch replay plus
+    TWO corpus-derived plants in batch 1: byte-identical re-fetches of
+    every 50th batch-0 doc (ids +10M → rejected by the exact tier), and
+    SEMANTIC TWINS of every 70th batch-0 doc — the embedding of batch-0
+    doc X carried by the TEXT of the upper-half doc (X + cut), ids +20M.
+    A twin shares no indexed text (its donor text rides the same batch,
+    and within-batch dedup is upstream's job), so the lexical tiers pass
+    it and the semantic tier rejects it at cosine 1.0 against X — the
+    paraphrase/translation shape SemDeDup exists for. Decisions carry
+    tier provenance and a tier-typed score (1.0 / verified Jaccard /
+    exact cosine / 0.0). The oracle replays the exact and Jaccard tiers
+    as in q103 (LSH miss probability < 1e-7 per pair at J >= 0.8, every
+    candidate exact-verified) and the semantic tier EXACTLY — the same
+    stride codebook, the same probes-nearest-cells assignment on both
+    sides, the same cell-equi-join candidates, cosine folds in identical
+    order on both engines. Codebook = stride_centroids (the q102
+    deterministic oracle form); if the corpus yields NO usable centroid
+    (every embedding NULL/zero-norm) the cascade DEGRADES to the
+    two-tier lexical form rather than erroring — the corpus-level analog
+    of the sink's per-doc unembedded-doc policy, and exactly what the
+    oracle computes (an empty `e` CTE makes the semantic tier vacuous)."""
+    import shutil
+    import time
+
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.pipeline.semantic_dedup import stride_centroids
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    embs_tbl = table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    de = docs.join(
+        embs_tbl.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        "doc_id",
+        "left",
+    )
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    if max_id is None:  # empty corpus: no batches, no decisions
+        return docs.select(
+            "doc_id",
+            F.lit(True).alias("admitted"),
+            F.lit(-1).cast("long").alias("matched_id"),
+            F.lit(0.0).alias("score"),
+            F.lit(None).cast("string").alias("tier"),
+        )
+    cut = (max_id + 1) // 2
+    b0 = de.where(F.col("doc_id") < cut)
+    up = de.where(F.col("doc_id") >= cut)
+    refetch = b0.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", "embedding"
+    )
+    twins = (
+        b0.where(F.col("doc_id") % 70 == 0)
+        .select(F.col("doc_id").alias("mark_id"), "embedding")
+        .join(
+            up.select(
+                (F.col("doc_id") - F.lit(cut)).alias("mark_id"),
+                F.col("text").alias("donor_text"),
+            ),
+            "mark_id",
+        )
+        .select(
+            (F.col("mark_id") + 20_000_000).alias("doc_id"),
+            F.col("donor_text").alias("text"),
+            "embedding",
+        )
+    )
+    b1 = up.unionByName(refetch).unionByName(twins)
+    centroids = stride_centroids(embs_tbl)
+    root = os.path.join("/tmp", f"mfs_q104_{uuid.uuid4().hex[:8]}")
+    staging = os.path.join(root, "staging")
+    os.makedirs(staging)
+    try:
+        now = time.time()
+        for i, part in enumerate((b0, b1)):
+            part.coalesce(1).write.parquet(os.path.join(staging, f"b_{i}"))
+            _set_staged_mtime(os.path.join(staging, f"b_{i}"), now - 300 + i * 100)
+        stream = (
+            spark.readStream.schema(b0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(staging, "b_*"))
+        )
+        if not centroids.take(1):
+            # corpus-level degradation (docstring): no usable centroid ⇒
+            # the semantic tier can reject nothing; run the lexical
+            # cascade and surface its jaccard as the tier-typed score
+            from mapreduce_framework_spark.streaming.ingest import (
+                run_cascade_ingest_stream,
+            )
+
+            decisions = run_cascade_ingest_stream(
+                stream,
+                spark,
+                fp_index_root=os.path.join(root, "fp_index"),
+                sig_index_root=os.path.join(root, "sig_index"),
+                decisions_root=os.path.join(root, "decisions"),
+                checkpoint=os.path.join(root, "ckpt"),
+                threshold=JACCARD_THRESHOLD,
+            ).select(
+                "doc_id",
+                "admitted",
+                "matched_id",
+                F.col("jaccard").alias("score"),
+                "tier",
+            )
+        else:
+            from mapreduce_framework_spark.streaming.ingest import (
+                run_full_cascade_ingest_stream,
+            )
+
+            decisions = run_full_cascade_ingest_stream(
+                stream,
+                spark,
+                fp_index_root=os.path.join(root, "fp_index"),
+                sig_index_root=os.path.join(root, "sig_index"),
+                sem_index_root=os.path.join(root, "sem_index"),
+                decisions_root=os.path.join(root, "decisions"),
+                checkpoint=os.path.join(root, "ckpt"),
+                centroids=centroids,
+                threshold=JACCARD_THRESHOLD,
+            )
+        decisions = decisions.localCheckpoint(eager=True)  # survives cleanup
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return decisions.orderBy("doc_id")
+
+
 def _hourly_rollup_batch_form(ev: DataFrame) -> DataFrame:
     """The batch equivalent of the q96 merge loop's final state — same
     expressions as make_rollup_merge_batch_fn's per-batch aggregate, same

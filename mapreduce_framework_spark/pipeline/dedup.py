@@ -671,11 +671,10 @@ def char_shingles_of(docs: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "q72_char_ngram_jaccard",
-    oracle=_char_jaccard_oracle(CHAR_DOC_CAP),
-    tags=("ext", "dedup", "jaccard", "char-ngram"),
-)
+# RETIRED round 7 (registry.py policy item 4; dry-run ranking entry 2):
+# its registry slot funded q104_full_cascade_admission. The builder and
+# oracle stay permanently; the dedicated local differential is
+# tests/test_queries_oracle.py::test_retired_q72_matches_oracle.
 def q72_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character 8-gram Jaccard near-dup pairs, EXACT form, CAPPED to
     doc_id < {CHAR_DOC_CAP} (see CHAR_DOC_CAP comment: the tiny synthetic

@@ -90,10 +90,11 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 #      banded scale path q73 is registered, green since r4, and
 #      q73's own test battery includes the exhaustive pigeonhole-
 #      completeness property; q55's builder+oracle+pytest remain.
-#   2. q72_char_ngram_jaccard — capped exact-oracle twin (2b): scale
-#      path q84 is registered and green, r5 linear-shingling rework
+#   2. [SPENT r7] q72_char_ngram_jaccard — capped exact-oracle twin (2b):
+#      scale path q84 is registered and green, r5 linear-shingling rework
 #      probed to 100k docs (SCALING.md LSH series); q72 remains the
-#      local differential for q84's verify stage.
+#      local differential for q84's verify stage. Its slot funded
+#      q104_full_cascade_admission (three-tier streaming admission).
 #   3. q30_ngram_jaccard_neardup — same shape as q72 (exact twin of
 #      q31), third only because q30 is the historic flagship-adjacent
 #      query with the longest green streak — prefer spending newer
@@ -137,7 +138,7 @@ CURATED_ORDER = [
     "q90_domain_mix_resample",
     "q92_tfidf_topk",
     "q36_embedding_neardup",
-    "q72_char_ngram_jaccard",
+    "q104_full_cascade_admission",  # round-7 newcomer in q72's retired slot
     "q75_percentile_sketch_bound",
     "q83_streaming_kv_replay",
     "q28_kv_stateful_replay",
@@ -236,6 +237,11 @@ RETIRED: tuple[str, ...] = (
     # shared oracle constant stay in pipeline/dedup.py; dedicated local
     # differential: tests/test_queries_oracle.py::test_retired_q55_matches_oracle.
     "q55_simhash_neardup",
+    # round 7: dry-run ranking entry 2 spent to register
+    # q104_full_cascade_admission (three-tier streaming admission).
+    # Builder + oracle constant stay in pipeline/dedup.py; dedicated local
+    # differential: tests/test_queries_oracle.py::test_retired_q72_matches_oracle.
+    "q72_char_ngram_jaccard",
 )
 
 # Hard ceiling = 2 rounds × DRIVER_WINDOW (see capacity note).

@@ -46,3 +46,23 @@ def test_retired_q55_matches_oracle(spark, sf_dir):
     )
 
     compare(q55_simhash_neardup(spark, sf_dir), _SIMHASH_NEARDUP_ORACLE, sf_dir)
+
+
+def test_retired_q72_matches_oracle(spark, sf_dir):
+    """q72_char_ngram_jaccard was RETIRED from the registry in round 7
+    (registry.py policy item 4; its slot funded
+    q104_full_cascade_admission). Per the policy, its builder and oracle
+    stay in the repo permanently and THIS dedicated differential replaces
+    its registry parametrization — the local sweep still proves it every
+    run (it remains the exact verify-stage differential for q84)."""
+    from mapreduce_framework_spark.pipeline.dedup import (
+        CHAR_DOC_CAP,
+        _char_jaccard_oracle,
+        q72_char_ngram_jaccard,
+    )
+
+    compare(
+        q72_char_ngram_jaccard(spark, sf_dir),
+        _char_jaccard_oracle(CHAR_DOC_CAP),
+        sf_dir,
+    )

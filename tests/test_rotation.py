@@ -114,7 +114,7 @@ def test_retirement_dry_run_swap_preserves_invariants():
     from mapreduce_framework_spark.registry import REGISTRY
 
     all_queries()  # side-effect: operator modules register their builders
-    target = "q72_char_ngram_jaccard"  # top UNSPENT dry-run ranking entry
+    target = "q30_ngram_jaccard_neardup"  # top UNSPENT dry-run ranking entry
     assert target in REGISTRY and target in CURATED_ORDER
     assert target in CURATED_ORDER[:DRIVER_WINDOW], (
         "dry-run premise: the target holds a window slot this round "
