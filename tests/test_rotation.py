@@ -100,9 +100,9 @@ def test_retirement_dry_run_swap_preserves_invariants():
     """VERDICT r6 item 7: execute the documented retirement mechanics
     (registry.py policy item 4) as a SIMULATION against the top-ranked
     dry-run entry, so a future real swap is one commit with known-good
-    invariants. Round 7 SPENT the original target (q55 → q103, the real
-    swap — validated by the live gates above); the simulation now tracks
-    the next-ranked eligible entry.
+    invariants. Round 7 SPENT the top two targets (q55 → q103 and
+    q72 → q104, real swaps — validated by the live gates above); the
+    simulation now tracks the next-ranked eligible entry.
 
     Timing constraint the simulation encodes: a name is retire-eligible
     while its slot is IN the driver window (the retiree is removed, so

@@ -1984,3 +1984,226 @@ def test_full_cascade_stream_equals_direct_batches(spark, tmp_path):
             want[d]["matched_id"],
             want[d]["score"],
         ), d
+
+
+# ---------------------------------------------------------------------------
+# Full-cascade sequential-model hypothesis differential: the three-tier
+# sink vs a pure-Python admission model (the q102/codebook test pattern
+# applied to the composed cascade)
+# ---------------------------------------------------------------------------
+
+
+def _full_cascade_model(cent_vecs, batches):
+    """Pure-Python sequential model of the three-tier admission sink
+    (streaming/ingest.py::make_full_cascade_ingest_batch_fn): per batch,
+    every doc is tested against the strictly-before index state — exact
+    (text equality, NULL-as-empty, min matching id), then word-3-gram
+    exact Jaccard >= JACCARD_THRESHOLD (best = max J, tie min id), then
+    cell-bounded cosine >= SEMDEDUP_COS under ``cent_vecs`` (SEM_PROBES
+    nearest cells each side, best = max cos, tie min id) — and the whole
+    batch's admitted docs enter all three indexes afterwards. The only
+    divergence the model allows vs the Spark path is an LSH banding miss
+    on a qualifying Jaccard pair; the generator below plants near-dups
+    at J ~ 0.91 (one substitution in 64 tokens), where the per-pair miss
+    probability is ~1e-8 (16 bands x 4 rows)."""
+    import math as m
+    import re
+
+    from mapreduce_framework_spark.pipeline.dedup import (
+        JACCARD_THRESHOLD,
+        SHINGLE_K,
+    )
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        SEM_PROBES,
+        SEMDEDUP_COS,
+    )
+
+    def toks(text):
+        return [w for w in re.split(r"[^a-zA-Z]+", text or "") if w]
+
+    def shingles(text):
+        t = toks(text)
+        if len(t) < SHINGLE_K:
+            return frozenset()
+        return frozenset(
+            " ".join(t[i : i + SHINGLE_K]) for i in range(len(t) - SHINGLE_K + 1)
+        )
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def cells(v):
+        nn = m.sqrt(dot(v, v))
+        scored = sorted(
+            (-dot(v, c) / (nn * m.sqrt(dot(c, c))), cid)
+            for cid, c in cent_vecs.items()
+        )
+        return frozenset(cid for _, cid in scored[:SEM_PROBES])
+
+    fp_index = {}  # text (NULL-as-'') -> min admitted doc_id
+    sig_index = {}  # doc_id -> nonempty shingle frozenset
+    sem_index = {}  # doc_id -> (vec, probed cells)
+    decisions = {}
+    for batch in batches:
+        admitted_now = []
+        for doc_id, text, emb in batch:
+            key = text or ""
+            if key in fp_index:
+                decisions[doc_id] = (False, fp_index[key], 1.0, "exact")
+                continue
+            ss = shingles(text)
+            best = None
+            for iid, iss in sig_index.items():
+                common = len(ss & iss)
+                if not common:
+                    continue
+                j = common / (len(ss) + len(iss) - common)
+                if j >= JACCARD_THRESHOLD and (best is None or (-j, iid) < best):
+                    best = (-j, iid)
+            if best is not None:
+                decisions[doc_id] = (False, best[1], -best[0], "near_dup")
+                continue
+            usable = emb is not None and any(x != 0.0 for x in emb)
+            sbest = None
+            if usable:
+                cs = cells(emb)
+                nn = m.sqrt(dot(emb, emb))
+                for iid, (iv, ics) in sem_index.items():
+                    if not (cs & ics):
+                        continue
+                    cos = dot(emb, iv) / (nn * m.sqrt(dot(iv, iv)))
+                    if cos >= SEMDEDUP_COS and (
+                        sbest is None or (-cos, iid) < sbest
+                    ):
+                        sbest = (-cos, iid)
+            if sbest is not None:
+                decisions[doc_id] = (False, sbest[1], -sbest[0], "semantic")
+                continue
+            decisions[doc_id] = (True, -1, 0.0, None)
+            admitted_now.append((doc_id, key, ss, emb if usable else None))
+        for doc_id, key, ss, emb in admitted_now:
+            fp_index[key] = min(fp_index.get(key, doc_id), doc_id)
+            if ss:
+                sig_index[doc_id] = ss
+            if emb is not None:
+                sem_index[doc_id] = (emb, cells(emb))
+    return decisions
+
+
+_FC_DIM = 16
+
+
+def _fc_axis(a):
+    return [4.0 if i == a else 0.0 for i in range(_FC_DIM)]
+
+
+def _fc_letters(n):
+    return "".join("abcdefghij"[int(d)] for d in str(n))
+
+
+def _fc_text(tag, n_toks=64):
+    # letters-only tokens (the shingle tokenizer splits on [^a-zA-Z]+)
+    return " ".join(f"w{tag}v{_fc_letters(j)}" for j in range(n_toks))
+
+
+from hypothesis import given as _fc_given  # noqa: E402
+from hypothesis import settings as _fc_settings  # noqa: E402
+from hypothesis import strategies as _fc_st  # noqa: E402
+
+
+@_fc_settings(max_examples=6, deadline=None)
+@_fc_given(
+    n_base=_fc_st.integers(min_value=2, max_value=4),
+    ops=_fc_st.lists(
+        _fc_st.tuples(
+            _fc_st.sampled_from(
+                ["fresh", "exact", "near", "sem", "nullemb", "zeroemb"]
+            ),
+            _fc_st.integers(min_value=0, max_value=3),  # src pick
+            _fc_st.integers(min_value=5, max_value=58),  # substitution pos
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+def test_full_cascade_matches_sequential_model(spark_global, n_base, ops):
+    """Two generated batches through the real three-tier batch fn equal
+    the sequential model decision for decision (admitted, matched id,
+    tier, and the tier-typed score to 1e-12). Batch 0 seeds disjoint-
+    vocabulary docs on unique embedding axes; batch 1 mixes per-tier
+    plants — byte-copies, one-token substitutions (J ~ 0.91), semantic
+    twins (index embedding under fresh text) — plus NULL/zero-norm
+    embedding docs exercising the unembedded-degradation policy."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.streaming.ingest import (
+        make_full_cascade_ingest_batch_fn,
+    )
+
+    spark = spark_global
+    b0 = [
+        (i, _fc_text(_fc_letters(i)), _fc_axis(i)) for i in range(n_base)
+    ]
+    b1 = []
+    for k, (kind, src_pick, pos) in enumerate(ops):
+        doc_id = 100 + k
+        src = src_pick % n_base
+        axis = _fc_axis(n_base + k)
+        if kind == "fresh":
+            b1.append((doc_id, _fc_text("f" + _fc_letters(k)), axis))
+        elif kind == "exact":
+            b1.append((doc_id, b0[src][1], _fc_axis(src)))
+        elif kind == "near":
+            t = b0[src][1].split(" ")
+            t[pos] = f"wsub{_fc_letters(k)}vq"
+            b1.append((doc_id, " ".join(t), axis))
+        elif kind == "sem":
+            b1.append((doc_id, _fc_text("s" + _fc_letters(k)), _fc_axis(src)))
+        elif kind == "nullemb":
+            b1.append((doc_id, _fc_text("n" + _fc_letters(k)), None))
+        else:  # zeroemb
+            b1.append((doc_id, _fc_text("z" + _fc_letters(k)), [0.0] * _FC_DIM))
+
+    cent_vecs = {i: _fc_axis(i) for i in range(_FC_DIM)}
+    want = _full_cascade_model(cent_vecs, [b0, b1])
+
+    cents = spark.createDataFrame(
+        [Row(cent_id=i, cent=v) for i, v in cent_vecs.items()]
+    )
+    dfs = [
+        spark.createDataFrame(
+            [Row(doc_id=i, text=t, embedding=e) for i, t, e in batch],
+            "doc_id bigint, text string, embedding array<double>",
+        )
+        for batch in (b0, b1)
+    ]
+    root = tempfile.mkdtemp(prefix="mfs_fc_model_")
+    try:
+        fn = make_full_cascade_ingest_batch_fn(
+            spark,
+            os.path.join(root, "fp"),
+            os.path.join(root, "sig"),
+            os.path.join(root, "sem"),
+            os.path.join(root, "dec"),
+            cents,
+            JACCARD_THRESHOLD,
+        )
+        for i, df in enumerate(dfs):
+            fn(df, i)
+        got = {
+            r["doc_id"]: (r["admitted"], r["matched_id"], r["score"], r["tier"])
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(os.path.join(root, "dec"))
+            .collect()
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    assert set(got) == set(want)
+    for d, (adm, mid, score, tier) in want.items():
+        g = got[d]
+        assert (g[0], g[1], g[3]) == (adm, mid, tier), d
+        assert g[2] == pytest.approx(score, rel=1e-12, abs=1e-15), d

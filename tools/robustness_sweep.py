@@ -225,6 +225,60 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
         finally:
             shutil.rmtree(root, ignore_errors=True)
 
+    def _full_cascade_lifecycle():
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+        from mapreduce_framework_spark.streaming.ingest import (
+            make_full_cascade_ingest_batch_fn,
+        )
+
+        if not _norms_spark(embs).take(1):
+            # stated corpus-level policy (q104 builder docstring): no
+            # usable centroid ⇒ the cascade degrades to the two-tier
+            # lexical form, which lib_cascade_ingest drives on this
+            # variant — nothing three-tier left to check
+            return 0
+        de = docs.join(
+            embs.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+            "left",
+        )
+        cb = fit_codebook(embs, k=8, iters=1)
+        root = tempfile.mkdtemp(prefix="mfs_sweep_fullcasc_")
+        try:
+            fn = make_full_cascade_ingest_batch_fn(
+                spark,
+                os.path.join(root, "fp"),
+                os.path.join(root, "sig"),
+                os.path.join(root, "sem"),
+                os.path.join(root, "dec"),
+                cb,
+                JACCARD_THRESHOLD,
+            )
+            fn(de, 0)
+            # id-shifted copy: every doc byte-collapses in the exact tier
+            # (NULL-text docs too, via md5(coalesce)); NULL/zero-norm
+            # embeddings exercise the semantic tier's exclusion gate on
+            # the batch-0 index build
+            fn(
+                de.select(
+                    (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                    "text",
+                    "embedding",
+                ),
+                1,
+            )
+            return (
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(os.path.join(root, "dec"))
+                .count()
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
     checks = [
         ("lib_exact_substring_dedup", lambda: exact_substring_dedup(docs).count()),
         (
@@ -256,6 +310,10 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
         # copy byte-collapses in the exact tier and on the empty variant
         # both batches cleanly no-op
         ("lib_cascade_ingest", lambda: _cascade_lifecycle()),
+        # round-7: the FULL three-tier sink (exact → MinHash → semantic)
+        # under a fitted codebook; degrades per the stated corpus-level
+        # policy when the variant has no usable embedding
+        ("lib_full_cascade_ingest", _full_cascade_lifecycle),
         (
             # round-7: the decontaminated 5-stage corpus composition —
             # benchmark = the variant's own docs, so the trim stage bites

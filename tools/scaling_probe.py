@@ -677,6 +677,139 @@ def probe_cascade(spark, base, batch_n=5000) -> None:
             shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_full_cascade(spark, sf_dir, batch_n=2000) -> None:
+    """Round-7 series: per-batch wall and PER-TIER WORKLOAD of the full
+    three-tier admission sink (exact → MinHash → semantic) as the
+    batch's duplicate composition varies, against a semantic-only sink
+    on the same batches. The transferable quantity is each tier's INPUT
+    size: the MinHash tier shingles only exact-tier survivors and the
+    semantic tier scores centroids for only LEXICAL survivors — so the
+    embedding stage's work collapses on re-fetch/template-heavy crawls,
+    while a paraphrase-heavy batch is the only composition that pays it
+    in full (and must: the lexical tiers cannot see paraphrase pairs).
+    The semantic-only sink's wall is flat across compositions — it
+    scores every doc regardless — which is exactly why it goes last in
+    the cascade. Batch 1 is redelivered per mix (overwrite semantics
+    keep the index at batch-0 state), as in probe_cascade.
+
+    Mix construction (all corpus-derived, one per tier):
+    - exact: byte-identical re-fetch (+20M ids);
+    - near_dup: one appended token (+21M), embedding NEGATED so only
+      the Jaccard tier can claim it;
+    - semantic: char-reversed text with a fresh marker (+22M) — zero
+      shared word shingles — carrying the SOURCE embedding (cos 1.0);
+    - fresh: reversed text AND negated embedding (+30M) — invisible to
+      all three tiers."""
+    import shutil
+    import tempfile
+
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.codebook import fit_codebook
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.streaming.ingest import (
+        make_full_cascade_ingest_batch_fn,
+        make_semantic_ingest_batch_fn,
+    )
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    embs = table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    corpus = docs.join(embs, "doc_id").localCheckpoint(eager=True)
+    n_corpus = corpus.count()
+    cb = fit_codebook(
+        corpus.select(F.col("doc_id").alias("vec_id"), "embedding"), k=64, iters=2
+    ).localCheckpoint(eager=True)
+
+    neg = F.expr("transform(embedding, x -> -x)").alias("embedding")
+    rev = F.concat(F.lit("para marker xyzzy "), F.reverse("text")).alias("text")
+
+    def mixed_batch(kind: str, pct: int):
+        n_dup = batch_n * pct // 100
+        src = corpus.orderBy("doc_id").limit(n_dup)
+        if kind == "exact":
+            dup = src.select(
+                (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+                "text",
+                "embedding",
+            )
+        elif kind == "near_dup":
+            dup = src.select(
+                (F.col("doc_id") + F.lit(21_000_000)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zq")).alias("text"),
+                neg,
+            )
+        else:  # semantic
+            dup = src.select(
+                (F.col("doc_id") + F.lit(22_000_000)).alias("doc_id"), rev, "embedding"
+            )
+        fresh = (
+            corpus.orderBy(F.col("doc_id").desc())
+            .limit(batch_n - n_dup)
+            .select((F.col("doc_id") + F.lit(30_000_000)).alias("doc_id"), rev, neg)
+        )
+        return dup.unionAll(fresh).localCheckpoint(eager=True)
+
+    casc_root = tempfile.mkdtemp(prefix="mfs_fullcasc_probe_")
+    sem_root = tempfile.mkdtemp(prefix="mfs_semonly_probe_")
+    try:
+        fn = make_full_cascade_ingest_batch_fn(
+            spark,
+            os.path.join(casc_root, "fp"),
+            os.path.join(casc_root, "sig"),
+            os.path.join(casc_root, "sem"),
+            os.path.join(casc_root, "dec"),
+            cb,
+            JACCARD_THRESHOLD,
+        )
+        fn_sem = make_semantic_ingest_batch_fn(
+            spark,
+            os.path.join(sem_root, "idx"),
+            os.path.join(sem_root, "dec"),
+            cb,
+        )
+        t0 = time.perf_counter()
+        fn(corpus, 0)
+        t1 = time.perf_counter()
+        fn_sem(corpus.select(F.col("doc_id").alias("vec_id"), "embedding"), 0)
+        t2 = time.perf_counter()
+        print(
+            f"seed batch ({n_corpus} docs): full cascade "
+            f"{round(t1 - t0, 2)} s, semantic-only {round(t2 - t1, 2)} s"
+        )
+        print(
+            "| mix | cascade wall | sem-only wall | exact | near_dup "
+            "| semantic | sem-tier input docs | batch |"
+        )
+        print("|---|---|---|---|---|---|---|---|")
+        for kind, pct in (
+            ("fresh", 0),
+            ("exact", 60),
+            ("near_dup", 60),
+            ("semantic", 60),
+        ):
+            b = mixed_batch(kind, pct)
+            ta = time.perf_counter()
+            fn(b, 1)  # redelivery: index state stays batch-0-only
+            tb = time.perf_counter()
+            fn_sem(b.select(F.col("doc_id").alias("vec_id"), "embedding"), 1)
+            tc = time.perf_counter()
+            dec = spark.read.parquet(os.path.join(casc_root, "dec", "delta_v1"))
+            tiers = {
+                r["tier"]: r["n"]
+                for r in dec.groupBy("tier").agg(F.count("*").alias("n")).collect()
+            }
+            sem_input = batch_n - tiers.get("exact", 0) - tiers.get("near_dup", 0)
+            print(
+                f"| {kind} {pct}% | {round(tb - ta, 2)} s | {round(tc - tb, 2)} s "
+                f"| {tiers.get('exact', 0)} | {tiers.get('near_dup', 0)} "
+                f"| {tiers.get('semantic', 0)} | {sem_input} | {batch_n} |"
+            )
+    finally:
+        shutil.rmtree(casc_root, ignore_errors=True)
+        shutil.rmtree(sem_root, ignore_errors=True)
+
+
 def _amplified_embeddings(base, factor: int):
     span = 10_000_000
     parts = [
@@ -876,6 +1009,9 @@ def main() -> None:
         return
     if "--cascade" in sys.argv:  # round-7 tiered-admission series
         probe_cascade(spark, base)
+        return
+    if "--full-cascade" in sys.argv:  # round-7 three-tier economics series
+        probe_full_cascade(spark, sf_dir)
         return
     if "--refit" in sys.argv:  # round-7 codebook-refresh drift series
         probe_refit(spark, sf_dir)
