@@ -266,6 +266,29 @@ def refit_codebook(
     return _lloyd_iterations(e, cents, dim, iters)
 
 
+def codebook_fingerprint(centroids: DataFrame) -> str:
+    """Deterministic identity of a fitted codebook: md5 over the sorted
+    ``(cent_id, cent)`` rows with full float ``repr``. Cell assignments
+    are only comparable under ONE codebook, so every artifact derived
+    from assignments (the streaming semantic index,
+    ``streaming/ingest.py``) records this fingerprint in its manifest
+    and every sink checks its own centroids against it — a refreshed
+    codebook paired with a stale index (or vice versa) is a silent
+    wrong-matches bug at 100 TB, and the check turns it into a hard
+    error at the next batch. Driver-side collect of a by-contract tiny
+    table (K rows, the same bound prepare_centroids already assumes)."""
+    import hashlib
+
+    rows = sorted(
+        (int(r["cent_id"]), tuple(float(x) for x in r["cent"]))
+        for r in centroids.select("cent_id", "cent").collect()
+    )
+    blob = ";".join(
+        f"{cid}:{','.join(repr(x) for x in vec)}" for cid, vec in rows
+    )
+    return hashlib.md5(blob.encode("utf-8")).hexdigest()
+
+
 def quantization_error(embs: DataFrame, centroids: DataFrame) -> float:
     """Mean cosine distance (1 − cos) of each vector to its nearest cell —
     the quantity Lloyd's iterations monotonically non-increase (up to FP

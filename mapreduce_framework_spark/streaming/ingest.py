@@ -105,6 +105,103 @@ def _index_so_far(
     )
 
 
+def _require_codebook(index_root: str, fingerprint: str) -> None:
+    """Hard-fail when a semantic index root was built under a DIFFERENT
+    codebook than the sink holds (manifest ``codebook_id`` vs the sink's
+    own fingerprint). Cell assignments are only comparable under one
+    codebook: a refreshed codebook paired with a stale index silently
+    mis-matches every batch — this check runs BEFORE the batch's first
+    publish, so no decision is ever committed under the mismatch. A
+    manifest without a stamp (pre-check legacy root, or first batch) is
+    accepted and stamped at publish time."""
+    man = read_index_manifest(index_root)
+    if man is None:
+        return
+    cid = man.get("codebook_id")
+    if cid is not None and cid != fingerprint:
+        raise ValueError(
+            f"semantic index at {index_root} was built under codebook "
+            f"{cid[:12]}... but this sink holds {fingerprint[:12]}... — "
+            "cell assignments are only comparable under ONE codebook; "
+            "after a refresh run reindex_semantic_root and hand the SAME "
+            "centroids frame to the sink"
+        )
+
+
+def _stamp_codebook(index_root: str, fingerprint: str) -> None:
+    """Record the sink's codebook fingerprint in the index manifest if
+    absent (first publish, or a pre-check legacy root). Crash between the
+    delta publish and this stamp just redelivers: the check accepts the
+    unstamped manifest and the stamp is rewritten."""
+    man = read_index_manifest(index_root)
+    if man is not None and man.get("codebook_id") != fingerprint:
+        man["codebook_id"] = fingerprint
+        write_index_manifest(index_root, man)
+
+
+def reindex_semantic_root(
+    spark: SparkSession,
+    index_root: str,
+    centroids: DataFrame,
+    next_batch: int,
+    target_files: int = 8,
+) -> None:
+    """Swap a streaming semantic index under a REFRESHED codebook
+    (pipeline/codebook.py:refit_codebook) — the between-batches step of
+    the codebook-refresh lifecycle. Every committed index row's
+    ``(vec_id, embedding)`` is re-assigned through ``semantic_index``
+    under the new centroids and folded into ONE compacted dir; the
+    manifest is then republished with ``compacted_through = next_batch-1``,
+    an empty delta tail, and ``codebook_id`` = the new fingerprint — one
+    atomic commit, so a crash before the publish leaves the old manifest
+    authoritative and the new dir an overwritable orphan (the compaction
+    discipline of ``compact_index_manifest``). Must run BETWEEN batches:
+    a manifest already committing ``next_batch`` or later is a hard
+    error, because the in-flight batch would have matched under the old
+    codebook. The caller hands the SAME centroids frame to the next
+    sink; ``_require_codebook`` enforces the pairing from then on.
+    Cost: one O(index) rewrite per refresh — the same amortized shape as
+    compaction, paid only when the codebook actually drifts (SCALING.md
+    ANN-drift series quantifies when that is worth it)."""
+    from mapreduce_framework_spark.pipeline.codebook import codebook_fingerprint
+    from mapreduce_framework_spark.pipeline.semantic_dedup import semantic_index
+
+    man = read_index_manifest(index_root)
+    if man is None:
+        raise ValueError(
+            f"no index manifest under {index_root} — nothing to reindex "
+            "(seed the index through the sink first)"
+        )
+    committed = [e[0] for e in man["deltas"]]
+    latest = max([man["compacted_through"], *committed])
+    if latest >= next_batch:
+        raise ValueError(
+            f"reindex_semantic_root(next_batch={next_batch}) but the manifest "
+            f"already commits batch {latest} — the reindex must run between "
+            "batches, after the last commit and before the next delivery"
+        )
+    fp = codebook_fingerprint(centroids)
+    paths = manifest_visible_paths(index_root, man)
+    out = dict(man)
+    if paths:
+        embs = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(*paths)
+            .select("vec_id", "embedding")
+            .dropDuplicates(["vec_id"])
+        )
+        dst = f"compact_v{next_batch}"
+        semantic_index(embs, centroids).coalesce(target_files).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(index_root, dst))
+        out["compacted_path"] = dst
+        out["compacted_through"] = next_batch - 1
+        out["deltas"] = []
+    out["codebook_id"] = fp
+    write_index_manifest(index_root, out)
+    prune_superseded_index_dirs(index_root, out)
+
+
 def _publish_delta(
     spark: SparkSession,
     index_root: str,
@@ -279,9 +376,16 @@ def make_semantic_ingest_batch_fn(
     - INTRA-BATCH duplicates are all admitted: this sink owns only the
       batch-vs-index decision; within-batch self-dedup is upstream's job
       (q102 / semantic_dedup), same division of labor as the MinHash
-      sink's within-batch policy (module docstring)."""
+      sink's within-batch policy (module docstring).
+
+    The index manifest records the codebook's fingerprint; every batch
+    checks it BEFORE publishing anything, so pairing this sink with an
+    index built under a different codebook (e.g. after refit_codebook
+    without reindex_semantic_root) is a hard error, never silent
+    mis-matching."""
     from pyspark.sql.window import Window
 
+    from mapreduce_framework_spark.pipeline.codebook import codebook_fingerprint
     from mapreduce_framework_spark.pipeline.semantic_dedup import (
         SEMDEDUP_COS,
         semantic_index,
@@ -290,8 +394,10 @@ def make_semantic_ingest_batch_fn(
 
     if threshold is None:
         threshold = SEMDEDUP_COS
+    cb_fp = codebook_fingerprint(centroids)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _require_codebook(index_root, cb_fp)
         batch = batch_df.localCheckpoint(eager=True)  # read the source once
         idx = _index_so_far(spark, index_root, before_batch=batch_id)
         if idx is None:
@@ -332,6 +438,7 @@ def make_semantic_ingest_batch_fn(
             spark, index_root, batch_id, semantic_index(admitted, centroids),
             compact_every,
         )
+        _stamp_codebook(index_root, cb_fp)
 
     return apply_batch
 
@@ -542,9 +649,14 @@ def make_full_cascade_ingest_batch_fn(
       the later tiers (its matched_id is the smallest byte-identical
       index id even when a semantically closer index doc exists).
     - Within-batch self-dedup stays upstream (q31/q102), as in every
-      sink in this module."""
+      sink in this module.
+
+    The semantic index manifest records the codebook's fingerprint;
+    every batch checks it BEFORE any publish (see
+    make_semantic_ingest_batch_fn / reindex_semantic_root)."""
     from pyspark.sql.window import Window
 
+    from mapreduce_framework_spark.pipeline.codebook import codebook_fingerprint
     from mapreduce_framework_spark.pipeline.dedup import (
         exact_fingerprint_index,
         exact_match_batch,
@@ -559,6 +671,7 @@ def make_full_cascade_ingest_batch_fn(
 
     if cos_threshold is None:
         cos_threshold = SEMDEDUP_COS
+    cb_fp = codebook_fingerprint(centroids)
 
     def _sem_side(docs: DataFrame) -> DataFrame:
         # NULL embeddings are invisible to the semantic tier (policy
@@ -568,6 +681,7 @@ def make_full_cascade_ingest_batch_fn(
         )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _require_codebook(sem_index_root, cb_fp)
         batch = batch_df.localCheckpoint(eager=True)  # read the source once
 
         fp_idx = _index_so_far(spark, fp_index_root, before_batch=batch_id)
@@ -680,6 +794,7 @@ def make_full_cascade_ingest_batch_fn(
             semantic_index(_sem_side(admitted), centroids),
             compact_every,
         )
+        _stamp_codebook(sem_index_root, cb_fp)
 
     return apply_batch
 

@@ -2207,3 +2207,188 @@ def test_full_cascade_matches_sequential_model(spark_global, n_base, ops):
         g = got[d]
         assert (g[0], g[1], g[3]) == (adm, mid, tier), d
         assert g[2] == pytest.approx(score, rel=1e-12, abs=1e-15), d
+
+
+# ---------------------------------------------------------------------------
+# Codebook-refresh reindex lifecycle (round 7): reindex_semantic_root +
+# the manifest codebook-fingerprint guard
+# ---------------------------------------------------------------------------
+
+
+def _cents_b(spark):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [
+            Row(cent_id=i, cent=[float(x) for x in v])
+            for i, v in enumerate([[0, 1, 1], [1, 0, 1], [1, 1, 0]])
+        ]
+    )
+
+
+def test_semantic_reindex_swaps_codebook(spark, tmp_path):
+    """refit → reindex_semantic_root → resume: the swapped artifact is
+    byte-equivalent to a from-scratch semantic_index of the same
+    admitted vectors under the new codebook, the manifest carries the
+    new fingerprint with an empty tail, and the next batch's decisions
+    through a new-codebook sink equal the direct match against that
+    fresh build."""
+    from pyspark.sql.window import Window
+
+    from mapreduce_framework_spark.pipeline.codebook import codebook_fingerprint
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        SEM_PROBES,
+        semantic_index,
+        semantic_match_batch,
+    )
+    from mapreduce_framework_spark.storage import read_index_manifest
+    from mapreduce_framework_spark.streaming.ingest import (
+        _index_so_far,
+        make_semantic_ingest_batch_fn,
+        reindex_semantic_root,
+    )
+
+    _, cents_a, _, dfs = _sem_batches(spark)
+    idx_root = str(tmp_path / "idx")
+    dec_root = str(tmp_path / "dec")
+    fn_a = make_semantic_ingest_batch_fn(spark, idx_root, dec_root, cents_a)
+    fn_a(dfs[0], 0)
+    fn_a(dfs[1], 1)
+
+    cents_b = _cents_b(spark)
+    reindex_semantic_root(spark, idx_root, cents_b, next_batch=2)
+
+    man = read_index_manifest(idx_root)
+    assert man["codebook_id"] == codebook_fingerprint(cents_b)
+    assert man["deltas"] == [] and man["compacted_through"] == 1
+
+    admitted_ids = {
+        r["vec_id"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(dec_root)
+        .where("admitted")
+        .collect()
+    }
+    admitted = (
+        dfs[0].unionByName(dfs[1]).where(F.col("vec_id").isin(admitted_ids))
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    want_idx = {
+        (r["vec_id"], r["cent_id"])
+        for r in semantic_index(admitted, cents_b).collect()
+    }
+    got_idx_df = _index_so_far(spark, idx_root)
+    got_idx = {(r["vec_id"], r["cent_id"]) for r in got_idx_df.collect()}
+    assert got_idx == want_idx
+    assert got_idx_df.count() == len(admitted_ids) * SEM_PROBES
+
+    # next batch through a new-codebook sink == direct match against the
+    # from-scratch build under B
+    fn_b = make_semantic_ingest_batch_fn(spark, idx_root, dec_root, cents_b)
+    fn_b(dfs[2], 2)
+    got = {
+        r["vec_id"]: (r["admitted"], r["matched_id"], r["cos"])
+        for r in spark.read.parquet(os.path.join(dec_root, "delta_v2")).collect()
+    }
+    w = Window.partitionBy("new_id").orderBy(F.col("cos").desc(), F.col("index_id"))
+    best = {
+        r["new_id"]: (r["index_id"], r["cos"])
+        for r in semantic_match_batch(
+            semantic_index(admitted, cents_b).localCheckpoint(eager=True),
+            dfs[2],
+            cents_b,
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    }
+    for r in dfs[2].collect():
+        vid = r["vec_id"]
+        if vid in best:
+            assert got[vid] == (False, best[vid][0], best[vid][1]), vid
+        else:
+            assert got[vid] == (True, -1, 0.0), vid
+
+
+def test_semantic_sink_rejects_mismatched_codebook(spark, tmp_path):
+    """A sink holding a different codebook than the index manifest's
+    fingerprint hard-fails BEFORE committing anything — and succeeds
+    after reindex_semantic_root swaps the artifact."""
+    from mapreduce_framework_spark.streaming.ingest import (
+        make_semantic_ingest_batch_fn,
+        reindex_semantic_root,
+    )
+
+    _, cents_a, _, dfs = _sem_batches(spark)
+    idx_root = str(tmp_path / "idx")
+    dec_root = str(tmp_path / "dec")
+    fn_a = make_semantic_ingest_batch_fn(spark, idx_root, dec_root, cents_a)
+    fn_a(dfs[0], 0)
+
+    fn_b = make_semantic_ingest_batch_fn(spark, idx_root, dec_root, _cents_b(spark))
+    with pytest.raises(ValueError, match="ONE codebook"):
+        fn_b(dfs[1], 1)
+    committed = {
+        r["vec_id"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(dec_root)
+        .collect()
+    }
+    assert committed == {r["vec_id"] for r in dfs[0].collect()}
+
+    reindex_semantic_root(spark, idx_root, _cents_b(spark), next_batch=1)
+    fn_b(dfs[1], 1)  # now sanctioned
+    assert os.path.isdir(os.path.join(idx_root, "delta_v1"))
+
+
+def test_full_cascade_sink_rejects_mismatched_codebook(spark, tmp_path):
+    """The three-tier sink applies the same guard to its semantic index
+    root, before ANY of its four publishes."""
+    from mapreduce_framework_spark.streaming.ingest import (
+        make_full_cascade_ingest_batch_fn,
+    )
+
+    cents, dfs = _full_cascade_fixture(spark)
+    roots, _ = _run_full_cascade(spark, tmp_path, dfs[:1], cents)
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+
+    fn_b = make_full_cascade_ingest_batch_fn(
+        spark,
+        roots["fp"],
+        roots["sig"],
+        roots["sem"],
+        roots["dec"],
+        _cents_b(spark),
+        JACCARD_THRESHOLD,
+    )
+    with pytest.raises(ValueError, match="ONE codebook"):
+        fn_b(dfs[1], 1)
+    # nothing from batch 1 committed anywhere
+    for k in ("fp", "sig", "sem", "dec"):
+        assert not os.path.isdir(os.path.join(roots[k], "delta_v1")), k
+
+
+def test_reindex_refuses_unseeded_and_midstream(spark, tmp_path):
+    """reindex_semantic_root is a between-batches operation: a root with
+    no manifest (never seeded) and a next_batch at or below the latest
+    committed batch are both hard errors."""
+    from mapreduce_framework_spark.streaming.ingest import (
+        make_semantic_ingest_batch_fn,
+        reindex_semantic_root,
+    )
+
+    with pytest.raises(ValueError, match="nothing to reindex"):
+        reindex_semantic_root(
+            spark, str(tmp_path / "nope"), _cents_b(spark), next_batch=0
+        )
+
+    _, cents_a, _, dfs = _sem_batches(spark)
+    idx_root = str(tmp_path / "idx")
+    fn_a = make_semantic_ingest_batch_fn(
+        spark, idx_root, str(tmp_path / "dec"), cents_a
+    )
+    fn_a(dfs[0], 0)
+    fn_a(dfs[1], 1)
+    with pytest.raises(ValueError, match="between"):
+        reindex_semantic_root(spark, idx_root, _cents_b(spark), next_batch=1)
