@@ -2392,3 +2392,37 @@ def test_reindex_refuses_unseeded_and_midstream(spark, tmp_path):
     fn_a(dfs[1], 1)
     with pytest.raises(ValueError, match="between"):
         reindex_semantic_root(spark, idx_root, _cents_b(spark), next_batch=1)
+
+
+def test_full_cascade_compaction_preserves_decisions(spark, tmp_path):
+    """The three-tier sink with aggressive tail compaction
+    (compact_every=1 on all four manifest roots) produces decisions and
+    final index contents identical to the uncompacted run — the
+    byte-identical-decisions compaction contract, on the composed
+    cascade."""
+    cents, dfs = _full_cascade_fixture(spark)
+    plain, _ = _run_full_cascade(spark, tmp_path, dfs, cents, prefix="pl")
+    comp, _ = _run_full_cascade(
+        spark, tmp_path, dfs, cents, prefix="co", compact_every=1
+    )
+    read = lambda r: spark.read.option("recursiveFileLookup", "true").parquet(r)
+    dec = lambda roots: {
+        d: (r["admitted"], r["tier"], r["matched_id"], r["score"])
+        for d, r in _decisions(spark, roots["dec"]).items()
+    }
+    assert dec(comp) == dec(plain)
+    for k, cols in (
+        ("fp", ["doc_id", "fp"]),
+        ("sig", ["doc_id"]),
+        ("sem", ["vec_id", "cent_id"]),
+    ):
+        want = {tuple(r) for r in read(plain[k]).select(*cols).collect()}
+        got = {tuple(r) for r in read(comp[k]).select(*cols).collect()}
+        assert got == want, k
+    # the compacted run actually compacted: tail shorter than batch count
+    from mapreduce_framework_spark.storage import read_index_manifest
+
+    man = read_index_manifest(comp["sig"])
+    assert man["compacted_path"] is not None
+    assert len(man["deltas"]) < len(dfs)
+    assert read_index_manifest(comp["sem"])["codebook_id"] is not None
