@@ -750,6 +750,37 @@ def probe_full_cascade(spark, sf_dir, batch_n=2000) -> None:
         )
         return dup.unionAll(fresh).localCheckpoint(eager=True)
 
+    def mixed_batch_n(n: int, pct: int):
+        """60%-exact mix at arbitrary batch size: the corpus is cycled
+        with distinct id offsets (an exact dup only needs the TEXT to be
+        byte-identical to an index doc; ids are fresh), so the batch-size
+        axis is not capped by the corpus size."""
+        n_dup = n * pct // 100
+
+        def cycled(m, base_off, xform):
+            parts, off = [], base_off
+            while m > 0:
+                take = min(m, n_corpus)
+                parts.append(
+                    corpus.orderBy("doc_id")
+                    .limit(take)
+                    .select(
+                        (F.col("doc_id") + F.lit(off)).alias("doc_id"),
+                        xform,
+                        "embedding",
+                    )
+                )
+                m -= take
+                off += 1_000_000
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionAll(p)
+            return out
+
+        dup = cycled(n_dup, 20_000_000, F.col("text").alias("text"))
+        fresh = cycled(n - n_dup, 60_000_000, rev)
+        return dup.unionAll(fresh).localCheckpoint(eager=True)
+
     casc_root = tempfile.mkdtemp(prefix="mfs_fullcasc_probe_")
     sem_root = tempfile.mkdtemp(prefix="mfs_semonly_probe_")
     try:
@@ -804,6 +835,27 @@ def probe_full_cascade(spark, sf_dir, batch_n=2000) -> None:
                 f"| {kind} {pct}% | {round(tb - ta, 2)} s | {round(tc - tb, 2)} s "
                 f"| {tiers.get('exact', 0)} | {tiers.get('near_dup', 0)} "
                 f"| {tiers.get('semantic', 0)} | {sem_input} | {batch_n} |"
+            )
+        # batch-size axis at a fixed 60%-exact mix: the per-batch fixed
+        # cost (scheduling + 4 manifest commits) amortizes as per-doc work
+        # grows, which is the claim that transfers to real batch sizes
+        print()
+        print("| batch (60% exact) | cascade wall | sem-only wall | sem-tier input docs |")
+        print("|---|---|---|---|")
+        for n in (500, 2000, 8000):
+            b = mixed_batch_n(n, 60)
+            ta = time.perf_counter()
+            fn(b, 1)
+            tb = time.perf_counter()
+            fn_sem(b.select(F.col("doc_id").alias("vec_id"), "embedding"), 1)
+            tc = time.perf_counter()
+            dec = spark.read.parquet(os.path.join(casc_root, "dec", "delta_v1"))
+            rejected = dec.where(
+                F.col("tier").isin("exact", "near_dup")
+            ).count()
+            print(
+                f"| {n} | {round(tb - ta, 2)} s | {round(tc - tb, 2)} s "
+                f"| {n - rejected} |"
             )
     finally:
         shutil.rmtree(casc_root, ignore_errors=True)
