@@ -866,11 +866,28 @@ def index_signatures(index_docs: DataFrame, shingler=None) -> DataFrame:
     return _minhash_columns(sh).join(sets, "doc_id")
 
 
+def banded_signatures(index_sigs: DataFrame) -> DataFrame:
+    """The PERSISTABLE banded layout of an ``index_signatures`` artifact:
+    one narrow ``(doc_id, band, bsig)`` row per LSH band. Write it next
+    to the signature table and hand it to ``match_batch(index_bands=…)``:
+    the per-batch candidate join then scans ~17 raw bytes/band-row
+    (2 longs + a byte, dictionary/RLE-friendly) instead of re-projecting
+    all 64 minhash longs (~512 B/doc) AND re-deriving 16 band structs
+    per index row on EVERY batch — the dominant per-batch index read in
+    the steady-state match loop, eliminated once at build time. Contents
+    are definitionally equal to the on-the-fly derivation (same
+    ``_band_frame``), so candidates — and therefore matches — are
+    bit-identical (pinned by
+    tests/test_pipeline.py::test_match_batch_with_persisted_bands_is_identical)."""
+    return _band_frame(index_sigs)
+
+
 def match_batch(
     index_sigs: DataFrame,
     new_docs: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
     shingler=None,
+    index_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup matches (id1 = index doc, id2 = new doc, jaccard) of a new
     batch against a PRECOMPUTED index (``index_signatures`` output, read
@@ -878,11 +895,14 @@ def match_batch(
     prune + exact verification — the cross-side twin of
     ``_lsh_verified_pairs``. Only the batch side is scanned/shingled here;
     the index side contributes projections of stored columns.
-    ``shingler``: must match the index build's (see index_signatures)."""
+    ``shingler``: must match the index build's (see index_signatures).
+    ``index_bands``: the persisted ``banded_signatures`` artifact — at
+    scale, pass it so the candidate join scans the narrow band table
+    instead of re-deriving bands from the 64 minhash columns per batch."""
     sh_n = (shingler or shingles_of)(new_docs).localCheckpoint(eager=True)
     mh_n = _minhash_columns(sh_n).localCheckpoint(eager=True)
     mh_i = index_sigs  # m0..m63 projections; shingles pruned until verify
-    a = _band_frame(mh_i).alias("a")
+    a = (index_bands if index_bands is not None else _band_frame(mh_i)).alias("a")
     b = _band_frame(mh_n).alias("b")
     raw = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bsig") == F.col("b.bsig")))

@@ -388,6 +388,56 @@ def test_match_batch_with_persisted_index_equals_from_scratch(spark, sf_dir, tmp
     assert "index_sigs" in plan, plan
 
 
+def test_match_batch_with_persisted_bands_is_identical(spark, sf_dir, tmp_path):
+    """The banded-layout extension of the persisted-index contract:
+    matching against a parquet-persisted ``banded_signatures`` table must
+    produce BIT-identical matches to the on-the-fly band derivation (the
+    band table is definitionally the same _band_frame rows), while the
+    candidate join's index side scans the narrow (doc_id, band, bsig)
+    artifact instead of re-projecting 64 minhash longs per batch."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.dedup import (
+        N_BANDS,
+        banded_signatures,
+        index_signatures,
+        match_batch,
+    )
+
+    docs = table(spark, "documents", sf_dir)
+    cut = docs.agg(((F.max("doc_id") + 1) / 2).cast("long")).collect()[0][0]
+    index_docs = docs.where(F.col("doc_id") < cut)
+    new_docs = docs.where(F.col("doc_id") >= cut)
+
+    idx_path = str(tmp_path / "index_sigs")
+    bands_path = str(tmp_path / "index_bands")
+    index_signatures(index_docs).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    banded_signatures(idx).write.parquet(bands_path)
+    bands = spark.read.parquet(bands_path)
+    assert set(bands.columns) == {"doc_id", "band", "bsig"}
+    assert bands.count() == idx.count() * N_BANDS
+
+    with_bands = sorted(
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in match_batch(idx, new_docs, index_bands=bands).collect()
+    )
+    without = sorted(
+        (r["id1"], r["id2"], r["jaccard"])
+        for r in match_batch(idx, new_docs).collect()
+    )
+    assert with_bands == without and len(with_bands) > 0
+
+    # the banded plan reads the band artifact on the candidate join's
+    # index side
+    df = match_batch(idx, new_docs, index_bands=bands)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "index_bands" in plan, plan
+
+
 def test_stop_shingle_cap_bounds_candidate_blowup(spark):
     """The web-scale robustness lever (SCALING.md): near-universal
     "stop shingles" (site chrome, licence boilerplate) drag every doc's

@@ -69,6 +69,7 @@ def probe_incremental(spark, base) -> None:
     import tempfile
 
     from mapreduce_framework_spark.pipeline.dedup import (
+        banded_signatures,
         index_signatures,
         match_batch,
     )
@@ -77,24 +78,32 @@ def probe_incremental(spark, base) -> None:
     max_id = base.agg(F.max("doc_id")).collect()[0][0]
     cut = (max_id + 1) * 9 // 10  # fixed 10% batch, corpus-size-derived
     batch = base.where(F.col("doc_id") >= cut)
-    print("| index docs | index build (once) | match_batch wall (rows) | chunking wall (rows) |")
-    print("|---|---|---|---|")
+    print("| index docs | index build (once) | match_batch wall (rows) | banded match wall | chunking wall (rows) |")
+    print("|---|---|---|---|---|")
     for factor in (1, 2, 4):
         index_docs = amplify(base.where(F.col("doc_id") < cut), factor)
         idx_dir = tempfile.mkdtemp(prefix="mfs_probe_idx_")
         try:
             t0 = time.perf_counter()
-            index_signatures(index_docs).write.mode("overwrite").parquet(idx_dir)
+            index_signatures(index_docs).write.mode("overwrite").parquet(
+                os.path.join(idx_dir, "sigs")
+            )
+            idx = spark.read.parquet(os.path.join(idx_dir, "sigs"))
+            banded_signatures(idx).write.mode("overwrite").parquet(
+                os.path.join(idx_dir, "bands")
+            )
             t_build = round(time.perf_counter() - t0, 2)
-            idx = spark.read.parquet(idx_dir)
+            bands = spark.read.parquet(os.path.join(idx_dir, "bands"))
             n_index = idx.count()
             t_match, n_match = timed(match_batch(idx, batch))
+            t_banded, n_banded = timed(match_batch(idx, batch, index_bands=bands))
+            assert n_banded == n_match
         finally:
             shutil.rmtree(idx_dir, ignore_errors=True)
         t_chunk, n_chunks = timed(chunk_documents(amplify(base, factor)))
         print(
             f"| {n_index} | {t_build} s | {t_match} s ({n_match}) | "
-            f"{t_chunk} s ({n_chunks}) |"
+            f"{t_banded} s | {t_chunk} s ({n_chunks}) |"
         )
 
 
