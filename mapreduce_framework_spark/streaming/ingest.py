@@ -37,12 +37,19 @@ appended to the index.
 The reference has no streaming surface (batch-only, hard map→reduce
 barrier, src/mr/coordinator.go:143-155); this is [EXT] (SURVEY §7 M5).
 
-Three admission sinks share the lifecycle: the single-tier MinHash sink
+Four admission sinks share the lifecycle: the single-tier MinHash sink
 (``make_ingest_batch_fn``), its semantic-embedding twin
-(``make_semantic_ingest_batch_fn``), and the TIERED CASCADE
+(``make_semantic_ingest_batch_fn``), the TIERED CASCADE
 (``make_cascade_ingest_batch_fn``) that runs an exact md5-fingerprint
 tier in front of MinHash so crawl re-fetches are rejected at an
-equi-join's cost before any shingling runs.
+equi-join's cost before any shingling runs, and the FULL three-tier
+cascade (``make_full_cascade_ingest_batch_fn``: exact → MinHash →
+semantic, registered end-to-end as q104). Every MinHash-tier sink can
+additionally maintain the PERSISTED BANDED LAYOUT
+(``bands_root``/``sig_bands_root`` + pipeline/dedup.py:banded_signatures)
+on the same delta/manifest lifecycle, cutting the per-batch candidate
+scan ~5.8× (SCALING.md); semantic sinks stamp and check the codebook
+fingerprint, and ``reindex_semantic_root`` is the codebook-refresh swap.
 """
 
 from __future__ import annotations
@@ -103,6 +110,37 @@ def _index_so_far(
     return spark.read.option("recursiveFileLookup", "true").parquet(
         *[os.path.join(index_root, d) for d in sorted(deltas)]
     )
+
+
+def _covered_batches(root: str, before_batch: int | None) -> frozenset:
+    man = read_index_manifest(root)
+    if man is None:
+        return frozenset()
+    ids = {e[0] for e in man["deltas"]}
+    ids |= set(range(0, man["compacted_through"] + 1))
+    if before_batch is not None:
+        ids = {b for b in ids if b < before_batch}
+    return frozenset(ids)
+
+
+def _check_bands_coverage(
+    sig_root: str, bands_root: str, before_batch: int | None
+) -> None:
+    """A band index that covers FEWER batches than its signature index
+    would silently drop every candidate from the missing batches' docs —
+    false negatives, the worst dedup failure. Enabling ``bands_root``
+    mid-stream (or losing one of its deltas) must therefore be a hard
+    error before any match runs. Coverage = the set of batch ids each
+    manifest commits (compacted range ∪ tail)."""
+    cs = _covered_batches(sig_root, before_batch)
+    cb = _covered_batches(bands_root, before_batch)
+    if cs != cb:
+        raise ValueError(
+            f"band index at {bands_root} covers batches {sorted(cb)} but the "
+            f"signature index at {sig_root} covers {sorted(cs)} — enable "
+            "bands_root from the root's first batch (or backfill it with "
+            "banded_signatures over the existing index) before matching"
+        )
 
 
 def _require_codebook(index_root: str, fingerprint: str) -> None:
@@ -248,6 +286,7 @@ def make_ingest_batch_fn(
     threshold: float,
     shingler=None,
     compact_every: int | None = DEFAULT_COMPACT_EVERY,
+    bands_root: str | None = None,
 ):
     """foreachBatch function: match the batch against the index-so-far,
     write decisions (admitted / matched_id / jaccard) and the admitted
@@ -257,10 +296,20 @@ def make_ingest_batch_fn(
     character-8-gram tier — see pipeline/dedup.py:index_signatures).
     ``compact_every``: fold the delta tail into one compacted dir once it
     reaches this many entries (None = never; decisions are byte-identical
-    either way — tests/test_streaming.py::test_ingest_compaction_preserves_decisions)."""
+    either way — tests/test_streaming.py::test_ingest_compaction_preserves_decisions).
+    ``bands_root``: optional PERSISTED BANDED LAYOUT root
+    (pipeline/dedup.py:banded_signatures) maintained on the same delta/
+    manifest lifecycle: each batch publishes its admitted docs' band rows
+    alongside the signature delta, and matching joins the narrow band
+    table instead of re-deriving bands from 64 minhash longs per batch —
+    the 5.8× per-batch index-scan reduction measured in SCALING.md.
+    Decisions are byte-identical either way; a bands root whose coverage
+    diverges from the signature root (enabled mid-stream, lost delta) is
+    a hard error before any match runs."""
     from pyspark.sql.window import Window
 
     from mapreduce_framework_spark.pipeline.dedup import (
+        banded_signatures,
         index_signatures,
         match_batch,
     )
@@ -271,7 +320,12 @@ def make_ingest_batch_fn(
         if idx is None:
             best = None
         else:
-            matches = match_batch(idx, batch, threshold, shingler)
+            if bands_root is not None:
+                _check_bands_coverage(index_root, bands_root, before_batch=batch_id)
+                bands = _index_so_far(spark, bands_root, before_batch=batch_id)
+            else:
+                bands = None
+            matches = match_batch(idx, batch, threshold, shingler, index_bands=bands)
             w = Window.partitionBy("id2").orderBy(
                 F.col("jaccard").desc(), F.col("id1").asc()
             )
@@ -302,10 +356,17 @@ def make_ingest_batch_fn(
             )
             admitted_docs = batch.join(best, "doc_id", "left_anti")
         _publish_delta(spark, decisions_root, batch_id, decisions, compact_every)
-        _publish_delta(
-            spark, index_root, batch_id, index_signatures(admitted_docs, shingler),
-            compact_every,
-        )
+        sig_delta = index_signatures(admitted_docs, shingler)
+        if bands_root is not None:
+            # one materialization feeds both publishes (the band rows are a
+            # projection of the signature delta, not a recompute)
+            sig_delta = sig_delta.localCheckpoint(eager=True)
+        _publish_delta(spark, index_root, batch_id, sig_delta, compact_every)
+        if bands_root is not None:
+            _publish_delta(
+                spark, bands_root, batch_id, banded_signatures(sig_delta),
+                compact_every,
+            )
 
     return apply_batch
 
@@ -320,13 +381,20 @@ def run_ingest_stream(
     timeout_s: int = 300,
     shingler=None,
     compact_every: int | None = DEFAULT_COMPACT_EVERY,
+    bands_root: str | None = None,
 ) -> DataFrame:
     """Drive the document stream through the ingest-dedup sink; returns
     the union of all per-batch decision frames."""
     q = (
         docs_stream.writeStream.foreachBatch(
             make_ingest_batch_fn(
-                spark, index_root, decisions_root, threshold, shingler, compact_every
+                spark,
+                index_root,
+                decisions_root,
+                threshold,
+                shingler,
+                compact_every,
+                bands_root,
             )
         )
         .option("checkpointLocation", checkpoint)
@@ -485,6 +553,7 @@ def make_cascade_ingest_batch_fn(
     threshold: float,
     shingler=None,
     compact_every: int | None = DEFAULT_COMPACT_EVERY,
+    sig_bands_root: str | None = None,
 ):
     """Tiered admission: the EXACT fingerprint tier runs in front of the
     MinHash near-dup tier, each batch doc paying the cheapest test that
@@ -522,6 +591,7 @@ def make_cascade_ingest_batch_fn(
     from pyspark.sql.window import Window
 
     from mapreduce_framework_spark.pipeline.dedup import (
+        banded_signatures,
         exact_fingerprint_index,
         exact_match_batch,
         index_signatures,
@@ -553,8 +623,19 @@ def make_cascade_ingest_batch_fn(
             w = Window.partitionBy("id2").orderBy(
                 F.col("jaccard").desc(), F.col("id1").asc()
             )
+            if sig_bands_root is not None:
+                _check_bands_coverage(
+                    sig_index_root, sig_bands_root, before_batch=batch_id
+                )
+                sig_bands = _index_so_far(
+                    spark, sig_bands_root, before_batch=batch_id
+                )
+            else:
+                sig_bands = None
             near_best = (
-                match_batch(sig_idx, survivors, threshold, shingler)
+                match_batch(
+                    sig_idx, survivors, threshold, shingler, index_bands=sig_bands
+                )
                 .withColumn("rn", F.row_number().over(w))
                 .where(F.col("rn") == 1)
                 .select(
@@ -593,10 +674,15 @@ def make_cascade_ingest_batch_fn(
             spark, fp_index_root, batch_id, exact_fingerprint_index(admitted),
             compact_every,
         )
-        _publish_delta(
-            spark, sig_index_root, batch_id, index_signatures(admitted, shingler),
-            compact_every,
-        )
+        sig_delta = index_signatures(admitted, shingler)
+        if sig_bands_root is not None:
+            sig_delta = sig_delta.localCheckpoint(eager=True)
+        _publish_delta(spark, sig_index_root, batch_id, sig_delta, compact_every)
+        if sig_bands_root is not None:
+            _publish_delta(
+                spark, sig_bands_root, batch_id, banded_signatures(sig_delta),
+                compact_every,
+            )
 
     return apply_batch
 
@@ -612,6 +698,7 @@ def make_full_cascade_ingest_batch_fn(
     cos_threshold: float | None = None,
     shingler=None,
     compact_every: int | None = DEFAULT_COMPACT_EVERY,
+    sig_bands_root: str | None = None,
 ):
     """The COMPLETE admission cascade the two-tier sink's docstring names
     as the real pretraining shape: exact → near-dup → SEMANTIC. Batches
@@ -658,6 +745,7 @@ def make_full_cascade_ingest_batch_fn(
 
     from mapreduce_framework_spark.pipeline.codebook import codebook_fingerprint
     from mapreduce_framework_spark.pipeline.dedup import (
+        banded_signatures,
         exact_fingerprint_index,
         exact_match_batch,
         index_signatures,
@@ -706,8 +794,19 @@ def make_full_cascade_ingest_batch_fn(
             w = Window.partitionBy("id2").orderBy(
                 F.col("jaccard").desc(), F.col("id1").asc()
             )
+            if sig_bands_root is not None:
+                _check_bands_coverage(
+                    sig_index_root, sig_bands_root, before_batch=batch_id
+                )
+                sig_bands = _index_so_far(
+                    spark, sig_bands_root, before_batch=batch_id
+                )
+            else:
+                sig_bands = None
             near_best = (
-                match_batch(sig_idx, survivors, threshold, shingler)
+                match_batch(
+                    sig_idx, survivors, threshold, shingler, index_bands=sig_bands
+                )
                 .withColumn("rn", F.row_number().over(w))
                 .where(F.col("rn") == 1)
                 .select(
@@ -783,10 +882,15 @@ def make_full_cascade_ingest_batch_fn(
             spark, fp_index_root, batch_id, exact_fingerprint_index(admitted),
             compact_every,
         )
-        _publish_delta(
-            spark, sig_index_root, batch_id, index_signatures(admitted, shingler),
-            compact_every,
-        )
+        sig_delta = index_signatures(admitted, shingler)
+        if sig_bands_root is not None:
+            sig_delta = sig_delta.localCheckpoint(eager=True)
+        _publish_delta(spark, sig_index_root, batch_id, sig_delta, compact_every)
+        if sig_bands_root is not None:
+            _publish_delta(
+                spark, sig_bands_root, batch_id, banded_signatures(sig_delta),
+                compact_every,
+            )
         _publish_delta(
             spark,
             sem_index_root,

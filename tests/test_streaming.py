@@ -2426,3 +2426,111 @@ def test_full_cascade_compaction_preserves_decisions(spark, tmp_path):
     assert man["compacted_path"] is not None
     assert len(man["deltas"]) < len(dfs)
     assert read_index_manifest(comp["sem"])["codebook_id"] is not None
+
+
+# ---------------------------------------------------------------------------
+# Persisted banded layout in the ingest sinks (round 7): bands_root /
+# sig_bands_root — byte-identical decisions, coverage guard
+# ---------------------------------------------------------------------------
+
+
+def test_ingest_bands_root_equals_plain(spark, sf_dir, tmp_path):
+    """The single-tier sink with a maintained band index produces
+    decisions byte-identical to the plain run across batches that
+    actually reject docs, and the band root tracks the signature root
+    delta for delta (N_BANDS rows per indexed doc)."""
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.dedup import (
+        JACCARD_THRESHOLD,
+        N_BANDS,
+    )
+    from mapreduce_framework_spark.streaming.ingest import make_ingest_batch_fn
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    # planted re-texts so the near-dup tier fires: batch-0 docs with new ids
+    b1 = docs.where(F.col("doc_id") % 3 == 1).unionAll(
+        b0.limit(20).select(
+            (F.col("doc_id") + F.lit(5_000_000)).alias("doc_id"), "text"
+        )
+    )
+
+    def run(tag, **kw):
+        fn = make_ingest_batch_fn(
+            spark,
+            str(tmp_path / f"{tag}_idx"),
+            str(tmp_path / f"{tag}_dec"),
+            JACCARD_THRESHOLD,
+            **kw,
+        )
+        fn(b0, 0)
+        fn(b1, 1)
+        return {
+            (r["doc_id"], r["admitted"], r["matched_id"], r["jaccard"])
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(tmp_path / f"{tag}_dec"))
+            .collect()
+        }
+
+    plain = run("plain")
+    banded = run("banded", bands_root=str(tmp_path / "bands"))
+    assert banded == plain
+    assert any(not adm for _, adm, _, _ in plain)  # the plants were rejected
+
+    sig_rows = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "banded_idx"))
+        .count()
+    )
+    band_rows = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "bands"))
+        .count()
+    )
+    assert band_rows == sig_rows * N_BANDS
+
+
+def test_ingest_bands_root_coverage_guard(spark, sf_dir, tmp_path):
+    """Enabling bands_root MID-STREAM is a hard error before any match
+    runs: the band index would silently miss every candidate from the
+    batches it does not cover."""
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.streaming.ingest import make_ingest_batch_fn
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    idx_root = str(tmp_path / "idx")
+    dec_root = str(tmp_path / "dec")
+    fn_plain = make_ingest_batch_fn(spark, idx_root, dec_root, JACCARD_THRESHOLD)
+    fn_plain(docs.where(F.col("doc_id") % 3 == 0), 0)
+
+    fn_banded = make_ingest_batch_fn(
+        spark,
+        idx_root,
+        dec_root,
+        JACCARD_THRESHOLD,
+        bands_root=str(tmp_path / "bands"),
+    )
+    with pytest.raises(ValueError, match="covers batches"):
+        fn_banded(docs.where(F.col("doc_id") % 3 == 1), 1)
+
+
+def test_full_cascade_sig_bands_root_equality(spark, tmp_path):
+    """The three-tier sink with a maintained band index reaches the
+    identical per-tier decisions on the fixture that fires every tier."""
+    cents, dfs = _full_cascade_fixture(spark)
+    plain, _ = _run_full_cascade(spark, tmp_path, dfs, cents, prefix="pb")
+    banded, _ = _run_full_cascade(
+        spark,
+        tmp_path,
+        dfs,
+        cents,
+        prefix="bb",
+        sig_bands_root=str(tmp_path / "bb_bands"),
+    )
+    dec = lambda roots: {
+        d: (r["admitted"], r["tier"], r["matched_id"], r["score"])
+        for d, r in _decisions(spark, roots["dec"]).items()
+    }
+    assert dec(banded) == dec(plain)
+    assert os.path.isdir(os.path.join(str(tmp_path / "bb_bands"), "delta_v1"))
