@@ -2534,3 +2534,54 @@ def test_full_cascade_sig_bands_root_equality(spark, tmp_path):
     }
     assert dec(banded) == dec(plain)
     assert os.path.isdir(os.path.join(str(tmp_path / "bb_bands"), "delta_v1"))
+
+
+def test_ingest_bands_root_survives_compaction(spark, sf_dir, tmp_path):
+    """Aggressive compaction (compact_every=1) folds BOTH sibling roots
+    on the same cadence; the coverage guard — which compares covered
+    batch-id SETS (compacted range ∪ tail) — stays satisfied across the
+    fold, and decisions remain byte-identical to the plain uncompacted
+    run."""
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.storage import read_index_manifest
+    from mapreduce_framework_spark.streaming.ingest import make_ingest_batch_fn
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    batches = [
+        docs.where(F.col("doc_id") % 3 == 0),
+        docs.where(F.col("doc_id") % 3 == 1).unionAll(
+            docs.where(F.col("doc_id") % 3 == 0)
+            .limit(15)
+            .select((F.col("doc_id") + F.lit(5_000_000)).alias("doc_id"), "text")
+        ),
+        docs.where(F.col("doc_id") % 3 == 2),
+    ]
+
+    def run(tag, **kw):
+        fn = make_ingest_batch_fn(
+            spark,
+            str(tmp_path / f"{tag}_idx"),
+            str(tmp_path / f"{tag}_dec"),
+            JACCARD_THRESHOLD,
+            **kw,
+        )
+        for i, b in enumerate(batches):
+            fn(b, i)
+        return {
+            (r["doc_id"], r["admitted"], r["matched_id"], r["jaccard"])
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(tmp_path / f"{tag}_dec"))
+            .collect()
+        }
+
+    plain = run("plain", compact_every=None)
+    folded = run(
+        "folded", compact_every=1, bands_root=str(tmp_path / "folded_bands")
+    )
+    assert folded == plain
+    # both sibling manifests actually folded, on the same boundary
+    ms = read_index_manifest(str(tmp_path / "folded_idx"))
+    mb = read_index_manifest(str(tmp_path / "folded_bands"))
+    assert ms["compacted_path"] is not None and mb["compacted_path"] is not None
+    assert ms["compacted_through"] == mb["compacted_through"]
