@@ -531,6 +531,45 @@ def probe_refit(spark, sf_dir) -> None:
         f"({len(drops['stale'])} stale drops, {len(drops['refit'])} refit drops)"
     )
 
+    # the streaming-index side of the same refresh: seed the semantic
+    # sink with the ORIGINAL book, then swap the committed index under
+    # the refreshed book between batches (reindex_semantic_root) and
+    # measure the swap wall + the first post-swap match — the operator's
+    # actual downtime window for a refresh
+    import shutil
+    import tempfile
+
+    from mapreduce_framework_spark.streaming.ingest import (
+        make_semantic_ingest_batch_fn,
+        reindex_semantic_root,
+    )
+
+    root = tempfile.mkdtemp(prefix="mfs_refit_swap_")
+    try:
+        cut = embs.agg(((F.max("vec_id") + 1) / 2).cast("long")).collect()[0][0]
+        fn_old = make_semantic_ingest_batch_fn(
+            spark, os.path.join(root, "idx"), os.path.join(root, "dec"), old
+        )
+        fn_old(embs.where(F.col("vec_id") < cut), 0)
+        t0 = time.perf_counter()
+        reindex_semantic_root(
+            spark, os.path.join(root, "idx"), refreshed, next_batch=1
+        )
+        t_swap = round(time.perf_counter() - t0, 2)
+        fn_new = make_semantic_ingest_batch_fn(
+            spark, os.path.join(root, "idx"), os.path.join(root, "dec"), refreshed
+        )
+        t0 = time.perf_counter()
+        fn_new(embs.where(F.col("vec_id") >= cut), 1)
+        t_post = round(time.perf_counter() - t0, 2)
+        print(
+            f"streaming-index swap (reindex_semantic_root, {cut} indexed "
+            f"vectors): {t_swap} s; first post-swap batch "
+            f"({n - cut} vectors): {t_post} s"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
 
 def probe_ingest_compaction(spark, base, n_batches=64, compact_every=16) -> None:
     """Round-7 series: the ingest index-maintenance cost at many
