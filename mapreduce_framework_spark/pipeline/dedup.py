@@ -88,8 +88,12 @@ SHINGLES_DUCK = (
     f"ELSE [] END"
 )
 
-_SHINGLE_PAIRS_DUCK = f"""
-    t AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM documents),
+def _shingle_pairs_duck(docs_table: str = "documents") -> str:
+    """The exact-Jaccard pair CTEs, parameterized on the corpus relation so
+    split-corpus oracles (q105's train/bench decontamination differential)
+    can bind them to a CTE instead of the raw view."""
+    return f"""
+    t AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM {docs_table}),
     sh AS (SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK}) AS s FROM t),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     pairs AS (
@@ -104,6 +108,9 @@ _SHINGLE_PAIRS_DUCK = f"""
     )
 """
 
+
+_SHINGLE_PAIRS_DUCK = _shingle_pairs_duck()
+
 _JACCARD_ORACLE = f"""
     WITH {_SHINGLE_PAIRS_DUCK}
     SELECT id1, id2, jaccard FROM jac
@@ -114,8 +121,12 @@ _JACCARD_ORACLE = f"""
 # Shared by the q71/q81 oracles (and mirroring q49's components CTE): the
 # set of non-canonical near-dup docs to drop. Single definition so the
 # component rule can never silently diverge between consumers.
-_DROP_LIST_DUCK = f"""
-    {_SHINGLE_PAIRS_DUCK},
+def _drop_list_duck(docs_table: str = "documents") -> str:
+    """The near-dup drop-list CTEs over ``docs_table`` (must run under
+    WITH RECURSIVE). Parameterized for the same reason as
+    :func:`_shingle_pairs_duck`."""
+    return f"""
+    {_shingle_pairs_duck(docs_table)},
     nd AS (SELECT id1, id2 FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}),
     edges AS (SELECT id1 AS u, id2 AS v FROM nd UNION SELECT id2, id1 FROM nd),
     nodes AS (SELECT DISTINCT u AS id FROM edges),
@@ -127,6 +138,9 @@ _DROP_LIST_DUCK = f"""
     comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
     drop_list AS (SELECT doc_id FROM comp WHERE doc_id <> component)
 """
+
+
+_DROP_LIST_DUCK = _drop_list_duck()
 
 
 def shingles_of(docs: DataFrame) -> DataFrame:

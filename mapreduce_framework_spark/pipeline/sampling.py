@@ -342,6 +342,118 @@ def q81_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_corpus(table(spark, "documents", sf_dir)).orderBy("doc_id")
 
 
+# q105: the FULL 5-stage flagship (dedup → span-decontaminate → quality →
+# sample → pack), registered with its 2-corpus DuckDB oracle. The corpus
+# splits by a content-independent hash rule shared by both engines: doc_id
+# % 17 == 0 plays the benchmark/eval set, the rest the training crawl —
+# the same split tests/test_sampling.py's local differential has pinned
+# since round 6. The Spark side builds the span_index artifact from the
+# bench split inline (the registry convenience form, like q91's index
+# rebuild; production persists span_index once per benchmark release) and
+# feeds it to training_corpus(benchmark_index=...); the oracle re-derives
+# every stage in SQL with the drop list and shingling bound to the train
+# split.
+_Q105_SPLIT = 17  # doc_id % 17 == 0 → benchmark side
+
+
+def _q105_oracle() -> str:
+    from mapreduce_framework_spark.pipeline.span_dedup import EXSUB_W, _sliding_duck
+
+    from mapreduce_framework_spark.pipeline.dedup import _drop_list_duck
+
+    W = EXSUB_W
+    sl = _sliding_duck(W)
+    return f"""
+    WITH RECURSIVE
+    train AS (SELECT * FROM documents WHERE doc_id % {_Q105_SPLIT} <> 0),
+    bench AS (SELECT * FROM documents WHERE doc_id % {_Q105_SPLIT} = 0),
+    {_drop_list_duck("train")},
+    kept AS (
+      SELECT * FROM train
+      WHERE doc_id NOT IN (SELECT doc_id FROM drop_list)
+    ),
+    bt AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM bench),
+    bref AS (
+      SELECT DISTINCT md5(s) AS sh FROM (SELECT unnest({sl}) AS s FROM bt)
+    ),
+    kt AS (SELECT doc_id, lang, source, {TOKS_DUCK} AS toks FROM kept),
+    kraw AS (
+      SELECT doc_id, unnest({sl}) AS s,
+             unnest(range(1, len({sl}) + 1)) AS pos
+      FROM kt
+    ),
+    hits AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos FROM kraw
+      WHERE md5(s) IN (SELECT sh FROM bref)
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, CAST(unnest(range(pos, pos + {W})) AS BIGINT) AS tpos
+      FROM hits
+    ),
+    tok_rows AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             CAST(unnest(range(1, len(toks) + 1)) AS BIGINT) AS tpos
+      FROM kt
+    ),
+    clean AS (
+      SELECT doc_id, array_to_string(list(tok ORDER BY tpos), ' ') AS text
+      FROM tok_rows ANTI JOIN covered USING (doc_id, tpos)
+      GROUP BY doc_id
+    ),
+    dk AS (
+      SELECT k.doc_id, k.lang, k.source, coalesce(c.text, '') AS text
+      FROM kept k LEFT JOIN clean c USING (doc_id)
+    ),
+    q AS (
+      SELECT doc_id, lang, source,
+             CAST(len({TOKS_DUCK}) AS BIGINT) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+             length(text) AS n_chars
+      FROM dk
+    ),
+    f AS (
+      SELECT * FROM q
+      WHERE n_tokens >= {MIN_TOKENS} AND 10 * n_punct <= 3 * n_chars
+        AND {_fnv_duck(f"concat({_SALT}, CAST(doc_id AS VARCHAR))")} % 100 < {_RATE_CASE_SQL}
+    ),
+    pk AS (
+      SELECT doc_id, lang, source, n_tokens, {_PACK_START_DUCK} AS start_tok
+      FROM f
+    )
+    SELECT doc_id, lang, source, n_tokens,
+           CAST(start_tok // {SEQ_LEN} AS BIGINT) AS seq_id
+    FROM pk ORDER BY doc_id
+    """
+
+
+@register(
+    "q105_training_corpus_decontaminated",
+    oracle=_q105_oracle(),
+    tags=("ext", "sampling", "pipeline", "flagship", "decontamination"),
+)
+def q105_training_corpus_decontaminated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The flagship 5-stage pretraining deliverable: near-dedup →
+    benchmark span-decontamination (trim) → quality filter → stratified
+    sample → sequence pack, against a benchmark split of the same corpus
+    (doc_id % 17 == 0). Lee et al. 2021 §4 ordering: decontaminate BEFORE
+    packing so contaminated tokens never consume sequence budget and
+    trimmed-to-short docs fall to the quality filter. This registered form
+    builds the span_index inline (the oracle-checked convenience path,
+    like q91); production persists span_index once per benchmark release
+    and reuses it — the build-once/O(batch)-probe lifecycle pinned in
+    tests/test_span_dedup.py."""
+    from mapreduce_framework_spark.pipeline.span_dedup import span_index
+
+    docs = table(spark, "documents", sf_dir)
+    train = docs.where(F.col("doc_id") % _Q105_SPLIT != 0)
+    bench = docs.where(F.col("doc_id") % _Q105_SPLIT == 0)
+    return training_corpus(train, benchmark_index=span_index(bench)).orderBy(
+        "doc_id"
+    )
+
+
 def training_corpus(
     docs: DataFrame, benchmark_index: DataFrame | None = None, w: int | None = None
 ) -> DataFrame:

@@ -87,9 +87,13 @@ _PAIR_COS_DUCK = f"""
 """
 
 
-@register(
-    "q34_ann_bruteforce",
-    oracle=f"""
+# RETIRED from the registry in round 8 (registry.py policy item 4; its
+# slot funded q105_training_corpus_decontaminated). Builder + oracle stay
+# permanently: the dedicated differential is
+# tests/test_queries_oracle.py::test_retired_q34_matches_oracle, it remains
+# the exact recall baseline for q35/q56, and bench.py still times it
+# directly (r1-subset like-for-like series).
+_ANN_BRUTEFORCE_ORACLE = f"""
     WITH {_PAIR_COS_DUCK}
     SELECT qid, cid, cos, rank FROM (
       SELECT qid, cid, cos,
@@ -97,9 +101,9 @@ _PAIR_COS_DUCK = f"""
       FROM pairs
     ) WHERE rank <= {TOP_K}
     ORDER BY qid, rank
-    """,
-    tags=("ext", "similarity", "ann"),
-)
+    """
+
+
 def q34_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast the query vectors against the corpus —
     one scan of the corpus, no shuffle except the per-query top-k."""

@@ -95,10 +95,17 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 #      probed to 100k docs (SCALING.md LSH series); q72 remains the
 #      local differential for q84's verify stage. Its slot funded
 #      q104_full_cascade_admission (three-tier streaming admission).
+#   [SPENT r8, out of rank order] q34_ann_bruteforce — 2b pool entry
+#      (brute-force exact-oracle twin; scaled paths q35/q56 registered
+#      and green). Spent ahead of q30 because the ranked retiree was
+#      behind-window in r8 (timing constraint) and q34 held an
+#      in-window slot; its slot funded
+#      q105_training_corpus_decontaminated (the flagship 5-stage
+#      composition). bench.py keeps timing q34 via direct import.
 #   3. q30_ngram_jaccard_neardup — same shape as q72 (exact twin of
 #      q31), third only because q30 is the historic flagship-adjacent
 #      query with the longest green streak — prefer spending newer
-#      twins first.
+#      twins first. Rotates into the window in r9: spend it then.
 #   4. q28_kv_stateful_replay — demonstrative twin (2a) of q06; its
 #      point (the documented Arrow/Python boundary) is equally made by
 #      the streaming q83 path which shares fold_kv_history. Spend only
@@ -117,64 +124,22 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # WINDOW_HISTORY below — that no registered query goes more than one
 # round without a driver window slot.
 CURATED_ORDER = [
-    # --- round-7 window: the r6 behind-window half (the enforced
-    # rotation — every name here last had a driver row in r5, so max
-    # staleness stays one round; the round-7 changed query q81 falls in
-    # this half naturally) with ONE executed swap: q55's slot now holds
-    # the round-7 newcomer q103_cascade_admission (retirement policy
-    # item 4; q55 → RETIRED below) ---
-    "q101_span_dedup",
-    "q102_semantic_dedup",
-    "q89_denylist_scrub",
-    "q91_cross_snapshot_dedup",
-    "q01_wordcount",
-    "q06_kv_final_state",
-    "q31_minhash_lsh_neardup",
-    "q84_char_ngram_lsh_neardup",
-    "q85_shardctrler_replay",
-    "q86_boilerplate_ngrams",
-    "q87_boilerplate_doc_stats",
-    "q88_repetition_stats",
-    "q90_domain_mix_resample",
-    "q92_tfidf_topk",
-    "q36_embedding_neardup",
-    "q104_full_cascade_admission",  # round-7 newcomer in q72's retired slot
-    "q75_percentile_sketch_bound",
-    "q83_streaming_kv_replay",
-    "q28_kv_stateful_replay",
-    "q24_exact_dedup",
-    "q02_inverted_index",
-    "q11_filter_project",
-    "q30_ngram_jaccard_neardup",
-    "q49_neardup_components",
-    "q03_crash_emits",
-    "q04_per_doc_counts",
-    "q05_global_count",
-    "q09_fnv_bucket_histogram",
-    "q10_global_sort",
-    "q07_kv_point_in_time",
-    "q08_shard_histogram",
-    "q14_semi_join",
-    "q14_anti_join",
-    "q16_count_distinct",
-    "q18_window_topk_per_group",
-    "q20_global_topk",
-    "q21_set_ops",
-    "q23_array_functions",
-    "q25_tumbling_window",
-    "q26_sliding_window",
-    "q32_simhash",
-    "q33_exact_dedup_docs",
-    "q44_map_functions",
-    "q47_sql_frontend_window",
-    "q50_window_battery",
-    "q52_pandas_udf_path",
-    "q103_cascade_admission",  # round-7 newcomer in q55's retired slot
-    "q57_asof_join",
-    "q73_simhash_banded_neardup",
-    "q81_training_corpus",
-    # --- behind the window (driver rows recorded in round 6; swept by
-    # the local oracle suite every run) ---
+    # --- round-8 window: the r7 behind-window half (the enforced
+    # rotation — every name here last had a driver row in r6, so max
+    # staleness stays one round) with ONE executed swap: q34's slot now
+    # holds the round-8 newcomer q105_training_corpus_decontaminated
+    # (retirement policy item 4; q34 → RETIRED below). NOTE on the
+    # retiree: the round-7 dry-run ranked q30 next, but q30 was
+    # driver-checked in r7 and is therefore BEHIND-window this round —
+    # the timing constraint (test_rotation.py: a retiree must hold an
+    # in-window slot, else the newcomer displaces a window-tail query
+    # into >1-round staleness) makes it ineligible until r9. Among the
+    # in-window policy-eligible names, q34_ann_bruteforce is 2b (exact
+    # brute-force twin whose scaled forms q35/q56 both stay registered
+    # and green); its builder/oracle/differential remain, and bench.py
+    # keeps timing it via direct builder import so the r1-subset
+    # like-for-like series is unbroken. q30 stays the ranked retiree
+    # for r9 (it rotates into that window). ---
     "q94_streaming_session_replay",
     "q95_incremental_ingest_dedup",
     "q96_incremental_rollup_replay",
@@ -217,7 +182,7 @@ CURATED_ORDER = [
     "q67_multiset_ops",
     "q70_grouped_agg_pandas_udf",
     "q71_dedup_corpus_output",
-    "q34_ann_bruteforce",
+    "q105_training_corpus_decontaminated",  # round-8 newcomer in q34's retired slot
     "q41_quality_score",
     "q42_token_stats",
     "q43_fingerprint",
@@ -225,6 +190,58 @@ CURATED_ORDER = [
     "q77_multimodal_resize",
     "q79_sequence_packing",
     "q80_contamination_check",
+    # --- behind the window (driver rows recorded in round 7; swept by
+    # the local oracle suite every run) ---
+    "q101_span_dedup",
+    "q102_semantic_dedup",
+    "q89_denylist_scrub",
+    "q91_cross_snapshot_dedup",
+    "q01_wordcount",
+    "q06_kv_final_state",
+    "q31_minhash_lsh_neardup",
+    "q84_char_ngram_lsh_neardup",
+    "q85_shardctrler_replay",
+    "q86_boilerplate_ngrams",
+    "q87_boilerplate_doc_stats",
+    "q88_repetition_stats",
+    "q90_domain_mix_resample",
+    "q92_tfidf_topk",
+    "q36_embedding_neardup",
+    "q104_full_cascade_admission",
+    "q75_percentile_sketch_bound",
+    "q83_streaming_kv_replay",
+    "q28_kv_stateful_replay",
+    "q24_exact_dedup",
+    "q02_inverted_index",
+    "q11_filter_project",
+    "q30_ngram_jaccard_neardup",
+    "q49_neardup_components",
+    "q03_crash_emits",
+    "q04_per_doc_counts",
+    "q05_global_count",
+    "q09_fnv_bucket_histogram",
+    "q10_global_sort",
+    "q07_kv_point_in_time",
+    "q08_shard_histogram",
+    "q14_semi_join",
+    "q14_anti_join",
+    "q16_count_distinct",
+    "q18_window_topk_per_group",
+    "q20_global_topk",
+    "q21_set_ops",
+    "q23_array_functions",
+    "q25_tumbling_window",
+    "q26_sliding_window",
+    "q32_simhash",
+    "q33_exact_dedup_docs",
+    "q44_map_functions",
+    "q47_sql_frontend_window",
+    "q50_window_battery",
+    "q52_pandas_udf_path",
+    "q103_cascade_admission",
+    "q57_asof_join",
+    "q73_simhash_banded_neardup",
+    "q81_training_corpus",
 ]
 
 
@@ -242,6 +259,15 @@ RETIRED: tuple[str, ...] = (
     # Builder + oracle constant stay in pipeline/dedup.py; dedicated local
     # differential: tests/test_queries_oracle.py::test_retired_q72_matches_oracle.
     "q72_char_ngram_jaccard",
+    # round 8: 2b pool entry (brute-force exact-oracle twin of q35/q56)
+    # spent to register q105_training_corpus_decontaminated — the
+    # verdict-ranked retiree q30 was behind-window this round (timing
+    # constraint; see CURATED_ORDER header) and stays the r9 target.
+    # Builder + oracle constant stay in pipeline/similarity.py; dedicated
+    # local differential:
+    # tests/test_queries_oracle.py::test_retired_q34_matches_oracle;
+    # bench.py still times the builder directly (r1-subset series).
+    "q34_ann_bruteforce",
 )
 
 # Hard ceiling = 2 rounds × DRIVER_WINDOW (see capacity note).
@@ -254,7 +280,7 @@ DRIVER_WINDOW = 50
 # records the window actually exposed in each past round (= the keys of
 # CORRECTNESS_r{N}.json, verbatim). Each new round: append the previous
 # round's first-DRIVER_WINDOW names here, bump CURRENT_ROUND, re-curate.
-CURRENT_ROUND = 7
+CURRENT_ROUND = 8
 
 WINDOW_HISTORY: dict[int, tuple[str, ...]] = {
     1: (
@@ -568,6 +594,58 @@ WINDOW_HISTORY: dict[int, tuple[str, ...]] = {
         "q77_multimodal_resize",
         "q79_sequence_packing",
         "q80_contamination_check",
+    ),
+    7: (
+        "q101_span_dedup",
+        "q102_semantic_dedup",
+        "q89_denylist_scrub",
+        "q91_cross_snapshot_dedup",
+        "q01_wordcount",
+        "q06_kv_final_state",
+        "q31_minhash_lsh_neardup",
+        "q84_char_ngram_lsh_neardup",
+        "q85_shardctrler_replay",
+        "q86_boilerplate_ngrams",
+        "q87_boilerplate_doc_stats",
+        "q88_repetition_stats",
+        "q90_domain_mix_resample",
+        "q92_tfidf_topk",
+        "q36_embedding_neardup",
+        "q104_full_cascade_admission",
+        "q75_percentile_sketch_bound",
+        "q83_streaming_kv_replay",
+        "q28_kv_stateful_replay",
+        "q24_exact_dedup",
+        "q02_inverted_index",
+        "q11_filter_project",
+        "q30_ngram_jaccard_neardup",
+        "q49_neardup_components",
+        "q03_crash_emits",
+        "q04_per_doc_counts",
+        "q05_global_count",
+        "q09_fnv_bucket_histogram",
+        "q10_global_sort",
+        "q07_kv_point_in_time",
+        "q08_shard_histogram",
+        "q14_semi_join",
+        "q14_anti_join",
+        "q16_count_distinct",
+        "q18_window_topk_per_group",
+        "q20_global_topk",
+        "q21_set_ops",
+        "q23_array_functions",
+        "q25_tumbling_window",
+        "q26_sliding_window",
+        "q32_simhash",
+        "q33_exact_dedup_docs",
+        "q44_map_functions",
+        "q47_sql_frontend_window",
+        "q50_window_battery",
+        "q52_pandas_udf_path",
+        "q103_cascade_admission",
+        "q57_asof_join",
+        "q73_simhash_banded_neardup",
+        "q81_training_corpus",
     ),
 }
 

@@ -66,3 +66,19 @@ def test_retired_q72_matches_oracle(spark, sf_dir):
         _char_jaccard_oracle(CHAR_DOC_CAP),
         sf_dir,
     )
+
+
+def test_retired_q34_matches_oracle(spark, sf_dir):
+    """q34_ann_bruteforce was RETIRED from the registry in round 8
+    (registry.py policy item 4; its slot funded
+    q105_training_corpus_decontaminated). Per the policy, its builder and
+    oracle stay in the repo permanently and THIS dedicated differential
+    replaces its registry parametrization — it remains the exact recall
+    baseline q35/q56 are measured against, and bench.py keeps timing it
+    directly for the r1-subset series."""
+    from mapreduce_framework_spark.pipeline.similarity import (
+        _ANN_BRUTEFORCE_ORACLE,
+        q34_ann_bruteforce,
+    )
+
+    compare(q34_ann_bruteforce(spark, sf_dir), _ANN_BRUTEFORCE_ORACLE, sf_dir)

@@ -116,42 +116,44 @@ def test_retirement_dry_run_swap_preserves_invariants():
     all_queries()  # side-effect: operator modules register their builders
     target = "q30_ngram_jaccard_neardup"  # top UNSPENT dry-run ranking entry
     assert target in REGISTRY and target in CURATED_ORDER
-    assert target in CURATED_ORDER[:DRIVER_WINDOW], (
-        "dry-run premise: the target holds a window slot this round "
-        "(if this fails, the swap must wait for the round it rotates in)"
-    )
-    newcomer = "q103_simulated_newcomer"
-
-    # the swap: newcomer takes the retiree's window slot, name retired
-    sim_order = list(CURATED_ORDER)
-    sim_order[sim_order.index(target)] = newcomer
-    sim_retired = RETIRED + (target,)
-
-    # every invariant the live gates enforce, on the simulated state
-    assert len(sim_order) == MAX_REGISTERED
-    assert len(set(sim_order)) == len(sim_order)
-    assert newcomer in sim_order[:DRIVER_WINDOW]  # new-this-round rule
-    assert target not in sim_order and target in sim_retired
-    window = set(sim_order[:DRIVER_WINDOW])
-    prev = set(WINDOW_HISTORY[CURRENT_ROUND - 1])
-    stale = [
-        n for n in sim_order if n not in window and n not in prev and n != newcomer
-    ]
-    assert not stale, stale
+    newcomer = "q1xx_simulated_newcomer"
     # the retiree's builder + oracle stay in the repo for the local sweep
     assert REGISTRY[target].builder is not None
     assert REGISTRY[target].oracle is not None
 
-    # and the WRONG-timing swap (retiring while behind-window) is shown
-    # to break staleness — the constraint the policy comment documents
-    bad_order = [n for n in CURATED_ORDER if n != target]
-    bad_order.insert(0, newcomer)  # displaces the window tail behind
-    bad_window = set(bad_order[:DRIVER_WINDOW])
-    bad_prev = set(WINDOW_HISTORY[CURRENT_ROUND - 1])
-    bad_stale = [
-        n
-        for n in bad_order
-        if n not in bad_window and n not in bad_prev and n != newcomer
-    ]
-    if target not in set(CURATED_ORDER[:DRIVER_WINDOW]):
+    if target in CURATED_ORDER[:DRIVER_WINDOW]:
+        # the target is timing-eligible THIS round: simulate the swap and
+        # check every invariant the live gates enforce
+        sim_order = list(CURATED_ORDER)
+        sim_order[sim_order.index(target)] = newcomer
+        sim_retired = RETIRED + (target,)
+        assert len(sim_order) == MAX_REGISTERED
+        assert len(set(sim_order)) == len(sim_order)
+        assert newcomer in sim_order[:DRIVER_WINDOW]  # new-this-round rule
+        assert target not in sim_order and target in sim_retired
+        window = set(sim_order[:DRIVER_WINDOW])
+        prev = set(WINDOW_HISTORY[CURRENT_ROUND - 1])
+        stale = [
+            n
+            for n in sim_order
+            if n not in window and n not in prev and n != newcomer
+        ]
+        assert not stale, stale
+    else:
+        # the target is BEHIND-window this round (it was driver-checked
+        # last round): the swap must wait for the round it rotates in —
+        # round 8 hit exactly this with the verdict-ranked q30 and spent
+        # the in-window 2b entry q34 instead. Demonstrate that forcing
+        # the behind-window swap breaks the staleness gate: the newcomer
+        # takes a window slot, displacing a window query whose last
+        # driver row is already a round old.
+        bad_order = [n for n in CURATED_ORDER if n != target]
+        bad_order.insert(0, newcomer)  # displaces the window tail behind
+        bad_window = set(bad_order[:DRIVER_WINDOW])
+        bad_prev = set(WINDOW_HISTORY[CURRENT_ROUND - 1])
+        bad_stale = [
+            n
+            for n in bad_order
+            if n not in bad_window and n not in bad_prev and n != newcomer
+        ]
         assert bad_stale, "behind-window retirement should break staleness"
