@@ -880,7 +880,52 @@ def index_signatures(index_docs: DataFrame, shingler=None) -> DataFrame:
     return _minhash_columns(sh).join(sets, "doc_id")
 
 
-def banded_signatures(index_sigs: DataFrame) -> DataFrame:
+def cap_banded(bands: DataFrame, band_cap: int) -> DataFrame:
+    """Bound every (band, bsig) group of a band frame to its ``band_cap``
+    lowest-doc_id rows — the HOT-BAND guard for adversarial index skew.
+
+    Why it exists: the banded candidate join is an equi-join on (band,
+    bsig). A boilerplate cluster of n near-identical index docs shares
+    band signatures, so one join key carries n index rows — at n = 1e6
+    that single hot key serializes the shuffle (the skewed-join
+    scale-killer; measured series in SCALING.md round 8). Capping the
+    index side bounds the join's per-key work at band_cap while keeping
+    the candidate-completeness argument:
+
+    RECALL ARGUMENT (approximation is explicit and opt-in): a saturated
+    (band, bsig) group is, by construction, >= band_cap index docs whose
+    4-row minhash tuple is IDENTICAL in that band — a near-duplicate
+    cluster. A batch doc that is a true near-dup of a dropped cluster
+    member (a) still collides with the RETAINED representatives in that
+    same band (same bsig — that is what saturation means), so it still
+    becomes a candidate and is still rejected at verify time; what can
+    change is WHICH cluster member it reports as matched_id, and only
+    when its best match was beyond the cap. A miss would require the doc
+    to verify >= threshold ONLY against dropped members while failing
+    against every retained one AND colliding in no unsaturated band —
+    i.e. the cluster is lexically tighter to the query than to its own
+    retained members, contradicting that all of them share the band
+    tuple. Decisions on non-adversarial corpora are bit-identical
+    (band_cap never binds; pinned by
+    tests/test_scale_patterns.py::test_band_cap_identity_on_sf_corpus).
+
+    Deterministic (lowest doc_ids kept), so capping commutes with
+    redelivery and compaction. One window shuffle over the band frame —
+    a BUILD/COMPACTION-time cost (banded_signatures(band_cap=...),
+    compact_transform in the streaming sinks), never per batch."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "bsig").orderBy("doc_id")
+    return (
+        bands.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= band_cap)
+        .drop("_rn")
+    )
+
+
+def banded_signatures(
+    index_sigs: DataFrame, band_cap: int | None = None
+) -> DataFrame:
     """The PERSISTABLE banded layout of an ``index_signatures`` artifact:
     one narrow ``(doc_id, band, bsig)`` row per LSH band. Write it next
     to the signature table and hand it to ``match_batch(index_bands=…)``:
@@ -892,8 +937,12 @@ def banded_signatures(index_sigs: DataFrame) -> DataFrame:
     are definitionally equal to the on-the-fly derivation (same
     ``_band_frame``), so candidates — and therefore matches — are
     bit-identical (pinned by
-    tests/test_pipeline.py::test_match_batch_with_persisted_bands_is_identical)."""
-    return _band_frame(index_sigs)
+    tests/test_pipeline.py::test_match_batch_with_persisted_bands_is_identical).
+    ``band_cap``: bound every (band, bsig) group to its cap lowest-doc_id
+    rows at build time — the hot-band skew guard (see :func:`cap_banded`
+    for the recall argument). None (default) keeps the layout exact."""
+    bands = _band_frame(index_sigs)
+    return bands if band_cap is None else cap_banded(bands, band_cap)
 
 
 def match_batch(

@@ -116,6 +116,37 @@ def write_range_sorted(
 
 INDEX_MANIFEST = "_manifest.json"  # underscore: invisible to Spark file scans (like _SUCCESS)
 
+# Delta-dir prefixes a PRE-MANIFEST root may contain: the current
+# ``delta_v{batch}`` naming, plus ``d_v{batch}`` — the name the pre-round-7
+# sinks gave DECISION deltas before the decisions log joined the manifest
+# lifecycle. Legacy adoption must recognize both, or resuming an upgraded
+# stream on an old decisions root builds a manifest whose tail starts at
+# the current batch and every historical decision becomes invisible (and
+# the next read hard-errors on the gap).
+_DELTA_PREFIXES = ("delta_v", "d_v")
+
+
+def legacy_delta_entries(index_root: str, exclude: tuple = ()) -> list[list]:
+    """``[batch_id, dirname]`` entries (sorted by batch id) for every delta
+    dir under a pre-manifest ``index_root``, recognizing every historical
+    naming in ``_DELTA_PREFIXES``. Used once per root, when the first
+    post-upgrade publish adopts the legacy layout into a manifest (the
+    manifest records dir NAMES, so no renames are needed). If one batch id
+    somehow exists under both namings, the current ``delta_v`` dir wins."""
+    found: dict[int, str] = {}
+    for d in os.listdir(index_root):
+        if d in exclude:
+            continue
+        for p in _DELTA_PREFIXES:
+            if d.startswith(p):
+                suffix = d[len(p):]
+                if suffix.isdigit():
+                    bid = int(suffix)
+                    if bid not in found or p == "delta_v":
+                        found[bid] = d
+                break
+    return sorted([b, n] for b, n in found.items())
+
 
 def read_json_atomic(path: str) -> dict | None:
     """A JSON document published by :func:`write_json_atomic`, or None if
@@ -140,6 +171,74 @@ def write_json_atomic(path: str, obj: dict) -> None:
 
 def new_index_manifest() -> dict:
     return {"version": 1, "compacted_path": None, "compacted_through": -1, "deltas": []}
+
+
+# --- writer fencing ----------------------------------------------------------
+#
+# write_index_manifest is atomic PER COMMIT but last-writer-wins ACROSS
+# writers: two streams accidentally pointed at one index_root (or a zombie
+# retry of a replaced driver) would silently drop the loser's deltas —
+# Structured Streaming's checkpoint dedupes one query's retries, not
+# cross-query collisions. The manifest therefore carries a monotonically
+# increasing "epoch" fencing token, the single-writer-ownership discipline
+# the reference's coordinator applies to task commits (only the coordinator
+# decides which attempt's output is adopted, src/mr/coordinator.go:220-232):
+#
+#   - a sink ACQUIRES the root at stream start (acquire_index_root → its
+#     epoch), bumping the committed token;
+#   - every publish presents the token (check_index_epoch) BEFORE touching
+#     data and again immediately before the manifest commit — a writer
+#     whose token is no longer the committed one hard-errors having
+#     committed nothing, so the collision is loud, never a silent drop.
+#
+# On a POSIX FS the re-check just before os.replace leaves a sub-second
+# read-then-replace window; on object storage the manifest commit becomes a
+# conditional PUT (if-match on the manifest's ETag / generation number —
+# S3 If-Match, GCS x-goog-if-generation-match) keyed by the epoch, which
+# closes it exactly: the zombie's PUT fails the precondition. SCALING.md
+# (writer-fencing note) records that mapping.
+
+
+def acquire_index_root(index_root: str, takeover: bool = True) -> int:
+    """Acquire ownership of a manifest root and return the new fencing
+    token (epoch). Bumping the committed epoch FENCES every earlier
+    owner: their next publish hard-errors in check_index_epoch. A fresh
+    root gets a new manifest (adopting any pre-manifest legacy deltas, so
+    acquisition never hides history); ``takeover=False`` refuses a root
+    that already has an owner instead of fencing it — the conservative
+    mode for operators who expect a virgin root."""
+    man = read_index_manifest(index_root)
+    if man is None:
+        man = new_index_manifest()
+        if os.path.isdir(index_root):
+            man["deltas"] = legacy_delta_entries(index_root)
+    prev = int(man.get("epoch", 0))
+    if prev and not takeover:
+        raise ValueError(
+            f"index root {index_root} is already owned (epoch {prev}) and "
+            "takeover=False — point this stream at its own root, or pass "
+            "takeover=True to deliberately fence the current owner"
+        )
+    man["epoch"] = prev + 1
+    write_index_manifest(index_root, man)
+    return man["epoch"]
+
+
+def check_index_epoch(index_root: str, epoch: int) -> None:
+    """Hard error unless the COMMITTED manifest's fencing token is exactly
+    ``epoch``. Called by the streaming sinks before any per-batch write
+    and again immediately before each manifest commit."""
+    man = read_index_manifest(index_root)
+    cur = None if man is None else man.get("epoch")
+    if cur != epoch:
+        raise ValueError(
+            f"writer fenced: index root {index_root} is owned by epoch "
+            f"{cur!r} but this writer holds epoch {epoch} — another sink "
+            "acquired the root after this one (two streams pointed at one "
+            "root, or a zombie retry of a replaced driver). Nothing was "
+            "committed by this writer; re-point the stream at its own root "
+            "or re-acquire deliberately."
+        )
 
 
 def read_index_manifest(index_root: str) -> dict | None:
@@ -199,6 +298,7 @@ def compact_index_manifest(
     manifest: dict,
     below_batch: int,
     target_files: int = 8,
+    transform=None,
 ) -> dict:
     """Fold the compacted artifact + every tail delta with batch id
     < ``below_batch`` into one new ``compact_v{below_batch}`` dir and
@@ -210,14 +310,34 @@ def compact_index_manifest(
 
     One shuffle-free coalesce rewrite of O(index) — amortized: run every
     ``compact_every`` batches, so steady-state per-batch index reads touch
-    1 compacted dir + a bounded tail instead of O(batches) dirs."""
+    1 compacted dir + a bounded tail instead of O(batches) dirs.
+
+    ``transform``: optional DataFrame → DataFrame maintenance applied to
+    the folded artifact before the write — the seam index-wide rules that
+    cannot be enforced per-delta use (the hot-band population cap,
+    pipeline/dedup.py:cap_banded: each delta's band groups are bounded by
+    its batch, but the ACCUMULATED index's are not). Must be idempotent
+    and deterministic, since a crash-redelivered compaction re-runs it."""
     fold = manifest_visible_paths(index_root, manifest, before_batch=below_batch)
     if not fold:
         return manifest
+    # never fold INTO a dir the manifest still references (a re-run with an
+    # unchanged boundary would read from and overwrite the same directory):
+    # pick a generation-unique compact_v name instead
+    referenced = {manifest.get("compacted_path")} | {
+        n for _, n in manifest["deltas"]
+    }
     dst = f"compact_v{below_batch}"
-    spark.read.option("recursiveFileLookup", "true").parquet(*fold).coalesce(
-        target_files
-    ).write.mode("overwrite").parquet(os.path.join(index_root, dst))
+    gen = 0
+    while dst in referenced:
+        gen += 1
+        dst = f"compact_v{below_batch}_{gen}"
+    folded = spark.read.option("recursiveFileLookup", "true").parquet(*fold)
+    if transform is not None:
+        folded = transform(folded)
+    folded.coalesce(target_files).write.mode("overwrite").parquet(
+        os.path.join(index_root, dst)
+    )
     out = dict(manifest)
     out["compacted_path"] = dst
     out["compacted_through"] = below_batch - 1
@@ -235,8 +355,8 @@ def prune_superseded_index_dirs(index_root: str, manifest: dict) -> None:
         keep.add(manifest["compacted_path"])
     keep.update(name for _, name in manifest["deltas"])
     for entry in os.listdir(index_root):
-        if entry in keep or not (
-            entry.startswith("delta_v") or entry.startswith("compact_v")
+        if entry in keep or not entry.startswith(
+            (*_DELTA_PREFIXES, "compact_v")
         ):
             continue
         shutil.rmtree(os.path.join(index_root, entry), ignore_errors=True)

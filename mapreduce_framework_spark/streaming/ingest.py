@@ -60,7 +60,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_framework_spark.storage import (
+    acquire_index_root,
+    check_index_epoch,
     compact_index_manifest,
+    legacy_delta_entries,
     manifest_visible_paths,
     new_index_manifest,
     prune_superseded_index_dirs,
@@ -92,8 +95,9 @@ def _index_so_far(
     JSON commit per batch — object-storage-safe, no directory listing on
     the read path, hard error on a gap or missing dir). A root with delta
     dirs but no manifest is the pre-manifest legacy layout: fall back to
-    the POSIX listing once; the next published batch adopts the dirs into
-    a manifest."""
+    the POSIX listing once (recognizing BOTH historical delta namings —
+    storage.legacy_delta_entries); the next published batch adopts the
+    dirs into a manifest."""
     man = read_index_manifest(index_root)
     if man is not None:
         paths = manifest_visible_paths(index_root, man, before_batch)
@@ -102,13 +106,13 @@ def _index_so_far(
         return spark.read.option("recursiveFileLookup", "true").parquet(*paths)
     if not os.path.isdir(index_root):
         return None
-    deltas = [d for d in os.listdir(index_root) if d.startswith("delta_v")]
+    entries = legacy_delta_entries(index_root)
     if before_batch is not None:
-        deltas = [d for d in deltas if int(d[len("delta_v") :]) < before_batch]
-    if not deltas:
+        entries = [e for e in entries if e[0] < before_batch]
+    if not entries:
         return None
     return spark.read.option("recursiveFileLookup", "true").parquet(
-        *[os.path.join(index_root, d) for d in sorted(deltas)]
+        *[os.path.join(index_root, name) for _, name in entries]
     )
 
 
@@ -166,14 +170,112 @@ def _require_codebook(index_root: str, fingerprint: str) -> None:
         )
 
 
-def _stamp_codebook(index_root: str, fingerprint: str) -> None:
+# --- codebook-drift trigger (round 8) ----------------------------------------
+#
+# The refresh lifecycle (refit_codebook → reindex_semantic_root → new sink)
+# had machinery but no TRIGGER: nothing measured WHEN the codebook had
+# drifted enough to be worth an O(index) reindex. Every semantic sink now
+# logs a cheap per-batch drift statistic — the batch's quantization error
+# under the held codebook (mean 1−cos to the nearest centroid, ONE extra
+# broadcast assignment pass over the batch, the same O(batch·K) shape the
+# tier's matcher already pays) — into the semantic index manifest, and
+# needs_refit() reads the trend: the first batch under a codebook sets the
+# baseline, and a trailing-window mean above threshold × baseline says the
+# stale book has degraded to where the SCALING.md refit series shows the
+# refresh pays for itself. reindex_semantic_root RESETS the log (new
+# codebook → new baseline). The log is bounded (last DRIFT_WINDOW_MAX
+# entries) so the manifest read stays O(1) at 1e5 batches.
+
+DRIFT_WINDOW_MAX = 256  # manifest keeps at most this many drift entries
+
+
+def _batch_quantization_error(batch_embs: DataFrame, centroids: DataFrame) -> float | None:
+    """Mean 1−cos of the batch's (nonzero-norm) vectors to their nearest
+    centroid; None when the batch carries no scorable vector (no signal,
+    nothing logged)."""
+    from mapreduce_framework_spark.pipeline.similarity import (
+        _nearest_cells,
+        _norms_spark,
+        prepare_centroids,
+    )
+
+    e = _norms_spark(batch_embs)
+    cents = prepare_centroids(centroids, op="_batch_quantization_error")
+    best = _nearest_cells(e, cents, id_col="vec_id", k=1)
+    (row,) = best.agg(F.avg(F.lit(1.0) - F.col("ccos")).alias("err")).collect()
+    return None if row["err"] is None else float(row["err"])
+
+
+def _log_drift(
+    index_root: str, batch_id: int, qerr: float | None, epoch: int | None = None
+) -> None:
+    """Append ``[batch_id, qerr]`` to the manifest's drift log (replacing
+    a redelivered batch's entry — idempotent), stamping the FIRST entry
+    under this codebook as ``drift_baseline``. Trimmed to the last
+    DRIFT_WINDOW_MAX entries."""
+    if qerr is None:
+        return
+    man = read_index_manifest(index_root)
+    if man is None:
+        return
+    drift = [e for e in man.get("drift", []) if e[0] != batch_id]
+    drift.append([batch_id, qerr])
+    drift.sort()
+    man["drift"] = drift[-DRIFT_WINDOW_MAX:]
+    if man.get("drift_baseline") is None:
+        man["drift_baseline"] = qerr
+    if epoch is not None:
+        check_index_epoch(index_root, epoch)
+    write_index_manifest(index_root, man)
+
+
+def drift_stats(index_root: str, window: int = 8) -> dict | None:
+    """The drift trend a refresh policy reads: ``{"baseline", "recent",
+    "ratio", "n"}`` over the trailing ``window`` logged batches, or None
+    when the root has no drift log yet."""
+    man = read_index_manifest(index_root)
+    if man is None or man.get("drift_baseline") is None or not man.get("drift"):
+        return None
+    tail = man["drift"][-window:]
+    recent = sum(q for _, q in tail) / len(tail)
+    base = man["drift_baseline"]
+    return {
+        "baseline": base,
+        "recent": recent,
+        "ratio": (recent / base) if base > 0 else float("inf"),
+        "n": len(tail),
+    }
+
+
+def needs_refit(
+    index_root: str, threshold: float = 1.25, window: int = 8
+) -> bool:
+    """True when the trailing-window mean batch quantization error has
+    risen above ``threshold`` × the codebook's baseline — the cue to run
+    refit_codebook → reindex_semantic_root. Conservative on cold roots:
+    no log (or a zero baseline with zero recent) → False."""
+    s = drift_stats(index_root, window)
+    if s is None:
+        return False
+    if s["baseline"] == 0.0:
+        # a perfectly-quantized baseline: any positive recent error is an
+        # infinite ratio
+        return s["recent"] > 0.0
+    return s["ratio"] > threshold
+
+
+def _stamp_codebook(index_root: str, fingerprint: str, epoch: int | None = None) -> None:
     """Record the sink's codebook fingerprint in the index manifest if
     absent (first publish, or a pre-check legacy root). Crash between the
     delta publish and this stamp just redelivers: the check accepts the
-    unstamped manifest and the stamp is rewritten."""
+    unstamped manifest and the stamp is rewritten. ``epoch``: fencing
+    token — a writer fenced between its last publish and this stamp must
+    not clobber the new owner's manifest with its stale snapshot."""
     man = read_index_manifest(index_root)
     if man is not None and man.get("codebook_id") != fingerprint:
         man["codebook_id"] = fingerprint
+        if epoch is not None:
+            check_index_epoch(index_root, epoch)
         write_index_manifest(index_root, man)
 
 
@@ -228,7 +330,18 @@ def reindex_semantic_root(
             .select("vec_id", "embedding")
             .dropDuplicates(["vec_id"])
         )
+        # A second refresh with the same next_batch (double refresh, or a
+        # retry after a COMPLETED run) would make dst equal the manifest's
+        # current compacted_path — Spark would read from and overwrite the
+        # same directory (error, or corruption on stores without that
+        # guard). Pick a generation-unique name instead: the manifest
+        # records dir names verbatim, and compact_v* stays prunable.
+        referenced = {man.get("compacted_path")} | {n for _, n in man["deltas"]}
         dst = f"compact_v{next_batch}"
+        gen = 0
+        while dst in referenced:
+            gen += 1
+            dst = f"compact_v{next_batch}_{gen}"
         semantic_index(embs, centroids).coalesce(target_files).write.mode(
             "overwrite"
         ).parquet(os.path.join(index_root, dst))
@@ -236,6 +349,10 @@ def reindex_semantic_root(
         out["compacted_through"] = next_batch - 1
         out["deltas"] = []
     out["codebook_id"] = fp
+    # the drift log is only meaningful under ONE codebook: the swap resets
+    # it, and the first post-swap batch sets the new baseline
+    out.pop("drift", None)
+    out.pop("drift_baseline", None)
     write_index_manifest(index_root, out)
     prune_superseded_index_dirs(index_root, out)
 
@@ -246,6 +363,8 @@ def _publish_delta(
     batch_id: int,
     delta_df: DataFrame,
     compact_every: int | None,
+    epoch: int | None = None,
+    compact_transform=None,
 ) -> None:
     """Write one batch's delta (admitted-docs index rows, or the batch's
     decision rows — both logs share this lifecycle) and commit it to the
@@ -257,24 +376,41 @@ def _publish_delta(
     tests/test_streaming.py::test_ingest_redelivery_after_compaction).
     Superseded dirs are pruned only AFTER the manifest commit: a crash at
     any point leaves either the old manifest with all its dirs intact or
-    the new manifest with (at worst) unreferenced orphans."""
+    the new manifest with (at worst) unreferenced orphans.
+
+    ``epoch``: the writer's fencing token (storage.acquire_index_root —
+    every streaming sink acquires its roots at construction). Checked
+    before the delta write AND immediately before the manifest commit, so
+    a fenced writer (another stream took the root, or this is a zombie
+    retry of a replaced driver) hard-errors without committing anything —
+    never silent last-writer-wins. None = unfenced (library/batch callers
+    that own their root by construction)."""
+    if epoch is not None:
+        check_index_epoch(index_root, epoch)
     name = f"delta_v{batch_id}"
     delta_df.write.mode("overwrite").parquet(os.path.join(index_root, name))
     man = read_index_manifest(index_root)
     if man is None:
         man = new_index_manifest()
-        # adopt a pre-manifest legacy layout so its deltas stay visible
-        man["deltas"] = sorted(
-            [int(d[len("delta_v") :]), d]
-            for d in os.listdir(index_root)
-            if d.startswith("delta_v") and d != name
-        )
+        # adopt a pre-manifest legacy layout so its deltas stay visible —
+        # including pre-round-7 d_v* decision deltas (the manifest records
+        # dir names verbatim, so no rename is needed and the historical
+        # decisions remain addressable forever)
+        man["deltas"] = legacy_delta_entries(index_root, exclude=(name,))
     man["deltas"] = sorted(
         [e for e in man["deltas"] if e[0] != batch_id] + [[batch_id, name]]
     )
     tail_before = [e for e in man["deltas"] if e[0] < batch_id]
     if compact_every is not None and len(tail_before) >= compact_every:
-        man = compact_index_manifest(spark, index_root, man, below_batch=batch_id)
+        man = compact_index_manifest(
+            spark, index_root, man, below_batch=batch_id,
+            transform=compact_transform,
+        )
+    if epoch is not None:
+        # authoritative re-check at the last possible moment before the
+        # commit (the conditional-PUT point on object storage — see the
+        # writer-fencing note in storage.py)
+        check_index_epoch(index_root, epoch)
     write_index_manifest(index_root, man)
     prune_superseded_index_dirs(index_root, man)
 
@@ -287,6 +423,7 @@ def make_ingest_batch_fn(
     shingler=None,
     compact_every: int | None = DEFAULT_COMPACT_EVERY,
     bands_root: str | None = None,
+    band_cap: int | None = None,
 ):
     """foreachBatch function: match the batch against the index-so-far,
     write decisions (admitted / matched_id / jaccard) and the admitted
@@ -305,14 +442,39 @@ def make_ingest_batch_fn(
     the 5.8× per-batch index-scan reduction measured in SCALING.md.
     Decisions are byte-identical either way; a bands root whose coverage
     diverges from the signature root (enabled mid-stream, lost delta) is
-    a hard error before any match runs."""
+    a hard error before any match runs.
+
+    Constructing the sink ACQUIRES every root it writes (writer fencing,
+    storage.py): a second sink later constructed over the same roots
+    fences this one — its next publish hard-errors with nothing
+    committed, killing silent last-writer-wins between two streams or a
+    zombie retry of a replaced driver (pinned by
+    tests/test_streaming.py::test_writer_fencing_two_sinks_one_root).
+
+    ``band_cap`` (requires ``bands_root``): hot-band skew guard — every
+    compaction of the bands root re-bounds each (band, bsig) group to its
+    cap lowest-doc_id rows (pipeline/dedup.py:cap_banded has the recall
+    argument). Between compactions the accumulated excess is bounded by
+    the tail (≤ compact_every batches), so the candidate join's max key
+    population stays ≤ band_cap + tail even against a boilerplate-cluster
+    adversary. None (default) keeps decisions exact."""
     from pyspark.sql.window import Window
 
     from mapreduce_framework_spark.pipeline.dedup import (
         banded_signatures,
+        cap_banded,
         index_signatures,
         match_batch,
     )
+
+    if band_cap is not None and bands_root is None:
+        raise ValueError("band_cap requires bands_root (the persisted banded layout)")
+    bands_transform = (
+        None if band_cap is None else (lambda df: cap_banded(df, band_cap))
+    )
+    ep_idx = acquire_index_root(index_root)
+    ep_dec = acquire_index_root(decisions_root)
+    ep_bands = acquire_index_root(bands_root) if bands_root is not None else None
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.localCheckpoint(eager=True)  # read the source once
@@ -355,17 +517,22 @@ def make_ingest_batch_fn(
                 F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
             )
             admitted_docs = batch.join(best, "doc_id", "left_anti")
-        _publish_delta(spark, decisions_root, batch_id, decisions, compact_every)
+        _publish_delta(
+            spark, decisions_root, batch_id, decisions, compact_every, epoch=ep_dec
+        )
         sig_delta = index_signatures(admitted_docs, shingler)
         if bands_root is not None:
             # one materialization feeds both publishes (the band rows are a
             # projection of the signature delta, not a recompute)
             sig_delta = sig_delta.localCheckpoint(eager=True)
-        _publish_delta(spark, index_root, batch_id, sig_delta, compact_every)
+        _publish_delta(
+            spark, index_root, batch_id, sig_delta, compact_every, epoch=ep_idx
+        )
         if bands_root is not None:
             _publish_delta(
                 spark, bands_root, batch_id, banded_signatures(sig_delta),
-                compact_every,
+                compact_every, epoch=ep_bands,
+                compact_transform=bands_transform,
             )
 
     return apply_batch
@@ -463,6 +630,9 @@ def make_semantic_ingest_batch_fn(
     if threshold is None:
         threshold = SEMDEDUP_COS
     cb_fp = codebook_fingerprint(centroids)
+    # writer fencing (see make_ingest_batch_fn / storage.py)
+    ep_idx = acquire_index_root(index_root)
+    ep_dec = acquire_index_root(decisions_root)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         _require_codebook(index_root, cb_fp)
@@ -501,12 +671,21 @@ def make_semantic_ingest_batch_fn(
                 F.coalesce("cos", F.lit(0.0)).alias("cos"),
             )
             admitted = batch.join(best, "vec_id", "left_anti")
-        _publish_delta(spark, decisions_root, batch_id, decisions, compact_every)
+        _publish_delta(
+            spark, decisions_root, batch_id, decisions, compact_every, epoch=ep_dec
+        )
         _publish_delta(
             spark, index_root, batch_id, semantic_index(admitted, centroids),
-            compact_every,
+            compact_every, epoch=ep_idx,
         )
-        _stamp_codebook(index_root, cb_fp)
+        _stamp_codebook(index_root, cb_fp, epoch=ep_idx)
+        # drift trigger: log the WHOLE batch's quantization error under the
+        # held codebook (admitted + rejected — rejects carry drift signal
+        # too), so needs_refit() can read the trend
+        _log_drift(
+            index_root, batch_id, _batch_quantization_error(batch, centroids),
+            epoch=ep_idx,
+        )
 
     return apply_batch
 
@@ -554,6 +733,7 @@ def make_cascade_ingest_batch_fn(
     shingler=None,
     compact_every: int | None = DEFAULT_COMPACT_EVERY,
     sig_bands_root: str | None = None,
+    band_cap: int | None = None,
 ):
     """Tiered admission: the EXACT fingerprint tier runs in front of the
     MinHash near-dup tier, each batch doc paying the cheapest test that
@@ -592,10 +772,26 @@ def make_cascade_ingest_batch_fn(
 
     from mapreduce_framework_spark.pipeline.dedup import (
         banded_signatures,
+        cap_banded,
         exact_fingerprint_index,
         exact_match_batch,
         index_signatures,
         match_batch,
+    )
+
+    if band_cap is not None and sig_bands_root is None:
+        raise ValueError(
+            "band_cap requires sig_bands_root (the persisted banded layout)"
+        )
+    bands_transform = (
+        None if band_cap is None else (lambda df: cap_banded(df, band_cap))
+    )
+    # writer fencing (see make_ingest_batch_fn / storage.py)
+    ep_fp = acquire_index_root(fp_index_root)
+    ep_sig = acquire_index_root(sig_index_root)
+    ep_dec = acquire_index_root(decisions_root)
+    ep_bands = (
+        acquire_index_root(sig_bands_root) if sig_bands_root is not None else None
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -669,19 +865,24 @@ def make_cascade_ingest_batch_fn(
             .when(F.col("nd_id").isNotNull(), F.lit("near_dup"))
             .alias("tier"),
         )
-        _publish_delta(spark, decisions_root, batch_id, decisions, compact_every)
+        _publish_delta(
+            spark, decisions_root, batch_id, decisions, compact_every, epoch=ep_dec
+        )
         _publish_delta(
             spark, fp_index_root, batch_id, exact_fingerprint_index(admitted),
-            compact_every,
+            compact_every, epoch=ep_fp,
         )
         sig_delta = index_signatures(admitted, shingler)
         if sig_bands_root is not None:
             sig_delta = sig_delta.localCheckpoint(eager=True)
-        _publish_delta(spark, sig_index_root, batch_id, sig_delta, compact_every)
+        _publish_delta(
+            spark, sig_index_root, batch_id, sig_delta, compact_every, epoch=ep_sig
+        )
         if sig_bands_root is not None:
             _publish_delta(
                 spark, sig_bands_root, batch_id, banded_signatures(sig_delta),
-                compact_every,
+                compact_every, epoch=ep_bands,
+                compact_transform=bands_transform,
             )
 
     return apply_batch
@@ -699,6 +900,7 @@ def make_full_cascade_ingest_batch_fn(
     shingler=None,
     compact_every: int | None = DEFAULT_COMPACT_EVERY,
     sig_bands_root: str | None = None,
+    band_cap: int | None = None,
 ):
     """The COMPLETE admission cascade the two-tier sink's docstring names
     as the real pretraining shape: exact → near-dup → SEMANTIC. Batches
@@ -746,6 +948,7 @@ def make_full_cascade_ingest_batch_fn(
     from mapreduce_framework_spark.pipeline.codebook import codebook_fingerprint
     from mapreduce_framework_spark.pipeline.dedup import (
         banded_signatures,
+        cap_banded,
         exact_fingerprint_index,
         exact_match_batch,
         index_signatures,
@@ -760,6 +963,21 @@ def make_full_cascade_ingest_batch_fn(
     if cos_threshold is None:
         cos_threshold = SEMDEDUP_COS
     cb_fp = codebook_fingerprint(centroids)
+    if band_cap is not None and sig_bands_root is None:
+        raise ValueError(
+            "band_cap requires sig_bands_root (the persisted banded layout)"
+        )
+    bands_transform = (
+        None if band_cap is None else (lambda df: cap_banded(df, band_cap))
+    )
+    # writer fencing (see make_ingest_batch_fn / storage.py)
+    ep_fp = acquire_index_root(fp_index_root)
+    ep_sig = acquire_index_root(sig_index_root)
+    ep_sem = acquire_index_root(sem_index_root)
+    ep_dec = acquire_index_root(decisions_root)
+    ep_bands = (
+        acquire_index_root(sig_bands_root) if sig_bands_root is not None else None
+    )
 
     def _sem_side(docs: DataFrame) -> DataFrame:
         # NULL embeddings are invisible to the semantic tier (policy
@@ -877,19 +1095,24 @@ def make_full_cascade_ingest_batch_fn(
             .when(F.col("sm_id").isNotNull(), F.lit("semantic"))
             .alias("tier"),
         )
-        _publish_delta(spark, decisions_root, batch_id, decisions, compact_every)
+        _publish_delta(
+            spark, decisions_root, batch_id, decisions, compact_every, epoch=ep_dec
+        )
         _publish_delta(
             spark, fp_index_root, batch_id, exact_fingerprint_index(admitted),
-            compact_every,
+            compact_every, epoch=ep_fp,
         )
         sig_delta = index_signatures(admitted, shingler)
         if sig_bands_root is not None:
             sig_delta = sig_delta.localCheckpoint(eager=True)
-        _publish_delta(spark, sig_index_root, batch_id, sig_delta, compact_every)
+        _publish_delta(
+            spark, sig_index_root, batch_id, sig_delta, compact_every, epoch=ep_sig
+        )
         if sig_bands_root is not None:
             _publish_delta(
                 spark, sig_bands_root, batch_id, banded_signatures(sig_delta),
-                compact_every,
+                compact_every, epoch=ep_bands,
+                compact_transform=bands_transform,
             )
         _publish_delta(
             spark,
@@ -897,8 +1120,17 @@ def make_full_cascade_ingest_batch_fn(
             batch_id,
             semantic_index(_sem_side(admitted), centroids),
             compact_every,
+            epoch=ep_sem,
         )
-        _stamp_codebook(sem_index_root, cb_fp)
+        _stamp_codebook(sem_index_root, cb_fp, epoch=ep_sem)
+        # drift trigger (see make_semantic_ingest_batch_fn): the statistic
+        # is over every embedded doc of the batch, regardless of tier
+        _log_drift(
+            sem_index_root,
+            batch_id,
+            _batch_quantization_error(_sem_side(batch), centroids),
+            epoch=ep_sem,
+        )
 
     return apply_batch
 
@@ -917,10 +1149,12 @@ def run_full_cascade_ingest_stream(
     timeout_s: int = 300,
     shingler=None,
     compact_every: int | None = DEFAULT_COMPACT_EVERY,
+    sig_bands_root: str | None = None,
 ) -> DataFrame:
     """Drive a ``(doc_id, text, embedding)`` stream through the
     three-tier admission sink; returns the union of all per-batch
-    decision frames."""
+    decision frames. ``sig_bands_root`` maintains the persisted banded
+    layout for the MinHash tier, exactly as in run_ingest_stream."""
     q = (
         docs_stream.writeStream.foreachBatch(
             make_full_cascade_ingest_batch_fn(
@@ -934,6 +1168,7 @@ def run_full_cascade_ingest_stream(
                 cos_threshold,
                 shingler,
                 compact_every,
+                sig_bands_root,
             )
         )
         .option("checkpointLocation", checkpoint)
@@ -953,6 +1188,70 @@ def run_full_cascade_ingest_stream(
     return decisions
 
 
+def admission_report_frame(decisions: DataFrame) -> DataFrame:
+    """Per-tier rollup of an admission decisions log — the daily ops view
+    a 100 TB ingest reads instead of the raw log: one row per outcome
+    ('admitted', 'exact', 'near_dup', 'semantic') with document count,
+    share of the log, and the score distribution (min/avg/max of the
+    tier's metric — Jaccard for the lexical tiers, cosine for the
+    semantic tier, as the decisions schema defines). Works on every
+    sink's schema: the cascade logs carry ``tier`` and ``score``; the
+    single-tier logs carry no tier (rejected rows report their family
+    metric, ``jaccard``/``cos``), so rejected rows roll up under
+    'rejected'.
+
+    Scale shape: aggregation-only — one partial-agg shuffle keyed by the
+    (≤4-value) tier column over a column-pruned scan of the log, then a
+    single-partition window over the ≤4 grouped rows for the shares.
+    No joins, no Python. Plan gate:
+    tests/test_streaming.py::test_admission_report_plan."""
+    score = next(
+        (c for c in ("score", "jaccard", "cos") if c in decisions.columns), None
+    )
+    if score is None:
+        raise ValueError(
+            "admission_report: decisions log carries no score column "
+            "(expected one of score/jaccard/cos)"
+        )
+    if "tier" in decisions.columns:
+        outcome = F.coalesce(F.col("tier"), F.lit("admitted"))
+    else:
+        outcome = F.when(F.col("admitted"), F.lit("admitted")).otherwise(
+            F.lit("rejected")
+        )
+    per = (
+        decisions.select(outcome.alias("outcome"), F.col(score).alias("s"))
+        .groupBy("outcome")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("s").alias("min_score"),
+            F.avg("s").alias("avg_score"),
+            F.max("s").alias("max_score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.lit(1))
+    return per.select(
+        "outcome",
+        "n_docs",
+        (F.col("n_docs") / F.sum("n_docs").over(w)).alias("share"),
+        "min_score",
+        "avg_score",
+        "max_score",
+    ).orderBy("outcome")
+
+
+def admission_report(spark: SparkSession, decisions_root: str) -> DataFrame:
+    """:func:`admission_report_frame` over a manifest-addressed decisions
+    root (compacted + bounded-tail read, the same path every sink's
+    decisions log is read back through)."""
+    dec = _index_so_far(spark, decisions_root)
+    if dec is None:
+        raise ValueError(f"no decisions committed under {decisions_root}")
+    return admission_report_frame(dec)
+
+
 def run_cascade_ingest_stream(
     docs_stream: DataFrame,
     spark: SparkSession,
@@ -964,9 +1263,12 @@ def run_cascade_ingest_stream(
     timeout_s: int = 300,
     shingler=None,
     compact_every: int | None = DEFAULT_COMPACT_EVERY,
+    sig_bands_root: str | None = None,
 ) -> DataFrame:
     """Drive the document stream through the tiered admission sink;
-    returns the union of all per-batch decision frames."""
+    returns the union of all per-batch decision frames. ``sig_bands_root``
+    maintains the persisted banded layout for the MinHash tier, exactly
+    as in run_ingest_stream."""
     q = (
         docs_stream.writeStream.foreachBatch(
             make_cascade_ingest_batch_fn(
@@ -977,6 +1279,7 @@ def run_cascade_ingest_stream(
                 threshold,
                 shingler,
                 compact_every,
+                sig_bands_root,
             )
         )
         .option("checkpointLocation", checkpoint)

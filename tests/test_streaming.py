@@ -2585,3 +2585,337 @@ def test_ingest_bands_root_survives_compaction(spark, sf_dir, tmp_path):
     mb = read_index_manifest(str(tmp_path / "folded_bands"))
     assert ms["compacted_path"] is not None and mb["compacted_path"] is not None
     assert ms["compacted_through"] == mb["compacted_through"]
+
+
+# Writer fencing (round 8): the manifest's epoch token kills silent
+# last-writer-wins between two streams on one root (VERDICT r7 item 2).
+
+
+def test_writer_fencing_two_sinks_one_root(spark, sf_dir, tmp_path):
+    """Two sinks accidentally pointed at ONE pair of roots: constructing
+    the second ACQUIRES the roots (epoch bump), so the first sink's next
+    publish hard-errors having committed nothing — its earlier decisions
+    and the new owner's decisions both stay intact. Pre-fencing behavior
+    was silent last-writer-wins on the manifest (the loser's deltas
+    dropped from visibility)."""
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.streaming.ingest import make_ingest_batch_fn
+
+    batches = _split_docs(spark, sf_dir, 3)
+    idx = str(tmp_path / "index")
+    dec = str(tmp_path / "decisions")
+
+    fn_a = make_ingest_batch_fn(spark, idx, dec, JACCARD_THRESHOLD)
+    fn_a(batches[0], 0)
+    before = set(_decisions(spark, dec))
+
+    fn_b = make_ingest_batch_fn(spark, idx, dec, JACCARD_THRESHOLD)  # takeover
+    fn_b(batches[1], 1)
+
+    with pytest.raises(ValueError, match="fenced"):
+        fn_a(batches[2], 2)  # the zombie writer is fenced, loudly
+
+    # nothing from the fenced attempt was committed; the owner's history
+    # (batch 0 under epoch 1, batch 1 under epoch 2) is fully visible
+    after = _decisions(spark, dec)
+    want = before | {r["doc_id"] for r in batches[1].collect()}
+    assert set(after) == want
+    from mapreduce_framework_spark.storage import read_index_manifest
+
+    man = read_index_manifest(dec)
+    assert man["epoch"] == 2
+    assert [e[0] for e in man["deltas"]] == [0, 1]  # batch 2 never committed
+
+
+def test_writer_fencing_refuses_owned_root_without_takeover(tmp_path):
+    """acquire_index_root(takeover=False) is the conservative mode: a root
+    that already has an owner is a hard error instead of a fence."""
+    from mapreduce_framework_spark.storage import acquire_index_root
+
+    root = str(tmp_path / "root")
+    assert acquire_index_root(root) == 1
+    assert acquire_index_root(root) == 2  # takeover bumps and fences
+    with pytest.raises(ValueError, match="already owned"):
+        acquire_index_root(root, takeover=False)
+
+
+def test_legacy_d_v_decisions_root_is_adopted(spark, sf_dir, tmp_path):
+    """A PRE-round-7 decisions root (deltas named d_v{batch}, no manifest)
+    must be adopted on resume: the first post-upgrade publish records the
+    legacy dirs in the manifest (no renames), historical decisions stay
+    visible, and the manifest's contiguity check passes — the round-7
+    migration regression the round-8 advice flagged (old roots previously
+    hard-errored with 'manifest has a gap' and lost all history)."""
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.storage import read_index_manifest
+    from mapreduce_framework_spark.streaming.ingest import (
+        _index_so_far,
+        make_ingest_batch_fn,
+    )
+
+    batches = _split_docs(spark, sf_dir, 3)
+    idx = str(tmp_path / "index")
+    dec = str(tmp_path / "decisions")
+
+    # simulate the pre-manifest sink: run the modern sink into scratch
+    # roots, then lay its outputs down under the legacy names
+    fn_old = make_ingest_batch_fn(
+        spark, str(tmp_path / "s_idx"), str(tmp_path / "s_dec"), JACCARD_THRESHOLD
+    )
+    for i, b in enumerate(batches[:2]):
+        fn_old(b, i)
+    for i in range(2):
+        spark.read.parquet(str(tmp_path / f"s_dec/delta_v{i}")).write.parquet(
+            os.path.join(dec, f"d_v{i}")
+        )
+        spark.read.parquet(str(tmp_path / f"s_idx/delta_v{i}")).write.parquet(
+            os.path.join(idx, f"d_v{i}")
+        )
+
+    # resume the stream on the legacy roots: batch 2 matches against the
+    # adopted history and publishes cleanly
+    fn = make_ingest_batch_fn(spark, idx, dec, JACCARD_THRESHOLD)
+    fn(batches[2], 2)
+
+    man = read_index_manifest(dec)
+    assert man["deltas"] == [[0, "d_v0"], [1, "d_v1"], [2, "delta_v2"]]
+    all_dec = _decisions(spark, dec)
+    want = {r["doc_id"] for b in batches for r in b.select("doc_id").collect()}
+    assert set(all_dec) == want
+    # the adopted index produced the same decisions the uninterrupted
+    # modern stream produces
+    fn_ref = make_ingest_batch_fn(
+        spark, str(tmp_path / "r_idx"), str(tmp_path / "r_dec"), JACCARD_THRESHOLD
+    )
+    for i, b in enumerate(batches):
+        fn_ref(b, i)
+    ref = _decisions(spark, str(tmp_path / "r_dec"))
+    assert {
+        (d, r["admitted"], r["matched_id"], r["jaccard"]) for d, r in all_dec.items()
+    } == {(d, r["admitted"], r["matched_id"], r["jaccard"]) for d, r in ref.items()}
+    # _index_so_far reads the adopted layout without a gap error
+    assert _index_so_far(spark, idx).count() > 0
+
+
+def test_reindex_twice_with_same_next_batch(spark, tmp_path):
+    """A double refresh (or a retry after a COMPLETED reindex) with the
+    same next_batch must not read from and overwrite the same compacted
+    dir: the second run writes a generation-unique compact dir and the
+    index content still equals the from-scratch assignment under the
+    final codebook (round-8 advice item)."""
+    from mapreduce_framework_spark.pipeline.semantic_dedup import semantic_index
+    from mapreduce_framework_spark.storage import read_index_manifest
+    from mapreduce_framework_spark.streaming.ingest import (
+        _index_so_far,
+        make_semantic_ingest_batch_fn,
+        reindex_semantic_root,
+    )
+
+    _, cents_a, _, dfs = _sem_batches(spark)
+    idx_root = str(tmp_path / "idx")
+    fn_a = make_semantic_ingest_batch_fn(
+        spark, idx_root, str(tmp_path / "dec"), cents_a
+    )
+    fn_a(dfs[0], 0)
+    fn_a(dfs[1], 1)
+
+    cents_b = _cents_b(spark)
+    reindex_semantic_root(spark, idx_root, cents_b, next_batch=2)
+    man1 = read_index_manifest(idx_root)
+    reindex_semantic_root(spark, idx_root, cents_b, next_batch=2)  # retry
+    man2 = read_index_manifest(idx_root)
+    assert man2["compacted_path"] != man1["compacted_path"]
+
+    admitted_ids = {
+        r["vec_id"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "dec"))
+        .where("admitted")
+        .collect()
+    }
+    admitted = (
+        dfs[0]
+        .unionByName(dfs[1])
+        .where(F.col("vec_id").isin(admitted_ids))
+        .select("vec_id", "embedding")
+    )
+    want = {
+        (r["vec_id"], r["cent_id"])
+        for r in semantic_index(admitted, cents_b).collect()
+    }
+    got = {
+        (r["vec_id"], r["cent_id"]) for r in _index_so_far(spark, idx_root).collect()
+    }
+    assert got == want
+
+
+# Codebook-drift trigger (round 8): per-batch quantization error logged in
+# the semantic index manifest + needs_refit() reading the trend.
+
+
+def _drift_batches(spark):
+    """Codebook on two axes; early batches hug the centroids (low 1-cos),
+    late batches sit between axes (the drifted population: ~0.29 vs
+    ~0.03 quantization error — the integer-grid style of _sem_batches)."""
+    from pyspark.sql import Row
+
+    cents = spark.createDataFrame(
+        [Row(cent_id=0, cent=[1.0, 0.0, 0.0]), Row(cent_id=1, cent=[0.0, 1.0, 0.0])]
+    )
+
+    def mk(base_id, vecs):
+        return spark.createDataFrame(
+            [
+                Row(vec_id=base_id + i, embedding=[float(x) for x in v])
+                for i, v in enumerate(vecs)
+            ]
+        )
+
+    low = [[4, 1, 0], [1, 4, 0], [8, 2, 0], [2, 8, 0]]
+    high = [[1, 1, 1], [1, 1, -1], [-1, 1, 1], [1, -1, 1]]
+    return cents, [mk(0, low), mk(10, low), mk(20, high), mk(30, high)]
+
+
+def test_drift_statistic_triggers_refit(spark, tmp_path):
+    """The manifest drift log rises exactly when the stream's population
+    drifts away from the codebook: needs_refit() is False while batches
+    match the fitted distribution and True once the trailing window is
+    dominated by drifted batches — the trigger the refresh lifecycle
+    (refit_codebook -> reindex_semantic_root) was missing. The swap
+    resets the log and the first post-swap batch sets the new baseline."""
+    from mapreduce_framework_spark.pipeline.codebook import quantization_error
+    from mapreduce_framework_spark.storage import read_index_manifest
+    from mapreduce_framework_spark.streaming.ingest import (
+        drift_stats,
+        make_semantic_ingest_batch_fn,
+        needs_refit,
+        reindex_semantic_root,
+    )
+
+    cents, dfs = _drift_batches(spark)
+    idx = str(tmp_path / "idx")
+    dec = str(tmp_path / "dec")
+    fn = make_semantic_ingest_batch_fn(spark, idx, dec, cents)
+
+    fn(dfs[0], 0)
+    fn(dfs[1], 1)
+    s = drift_stats(idx, window=2)
+    assert s is not None and s["n"] == 2
+    # the logged statistic IS the library quantization error of the batch
+    assert abs(s["baseline"] - quantization_error(dfs[0], cents)) < 1e-12
+    assert not needs_refit(idx, threshold=1.25, window=2)
+
+    fn(dfs[2], 2)
+    fn(dfs[3], 3)
+    s = drift_stats(idx, window=2)
+    assert s["ratio"] > 5.0  # drifted population: ~10x the baseline error
+    assert needs_refit(idx, threshold=1.25, window=2)
+    man = read_index_manifest(idx)
+    assert [b for b, _ in man["drift"]] == [0, 1, 2, 3]
+
+    # redelivery replaces (never duplicates) a batch's drift entry
+    fn(dfs[3], 3)
+    man = read_index_manifest(idx)
+    assert [b for b, _ in man["drift"]] == [0, 1, 2, 3]
+
+    # refresh: refit on the drifted population and swap — the log resets,
+    # and the first post-swap batch (drawn from the drifted population)
+    # sets a new baseline under which the stream is healthy again
+    from mapreduce_framework_spark.pipeline.codebook import refit_codebook
+
+    drifted = dfs[2].unionByName(dfs[3]).select("vec_id", "embedding")
+    cents_b = refit_codebook(drifted, cents, iters=4).localCheckpoint(eager=True)
+    reindex_semantic_root(spark, idx, cents_b, next_batch=4)
+    assert drift_stats(idx) is None and not needs_refit(idx)
+
+    fn_b = make_semantic_ingest_batch_fn(spark, idx, dec, cents_b)
+    more = dfs[3].select(
+        (F.col("vec_id") + 100).alias("vec_id"), "embedding"
+    )
+    fn_b(more, 4)
+    s = drift_stats(idx, window=2)
+    assert s is not None and s["n"] == 1
+    assert not needs_refit(idx, threshold=1.25, window=2)
+
+
+# Admission-report rollup (round 8): the per-tier ops view over a
+# decisions root (VERDICT r7 item 7).
+
+
+def test_admission_report_matches_duckdb(spark, tmp_path):
+    """Registered-query-grade differential: the rollup over a real
+    full-cascade decisions root equals DuckDB re-deriving it from the
+    replayed decision parquet (counts/shares/min/max exactly; avg to FP
+    reduction-order tolerance)."""
+    import duckdb
+
+    from mapreduce_framework_spark.streaming.ingest import admission_report
+
+    cents, dfs = _full_cascade_fixture(spark)
+    roots, _ = _run_full_cascade(spark, tmp_path, dfs, cents, prefix="rep")
+    got = admission_report(spark, roots["dec"]).collect()
+    assert {r["outcome"] for r in got} >= {"admitted", "exact", "near_dup", "semantic"}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW dec AS SELECT * FROM read_parquet("
+        f"'{roots['dec']}/*/*.parquet')"
+    )
+    want = con.execute(
+        """
+        SELECT coalesce(tier, 'admitted') AS outcome,
+               count(*) AS n_docs,
+               CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS share,
+               min(score) AS min_score,
+               avg(score) AS avg_score,
+               max(score) AS max_score
+        FROM dec GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert (g["outcome"], g["n_docs"]) == (w[0], w[1])
+        assert abs(g["share"] - w[2]) < 1e-12
+        assert g["min_score"] == w[3] and g["max_score"] == w[5]
+        assert abs(g["avg_score"] - w[4]) < 1e-12
+
+
+def test_admission_report_single_tier_schema(spark, sf_dir, tmp_path):
+    """The rollup reads the single-tier sinks' schema too (no tier
+    column, family metric named jaccard): rejected rows group under
+    'rejected', counts reconcile with the raw log."""
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.streaming.ingest import (
+        admission_report,
+        make_ingest_batch_fn,
+    )
+
+    batches = _split_docs(spark, sf_dir, 2)
+    dec = str(tmp_path / "dec")
+    fn = make_ingest_batch_fn(spark, str(tmp_path / "idx"), dec, JACCARD_THRESHOLD)
+    for i, b in enumerate(batches):
+        fn(b, i)
+    rep = {r["outcome"]: r for r in admission_report(spark, dec).collect()}
+    raw = _decisions(spark, dec)
+    n_adm = sum(1 for r in raw.values() if r["admitted"])
+    assert rep["admitted"]["n_docs"] == n_adm
+    if len(raw) > n_adm:
+        assert rep["rejected"]["n_docs"] == len(raw) - n_adm
+        assert rep["rejected"]["min_score"] >= JACCARD_THRESHOLD
+    assert abs(sum(r["share"] for r in rep.values()) - 1.0) < 1e-12
+
+
+def test_admission_report_plan(spark, tmp_path):
+    """Aggregation-only plan: no join, no Python eval, and only the two
+    sanctioned exchanges (the tier partial-agg + the single-partition
+    share window over <= 4 grouped rows)."""
+    from mapreduce_framework_spark.streaming.ingest import admission_report
+
+    cents, dfs = _full_cascade_fixture(spark)
+    roots, _ = _run_full_cascade(spark, tmp_path, dfs, cents, prefix="pl")
+    df = admission_report(spark, roots["dec"])
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "Join" not in plan and "EvalPython" not in plan
+    assert "HashAggregate" in plan

@@ -924,6 +924,114 @@ def _amplified_embeddings(base, factor: int):
     return out
 
 
+def probe_hot_bands(
+    spark, sizes=(10_000, 30_000, 100_000), cap=64, batch_n=500
+) -> None:
+    """Round-8 series: HOT-BAND index skew (VERDICT r7 item 3 — the
+    round-6 hot-span probe's shape applied to the banded candidate join).
+    A boilerplate cluster of n near-identical index docs (one shared
+    40-token template, a 3-way tail variation) shares band signatures, so
+    a handful of (band, bsig) join keys carry ~n/3 index rows each — a
+    batch of b probes then explodes to ~b x n raw candidate pairs THROUGH
+    ONE HOT KEY, the skewed-shuffle scale-killer (at n=1e6, b=2000 that is
+    2e9 pairs through single keys no AQE split can save, because every row
+    shares the key). cap_banded bounds every key at ``cap`` lowest-doc_ids
+    at layout-build/compaction time: candidates become O(b x cap), and the
+    REJECT decision is preserved (the saturated band's retained
+    representatives still verify >= threshold against any probe that
+    matched a dropped member — recall argument in pipeline/dedup.py).
+    Columns: max key population and raw candidate-pair volume (the
+    shuffle the cap bounds), match_batch wall, and reject parity."""
+    from mapreduce_framework_spark.pipeline.dedup import (
+        JACCARD_THRESHOLD,
+        _band_frame,
+        _minhash_columns,
+        banded_signatures,
+        index_signatures,
+        match_batch,
+        shingles_of,
+    )
+
+    # the corpus tokenizer splits on non-letters, so the test vocab must
+    # be alphabetic (numeric suffixes would collapse every token to one
+    # word and make the whole cluster byte-identical shingle sets)
+    alpha = lambda i: chr(97 + (i // 26) % 26) + chr(97 + i % 26)  # noqa: E731
+    template = " ".join(f"w{alpha(i)}" for i in range(40))
+    tails = F.array(*[F.lit(f"tail{alpha(i)}") for i in range(3)])
+    probes = F.array(*[F.lit(f"probe{alpha(i)}") for i in range(3)])
+    print(
+        f"| index docs | hot key plain | hot key cap={cap} | raw cand plain | "
+        "raw cand capped | match plain | match capped | rejects equal |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
+    for n in sizes:
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.lit(template),
+                F.element_at(tails, (F.col("id") % 3 + 1).cast("int")),
+            ).alias("text"),
+        )
+        sigs = index_signatures(docs).localCheckpoint(eager=True)
+        plain = banded_signatures(sigs).localCheckpoint(eager=True)
+        capped = banded_signatures(sigs, band_cap=cap).localCheckpoint(eager=True)
+        hot_p = plain.groupBy("band", "bsig").count().agg(F.max("count")).collect()[0][0]
+        hot_c = capped.groupBy("band", "bsig").count().agg(F.max("count")).collect()[0][0]
+        probe = (
+            spark.range(batch_n)
+            .select(
+                (F.col("id") + 50_000_000).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.lit(template),
+                    F.element_at(probes, (F.col("id") % 3 + 1).cast("int")),
+                ).alias("text"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        pb = _band_frame(_minhash_columns(shingles_of(probe))).localCheckpoint(
+            eager=True
+        )
+
+        def raw_pairs(idx_bands):
+            a, b = idx_bands.alias("a"), pb.alias("b")
+            return (
+                a.join(
+                    b,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bsig") == F.col("b.bsig")),
+                )
+                .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+                .distinct()
+            )
+
+        t_rp, n_rp = timed(raw_pairs(plain))
+        t_rc, n_rc = timed(raw_pairs(capped))
+        t_mp, _ = timed(match_batch(sigs, probe, JACCARD_THRESHOLD, index_bands=plain))
+        t_mc, _ = timed(
+            match_batch(sigs, probe, JACCARD_THRESHOLD, index_bands=capped)
+        )
+        rej_p = {
+            r["id2"]
+            for r in match_batch(sigs, probe, JACCARD_THRESHOLD, index_bands=plain)
+            .select("id2")
+            .distinct()
+            .collect()
+        }
+        rej_c = {
+            r["id2"]
+            for r in match_batch(sigs, probe, JACCARD_THRESHOLD, index_bands=capped)
+            .select("id2")
+            .distinct()
+            .collect()
+        }
+        print(
+            f"| {n} | {hot_p} | {hot_c} | {n_rp} ({t_rp} s) | {n_rc} ({t_rc} s) "
+            f"| {t_mp} s | {t_mc} s | {'yes' if rej_p == rej_c else 'NO'} |"
+        )
+
+
 def probe_ann_fixed_k(spark, sf_dir) -> None:
     """Round-5 series: IVF ANN with a FIXED-K external codebook (q56's
     round-5 parameterization — broadcast O(K·dim), corpus-independent).
@@ -1115,6 +1223,9 @@ def main() -> None:
         return
     if "--refit" in sys.argv:  # round-7 codebook-refresh drift series
         probe_refit(spark, sf_dir)
+        return
+    if "--hot-bands" in sys.argv:  # round-8 hot-band skew series
+        probe_hot_bands(spark)
         return
     if "--bpe" in sys.argv:  # round-7 tokenizer Python-boundary series
         probe_bpe(spark, base)
