@@ -96,6 +96,8 @@ HEADLINE = [
     # BASELINE.md's round-4 note)
     "q101_span_dedup",             # C4-style keep-first span dedup (min-agg)
     "q102_semantic_dedup",         # SemDeDup cell-bounded drop list
+    # round-8 registration: the 5-stage decontaminated flagship
+    "q105_training_corpus_decontaminated",
 ]
 
 
@@ -106,6 +108,13 @@ def main() -> None:
     ensure_package_on_executors(spark)
 
     specs = all_queries()
+    builders = {n: specs[n].builder for n in HEADLINE if n in specs}
+    # q34 was RETIRED from the registry in round 8 (its driver slot funded
+    # q105), but the r1-subset like-for-like series keeps timing it — the
+    # retirement policy keeps every retired builder in the repo permanently
+    from mapreduce_framework_spark.pipeline.similarity import q34_ann_bruteforce
+
+    builders["q34_ann_bruteforce"] = q34_ann_bruteforce
     # warm the session (JVM/codegen/FS init) so q01 doesn't absorb startup
     spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
 
@@ -122,7 +131,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        df = specs[name].builder(spark, sf_dir)
+        df = builders[name](spark, sf_dir)
         t1 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         t2 = time.perf_counter()
@@ -153,10 +162,15 @@ def main() -> None:
         cut = docs.agg(((F.max("doc_id") + 1) / 2).cast("long")).collect()[0][0]
         idx_dir = tempfile.mkdtemp(prefix="mfs_bench_idx_")
         try:
+            # the bands build (and its read-back) is timed SEPARATELY so
+            # q91_index_build_once_sec keeps the meaning of the rounds 3-6
+            # series (signatures only); the banded layout is an additional
+            # build-once cost introduced in round 7
             t0 = time.perf_counter()
             index_signatures(docs.where(F.col("doc_id") < cut)).write.mode(
                 "overwrite"
             ).parquet(os.path.join(idx_dir, "sigs"))
+            t0b = time.perf_counter()
             idx = spark.read.parquet(os.path.join(idx_dir, "sigs"))
             banded_signatures(idx).write.mode("overwrite").parquet(
                 os.path.join(idx_dir, "bands")
@@ -171,7 +185,8 @@ def main() -> None:
                 "noop"
             ).mode("overwrite").save()
             t4 = time.perf_counter()
-            steady["q91_index_build_once_sec"] = round(t1 - t0, 3)
+            steady["q91_index_build_once_sec"] = round(t0b - t0, 3)
+            steady["q91_bands_build_sec"] = round(t1 - t0b, 3)
             steady["q91_match_batch_sec"] = round(t3 - t2, 3)
             steady["q91_match_batch_banded_sec"] = round(t4 - t3, 3)
         finally:
@@ -280,10 +295,16 @@ def main() -> None:
         steady["cascade_error"] = f"{type(ex).__name__}: {ex}"[:200]
 
     total = round(sum(timings.values()), 3)
+    r1_sum = round(sum(t for q, t in timings.items() if q in R1_SUBSET), 3)
+    r1_exec = round(sum(t for q, t in execute.items() if q in R1_SUBSET), 3)
+    loadavg = [round(x, 2) for x in os.getloadavg()]
+    # The FULL record (per-query build+exec splits) — kept for humans and
+    # BASELINE.md bookkeeping, printed first so the driver's bounded tail
+    # capture never truncates the machine-readable line below.
     print(
         json.dumps(
             {
-                "metric": "headline_suite_wall_clock",
+                "metric": "headline_suite_wall_clock_full",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
@@ -295,19 +316,37 @@ def main() -> None:
                 # r1 timers were exec-only, so r1_subset_exec_sec is the
                 # clean A/B against round 1's ~26-30 s; r1_subset_sec keeps
                 # the round-2 builder-inclusive semantics
-                "r1_subset_sec": round(
-                    sum(t for q, t in timings.items() if q in R1_SUBSET), 3
-                ),
-                "r1_subset_exec_sec": round(
-                    sum(t for q, t in execute.items() if q in R1_SUBSET), 3
-                ),
+                "r1_subset_sec": r1_sum,
+                "r1_subset_exec_sec": r1_exec,
                 "steady_state": steady,
                 # host load (1/5/15-min averages) at end of run: round 4
                 # discarded one 3-10x-degraded run by hand; recording load
                 # makes a degraded-host bench machine-adjudicable
-                "loadavg": [round(x, 2) for x in os.getloadavg()],
+                "loadavg": loadavg,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
             }
+        )
+    )
+    # The driver contract line — LAST on stdout and kept COMPACT: rounds 6
+    # and 7 lost their machine-readable bench signal ("parsed": null)
+    # because the single giant JSON line overflowed the driver's tail
+    # capture. Per-query totals (no build/exec splits — those are in the
+    # full record above), suite totals, subset series, steady state.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "n_queries": len(timings),
+                "r1_subset_sec": r1_sum,
+                "r1_subset_exec_sec": r1_exec,
+                "steady_state": steady,
+                "loadavg": loadavg,
+            },
+            separators=(",", ":"),
         )
     )
 
