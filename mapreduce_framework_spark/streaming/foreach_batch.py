@@ -89,33 +89,85 @@ def _latest_state(
     return spark.read.parquet(os.path.join(state_root, versions[-1]))
 
 
-def _commit_state_version(state_root: str, batch_id: int) -> None:
+def _read_or_adopt_state_manifest(state_root: str) -> dict:
+    """The committed state manifest, adopting a pre-manifest legacy layout
+    (POSIX listdir once) when none exists yet."""
+    man = read_json_atomic(os.path.join(state_root, STATE_MANIFEST))
+    if man is None:
+        existing = (
+            [
+                int(d.split("state_v")[1])
+                for d in os.listdir(state_root)
+                if d.startswith("state_v")
+            ]
+            if os.path.isdir(state_root)
+            else []
+        )
+        man = {"version": 1, "versions": sorted(set(existing))}
+    return man
+
+
+def _acquire_state_root(state_root: str, takeover: bool = True) -> int:
+    """WRITER FENCING for a state root — the storage.acquire_index_root
+    discipline applied to the latest-pointer manifest: the merge sinks'
+    read-merge-write cycle is exactly as exposed to two-streams-one-root
+    last-writer-wins as the ingest indexes (worse, in fact: a lost state
+    commit silently forks the fold history). Same epoch-token semantics;
+    same object-storage conditional-PUT mapping (storage.py note)."""
+    man = _read_or_adopt_state_manifest(state_root)
+    prev = int(man.get("epoch", 0))
+    if prev and not takeover:
+        raise ValueError(
+            f"state root {state_root} is already owned (epoch {prev}) and "
+            "takeover=False — point this stream at its own root, or pass "
+            "takeover=True to deliberately fence the current owner"
+        )
+    man["epoch"] = prev + 1
+    write_json_atomic(os.path.join(state_root, STATE_MANIFEST), man)
+    return man["epoch"]
+
+
+def _check_state_epoch(state_root: str, epoch: int) -> None:
+    man = read_json_atomic(os.path.join(state_root, STATE_MANIFEST))
+    cur = None if man is None else man.get("epoch")
+    if cur != epoch:
+        raise ValueError(
+            f"writer fenced: state root {state_root} is owned by epoch "
+            f"{cur!r} but this writer holds epoch {epoch} — another merge "
+            "sink acquired the root after this one. Nothing was committed "
+            "by this writer."
+        )
+
+
+def _commit_state_version(
+    state_root: str, batch_id: int, epoch: int | None = None
+) -> None:
     """Publish ``state_v{batch_id}`` to the manifest (atomic JSON commit;
     adopts a pre-manifest legacy layout on first contact) and prune
     versions that fell out of the ``STATE_KEEP`` retention window —
     strictly AFTER the commit, so a crash anywhere leaves either the old
-    manifest with all its dirs or the new one with harmless orphans."""
-    man = read_json_atomic(os.path.join(state_root, STATE_MANIFEST))
-    if man is None:
-        existing = [
-            int(d.split("state_v")[1])
-            for d in os.listdir(state_root)
-            if d.startswith("state_v")
-        ]
-        man = {"version": 1, "versions": sorted(set(existing))}
-    keep = sorted(set(man["versions"]) | {batch_id})[-STATE_KEEP:]
-    write_json_atomic(
-        os.path.join(state_root, STATE_MANIFEST), {"version": 1, "versions": keep}
-    )
+    manifest with all its dirs or the new one with harmless orphans.
+    ``epoch``: the writer's fencing token, re-checked at the commit point
+    (see _acquire_state_root); every manifest field outside the retention
+    window — including the epoch — is preserved by the rewrite."""
+    man = _read_or_adopt_state_manifest(state_root)
+    man["versions"] = sorted(set(man["versions"]) | {batch_id})[-STATE_KEEP:]
+    if epoch is not None:
+        _check_state_epoch(state_root, epoch)
+    write_json_atomic(os.path.join(state_root, STATE_MANIFEST), man)
     for d in os.listdir(state_root):
-        if d.startswith("state_v") and int(d.split("state_v")[1]) not in keep:
+        if d.startswith("state_v") and int(d.split("state_v")[1]) not in man["versions"]:
             shutil.rmtree(os.path.join(state_root, d), ignore_errors=True)
 
 
 def make_kv_merge_batch_fn(spark: SparkSession, state_root: str):
     """Returns the foreachBatch function: fold the batch's ops per key on
-    top of the previous persisted state and write the next state version."""
+    top of the previous persisted state and write the next state version.
+    Constructing the sink ACQUIRES the state root (writer fencing — see
+    _acquire_state_root)."""
     from mapreduce_framework_spark.operators.kv import fold_ops
+
+    epoch = _acquire_state_root(state_root)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         import pandas as pd
@@ -145,7 +197,7 @@ def make_kv_merge_batch_fn(spark: SparkSession, state_root: str):
         )
         out = os.path.join(state_root, f"state_v{batch_id}")
         new_state.write.mode("overwrite").parquet(out)
-        _commit_state_version(state_root, batch_id)
+        _commit_state_version(state_root, batch_id, epoch=epoch)
 
     return apply_batch
 
@@ -158,7 +210,10 @@ def make_rollup_merge_batch_fn(spark: SparkSession, state_root: str):
     events are sliced into batches. This is the hypertable
     continuous-aggregate maintenance loop (q65's rollup, kept incrementally
     fresh); the state table is bounded by hours × types, tiny even when the
-    raw stream is 100 TB."""
+    raw stream is 100 TB. Constructing the sink ACQUIRES the state root
+    (writer fencing — see _acquire_state_root)."""
+
+    epoch = _acquire_state_root(state_root)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         from mapreduce_framework_spark.catalog import trunc_ntz_expr
@@ -181,7 +236,7 @@ def make_rollup_merge_batch_fn(spark: SparkSession, state_root: str):
         )
         out = os.path.join(state_root, f"state_v{batch_id}")
         merged.write.mode("overwrite").parquet(out)
-        _commit_state_version(state_root, batch_id)
+        _commit_state_version(state_root, batch_id, epoch=epoch)
 
     return apply_batch
 

@@ -50,6 +50,22 @@ additionally maintain the PERSISTED BANDED LAYOUT
 on the same delta/manifest lifecycle, cutting the per-batch candidate
 scan ~5.8× (SCALING.md); semantic sinks stamp and check the codebook
 fingerprint, and ``reindex_semantic_root`` is the codebook-refresh swap.
+
+Round-8 lifecycle hardening (all measured/argued in SCALING.md):
+- WRITER FENCING: every sink acquires its roots at construction
+  (storage.acquire_index_root) and presents the epoch token on every
+  publish — two streams on one root, or a zombie retry of a replaced
+  driver, hard-error with nothing committed.
+- DRIFT TRIGGER: semantic sinks log each batch's quantization error
+  under the held codebook into the index manifest; ``needs_refit``
+  reads the trend and ``refresh_semantic_root_if_needed`` is the
+  between-batches measure→decide→act autopilot for the refresh.
+- HOT-BAND CAP: ``band_cap`` re-bounds the persisted banded layout's
+  (band, bsig) groups at every compaction (pipeline/dedup.py:cap_banded
+  has the recall argument), so a boilerplate cluster cannot serialize
+  the candidate join through one hot key.
+- ``admission_report`` is the per-tier ops rollup over any decisions
+  root.
 """
 
 from __future__ import annotations
@@ -262,6 +278,62 @@ def needs_refit(
         # infinite ratio
         return s["recent"] > 0.0
     return s["ratio"] > threshold
+
+
+def refresh_semantic_root_if_needed(
+    spark: SparkSession,
+    index_root: str,
+    centroids: DataFrame,
+    next_batch: int,
+    threshold: float = 1.25,
+    window: int = 8,
+    iters: int | None = None,
+    sample_fraction: float | None = None,
+) -> DataFrame | None:
+    """The between-batches REFRESH AUTOPILOT — measure → decide → act in
+    one call: if the manifest's drift trend says the held codebook has
+    gone stale (:func:`needs_refit`), refit it warm-started on the
+    index's own committed vectors (`refit_codebook`: K and cent_id
+    continuity preserved) and swap the index under the refreshed book
+    (`reindex_semantic_root`: one atomic manifest commit, drift log
+    reset). Returns the refreshed centroids — the caller constructs the
+    next sink with them — or None when no refresh was warranted (the
+    overwhelmingly common case; cost then is one manifest read).
+
+    Run it where reindex_semantic_root is legal: BETWEEN batches, e.g.
+    at stream restart or from a maintenance tick while the stream is
+    stopped. The fit corpus is the admitted population itself (every
+    committed index row carries its embedding), optionally hash-sampled
+    via ``sample_fraction`` — the bounded-fit practice for 100 TB
+    (codebook.py module docstring). Cost when it fires: one warm-start
+    Lloyd fit + one O(index) reindex — exactly the refresh the
+    SCALING.md round-7 drift series prices, now paid only when the
+    measured trend says it buys match quality back."""
+    from mapreduce_framework_spark.pipeline.codebook import (
+        FIT_ITERS,
+        refit_codebook,
+    )
+
+    if not needs_refit(index_root, threshold=threshold, window=window):
+        return None
+    man = read_index_manifest(index_root)
+    paths = manifest_visible_paths(index_root, man)
+    if not paths:
+        return None
+    embs = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(*paths)
+        .select("vec_id", "embedding")
+        .dropDuplicates(["vec_id"])
+    )
+    refreshed = refit_codebook(
+        embs,
+        centroids,
+        iters=FIT_ITERS if iters is None else iters,
+        sample_fraction=sample_fraction,
+    ).localCheckpoint(eager=True)
+    reindex_semantic_root(spark, index_root, refreshed, next_batch)
+    return refreshed
 
 
 def _stamp_codebook(index_root: str, fingerprint: str, epoch: int | None = None) -> None:

@@ -2919,3 +2919,93 @@ def test_admission_report_plan(spark, tmp_path):
     )
     assert "Join" not in plan and "EvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_refresh_autopilot_fires_only_on_drift(spark, tmp_path):
+    """refresh_semantic_root_if_needed composes measure -> decide -> act:
+    None (and no manifest change) while the stream matches the fitted
+    distribution; after drifted batches it refits warm-started on the
+    committed index vectors, swaps the root (drift log reset, fingerprint
+    re-stamped), and returns centroids the next sink accepts; an
+    immediate second call is None again (no post-swap drift evidence)."""
+    from mapreduce_framework_spark.pipeline.codebook import codebook_fingerprint
+    from mapreduce_framework_spark.storage import read_index_manifest
+    from mapreduce_framework_spark.streaming.ingest import (
+        make_semantic_ingest_batch_fn,
+        needs_refit,
+        refresh_semantic_root_if_needed,
+    )
+
+    cents, dfs = _drift_batches(spark)
+    idx = str(tmp_path / "idx")
+    dec = str(tmp_path / "dec")
+    fn = make_semantic_ingest_batch_fn(spark, idx, dec, cents)
+    fn(dfs[0], 0)
+    fn(dfs[1], 1)
+
+    # healthy stream: no refresh, manifest untouched
+    man_before = read_index_manifest(idx)
+    assert (
+        refresh_semantic_root_if_needed(
+            spark, idx, cents, next_batch=2, threshold=1.25, window=2
+        )
+        is None
+    )
+    assert read_index_manifest(idx) == man_before
+
+    fn(dfs[2], 2)
+    fn(dfs[3], 3)
+    assert needs_refit(idx, threshold=1.25, window=2)
+    refreshed = refresh_semantic_root_if_needed(
+        spark, idx, cents, next_batch=4, threshold=1.25, window=2, iters=4
+    )
+    assert refreshed is not None
+    man = read_index_manifest(idx)
+    assert man["codebook_id"] == codebook_fingerprint(refreshed)
+    assert man.get("drift") is None and man.get("drift_baseline") is None
+    # no post-swap drift evidence -> the autopilot stands down
+    assert (
+        refresh_semantic_root_if_needed(
+            spark, idx, refreshed, next_batch=4, threshold=1.25, window=2
+        )
+        is None
+    )
+    # the next sink accepts the refreshed book and streams on
+    fn_b = make_semantic_ingest_batch_fn(spark, idx, dec, refreshed)
+    fn_b(
+        dfs[3].select((F.col("vec_id") + 100).alias("vec_id"), "embedding"), 4
+    )
+    assert not needs_refit(idx, threshold=1.25, window=2)
+
+
+def test_merge_sink_writer_fencing(spark, sf_dir, tmp_path):
+    """The merge sinks' read-merge-write cycle gets the same fencing as
+    the ingest indexes: a second sink on the same state root fences the
+    first (hard error, nothing committed) and the epoch survives the
+    manifest's retention rewrite."""
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.storage import read_json_atomic
+    from mapreduce_framework_spark.streaming.foreach_batch import (
+        STATE_MANIFEST,
+        _acquire_state_root,
+        make_rollup_merge_batch_fn,
+    )
+
+    events = table(spark, "events", sf_dir)
+    batches = [events.where(F.col("event_id") % 2 == i) for i in range(2)]
+    root = str(tmp_path / "state")
+
+    fn_a = make_rollup_merge_batch_fn(spark, root)
+    fn_a(batches[0], 0)
+    man = read_json_atomic(os.path.join(root, STATE_MANIFEST))
+    assert man["epoch"] == 1 and man["versions"] == [0]
+
+    fn_b = make_rollup_merge_batch_fn(spark, root)  # takeover
+    fn_b(batches[1], 1)
+    with pytest.raises(ValueError, match="fenced"):
+        fn_a(batches[1], 2)
+    man = read_json_atomic(os.path.join(root, STATE_MANIFEST))
+    assert man["epoch"] == 2 and man["versions"] == [0, 1]  # batch 2 never committed
+
+    with pytest.raises(ValueError, match="already owned"):
+        _acquire_state_root(root, takeover=False)

@@ -1032,6 +1032,63 @@ def probe_hot_bands(
         )
 
 
+def probe_hot_bands_xl(spark, n=1_000_000, cap=64, batch_n=500) -> None:
+    """The capped path ONLY, at the 10^6-doc boilerplate cluster the main
+    series extrapolates to (the plain path there is ~5e8 candidate pairs
+    through single keys — pointless to sit through; the series already
+    shows it growing with the index). What this measures is the claim
+    that matters: with the cap, a batch against a million-doc adversarial
+    cluster still costs O(batch)."""
+    from mapreduce_framework_spark.pipeline.dedup import (
+        JACCARD_THRESHOLD,
+        banded_signatures,
+        index_signatures,
+        match_batch,
+    )
+
+    alpha = lambda i: chr(97 + (i // 26) % 26) + chr(97 + i % 26)  # noqa: E731
+    template = " ".join(f"w{alpha(i)}" for i in range(40))
+    tails = F.array(*[F.lit(f"tail{alpha(i)}") for i in range(3)])
+    probes = F.array(*[F.lit(f"probe{alpha(i)}") for i in range(3)])
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.lit(template), F.element_at(tails, (F.col("id") % 3 + 1).cast("int"))
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    sigs = index_signatures(docs).localCheckpoint(eager=True)
+    t_sig = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    capped = banded_signatures(sigs, band_cap=cap).localCheckpoint(eager=True)
+    t_cap = round(time.perf_counter() - t0, 2)
+    hot_c = capped.groupBy("band", "bsig").count().agg(F.max("count")).collect()[0][0]
+    probe = (
+        spark.range(batch_n)
+        .select(
+            (F.col("id") + 50_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.lit(template),
+                F.element_at(probes, (F.col("id") % 3 + 1).cast("int")),
+            ).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t_m, _ = timed(match_batch(sigs, probe, JACCARD_THRESHOLD, index_bands=capped))
+    n_rej = (
+        match_batch(sigs, probe, JACCARD_THRESHOLD, index_bands=capped)
+        .select("id2")
+        .distinct()
+        .count()
+    )
+    print(
+        f"1e6-doc boilerplate cluster, cap={cap}: sig build {t_sig} s (once), "
+        f"capped layout build {t_cap} s (once), max key {hot_c}, "
+        f"match_batch({batch_n} probes) {t_m} s, {n_rej}/{batch_n} rejected"
+    )
+
+
 def probe_ann_fixed_k(spark, sf_dir) -> None:
     """Round-5 series: IVF ANN with a FIXED-K external codebook (q56's
     round-5 parameterization — broadcast O(K·dim), corpus-independent).
@@ -1226,6 +1283,9 @@ def main() -> None:
         return
     if "--hot-bands" in sys.argv:  # round-8 hot-band skew series
         probe_hot_bands(spark)
+        return
+    if "--hot-bands-xl" in sys.argv:  # round-8: capped path at 1e6 docs
+        probe_hot_bands_xl(spark)
         return
     if "--bpe" in sys.argv:  # round-7 tokenizer Python-boundary series
         probe_bpe(spark, base)
