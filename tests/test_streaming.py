@@ -3009,3 +3009,59 @@ def test_merge_sink_writer_fencing(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="already owned"):
         _acquire_state_root(root, takeover=False)
+
+
+def test_full_cascade_stream_with_bands_root(spark, tmp_path):
+    """The three-tier STREAM RUNNER maintains the persisted banded layout
+    when sig_bands_root is passed (the round-8 plumbing): decisions are
+    byte-identical to the runner without it, and the bands manifest
+    covers every batch (the coverage hard-error's invariant)."""
+    from mapreduce_framework_spark.operators.streaming_replay import (
+        _set_staged_mtime,
+    )
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.storage import read_index_manifest
+    from mapreduce_framework_spark.streaming.ingest import (
+        run_full_cascade_ingest_stream,
+    )
+
+    cents, dfs = _full_cascade_fixture(spark)
+
+    def run(tag, **kw):
+        staging = str(tmp_path / f"{tag}_staging")
+        os.makedirs(staging)
+        for i, df in enumerate(dfs):
+            p = os.path.join(staging, f"b{i}")
+            df.coalesce(1).write.parquet(p)
+            _set_staged_mtime(p, 1_000_000_000.0 + 100 * i)
+        stream = (
+            spark.readStream.schema(dfs[0].schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(staging, "b*"))
+        )
+        dec = run_full_cascade_ingest_stream(
+            stream,
+            spark,
+            str(tmp_path / f"{tag}_fp"),
+            str(tmp_path / f"{tag}_sig"),
+            str(tmp_path / f"{tag}_sem"),
+            str(tmp_path / f"{tag}_dec"),
+            str(tmp_path / f"{tag}_ckpt"),
+            cents,
+            JACCARD_THRESHOLD,
+            timeout_s=240,
+            **kw,
+        )
+        return {
+            r["doc_id"]: (r["admitted"], r["tier"], r["matched_id"], r["score"])
+            for r in dec.collect()
+        }
+
+    plain = run("pl")
+    banded = run("bd", sig_bands_root=str(tmp_path / "bd_bands"))
+    assert banded == plain
+    man = read_index_manifest(str(tmp_path / "bd_bands"))
+    covered = set(range(man["compacted_through"] + 1)) | {
+        b for b, _ in man["deltas"]
+    }
+    assert covered == {0, 1, 2}
