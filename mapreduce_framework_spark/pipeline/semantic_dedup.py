@@ -196,6 +196,60 @@ def semantic_index(embs: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def cap_cells(index: DataFrame, cell_cap: int) -> DataFrame:
+    """Bound every cell of a ``semantic_index`` artifact to its
+    ``cell_cap`` lowest-vec_id rows — the semantic twin of the MinHash
+    tier's hot-band guard (pipeline/dedup.py:cap_banded).
+
+    Why: the match's candidate join is an equi-join on ``cent_id``. With
+    a FITTED K ∝ n codebook expected cell population is bounded by
+    design (SCALING.md round-6 K-grows-with-corpus series), but the
+    adversarial case survives any K: a cluster of identical or
+    near-identical embeddings (crawl re-fetches, templated pages) lands
+    its whole mass in one cell regardless of how many centroids exist —
+    one hot join key, the same skewed-shuffle scale-killer the hot-band
+    series measures.
+
+    RECALL ARGUMENT (approximation explicit and opt-in): for an
+    EXACT-duplicate embedding cluster the cap is lossless — every member
+    has the same cosine to any probe, so a probe that matched a dropped
+    member matches every retained one at the identical cosine (only
+    matched_id can change, to a lower retained id). For an ε-tight
+    cluster (members pairwise within angle ε), spherical triangle
+    inequality bounds the loss: a probe within angle θ of a dropped
+    member is within θ+ε of every retained one — the capped decision can
+    only be lost inside the ε-wide margin just above the threshold, i.e.
+    the miss window is at most the cluster's own internal spread, which
+    for a cell saturated past cell_cap under SemDeDup-tight thresholds
+    (≥0.95) is small by construction.
+
+    What the cap CAN lose (named, and pinned by the guard test): a
+    NON-cluster vector co-resident in the saturated cell may be dropped
+    from that cell, and a probe whose only shared cell with it was the
+    saturated one loses that one pairing — its matches survive only via
+    its other probed cells (multi-probe, SEM_PROBES ≥ 2, is exactly the
+    mitigation). The admission-relevant invariants hold: capped matches
+    are a subset of plain matches, the rejected SET against the
+    saturating cluster is unchanged, and the best (highest-cos) match is
+    preserved. Decisions on non-adversarial corpora are bit-identical
+    (the cap never binds; pinned by
+    tests/test_scale_patterns.py::test_cell_cap_identity_on_sf_corpus).
+
+    Deterministic (lowest vec_ids kept) — commutes with redelivery and
+    compaction. One window shuffle over the index: a BUILD/COMPACTION-
+    time cost (``cell_cap`` in the semantic sinks applies it at every
+    sem-root compaction via the compact-transform hook), never per
+    batch."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cent_id").orderBy("vec_id")
+    return (
+        index.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cell_cap)
+        .drop("_rn")
+    )
+
+
 def semantic_match_batch(
     index: DataFrame,
     new_embs: DataFrame,

@@ -658,6 +658,7 @@ def make_semantic_ingest_batch_fn(
     centroids: DataFrame,
     threshold: float | None = None,
     compact_every: int | None = DEFAULT_COMPACT_EVERY,
+    cell_cap: int | None = None,
 ):
     """The semantic-family twin of :func:`make_ingest_batch_fn`: each
     embedding micro-batch is matched against the semantic cell index so
@@ -689,12 +690,19 @@ def make_semantic_ingest_batch_fn(
     checks it BEFORE publishing anything, so pairing this sink with an
     index built under a different codebook (e.g. after refit_codebook
     without reindex_semantic_root) is a hard error, never silent
-    mis-matching."""
+    mis-matching.
+
+    ``cell_cap``: hot-cell skew guard — every compaction of the index
+    root re-bounds each cell to its cap lowest-vec_id rows
+    (pipeline/semantic_dedup.py:cap_cells has the recall argument,
+    exact for identical-embedding clusters). None (default) keeps the
+    index exact."""
     from pyspark.sql.window import Window
 
     from mapreduce_framework_spark.pipeline.codebook import codebook_fingerprint
     from mapreduce_framework_spark.pipeline.semantic_dedup import (
         SEMDEDUP_COS,
+        cap_cells,
         semantic_index,
         semantic_match_batch,
     )
@@ -702,6 +710,9 @@ def make_semantic_ingest_batch_fn(
     if threshold is None:
         threshold = SEMDEDUP_COS
     cb_fp = codebook_fingerprint(centroids)
+    cells_transform = (
+        None if cell_cap is None else (lambda df: cap_cells(df, cell_cap))
+    )
     # writer fencing (see make_ingest_batch_fn / storage.py)
     ep_idx = acquire_index_root(index_root)
     ep_dec = acquire_index_root(decisions_root)
@@ -749,6 +760,7 @@ def make_semantic_ingest_batch_fn(
         _publish_delta(
             spark, index_root, batch_id, semantic_index(admitted, centroids),
             compact_every, epoch=ep_idx,
+            compact_transform=cells_transform,
         )
         _stamp_codebook(index_root, cb_fp, epoch=ep_idx)
         # drift trigger: log the WHOLE batch's quantization error under the
@@ -973,6 +985,7 @@ def make_full_cascade_ingest_batch_fn(
     compact_every: int | None = DEFAULT_COMPACT_EVERY,
     sig_bands_root: str | None = None,
     band_cap: int | None = None,
+    cell_cap: int | None = None,
 ):
     """The COMPLETE admission cascade the two-tier sink's docstring names
     as the real pretraining shape: exact → near-dup → SEMANTIC. Batches
@@ -1028,6 +1041,7 @@ def make_full_cascade_ingest_batch_fn(
     )
     from mapreduce_framework_spark.pipeline.semantic_dedup import (
         SEMDEDUP_COS,
+        cap_cells,
         semantic_index,
         semantic_match_batch,
     )
@@ -1041,6 +1055,9 @@ def make_full_cascade_ingest_batch_fn(
         )
     bands_transform = (
         None if band_cap is None else (lambda df: cap_banded(df, band_cap))
+    )
+    cells_transform = (
+        None if cell_cap is None else (lambda df: cap_cells(df, cell_cap))
     )
     # writer fencing (see make_ingest_batch_fn / storage.py)
     ep_fp = acquire_index_root(fp_index_root)
@@ -1193,6 +1210,7 @@ def make_full_cascade_ingest_batch_fn(
             semantic_index(_sem_side(admitted), centroids),
             compact_every,
             epoch=ep_sem,
+            compact_transform=cells_transform,
         )
         _stamp_codebook(sem_index_root, cb_fp, epoch=ep_sem)
         # drift trigger (see make_semantic_ingest_batch_fn): the statistic

@@ -492,3 +492,97 @@ def test_band_cap_reapplied_at_compaction(spark, tmp_path):
     # bounded by cap + what the bounded tail can add (each tail delta is
     # one batch of the cluster, ~75 docs)
     assert top_full <= 16 + tail_batches * 100
+
+
+# Hot-cell population bound (round 8): the semantic twin of the band cap.
+
+
+def test_cell_cap_bounds_hot_cell(spark):
+    """An identical-embedding cluster saturates one cell regardless of the
+    codebook; cap_cells bounds it, and — identical vectors having
+    identical cosines to any probe — the capped match is LOSSLESS for the
+    cluster: same rejected set, same cosine, matched_id falls to a
+    retained (lower) vec_id."""
+    from pyspark.sql import Row
+
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        cap_cells,
+        semantic_index,
+        semantic_match_batch,
+    )
+
+    cents = spark.createDataFrame(
+        [
+            Row(cent_id=i, cent=[float(x) for x in v])
+            for i, v in enumerate([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 1]])
+        ]
+    )
+    cluster = spark.range(600).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(4.0), F.lit(0.0), F.lit(0.0)).alias("embedding"),
+    )
+    normals = spark.createDataFrame(
+        [
+            Row(vec_id=100_000 + j, embedding=[float(j % 5), float(j % 7), 1.0])
+            for j in range(50)
+        ]
+    )
+    idx = semantic_index(cluster.unionByName(normals), cents).localCheckpoint(
+        eager=True
+    )
+    top = idx.groupBy("cent_id").count().agg(F.max("count")).collect()[0][0]
+    assert top >= 600  # the cluster really saturates a cell
+
+    capped = cap_cells(idx, 32).localCheckpoint(eager=True)
+    top_c = capped.groupBy("cent_id").count().agg(F.max("count")).collect()[0][0]
+    assert top_c <= 32
+
+    probe = spark.createDataFrame(
+        [Row(vec_id=999_999, embedding=[4.0, 0.1, 0.0])]
+    )
+    plain = semantic_match_batch(idx, probe, cents, 0.96).collect()
+    cap = semantic_match_batch(capped, probe, cents, 0.96).collect()
+    assert plain and cap
+    # the admission-relevant invariants (cap_cells docstring): same
+    # rejected set, capped matches a subset of plain, best match (the
+    # one the sink reports) preserved exactly
+    assert {r["new_id"] for r in plain} == {r["new_id"] for r in cap}
+    p_pairs = {(r["index_id"], r["new_id"], round(r["cos"], 12)) for r in plain}
+    c_pairs = {(r["index_id"], r["new_id"], round(r["cos"], 12)) for r in cap}
+    assert c_pairs <= p_pairs
+    assert max(r["cos"] for r in cap) == max(r["cos"] for r in plain)
+    assert min(r["index_id"] for r in cap) < 32  # a retained representative
+    # the documented collateral actually occurred in this fixture (a
+    # non-cluster co-resident of the saturated cell lost its pairing) —
+    # the guard test exercises the caveat, not just the happy path
+    assert c_pairs < p_pairs
+
+
+def test_cell_cap_identity_on_sf_corpus(spark, sf_dir):
+    """A production-sized cap never binds on the non-adversarial corpus:
+    semantic matches through the capped artifact are bit-identical."""
+    from mapreduce_framework_spark.pipeline.codebook import fit_codebook
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        cap_cells,
+        semantic_index,
+        semantic_match_batch,
+    )
+
+    embs = table(spark, "embeddings", sf_dir)
+    cut = embs.agg(((F.max("vec_id") + 1) / 2).cast("long")).collect()[0][0]
+    cents = fit_codebook(
+        embs.where(F.col("vec_id") < cut), k=8, iters=2
+    ).localCheckpoint(eager=True)
+    idx = semantic_index(embs.where(F.col("vec_id") < cut), cents).localCheckpoint(
+        eager=True
+    )
+    batch = embs.where(F.col("vec_id") >= cut)
+    plain = {
+        (r["index_id"], r["new_id"], r["cos"])
+        for r in semantic_match_batch(idx, batch, cents).collect()
+    }
+    capped = {
+        (r["index_id"], r["new_id"], r["cos"])
+        for r in semantic_match_batch(cap_cells(idx, 512), batch, cents).collect()
+    }
+    assert capped == plain

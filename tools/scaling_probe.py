@@ -1089,6 +1089,70 @@ def probe_hot_bands_xl(spark, n=1_000_000, cap=64, batch_n=500) -> None:
     )
 
 
+def probe_hot_cells(spark, sizes=(10_000, 30_000, 100_000), cap=64, batch_n=500) -> None:
+    """Round-8 series: HOT-CELL index skew — the semantic twin of
+    --hot-bands. A cluster of IDENTICAL embeddings (crawl re-fetches /
+    templated pages) lands its whole mass in one cell regardless of K,
+    so the semantic matcher's cent_id equi-join carries |batch| × |cluster|
+    candidate pairs through one hot key. cap_cells bounds the cell at
+    build/compaction time; for identical-embedding clusters the cap is
+    LOSSLESS (every member has the same cosine to any probe — see
+    pipeline/semantic_dedup.py:cap_cells)."""
+    from pyspark.sql import Row
+
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        cap_cells,
+        semantic_index,
+        semantic_match_batch,
+    )
+
+    cents = spark.createDataFrame(
+        [
+            Row(cent_id=i, cent=[float(x) for x in v])
+            for i, v in enumerate([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 1]])
+        ]
+    )
+    thr = 0.96
+    print(
+        f"| index vecs | hot cell plain | hot cell cap={cap} | match plain | "
+        "match capped | rejects equal |"
+    )
+    print("|---|---|---|---|---|---|")
+    for n in sizes:
+        embs = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(4.0), F.lit(0.0), F.lit(0.0)).alias("embedding"),
+        )
+        idx = semantic_index(embs, cents).localCheckpoint(eager=True)
+        capped = cap_cells(idx, cap).localCheckpoint(eager=True)
+        hot_p = idx.groupBy("cent_id").count().agg(F.max("count")).collect()[0][0]
+        hot_c = capped.groupBy("cent_id").count().agg(F.max("count")).collect()[0][0]
+        probe = spark.range(batch_n).select(
+            (F.col("id") + 50_000_000).alias("vec_id"),
+            F.array(F.lit(4.0), F.lit(0.1), F.lit(0.0)).alias("embedding"),
+        )
+        t_p, _ = timed(semantic_match_batch(idx, probe, cents, thr))
+        t_c, _ = timed(semantic_match_batch(capped, probe, cents, thr))
+        rej_p = {
+            r["new_id"]
+            for r in semantic_match_batch(idx, probe, cents, thr)
+            .select("new_id")
+            .distinct()
+            .collect()
+        }
+        rej_c = {
+            r["new_id"]
+            for r in semantic_match_batch(capped, probe, cents, thr)
+            .select("new_id")
+            .distinct()
+            .collect()
+        }
+        print(
+            f"| {n} | {hot_p} | {hot_c} | {t_p} s | {t_c} s | "
+            f"{'yes' if rej_p == rej_c else 'NO'} |"
+        )
+
+
 def probe_ann_fixed_k(spark, sf_dir) -> None:
     """Round-5 series: IVF ANN with a FIXED-K external codebook (q56's
     round-5 parameterization — broadcast O(K·dim), corpus-independent).
@@ -1286,6 +1350,9 @@ def main() -> None:
         return
     if "--hot-bands-xl" in sys.argv:  # round-8: capped path at 1e6 docs
         probe_hot_bands_xl(spark)
+        return
+    if "--hot-cells" in sys.argv:  # round-8: semantic hot-cell twin
+        probe_hot_cells(spark)
         return
     if "--bpe" in sys.argv:  # round-7 tokenizer Python-boundary series
         probe_bpe(spark, base)
