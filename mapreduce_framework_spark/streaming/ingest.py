@@ -425,6 +425,13 @@ def reindex_semantic_root(
     # it, and the first post-swap batch sets the new baseline
     out.pop("drift", None)
     out.pop("drift_baseline", None)
+    # the swap FENCES any still-running sink (epoch bump): a zombie batch
+    # that passed its codebook check before the swap would otherwise
+    # commit rows assigned under the OLD codebook into the swapped index —
+    # the one window the per-batch fingerprint guard cannot close. The
+    # next sink acquires the root afresh (with the new centroids) as the
+    # lifecycle prescribes.
+    out["epoch"] = int(man.get("epoch", 0)) + 1
     write_index_manifest(index_root, out)
     prune_superseded_index_dirs(index_root, out)
 
@@ -621,6 +628,7 @@ def run_ingest_stream(
     shingler=None,
     compact_every: int | None = DEFAULT_COMPACT_EVERY,
     bands_root: str | None = None,
+    band_cap: int | None = None,
 ) -> DataFrame:
     """Drive the document stream through the ingest-dedup sink; returns
     the union of all per-batch decision frames."""
@@ -634,6 +642,7 @@ def run_ingest_stream(
                 shingler,
                 compact_every,
                 bands_root,
+                band_cap,
             )
         )
         .option("checkpointLocation", checkpoint)
@@ -784,13 +793,15 @@ def run_semantic_ingest_stream(
     threshold: float | None = None,
     timeout_s: int = 300,
     compact_every: int | None = DEFAULT_COMPACT_EVERY,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """Drive the embedding stream through the semantic admission sink;
     returns the union of all per-batch decision frames."""
     q = (
         embs_stream.writeStream.foreachBatch(
             make_semantic_ingest_batch_fn(
-                spark, index_root, decisions_root, centroids, threshold, compact_every
+                spark, index_root, decisions_root, centroids, threshold,
+                compact_every, cell_cap,
             )
         )
         .option("checkpointLocation", checkpoint)
@@ -1240,11 +1251,15 @@ def run_full_cascade_ingest_stream(
     shingler=None,
     compact_every: int | None = DEFAULT_COMPACT_EVERY,
     sig_bands_root: str | None = None,
+    band_cap: int | None = None,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """Drive a ``(doc_id, text, embedding)`` stream through the
     three-tier admission sink; returns the union of all per-batch
     decision frames. ``sig_bands_root`` maintains the persisted banded
-    layout for the MinHash tier, exactly as in run_ingest_stream."""
+    layout for the MinHash tier, exactly as in run_ingest_stream;
+    ``band_cap``/``cell_cap`` are the hot-key skew guards (re-applied at
+    every compaction of the bands / semantic roots)."""
     q = (
         docs_stream.writeStream.foreachBatch(
             make_full_cascade_ingest_batch_fn(
@@ -1259,6 +1274,8 @@ def run_full_cascade_ingest_stream(
                 shingler,
                 compact_every,
                 sig_bands_root,
+                band_cap,
+                cell_cap,
             )
         )
         .option("checkpointLocation", checkpoint)
@@ -1354,11 +1371,12 @@ def run_cascade_ingest_stream(
     shingler=None,
     compact_every: int | None = DEFAULT_COMPACT_EVERY,
     sig_bands_root: str | None = None,
+    band_cap: int | None = None,
 ) -> DataFrame:
     """Drive the document stream through the tiered admission sink;
     returns the union of all per-batch decision frames. ``sig_bands_root``
     maintains the persisted banded layout for the MinHash tier, exactly
-    as in run_ingest_stream."""
+    as in run_ingest_stream; ``band_cap`` is the hot-band skew guard."""
     q = (
         docs_stream.writeStream.foreachBatch(
             make_cascade_ingest_batch_fn(
@@ -1370,6 +1388,7 @@ def run_cascade_ingest_stream(
                 shingler,
                 compact_every,
                 sig_bands_root,
+                band_cap,
             )
         )
         .option("checkpointLocation", checkpoint)

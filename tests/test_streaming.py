@@ -2338,7 +2338,15 @@ def test_semantic_sink_rejects_mismatched_codebook(spark, tmp_path):
     assert committed == {r["vec_id"] for r in dfs[0].collect()}
 
     reindex_semantic_root(spark, idx_root, _cents_b(spark), next_batch=1)
-    fn_b(dfs[1], 1)  # now sanctioned
+    # the swap FENCES every pre-swap sink (round 8): a zombie holding the
+    # pre-swap epoch could otherwise commit old-codebook assignments into
+    # the swapped index mid-batch, past its start-of-batch codebook check
+    with pytest.raises(ValueError, match="fenced"):
+        fn_b(dfs[1], 1)
+    fn_b2 = make_semantic_ingest_batch_fn(
+        spark, idx_root, dec_root, _cents_b(spark)
+    )
+    fn_b2(dfs[1], 1)  # the post-swap sink is sanctioned
     assert os.path.isdir(os.path.join(idx_root, "delta_v1"))
 
 
