@@ -194,6 +194,57 @@ def fold_kv_history(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def fold_kv_history_streaming(ops: DataFrame) -> DataFrame:
+    """BOUNDED-MEMORY interpreted fold — the scale fix for q28's sole
+    perf-weak shape: ``groupBy(key).applyInPandas`` must materialize one
+    key's ENTIRE history as a single pandas group, so a hot key's
+    multi-GB op log is one task's memory cliff at 100×. This form keeps
+    the imperative per-row replay (the point of the q28 path — the
+    interpreted twin of streaming/state.py's keyed handler) but streams
+    it: repartition by key + sortWithinPartitions(key, ts, event_id) +
+    ``mapInPandas``, where Arrow hands each task an ITERATOR of bounded
+    record batches and the fold carries (current key, state) ACROSS
+    batches. Per-task memory is O(arrow batch) + O(one state string)
+    regardless of any key's history length; keys are contiguous within a
+    partition by the sort, so a key closes exactly when the next key (or
+    the partition end) arrives. Output equals fold_kv_history's
+    bit-exactly (pinned by tests/test_kv_model.py, including a forced
+    multi-batch hot key), and the plan is one shuffle + one
+    ArrowEval-free MapInPandas — the same shuffle count as the
+    applyInPandas form, minus the cliff. Registered-path swap is
+    scheduled for the round q28 rotates into the driver window
+    (registry.py retirement notes)."""
+
+    def fold_partitions(batches):
+        cur = None
+        state = ""
+        for pdf in batches:
+            out_keys: list = []
+            out_vals: list = []
+            for k, op, v in zip(pdf["key"], pdf["op"], pdf["value"]):
+                if k != cur:
+                    if cur is not None:
+                        out_keys.append(cur)
+                        out_vals.append(state)
+                    cur, state = k, ""
+                if op == "put":
+                    state = v
+                elif op == "append":
+                    state = state + v
+            if out_keys:
+                yield pd.DataFrame({"key": out_keys, "value": out_vals})
+        if cur is not None:
+            yield pd.DataFrame({"key": [cur], "value": [state]})
+
+    return (
+        ops.where(F.col("op") != "get")
+        .select("key", "op", "value", "ts", "event_id")
+        .repartition("key")
+        .sortWithinPartitions("key", "ts", "event_id")
+        .mapInPandas(fold_partitions, schema="key string, value string")
+    )
+
+
 @register(
     "q28_kv_stateful_replay",
     oracle=_fold_sql(),

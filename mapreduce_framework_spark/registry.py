@@ -111,6 +111,12 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 #      the streaming q83 path which shares fold_kv_history. Spend only
 #      after the 2b pool is exhausted: q28 is the registry's sole
 #      interpreted-stateful representative in the driver window.
+#      ROUND-8 UPDATE: before spending it, prefer SWAPPING ITS BUILDER
+#      to operators/kv.py:fold_kv_history_streaming (the bounded-memory
+#      mapInPandas fold, library-first since r8 with cross-batch-carry
+#      tests) in the round q28 rotates into the window (r9) — that
+#      clears the registry's sole perf-weak shape while keeping the
+#      interpreted-stateful representative; same output, same oracle.
 #   Swap mechanics per policy item 4: delete the name from
 #   CURATED_ORDER + its @register line, append it to RETIRED, register
 #   the newcomer in the same commit, and place the newcomer in the

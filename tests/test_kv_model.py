@@ -86,3 +86,77 @@ def test_q06_q28_fold_parity_and_flagship_order(spark_global, sf_dir):
     assert CURATED_ORDER.index("q06_kv_final_state") < CURATED_ORDER.index(
         "q28_kv_stateful_replay"
     )
+
+
+def test_streaming_fold_matches_per_group_fold(spark_global, sf_dir):
+    """The bounded-memory mapInPandas fold (fold_kv_history_streaming —
+    the round-8 scale fix for q28's per-key applyInPandas cliff) is
+    result-identical to both engine forms on the sf corpus, and its plan
+    is the streaming shape (MapInPandas after one key repartition, no
+    per-group FlatMapGroups)."""
+    from mapreduce_framework_spark.deploy import ensure_package_on_executors
+    from mapreduce_framework_spark.operators.kv import (
+        fold_kv_history_streaming,
+        kv_ops,
+        q06_kv_final_state,
+    )
+
+    ensure_package_on_executors(spark_global)
+    got = {
+        (r["key"], r["value"])
+        for r in fold_kv_history_streaming(kv_ops(spark_global, sf_dir)).collect()
+    }
+    want = {
+        (r["key"], r["value"])
+        for r in q06_kv_final_state(spark_global, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+    df = fold_kv_history_streaming(kv_ops(spark_global, sf_dir))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_streaming_fold_carries_state_across_arrow_batches(spark_global):
+    """The cliff case itself: ONE hot key whose history spans many Arrow
+    batches (maxRecordsPerBatch forced to 64 against a 5000-op history).
+    The applyInPandas form materializes all 5000 rows as one pandas
+    group; the streaming fold must reproduce the same value while seeing
+    the key only in 64-row slices — proving the cross-batch state carry
+    that makes its memory O(batch), not O(history)."""
+    import datetime as dt2
+
+    from mapreduce_framework_spark.deploy import ensure_package_on_executors
+    from mapreduce_framework_spark.operators.kv import fold_kv_history_streaming
+
+    ensure_package_on_executors(spark_global)
+    n = 5000
+    ops = [("hot", "put", "S")] + [("hot", "append", str(i % 10)) for i in range(n)]
+    ops += [("cold1", "put", "a"), ("cold2", "append", "bb")]
+    rows = [
+        (
+            dt2.datetime(2024, 1, 1) + dt2.timedelta(seconds=i),
+            i,
+            key,
+            op,
+            value,
+        )
+        for i, (key, op, value) in enumerate(ops)
+    ]
+    df = spark_global.createDataFrame(
+        rows, schema="ts timestamp, event_id long, key string, op string, value string"
+    )
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark_global.conf.get(conf)
+    try:
+        spark_global.conf.set(conf, "64")
+        got = {
+            r["key"]: r["value"] for r in fold_kv_history_streaming(df).collect()
+        }
+    finally:
+        spark_global.conf.set(conf, old)
+    assert got["hot"] == "S" + "".join(str(i % 10) for i in range(n))
+    assert got["cold1"] == "a" and got["cold2"] == "bb"
+    assert set(got) == {"hot", "cold1", "cold2"}
