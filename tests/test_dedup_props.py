@@ -295,3 +295,71 @@ def test_boilerplate_family_matches_model(spark_global, texts):
         for r in boilerplate_doc_stats(df, min_df=min_df).collect()
     }
     assert got_stats == stats_model
+
+
+# --- cap algebra (round 8): keep-lowest-per-group capping is
+# compaction-stable -------------------------------------------------------
+#
+# The streaming sinks re-apply the hot-key caps (cap_banded / cap_cells)
+# only at COMPACTION, folding an already-capped compacted artifact with an
+# uncapped delta tail. That is sound because keep-lowest-K is a MONOTONE
+# selection: adding rows never lowers an existing row's rank within its
+# group, so anything the earlier cap dropped would be dropped by a cap
+# over the full history too — cap(cap(A) ∪ B) == cap(A ∪ B). Pinned here
+# against an exhaustive-ish hypothesis model AND cross-checked once on the
+# real Spark cap_banded, so the algebra and the implementation cannot
+# drift apart.
+
+
+def _model_cap(rows, cap):
+    """Sequential model of cap_banded/cap_cells: keep each group's `cap`
+    lowest ids. rows: set of (group, id)."""
+    by_group: dict = {}
+    for g, i in sorted(rows):
+        by_group.setdefault(g, []).append(i)
+    return {(g, i) for g, ids in by_group.items() for i in sorted(ids)[:cap]}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    a=st.sets(
+        st.tuples(st.integers(0, 4), st.integers(0, 30)), min_size=0, max_size=40
+    ),
+    b=st.sets(
+        st.tuples(st.integers(0, 4), st.integers(0, 30)), min_size=0, max_size=40
+    ),
+    cap=st.integers(1, 6),
+)
+def test_cap_is_compaction_stable_model(a, b, cap):
+    assert _model_cap(_model_cap(a, cap) | b, cap) == _model_cap(a | b, cap)
+    # idempotence, the redelivered-compaction case
+    assert _model_cap(_model_cap(a, cap), cap) == _model_cap(a, cap)
+
+
+def test_cap_banded_matches_model_and_is_compaction_stable(spark_global):
+    """One Spark cross-check: cap_banded == the model on a fixture with
+    ties broken across groups, and re-capping a capped-union equals
+    capping the full union (the exact shape _publish_delta's compaction
+    transform relies on)."""
+    from pyspark.sql import Row
+
+    from mapreduce_framework_spark.pipeline.dedup import cap_banded
+
+    a = {(g, i) for g in range(3) for i in range(0, 20, 2)}
+    b = {(g, i) for g in range(3) for i in range(1, 15, 2)}
+
+    def frame(rows):
+        return spark_global.createDataFrame(
+            [Row(doc_id=i, band=g, bsig=g * 7) for g, i in sorted(rows)]
+        )
+
+    def collect(df):
+        return {(r["band"], r["doc_id"]) for r in df.collect()}
+
+    cap = 4
+    got_a = collect(cap_banded(frame(a), cap))
+    assert got_a == _model_cap(a, cap)
+    capped_then_b = {(g, i) for g, i in got_a} | b
+    got_two_step = collect(cap_banded(frame(capped_then_b), cap))
+    got_full = collect(cap_banded(frame(a | b), cap))
+    assert got_two_step == got_full == _model_cap(a | b, cap)
