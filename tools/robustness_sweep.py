@@ -271,6 +271,13 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
                 ),
                 1,
             )
+            # round-8: the ops rollup over the decisions root must read
+            # every variant's log (tier NULLs for admitted rows, all-tier
+            # mixes) without error
+            from mapreduce_framework_spark.streaming.ingest import admission_report
+
+            n_outcomes = admission_report(spark, os.path.join(root, "dec")).count()
+            assert 1 <= n_outcomes <= 4
             return (
                 spark.read.option("recursiveFileLookup", "true")
                 .parquet(os.path.join(root, "dec"))
@@ -278,6 +285,59 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
             )
         finally:
             shutil.rmtree(root, ignore_errors=True)
+
+    def _cap_banded_check():
+        from mapreduce_framework_spark.pipeline.dedup import (
+            banded_signatures,
+            cap_banded,
+        )
+
+        sigs = index_signatures(docs).localCheckpoint(eager=True)
+        plain = {
+            (r["doc_id"], r["band"], r["bsig"])
+            for r in banded_signatures(sigs).collect()
+        }
+        capped = {
+            (r["doc_id"], r["band"], r["bsig"])
+            for r in cap_banded(banded_signatures(sigs), 512).collect()
+        }
+        assert capped <= plain
+        return len(capped)
+
+    def _cap_cells_check():
+        from mapreduce_framework_spark.pipeline.semantic_dedup import cap_cells
+
+        if not _norms_spark(embs).take(1):
+            return 0  # no scorable vector on this variant — nothing to cap
+        cb = fit_codebook(embs, k=8, iters=1)
+        idx = semantic_index(embs, cb).localCheckpoint(eager=True)
+        plain = {(r["vec_id"], r["cent_id"]) for r in idx.collect()}
+        capped = {
+            (r["vec_id"], r["cent_id"]) for r in cap_cells(idx, 512).collect()
+        }
+        assert capped <= plain
+        return len(capped)
+
+    def _streaming_fold_check():
+        from mapreduce_framework_spark.deploy import ensure_package_on_executors
+        from mapreduce_framework_spark.operators.kv import (
+            _fold_spark,
+            fold_kv_history_streaming,
+            kv_ops,
+        )
+
+        ensure_package_on_executors(spark)
+        ops = kv_ops(spark, sf_dir)
+        got = {
+            (r["key"], r["value"])
+            for r in fold_kv_history_streaming(ops).collect()
+        }
+        want = {(r["key"], r["value"]) for r in _fold_spark(ops).collect()}
+        assert got == want, (
+            f"streaming fold diverged from JVM fold: only_streaming="
+            f"{sorted(got - want)[:3]} only_jvm={sorted(want - got)[:3]}"
+        )
+        return len(got)
 
     checks = [
         ("lib_exact_substring_dedup", lambda: exact_substring_dedup(docs).count()),
@@ -323,6 +383,15 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
                 docs_full, benchmark_index=span_index(docs)
             ).count(),
         ),
+        # round-8: the hot-key caps must be inert no-ops structurally on
+        # every variant (empty frames cap to empty; capped ⊆ plain)
+        ("lib_cap_banded", _cap_banded_check),
+        ("lib_cap_cells", _cap_cells_check),
+        # round-8: the bounded-memory interpreted fold must equal the JVM
+        # fold on every variant (incl. NULLed event columns) — the
+        # differential that guards the q28 builder swap scheduled for the
+        # round it rotates into the driver window
+        ("lib_streaming_kv_fold", _streaming_fold_check),
     ]
     fails = []
     for name, fn in checks:
