@@ -1153,6 +1153,54 @@ def probe_hot_cells(spark, sizes=(10_000, 30_000, 100_000), cap=64, batch_n=500)
         )
 
 
+def probe_hot_cells_xl(spark, n=1_000_000, cap=64, batch_n=500) -> None:
+    """Capped path only, at the 10^6-vector identical-embedding cluster
+    the --hot-cells series extrapolates to (the plain path there is 5e8
+    candidate pairs through one cell). The O(batch) steady-state claim,
+    measured at the adversary's real size."""
+    from pyspark.sql import Row
+
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        cap_cells,
+        semantic_index,
+        semantic_match_batch,
+    )
+
+    cents = spark.createDataFrame(
+        [
+            Row(cent_id=i, cent=[float(x) for x in v])
+            for i, v in enumerate([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 1]])
+        ]
+    )
+    embs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(4.0), F.lit(0.0), F.lit(0.0)).alias("embedding"),
+    )
+    t0 = time.perf_counter()
+    idx = semantic_index(embs, cents).localCheckpoint(eager=True)
+    t_idx = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    capped = cap_cells(idx, cap).localCheckpoint(eager=True)
+    t_cap = round(time.perf_counter() - t0, 2)
+    hot_c = capped.groupBy("cent_id").count().agg(F.max("count")).collect()[0][0]
+    probe = spark.range(batch_n).select(
+        (F.col("id") + 50_000_000).alias("vec_id"),
+        F.array(F.lit(4.0), F.lit(0.1), F.lit(0.0)).alias("embedding"),
+    )
+    t_m, _ = timed(semantic_match_batch(capped, probe, cents, 0.96))
+    n_rej = (
+        semantic_match_batch(capped, probe, cents, 0.96)
+        .select("new_id")
+        .distinct()
+        .count()
+    )
+    print(
+        f"1e6-vector identical-embedding cluster, cap={cap}: index build "
+        f"{t_idx} s (once), capped layout {t_cap} s (once), max cell {hot_c}, "
+        f"semantic_match_batch({batch_n} probes) {t_m} s, {n_rej}/{batch_n} rejected"
+    )
+
+
 def probe_ann_fixed_k(spark, sf_dir) -> None:
     """Round-5 series: IVF ANN with a FIXED-K external codebook (q56's
     round-5 parameterization — broadcast O(K·dim), corpus-independent).
@@ -1353,6 +1401,9 @@ def main() -> None:
         return
     if "--hot-cells" in sys.argv:  # round-8: semantic hot-cell twin
         probe_hot_cells(spark)
+        return
+    if "--hot-cells-xl" in sys.argv:  # round-8: capped cells at 1e6 vecs
+        probe_hot_cells_xl(spark)
         return
     if "--bpe" in sys.argv:  # round-7 tokenizer Python-boundary series
         probe_bpe(spark, base)
