@@ -109,12 +109,15 @@ def main() -> None:
 
     specs = all_queries()
     builders = {n: specs[n].builder for n in HEADLINE if n in specs}
-    # q34 was RETIRED from the registry in round 8 (its driver slot funded
-    # q105), but the r1-subset like-for-like series keeps timing it — the
-    # retirement policy keeps every retired builder in the repo permanently
+    # q34 (round 8) and q30 (round 9) were RETIRED from the registry (their
+    # driver slots funded q105/q106), but the r1-subset like-for-like series
+    # keeps timing them — the retirement policy keeps every retired builder
+    # in the repo permanently
+    from mapreduce_framework_spark.pipeline.dedup import q30_ngram_jaccard_neardup
     from mapreduce_framework_spark.pipeline.similarity import q34_ann_bruteforce
 
     builders["q34_ann_bruteforce"] = q34_ann_bruteforce
+    builders["q30_ngram_jaccard_neardup"] = q30_ngram_jaccard_neardup
     # warm the session (JVM/codegen/FS init) so q01 doesn't absorb startup
     spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
 
@@ -330,15 +333,20 @@ def main() -> None:
     # The driver contract line — LAST on stdout and kept COMPACT: rounds 6
     # and 7 lost their machine-readable bench signal ("parsed": null)
     # because the single giant JSON line overflowed the driver's tail
-    # capture. Per-query totals (no build/exec splits — those are in the
-    # full record above), suite totals, subset series, steady state.
+    # capture. Round 9 (verdict item: the r8 totals-only line made the q56
+    # exec watch item unadjudicable from the artifact): the per-query dict
+    # here is now EXEC seconds — the metric every cross-round series and
+    # watch item is defined on — published as "queries_exec"; per-query
+    # TOTALS and builds stay in the full record above, and their suite-wide
+    # sums ride along as scalars so build attribution is still visible.
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries_exec": execute,
+                "build_total_sec": round(sum(build.values()), 3),
                 "sf": sf_dir,
                 "n_queries": len(timings),
                 "r1_subset_sec": r1_sum,

@@ -252,10 +252,30 @@ def fold_kv_history_streaming(ops: DataFrame) -> DataFrame:
 )
 def q28_kv_stateful_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same fold as q06 computed through the *custom stateful operator*
-    path: groupBy(key).applyInPandas with an imperative replay — the batch
-    twin of the Structured Streaming applyInPandasWithState operator
-    (streaming/state.py), sharing fold_kv_history. Checked against the
-    same SQL oracle as q06, plus batch-vs-streaming parity in tests."""
+    path — the interpreted imperative replay that is the batch twin of the
+    Structured Streaming applyInPandasWithState operator
+    (streaming/state.py). REGISTERED BUILDER SWAP (round 9, scheduled by
+    the round-8 registry notes): the fold now runs through
+    :func:`fold_kv_history_streaming` — one repartition-by-key shuffle +
+    a sorted ``mapInPandas`` whose state carries across Arrow batches, so
+    per-task memory is O(arrow batch) + one state string instead of
+    applyInPandas's O(key history) cliff (the registry's last perf-weak
+    shape). Output is bit-identical to the applyInPandas twin
+    (``q28_kv_stateful_replay_grouped`` below, kept for the parity tests);
+    same name, same oracle as q06, plus batch-vs-streaming parity in
+    tests/test_kv_model.py."""
+    from mapreduce_framework_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(spark)
+    return fold_kv_history_streaming(kv_ops(spark, sf_dir)).orderBy("key")
+
+
+def q28_kv_stateful_replay_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-round-9 registered form of q28 (groupBy(key).applyInPandas
+    with the whole-history fold) — retained as the parity twin the swap is
+    pinned against (tests/test_kv_model.py): it shares fold_ops with the
+    streaming keyed-state handler, so the three paths (this, the
+    registered mapInPandas fold, and streaming/state.py) must all agree."""
     from mapreduce_framework_spark.deploy import ensure_package_on_executors
 
     ensure_package_on_executors(spark)

@@ -577,37 +577,12 @@ def _q104_oracle() -> str:
     """
 
 
-@register(
-    "q104_full_cascade_admission",
-    oracle=_q104_oracle(),
-    tags=("ext", "streaming", "dedup", "semantic", "incremental", "cascade", "replay"),
-)
-def q104_full_cascade_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The COMPLETE three-tier admission cascade (exact → MinHash →
-    semantic; streaming/ingest.py::run_full_cascade_ingest_stream) run
-    end-to-end and hash-checked (round 7; registered by retiring q72
-    under the registry's retirement policy — q72's exact char-Jaccard
-    differential stays in the local sweep). q103's two-batch replay plus
-    TWO corpus-derived plants in batch 1: byte-identical re-fetches of
-    every 50th batch-0 doc (ids +10M → rejected by the exact tier), and
-    SEMANTIC TWINS of every 70th batch-0 doc — the embedding of batch-0
-    doc X carried by the TEXT of the upper-half doc (X + cut), ids +20M.
-    A twin shares no indexed text (its donor text rides the same batch,
-    and within-batch dedup is upstream's job), so the lexical tiers pass
-    it and the semantic tier rejects it at cosine 1.0 against X — the
-    paraphrase/translation shape SemDeDup exists for. Decisions carry
-    tier provenance and a tier-typed score (1.0 / verified Jaccard /
-    exact cosine / 0.0). The oracle replays the exact and Jaccard tiers
-    as in q103 (LSH miss probability < 1e-7 per pair at J >= 0.8, every
-    candidate exact-verified) and the semantic tier EXACTLY — the same
-    stride codebook, the same probes-nearest-cells assignment on both
-    sides, the same cell-equi-join candidates, cosine folds in identical
-    order on both engines. Codebook = stride_centroids (the q102
-    deterministic oracle form); if the corpus yields NO usable centroid
-    (every embedding NULL/zero-norm) the cascade DEGRADES to the
-    two-tier lexical form rather than erroring — the corpus-level analog
-    of the sink's per-doc unembedded-doc policy, and exactly what the
-    oracle computes (an empty `e` CTE makes the semantic tier vacuous)."""
+def _q104_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q104 replay's decisions frame (unordered) — shared by q104
+    (ordered decisions) and q106 (the admission-report rollup over the
+    same log), so the two registered contracts can never diverge on what
+    the replay produces. See q104_full_cascade_admission for the full
+    replay semantics."""
     import shutil
     import time
 
@@ -710,7 +685,86 @@ def q104_full_cascade_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         decisions = decisions.localCheckpoint(eager=True)  # survives cleanup
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return decisions.orderBy("doc_id")
+    return decisions
+
+
+@register(
+    "q104_full_cascade_admission",
+    oracle=_q104_oracle(),
+    tags=("ext", "streaming", "dedup", "semantic", "incremental", "cascade", "replay"),
+)
+def q104_full_cascade_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE three-tier admission cascade (exact → MinHash →
+    semantic; streaming/ingest.py::run_full_cascade_ingest_stream) run
+    end-to-end and hash-checked (round 7; registered by retiring q72
+    under the registry's retirement policy — q72's exact char-Jaccard
+    differential stays in the local sweep). q103's two-batch replay plus
+    TWO corpus-derived plants in batch 1: byte-identical re-fetches of
+    every 50th batch-0 doc (ids +10M → rejected by the exact tier), and
+    SEMANTIC TWINS of every 70th batch-0 doc — the embedding of batch-0
+    doc X carried by the TEXT of the upper-half doc (X + cut), ids +20M.
+    A twin shares no indexed text (its donor text rides the same batch,
+    and within-batch dedup is upstream's job), so the lexical tiers pass
+    it and the semantic tier rejects it at cosine 1.0 against X — the
+    paraphrase/translation shape SemDeDup exists for. Decisions carry
+    tier provenance and a tier-typed score (1.0 / verified Jaccard /
+    exact cosine / 0.0). The oracle replays the exact and Jaccard tiers
+    as in q103 (LSH miss probability < 1e-7 per pair at J >= 0.8, every
+    candidate exact-verified) and the semantic tier EXACTLY — the same
+    stride codebook, the same probes-nearest-cells assignment on both
+    sides, the same cell-equi-join candidates, cosine folds in identical
+    order on both engines. Codebook = stride_centroids (the q102
+    deterministic oracle form); if the corpus yields NO usable centroid
+    (every embedding NULL/zero-norm) the cascade DEGRADES to the
+    two-tier lexical form rather than erroring — the corpus-level analog
+    of the sink's per-doc unembedded-doc policy, and exactly what the
+    oracle computes (an empty `e` CTE makes the semantic tier vacuous)."""
+    return _q104_decisions(spark, sf_dir).orderBy("doc_id")
+
+
+def _q106_oracle() -> str:
+    """The q104 decisions log rolled up per outcome — counts, shares, and
+    the tier metric's min/mean/max, with the mean computed through the
+    exact-decimal discipline admission_report_frame uses (sum as
+    DECIMAL(38,9), one double division, re-round at scale 9), so both
+    engines produce bit-identical doubles."""
+    return f"""
+    WITH dec AS ({_q104_oracle()})
+    SELECT coalesce(tier, 'admitted') AS outcome,
+           count(*) AS n_docs,
+           CAST(count(*) AS DOUBLE) / SUM(count(*)) OVER () AS share,
+           min(score) AS min_score,
+           CAST(CAST(CAST(SUM(CAST(score AS DECIMAL(38,9))) AS DOUBLE)
+                / count(*) AS DECIMAL(18,9)) AS DOUBLE) AS avg_score,
+           max(score) AS max_score
+    FROM dec GROUP BY 1 ORDER BY outcome
+    """
+
+
+@register(
+    "q106_admission_report",
+    oracle=_q106_oracle(),
+    tags=("ext", "streaming", "dedup", "ops", "rollup", "replay"),
+)
+def q106_admission_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The admission-report rollup (streaming/ingest.py:
+    admission_report_frame) registered as a checked contract (round 9;
+    registered by retiring q30 under the registry's retirement policy —
+    q30's exact-Jaccard differential stays in the local sweep, and
+    q31/q84 carry the §2.5 near-dup surface). The ops view a 100 TB
+    ingest reads daily instead of scanning the raw decisions log: one
+    row per outcome (admitted / exact / near_dup / semantic) with doc
+    count, share of the log, and the tier metric's min/mean/max.
+    Decisions come from the same three-tier replay as q104
+    (_q104_decisions — shared code, so the two contracts cannot diverge);
+    the oracle re-derives the rollup from the q104 oracle's decision set
+    with identical exact-decimal mean arithmetic. Plan shape (gated by
+    test_admission_report_plan): one partial-agg shuffle on the ≤4-value
+    outcome key + a single-partition window over ≤4 rows — no joins, no
+    Python."""
+    from mapreduce_framework_spark.streaming.ingest import admission_report_frame
+
+    return admission_report_frame(_q104_decisions(spark, sf_dir))
 
 
 def _hourly_rollup_batch_form(ev: DataFrame) -> DataFrame:

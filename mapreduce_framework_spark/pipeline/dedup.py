@@ -176,7 +176,13 @@ def _exact_jaccard_pairs(sh: DataFrame) -> DataFrame:
     )
 
 
-@register("q30_ngram_jaccard_neardup", oracle=_JACCARD_ORACLE, tags=("ext", "dedup", "jaccard"))
+# RETIRED round 9 (registry.py policy item 4): the driver slot funded
+# q106_admission_report; the §2.5 near-dup contract is carried by the
+# registered LSH forms q31 (same oracle) and q84. This builder, the shared
+# _JACCARD_ORACLE constant, and the dedicated local differential
+# (tests/test_queries_oracle.py::test_retired_q30_matches_oracle) remain
+# permanently; bench.py keeps timing the builder via direct import so the
+# r1-subset like-for-like series is unbroken.
 def q30_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (word 3-shingle) Jaccard near-duplicate pairs at
     J ≥ 0.8. This is the exact formulation; q31 is the LSH scale path."""
@@ -1048,15 +1054,60 @@ def cross_snapshot_matches(
 # matcher.
 
 
-def exact_fingerprint_index(index_docs: DataFrame) -> DataFrame:
+def exact_fingerprint_index(index_docs: DataFrame, distinct: bool = False) -> DataFrame:
     """The persistable per-snapshot artifact of the EXACT tier: (doc_id,
     fp) with fp = md5 of the raw text — one narrow row per corpus doc,
     the q33/q43 content-hash convention applied to the q91 artifact
     cadence. NULL text fingerprints as the empty string (the family's
     NULL-behaves-as-empty-doc policy, stated here and in the oracle of
-    its differential test), so two NULL docs are exact duplicates."""
-    return index_docs.select(
+    its differential test), so two NULL docs are exact duplicates.
+
+    ``distinct=True`` keeps ONE row per fingerprint — the min doc_id —
+    via :func:`cap_fingerprints`: the hot-fp guard for the snapshot
+    lifecycle (index an EXISTING unfiltered crawl, where a boilerplate
+    cluster is 10⁶ rows behind one fp join key). Unlike the band/cell
+    caps this is DECISION-LOSSLESS, not just recall-argued: the
+    admission rule already reports min(id1) among exact matches
+    (streaming/ingest.py), and min over the distinct index equals min
+    over the full one by construction. Default False keeps the full
+    per-doc artifact (it doubles as a doc_id → fp lookup)."""
+    fps = index_docs.select(
         "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp")
+    )
+    return cap_fingerprints(fps) if distinct else fps
+
+
+def cap_fingerprints(index_fps: DataFrame) -> DataFrame:
+    """One row per fingerprint — the MIN doc_id — of an
+    ``exact_fingerprint_index`` frame: the EXACT tier's hot-key guard.
+
+    Why it exists: ``exact_match_batch`` equi-joins on ``fp``. In the
+    snapshot lifecycle a 10⁶-copy boilerplate cluster (crawl re-fetches
+    of one page) is ONE fp key carrying 10⁶ index rows, so a batch with
+    b copies ships b×10⁶ pairs through a single key — the same
+    identical-row skew the round-8 band/cell series measured (AQE cannot
+    split a key whose rows are identical), violating the O(batch)
+    per-batch contract. Keeping min-doc_id-per-fp bounds every join key
+    at 1.
+
+    DECISION-LOSSLESS (stronger than cap_banded/cap_cells' recall
+    argument): a batch doc matches the distinct index iff it matches the
+    full one (same fp set), and the reported match is identical because
+    the admission rule takes min(id1) over the tier's matches — which IS
+    the retained row. Pinned by
+    tests/test_scale_patterns.py::test_fp_distinct_is_decision_lossless.
+
+    One partial-agg shuffle (groupBy fp + min — map-side combine
+    collapses a hot fp's rows before the exchange, so even BUILDING the
+    guard never ships the hot group; deliberately an agg, not the window
+    form the band/cell caps use). Deterministic and idempotent, so it
+    serves as the compact-transform hook on streaming fp roots
+    (re-applied at every compaction; between compactions the accumulated
+    excess is bounded by the delta tail, exactly as for band_cap)."""
+    return (
+        index_fps.groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fp")
     )
 
 

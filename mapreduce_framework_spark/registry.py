@@ -102,21 +102,28 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 #      in-window slot; its slot funded
 #      q105_training_corpus_decontaminated (the flagship 5-stage
 #      composition). bench.py keeps timing q34 via direct import.
-#   3. q30_ngram_jaccard_neardup — same shape as q72 (exact twin of
-#      q31), third only because q30 is the historic flagship-adjacent
-#      query with the longest green streak — prefer spending newer
-#      twins first. Rotates into the window in r9: spend it then.
-#   4. q28_kv_stateful_replay — demonstrative twin (2a) of q06; its
+#   [SPENT r9] q30_ngram_jaccard_neardup — same shape as q72 (exact
+#      twin of q31), spent in its scheduled round (it rotated into the
+#      r9 window per the timing rule) to register q106_admission_report
+#      (the per-tier admission-rollup ops view). q31/q84 carry the
+#      SURVEY §2.5 near-dup contract; q30's builder + oracle + pytest
+#      differential remain, and bench.py keeps timing it via direct
+#      import (r1-subset series unbroken).
+#   4. q47_sql_frontend_window — demonstrative twin (2a): the SQL-text
+#      form of the window battery whose DataFrame forms q18/q19 stay
+#      registered; the SQL-frontend surface itself stays represented by
+#      q46. Next in line now that the 2b pool is spent.
+#   5. q63_posexplode — narrow battery query (2c) subsumed by q23's
+#      array surface; keep ahead of q28 (below).
+#   6. q28_kv_stateful_replay — demonstrative twin (2a) of q06; its
 #      point (the documented Arrow/Python boundary) is equally made by
-#      the streaming q83 path which shares fold_kv_history. Spend only
-#      after the 2b pool is exhausted: q28 is the registry's sole
-#      interpreted-stateful representative in the driver window.
-#      ROUND-8 UPDATE: before spending it, prefer SWAPPING ITS BUILDER
-#      to operators/kv.py:fold_kv_history_streaming (the bounded-memory
-#      mapInPandas fold, library-first since r8 with cross-batch-carry
-#      tests) in the round q28 rotates into the window (r9) — that
-#      clears the registry's sole perf-weak shape while keeping the
-#      interpreted-stateful representative; same output, same oracle.
+#      the streaming q83 path which shares the fold. Spend LAST: q28 is
+#      the registry's sole interpreted-stateful representative in the
+#      driver window. ROUND-9 UPDATE: its builder was swapped to
+#      operators/kv.py:fold_kv_history_streaming (the bounded-memory
+#      mapInPandas fold) in the round it rotated into the window,
+#      exactly as the round-8 note scheduled — same output, same
+#      oracle, perf-weak shape cleared without retirement.
 #   Swap mechanics per policy item 4: delete the name from
 #   CURATED_ORDER + its @register line, append it to RETIRED, register
 #   the newcomer in the same commit, and place the newcomer in the
@@ -130,22 +137,70 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # WINDOW_HISTORY below — that no registered query goes more than one
 # round without a driver window slot.
 CURATED_ORDER = [
-    # --- round-8 window: the r7 behind-window half (the enforced
-    # rotation — every name here last had a driver row in r6, so max
-    # staleness stays one round) with ONE executed swap: q34's slot now
-    # holds the round-8 newcomer q105_training_corpus_decontaminated
-    # (retirement policy item 4; q34 → RETIRED below). NOTE on the
-    # retiree: the round-7 dry-run ranked q30 next, but q30 was
-    # driver-checked in r7 and is therefore BEHIND-window this round —
-    # the timing constraint (test_rotation.py: a retiree must hold an
-    # in-window slot, else the newcomer displaces a window-tail query
-    # into >1-round staleness) makes it ineligible until r9. Among the
-    # in-window policy-eligible names, q34_ann_bruteforce is 2b (exact
-    # brute-force twin whose scaled forms q35/q56 both stay registered
-    # and green); its builder/oracle/differential remain, and bench.py
-    # keeps timing it via direct builder import so the r1-subset
-    # like-for-like series is unbroken. q30 stays the ranked retiree
-    # for r9 (it rotates into that window). ---
+    # --- round-9 window: the r8 behind-window half (the enforced
+    # rotation — every name here last had a driver row in r7, so max
+    # staleness stays one round) with ONE executed swap and ONE builder
+    # swap, both scheduled by the round-8 notes above:
+    #   * q30's slot now holds the round-9 newcomer q106_admission_report
+    #     (retirement policy item 4; q30 → RETIRED below — q30 rotated
+    #     into this window, satisfying the timing rule that blocked its
+    #     retirement in r8);
+    #   * q28 keeps its name and oracle but its registered builder is now
+    #     the bounded-memory fold_kv_history_streaming (operators/kv.py)
+    #     — a changed query, so the rotation correctly has it in-window
+    #     this round for a fresh driver row under the new plan. ---
+    "q101_span_dedup",
+    "q102_semantic_dedup",
+    "q89_denylist_scrub",
+    "q91_cross_snapshot_dedup",
+    "q01_wordcount",
+    "q06_kv_final_state",
+    "q31_minhash_lsh_neardup",
+    "q84_char_ngram_lsh_neardup",
+    "q85_shardctrler_replay",
+    "q86_boilerplate_ngrams",
+    "q87_boilerplate_doc_stats",
+    "q88_repetition_stats",
+    "q90_domain_mix_resample",
+    "q92_tfidf_topk",
+    "q36_embedding_neardup",
+    "q104_full_cascade_admission",
+    "q75_percentile_sketch_bound",
+    "q83_streaming_kv_replay",
+    "q28_kv_stateful_replay",
+    "q24_exact_dedup",
+    "q02_inverted_index",
+    "q11_filter_project",
+    "q106_admission_report",  # round-9 newcomer in q30's retired slot
+    "q49_neardup_components",
+    "q03_crash_emits",
+    "q04_per_doc_counts",
+    "q05_global_count",
+    "q09_fnv_bucket_histogram",
+    "q10_global_sort",
+    "q07_kv_point_in_time",
+    "q08_shard_histogram",
+    "q14_semi_join",
+    "q14_anti_join",
+    "q16_count_distinct",
+    "q18_window_topk_per_group",
+    "q20_global_topk",
+    "q21_set_ops",
+    "q23_array_functions",
+    "q25_tumbling_window",
+    "q26_sliding_window",
+    "q32_simhash",
+    "q33_exact_dedup_docs",
+    "q44_map_functions",
+    "q47_sql_frontend_window",
+    "q50_window_battery",
+    "q52_pandas_udf_path",
+    "q103_cascade_admission",
+    "q57_asof_join",
+    "q73_simhash_banded_neardup",
+    "q81_training_corpus",
+    # --- behind the window (driver rows recorded in round 8; swept by
+    # the local oracle suite every run) ---
     "q94_streaming_session_replay",
     "q95_incremental_ingest_dedup",
     "q96_incremental_rollup_replay",
@@ -188,7 +243,7 @@ CURATED_ORDER = [
     "q67_multiset_ops",
     "q70_grouped_agg_pandas_udf",
     "q71_dedup_corpus_output",
-    "q105_training_corpus_decontaminated",  # round-8 newcomer in q34's retired slot
+    "q105_training_corpus_decontaminated",
     "q41_quality_score",
     "q42_token_stats",
     "q43_fingerprint",
@@ -196,58 +251,6 @@ CURATED_ORDER = [
     "q77_multimodal_resize",
     "q79_sequence_packing",
     "q80_contamination_check",
-    # --- behind the window (driver rows recorded in round 7; swept by
-    # the local oracle suite every run) ---
-    "q101_span_dedup",
-    "q102_semantic_dedup",
-    "q89_denylist_scrub",
-    "q91_cross_snapshot_dedup",
-    "q01_wordcount",
-    "q06_kv_final_state",
-    "q31_minhash_lsh_neardup",
-    "q84_char_ngram_lsh_neardup",
-    "q85_shardctrler_replay",
-    "q86_boilerplate_ngrams",
-    "q87_boilerplate_doc_stats",
-    "q88_repetition_stats",
-    "q90_domain_mix_resample",
-    "q92_tfidf_topk",
-    "q36_embedding_neardup",
-    "q104_full_cascade_admission",
-    "q75_percentile_sketch_bound",
-    "q83_streaming_kv_replay",
-    "q28_kv_stateful_replay",
-    "q24_exact_dedup",
-    "q02_inverted_index",
-    "q11_filter_project",
-    "q30_ngram_jaccard_neardup",
-    "q49_neardup_components",
-    "q03_crash_emits",
-    "q04_per_doc_counts",
-    "q05_global_count",
-    "q09_fnv_bucket_histogram",
-    "q10_global_sort",
-    "q07_kv_point_in_time",
-    "q08_shard_histogram",
-    "q14_semi_join",
-    "q14_anti_join",
-    "q16_count_distinct",
-    "q18_window_topk_per_group",
-    "q20_global_topk",
-    "q21_set_ops",
-    "q23_array_functions",
-    "q25_tumbling_window",
-    "q26_sliding_window",
-    "q32_simhash",
-    "q33_exact_dedup_docs",
-    "q44_map_functions",
-    "q47_sql_frontend_window",
-    "q50_window_battery",
-    "q52_pandas_udf_path",
-    "q103_cascade_admission",
-    "q57_asof_join",
-    "q73_simhash_banded_neardup",
-    "q81_training_corpus",
 ]
 
 
@@ -274,6 +277,15 @@ RETIRED: tuple[str, ...] = (
     # tests/test_queries_oracle.py::test_retired_q34_matches_oracle;
     # bench.py still times the builder directly (r1-subset series).
     "q34_ann_bruteforce",
+    # round 9: dry-run ranking entry 3 spent IN ITS SCHEDULED ROUND (q30
+    # rotated into the r9 window, satisfying the timing rule) to register
+    # q106_admission_report (the per-tier admission-rollup ops view over
+    # the q104 replay's decisions log). q31/q84 carry the §2.5 near-dup
+    # contract. Builder + oracle constant stay in pipeline/dedup.py;
+    # dedicated local differential:
+    # tests/test_queries_oracle.py::test_retired_q30_matches_oracle;
+    # bench.py still times the builder directly (r1-subset series).
+    "q30_ngram_jaccard_neardup",
 )
 
 # Hard ceiling = 2 rounds × DRIVER_WINDOW (see capacity note).
@@ -286,7 +298,7 @@ DRIVER_WINDOW = 50
 # records the window actually exposed in each past round (= the keys of
 # CORRECTNESS_r{N}.json, verbatim). Each new round: append the previous
 # round's first-DRIVER_WINDOW names here, bump CURRENT_ROUND, re-curate.
-CURRENT_ROUND = 8
+CURRENT_ROUND = 9
 
 WINDOW_HISTORY: dict[int, tuple[str, ...]] = {
     1: (
@@ -652,6 +664,58 @@ WINDOW_HISTORY: dict[int, tuple[str, ...]] = {
         "q57_asof_join",
         "q73_simhash_banded_neardup",
         "q81_training_corpus",
+    ),
+    8: (
+        "q94_streaming_session_replay",
+        "q95_incremental_ingest_dedup",
+        "q96_incremental_rollup_replay",
+        "q97_session_funnel",
+        "q98_cohort_retention",
+        "q99_session_transitions",
+        "q100_token_chunking",
+        "q82_streaming_tumbling_replay",
+        "q93_embedding_quantize",
+        "q58_range_join_binned",
+        "q12_join_revenue_per_nation",
+        "q74_hll_error_bound",
+        "q61_correlated_subqueries",
+        "q40_lang_id",
+        "q35_ann_lsh",
+        "q37_multimodal_features",
+        "q56_ann_ivf",
+        "q78_stratified_hash_sample",
+        "q13_broadcast_join",
+        "q15_tpch_q1_shape",
+        "q17_rollup",
+        "q19_window_running_sum",
+        "q22_scalar_battery",
+        "q45_cube",
+        "q46_sql_frontend_join",
+        "q48_salted_skew_agg",
+        "q51_pivot",
+        "q53_null_handling",
+        "q64_summary_stats",
+        "q66_json_functions",
+        "q68_merge_upsert",
+        "q29_approx_count_distinct",
+        "q69_approx_percentiles",
+        "q27_session_window",
+        "q65_hierarchical_rollup",
+        "q54_percentiles",
+        "q59_string_battery",
+        "q60_grouping_sets",
+        "q63_posexplode",
+        "q67_multiset_ops",
+        "q70_grouped_agg_pandas_udf",
+        "q71_dedup_corpus_output",
+        "q105_training_corpus_decontaminated",
+        "q41_quality_score",
+        "q42_token_stats",
+        "q43_fingerprint",
+        "q76_multimodal_frame_sample",
+        "q77_multimodal_resize",
+        "q79_sequence_packing",
+        "q80_contamination_check",
     ),
 }
 

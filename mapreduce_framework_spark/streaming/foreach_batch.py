@@ -29,7 +29,11 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_framework_spark.storage import read_json_atomic, write_json_atomic
+from mapreduce_framework_spark.storage import (
+    commit_manifest,
+    manifest_lock,
+    read_manifest_doc,
+)
 
 STATE_MANIFEST = "_state_manifest.json"  # underscore: invisible to Spark scans
 # current version + the one a redelivered in-flight batch reads — the only
@@ -53,7 +57,7 @@ def _latest_state(
     strictly below the whole retention window is a HARD ERROR, not an
     empty state: it means the checkpoint and the state root belong to
     different streams, and silently re-initializing would drop state."""
-    man = read_json_atomic(os.path.join(state_root, STATE_MANIFEST))
+    man = read_manifest_doc(os.path.join(state_root, STATE_MANIFEST))
     if man is not None:
         versions = sorted(man["versions"])
         eligible = (
@@ -92,7 +96,7 @@ def _latest_state(
 def _read_or_adopt_state_manifest(state_root: str) -> dict:
     """The committed state manifest, adopting a pre-manifest legacy layout
     (POSIX listdir once) when none exists yet."""
-    man = read_json_atomic(os.path.join(state_root, STATE_MANIFEST))
+    man = read_manifest_doc(os.path.join(state_root, STATE_MANIFEST))
     if man is None:
         existing = (
             [
@@ -112,23 +116,39 @@ def _acquire_state_root(state_root: str, takeover: bool = True) -> int:
     discipline applied to the latest-pointer manifest: the merge sinks'
     read-merge-write cycle is exactly as exposed to two-streams-one-root
     last-writer-wins as the ingest indexes (worse, in fact: a lost state
-    commit silently forks the fold history). Same epoch-token semantics;
-    same object-storage conditional-PUT mapping (storage.py note)."""
-    man = _read_or_adopt_state_manifest(state_root)
-    prev = int(man.get("epoch", 0))
-    if prev and not takeover:
-        raise ValueError(
-            f"state root {state_root} is already owned (epoch {prev}) and "
-            "takeover=False — point this stream at its own root, or pass "
-            "takeover=True to deliberately fence the current owner"
-        )
-    man["epoch"] = prev + 1
-    write_json_atomic(os.path.join(state_root, STATE_MANIFEST), man)
-    return man["epoch"]
+    commit silently forks the fold history). Same epoch-token semantics,
+    same ATOMIC acquisition (backend lock + epoch-CAS commit — round-9
+    ADVICE: two concurrent acquirers used to be able to both read N and
+    both commit N+1), same object-storage conditional-PUT mapping
+    through the storage.py commit seam."""
+    path = os.path.join(state_root, STATE_MANIFEST)
+    from mapreduce_framework_spark.storage import ManifestPreconditionFailed
+
+    with manifest_lock(path):
+        for _ in range(16):
+            man = _read_or_adopt_state_manifest(state_root)
+            prev = int(man.get("epoch", 0))
+            if prev and not takeover:
+                raise ValueError(
+                    f"state root {state_root} is already owned (epoch {prev}) and "
+                    "takeover=False — point this stream at its own root, or pass "
+                    "takeover=True to deliberately fence the current owner"
+                )
+            man["epoch"] = prev + 1
+            try:
+                commit_manifest(path, man, expected_epoch=prev)
+            except ValueError:
+                continue  # lost the CAS to a concurrent acquirer: re-read
+            except ManifestPreconditionFailed:
+                continue
+            return man["epoch"]
+    raise RuntimeError(
+        f"_acquire_state_root({state_root}): lost the epoch CAS 16 times"
+    )
 
 
 def _check_state_epoch(state_root: str, epoch: int) -> None:
-    man = read_json_atomic(os.path.join(state_root, STATE_MANIFEST))
+    man = read_manifest_doc(os.path.join(state_root, STATE_MANIFEST))
     cur = None if man is None else man.get("epoch")
     if cur != epoch:
         raise ValueError(
@@ -152,9 +172,11 @@ def _commit_state_version(
     window — including the epoch — is preserved by the rewrite."""
     man = _read_or_adopt_state_manifest(state_root)
     man["versions"] = sorted(set(man["versions"]) | {batch_id})[-STATE_KEEP:]
-    if epoch is not None:
-        _check_state_epoch(state_root, epoch)
-    write_json_atomic(os.path.join(state_root, STATE_MANIFEST), man)
+    # the fencing token is enforced AT the commit through the backend seam
+    # (conditional PUT on object storage, last-moment re-check on POSIX)
+    commit_manifest(
+        os.path.join(state_root, STATE_MANIFEST), man, expected_epoch=epoch
+    )
     for d in os.listdir(state_root):
         if d.startswith("state_v") and int(d.split("state_v")[1]) not in man["versions"]:
             shutil.rmtree(os.path.join(state_root, d), ignore_errors=True)

@@ -195,14 +195,24 @@ def _require_codebook(index_root: str, fingerprint: str) -> None:
 # under the held codebook (mean 1−cos to the nearest centroid, ONE extra
 # broadcast assignment pass over the batch, the same O(batch·K) shape the
 # tier's matcher already pays) — into the semantic index manifest, and
-# needs_refit() reads the trend: the first batch under a codebook sets the
-# baseline, and a trailing-window mean above threshold × baseline says the
-# stale book has degraded to where the SCALING.md refit series shows the
-# refresh pays for itself. reindex_semantic_root RESETS the log (new
-# codebook → new baseline). The log is bounded (last DRIFT_WINDOW_MAX
-# entries) so the manifest read stays O(1) at 1e5 batches.
+# needs_refit() reads the trend against a BASELINE. The baseline is (round
+# 9 ADVICE — a single first batch is a bad anchor: an atypically
+# centroid-hugging one causes perpetual refit pressure, an already-drifted
+# one masks all later drift):
+#   * the MEDIAN of the first DRIFT_BASELINE_K logged batches under the
+#     codebook (stamped once, when the K-th entry lands; until then
+#     drift_stats is None and needs_refit conservatively False — warmup);
+#   * after a refresh, the FIT-TIME quantization error of the reindexed
+#     corpus under the new codebook, which reindex_semantic_root computes
+#     during its (already O(index)) rewrite and stamps directly — the
+#     ideal anchor, unbiased by whatever happens to stream first.
+# A trailing-window mean above threshold × baseline says the stale book
+# has degraded to where the SCALING.md refit series shows the refresh pays
+# for itself. The log is bounded (last DRIFT_WINDOW_MAX entries) so the
+# manifest read stays O(1) at 1e5 batches.
 
 DRIFT_WINDOW_MAX = 256  # manifest keeps at most this many drift entries
+DRIFT_BASELINE_K = 4  # baseline = median of the first K logged batches
 
 
 def _batch_quantization_error(batch_embs: DataFrame, centroids: DataFrame) -> float | None:
@@ -226,9 +236,15 @@ def _log_drift(
     index_root: str, batch_id: int, qerr: float | None, epoch: int | None = None
 ) -> None:
     """Append ``[batch_id, qerr]`` to the manifest's drift log (replacing
-    a redelivered batch's entry — idempotent), stamping the FIRST entry
-    under this codebook as ``drift_baseline``. Trimmed to the last
-    DRIFT_WINDOW_MAX entries."""
+    a redelivered batch's entry — idempotent). Once DRIFT_BASELINE_K
+    entries exist the baseline is stamped as the MEDIAN of the earliest K
+    (stamped exactly once per codebook; redelivery before the stamp just
+    replaces its entry, redelivery after it leaves the stamp fixed — the
+    baseline must not drift with the stream it anchors). A refresh swap
+    overrides this with the fit-time error (reindex_semantic_root).
+    Trimmed to the last DRIFT_WINDOW_MAX entries."""
+    import statistics
+
     if qerr is None:
         return
     man = read_index_manifest(index_root)
@@ -238,17 +254,19 @@ def _log_drift(
     drift.append([batch_id, qerr])
     drift.sort()
     man["drift"] = drift[-DRIFT_WINDOW_MAX:]
-    if man.get("drift_baseline") is None:
-        man["drift_baseline"] = qerr
-    if epoch is not None:
-        check_index_epoch(index_root, epoch)
-    write_index_manifest(index_root, man)
+    if man.get("drift_baseline") is None and len(man["drift"]) >= DRIFT_BASELINE_K:
+        man["drift_baseline"] = statistics.median(
+            q for _, q in man["drift"][:DRIFT_BASELINE_K]
+        )
+    write_index_manifest(index_root, man, expected_epoch=epoch)
 
 
 def drift_stats(index_root: str, window: int = 8) -> dict | None:
     """The drift trend a refresh policy reads: ``{"baseline", "recent",
     "ratio", "n"}`` over the trailing ``window`` logged batches, or None
-    when the root has no drift log yet."""
+    when the root has no drift log yet OR the baseline is still warming
+    up (fewer than DRIFT_BASELINE_K batches logged under a codebook that
+    was never refresh-stamped)."""
     man = read_index_manifest(index_root)
     if man is None or man.get("drift_baseline") is None or not man.get("drift"):
         return None
@@ -346,9 +364,7 @@ def _stamp_codebook(index_root: str, fingerprint: str, epoch: int | None = None)
     man = read_index_manifest(index_root)
     if man is not None and man.get("codebook_id") != fingerprint:
         man["codebook_id"] = fingerprint
-        if epoch is not None:
-            check_index_epoch(index_root, epoch)
-        write_index_manifest(index_root, man)
+        write_index_manifest(index_root, man, expected_epoch=epoch)
 
 
 def reindex_semantic_root(
@@ -422,17 +438,27 @@ def reindex_semantic_root(
         out["deltas"] = []
     out["codebook_id"] = fp
     # the drift log is only meaningful under ONE codebook: the swap resets
-    # it, and the first post-swap batch sets the new baseline
+    # it and stamps the FIT-TIME quantization error of the reindexed
+    # corpus under the new book as the baseline (one extra aggregate over
+    # vectors this rewrite already reads — the unbiased anchor the
+    # round-9 ADVICE asked for, immune to an unrepresentative first
+    # post-swap batch)
     out.pop("drift", None)
     out.pop("drift_baseline", None)
+    if paths:
+        fit_err = _batch_quantization_error(embs, centroids)
+        if fit_err is not None:
+            out["drift_baseline"] = fit_err
     # the swap FENCES any still-running sink (epoch bump): a zombie batch
     # that passed its codebook check before the swap would otherwise
     # commit rows assigned under the OLD codebook into the swapped index —
     # the one window the per-batch fingerprint guard cannot close. The
     # next sink acquires the root afresh (with the new centroids) as the
-    # lifecycle prescribes.
+    # lifecycle prescribes. The bump commits CONDITIONALLY on the epoch
+    # this reindex read (commit seam), so two concurrent reindexes cannot
+    # both claim the same successor epoch.
     out["epoch"] = int(man.get("epoch", 0)) + 1
-    write_index_manifest(index_root, out)
+    write_index_manifest(index_root, out, expected_epoch=int(man.get("epoch", 0)))
     prune_superseded_index_dirs(index_root, out)
 
 
@@ -459,14 +485,26 @@ def _publish_delta(
 
     ``epoch``: the writer's fencing token (storage.acquire_index_root —
     every streaming sink acquires its roots at construction). Checked
-    before the delta write AND immediately before the manifest commit, so
-    a fenced writer (another stream took the root, or this is a zombie
-    retry of a replaced driver) hard-errors without committing anything —
-    never silent last-writer-wins. None = unfenced (library/batch callers
-    that own their root by construction)."""
+    before the delta write AND enforced at the manifest commit itself
+    (storage.commit_manifest), so a fenced writer (another stream took
+    the root, or this is a zombie retry of a replaced driver) hard-errors
+    without committing anything — never silent last-writer-wins. None =
+    unfenced (library/batch callers that own their root by construction).
+
+    Fenced writers write their delta under an EPOCH-SUFFIXED dir name
+    (``delta_v{batch}_e{epoch}`` — round-9 ADVICE): the pre-commit epoch
+    check cannot protect the delta write that precedes it, so a zombie
+    redelivering a batch id the new owner already committed would
+    otherwise delete/replace parquet files inside a dir the COMMITTED
+    manifest references — corrupting visible data for the whole duration
+    of the write. With the epoch in the name, a fenced writer can only
+    ever touch dirs no committed manifest references (the manifest
+    records names verbatim, so readers are oblivious); the zombie's
+    orphan dir is swept by the next compaction's prune. Resolve a
+    batch's dir through :func:`delta_dir`, never by assembling the name."""
     if epoch is not None:
         check_index_epoch(index_root, epoch)
-    name = f"delta_v{batch_id}"
+    name = f"delta_v{batch_id}" if epoch is None else f"delta_v{batch_id}_e{epoch}"
     delta_df.write.mode("overwrite").parquet(os.path.join(index_root, name))
     man = read_index_manifest(index_root)
     if man is None:
@@ -485,13 +523,34 @@ def _publish_delta(
             spark, index_root, man, below_batch=batch_id,
             transform=compact_transform,
         )
-    if epoch is not None:
-        # authoritative re-check at the last possible moment before the
-        # commit (the conditional-PUT point on object storage — see the
-        # writer-fencing note in storage.py)
-        check_index_epoch(index_root, epoch)
-    write_index_manifest(index_root, man)
+    # the fencing token is enforced AT the commit through the manifest
+    # backend seam (storage.commit_manifest): conditional PUT on object
+    # storage, last-moment re-check on POSIX — epoch=None commits
+    # unconditionally (library/batch callers that own their root)
+    write_index_manifest(index_root, man, expected_epoch=epoch)
     prune_superseded_index_dirs(index_root, man)
+
+
+def delta_dir(index_root: str, batch_id: int) -> str:
+    """The on-disk directory of one batch's (unfolded) delta, resolved
+    through the manifest — the ONLY correct way to address a delta, since
+    fenced writers epoch-suffix their dir names (_publish_delta) and the
+    manifest records whatever name the committing writer used."""
+    man = read_index_manifest(index_root)
+    entries = (
+        man["deltas"] if man is not None else legacy_delta_entries(index_root)
+    )
+    for b, name in entries:
+        if b == batch_id:
+            return os.path.join(index_root, name)
+    raise ValueError(
+        f"batch {batch_id} has no unfolded delta under {index_root}"
+        + (
+            f" (compacted through {man['compacted_through']})"
+            if man is not None
+            else ""
+        )
+    )
 
 
 def make_ingest_batch_fn(
@@ -548,6 +607,7 @@ def make_ingest_batch_fn(
 
     if band_cap is not None and bands_root is None:
         raise ValueError("band_cap requires bands_root (the persisted banded layout)")
+    _require_compaction_for_caps(compact_every, band_cap=band_cap)
     bands_transform = (
         None if band_cap is None else (lambda df: cap_banded(df, band_cap))
     )
@@ -719,6 +779,7 @@ def make_semantic_ingest_batch_fn(
     if threshold is None:
         threshold = SEMDEDUP_COS
     cb_fp = codebook_fingerprint(centroids)
+    _require_compaction_for_caps(compact_every, cell_cap=cell_cap)
     cells_transform = (
         None if cell_cap is None else (lambda df: cap_cells(df, cell_cap))
     )
@@ -829,6 +890,8 @@ def make_cascade_ingest_batch_fn(
     compact_every: int | None = DEFAULT_COMPACT_EVERY,
     sig_bands_root: str | None = None,
     band_cap: int | None = None,
+    fp_distinct: bool = True,
+    intra_batch_exact: bool = False,
 ):
     """Tiered admission: the EXACT fingerprint tier runs in front of the
     MinHash near-dup tier, each batch doc paying the cheapest test that
@@ -862,12 +925,34 @@ def make_cascade_ingest_batch_fn(
     from the single tier's when an exact copy ALSO jaccard-ties with a
     lower-id non-identical index doc (the single tier picks the lowest
     id among all 1.0 ties; the cascade never consults the near-dup tier
-    for exact-rejected docs)."""
+    for exact-rejected docs).
+
+    ``fp_distinct`` (default True — DECISION-LOSSLESS, see
+    pipeline/dedup.py:cap_fingerprints): the fp index keeps one
+    min-doc_id row per fingerprint — per-batch deltas are written
+    distinct, and compaction re-applies the rule index-wide — so a
+    boilerplate cluster can never pile 10⁶ identical rows behind one fp
+    join key (the exact tier's hot-key guard; the admission rule's
+    min(id1) makes the retained row exactly the one every decision
+    reports).
+
+    ``intra_batch_exact`` (default False — the module-wide
+    within-batch-is-upstream's-job policy): opt-in pre-dedup of
+    BYTE-IDENTICAL copies arriving in one batch. Runs strictly AFTER the
+    index tier (same fp ⇒ same index verdict, so order only matters for
+    index-missed fps): among batch docs whose fp is new to the corpus,
+    the lowest doc_id is admitted and every other copy is rejected with
+    tier 'exact' and matched_id = that admitted doc — matched_id always
+    names a corpus doc, exactly as in every other tier. Changes
+    decisions BY DESIGN (stricter), hence opt-in and unregistered;
+    differential-pinned by
+    tests/test_streaming.py::test_intra_batch_exact_pre_dedup."""
     from pyspark.sql.window import Window
 
     from mapreduce_framework_spark.pipeline.dedup import (
         banded_signatures,
         cap_banded,
+        cap_fingerprints,
         exact_fingerprint_index,
         exact_match_batch,
         index_signatures,
@@ -878,9 +963,11 @@ def make_cascade_ingest_batch_fn(
         raise ValueError(
             "band_cap requires sig_bands_root (the persisted banded layout)"
         )
+    _require_compaction_for_caps(compact_every, band_cap=band_cap)
     bands_transform = (
         None if band_cap is None else (lambda df: cap_banded(df, band_cap))
     )
+    fp_transform = cap_fingerprints if fp_distinct else None
     # writer fencing (see make_ingest_batch_fn / storage.py)
     ep_fp = acquire_index_root(fp_index_root)
     ep_sig = acquire_index_root(sig_index_root)
@@ -905,6 +992,11 @@ def make_cascade_ingest_batch_fn(
                 .localCheckpoint(eager=True)
             )
             survivors = batch.join(exact_best, "doc_id", "left_anti")
+
+        intra_best = None
+        if intra_batch_exact:
+            intra_best = _intra_batch_exact_best(survivors)
+            survivors = survivors.join(intra_best, "doc_id", "left_anti")
 
         sig_idx = _index_so_far(spark, sig_index_root, before_batch=batch_id)
         if sig_idx is None:
@@ -943,20 +1035,30 @@ def make_cascade_ingest_batch_fn(
             decisions = decisions.join(exact_best, "doc_id", "left")
         else:
             decisions = decisions.withColumn("ex_id", F.lit(None).cast("long"))
+        if intra_best is not None:
+            decisions = decisions.join(intra_best, "doc_id", "left")
+        else:
+            decisions = decisions.withColumn("ib_id", F.lit(None).cast("long"))
         if near_best is not None:
             decisions = decisions.join(near_best, "doc_id", "left")
         else:
             decisions = decisions.withColumn(
                 "nd_id", F.lit(None).cast("long")
             ).withColumn("nd_jaccard", F.lit(None).cast("double"))
+        # ex_id and ib_id are mutually exclusive (intra-batch dedup runs on
+        # the index tier's survivors), so coalesce order is provenance, not
+        # precedence
+        ex_any = F.col("ex_id").isNotNull() | F.col("ib_id").isNotNull()
         decisions = decisions.select(
             "doc_id",
-            (F.col("ex_id").isNull() & F.col("nd_id").isNull()).alias("admitted"),
-            F.coalesce("ex_id", "nd_id", F.lit(-1)).cast("long").alias("matched_id"),
-            F.when(F.col("ex_id").isNotNull(), F.lit(1.0))
+            (~ex_any & F.col("nd_id").isNull()).alias("admitted"),
+            F.coalesce("ex_id", "ib_id", "nd_id", F.lit(-1))
+            .cast("long")
+            .alias("matched_id"),
+            F.when(ex_any, F.lit(1.0))
             .otherwise(F.coalesce("nd_jaccard", F.lit(0.0)))
             .alias("jaccard"),
-            F.when(F.col("ex_id").isNotNull(), F.lit("exact"))
+            F.when(ex_any, F.lit("exact"))
             .when(F.col("nd_id").isNotNull(), F.lit("near_dup"))
             .alias("tier"),
         )
@@ -964,8 +1066,10 @@ def make_cascade_ingest_batch_fn(
             spark, decisions_root, batch_id, decisions, compact_every, epoch=ep_dec
         )
         _publish_delta(
-            spark, fp_index_root, batch_id, exact_fingerprint_index(admitted),
+            spark, fp_index_root, batch_id,
+            exact_fingerprint_index(admitted, distinct=fp_distinct),
             compact_every, epoch=ep_fp,
+            compact_transform=fp_transform,
         )
         sig_delta = index_signatures(admitted, shingler)
         if sig_bands_root is not None:
@@ -983,6 +1087,47 @@ def make_cascade_ingest_batch_fn(
     return apply_batch
 
 
+def _intra_batch_exact_best(docs: DataFrame) -> DataFrame:
+    """(doc_id, ib_id) for every batch doc that byte-duplicates a LOWER
+    doc_id in the same (index-surviving) batch slice; ib_id is the lowest
+    such copy — the representative that stays admitted and indexed, so a
+    decision's matched_id always names a corpus doc. Shape: one narrow
+    min-aggregate + fp equi-join over the batch (no window, no index
+    involvement — strictly O(batch))."""
+    fps = docs.select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp")
+    )
+    best = fps.groupBy("fp").agg(F.min("doc_id").alias("ib_id"))
+    return (
+        fps.join(best, "fp")
+        .where(F.col("doc_id") > F.col("ib_id"))
+        .select("doc_id", "ib_id")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _require_compaction_for_caps(
+    compact_every: int | None, band_cap: int | None = None, cell_cap: int | None = None
+) -> None:
+    """The hot-key caps are applied exclusively at compaction
+    (compact_transform in _publish_delta); accepting a cap with
+    compact_every=None would hand back an exact (uncapped,
+    unbounded-hot-key) index while the caller believes the guard is on —
+    hard error instead (round-9 ADVICE)."""
+    if compact_every is None and band_cap is not None:
+        raise ValueError(
+            "band_cap is applied at compaction, but compact_every=None means "
+            "compaction never runs — the index would stay uncapped. Set "
+            "compact_every (the cap re-applies every fold) or drop band_cap."
+        )
+    if compact_every is None and cell_cap is not None:
+        raise ValueError(
+            "cell_cap is applied at compaction, but compact_every=None means "
+            "compaction never runs — the index would stay uncapped. Set "
+            "compact_every (the cap re-applies every fold) or drop cell_cap."
+        )
+
+
 def make_full_cascade_ingest_batch_fn(
     spark: SparkSession,
     fp_index_root: str,
@@ -997,6 +1142,8 @@ def make_full_cascade_ingest_batch_fn(
     sig_bands_root: str | None = None,
     band_cap: int | None = None,
     cell_cap: int | None = None,
+    fp_distinct: bool = True,
+    intra_batch_exact: bool = False,
 ):
     """The COMPLETE admission cascade the two-tier sink's docstring names
     as the real pretraining shape: exact → near-dup → SEMANTIC. Batches
@@ -1038,13 +1185,20 @@ def make_full_cascade_ingest_batch_fn(
 
     The semantic index manifest records the codebook's fingerprint;
     every batch checks it BEFORE any publish (see
-    make_semantic_ingest_batch_fn / reindex_semantic_root)."""
+    make_semantic_ingest_batch_fn / reindex_semantic_root).
+
+    ``fp_distinct`` / ``intra_batch_exact``: the exact tier's hot-fp
+    guard and the opt-in within-batch byte-identical pre-dedup — exactly
+    as documented on make_cascade_ingest_batch_fn (fp_distinct is
+    decision-lossless by the min(id1) rule; intra_batch_exact runs after
+    the index tier and is stricter by design)."""
     from pyspark.sql.window import Window
 
     from mapreduce_framework_spark.pipeline.codebook import codebook_fingerprint
     from mapreduce_framework_spark.pipeline.dedup import (
         banded_signatures,
         cap_banded,
+        cap_fingerprints,
         exact_fingerprint_index,
         exact_match_batch,
         index_signatures,
@@ -1064,12 +1218,14 @@ def make_full_cascade_ingest_batch_fn(
         raise ValueError(
             "band_cap requires sig_bands_root (the persisted banded layout)"
         )
+    _require_compaction_for_caps(compact_every, band_cap=band_cap, cell_cap=cell_cap)
     bands_transform = (
         None if band_cap is None else (lambda df: cap_banded(df, band_cap))
     )
     cells_transform = (
         None if cell_cap is None else (lambda df: cap_cells(df, cell_cap))
     )
+    fp_transform = cap_fingerprints if fp_distinct else None
     # writer fencing (see make_ingest_batch_fn / storage.py)
     ep_fp = acquire_index_root(fp_index_root)
     ep_sig = acquire_index_root(sig_index_root)
@@ -1103,6 +1259,11 @@ def make_full_cascade_ingest_batch_fn(
                 .localCheckpoint(eager=True)
             )
             survivors = batch.join(exact_best, "doc_id", "left_anti")
+
+        intra_best = None
+        if intra_batch_exact:
+            intra_best = _intra_batch_exact_best(survivors)
+            survivors = survivors.join(intra_best, "doc_id", "left_anti")
 
         sig_idx = _index_so_far(spark, sig_index_root, before_batch=batch_id)
         if sig_idx is None:
@@ -1164,6 +1325,10 @@ def make_full_cascade_ingest_batch_fn(
             decisions = decisions.join(exact_best, "doc_id", "left")
         else:
             decisions = decisions.withColumn("ex_id", F.lit(None).cast("long"))
+        if intra_best is not None:
+            decisions = decisions.join(intra_best, "doc_id", "left")
+        else:
+            decisions = decisions.withColumn("ib_id", F.lit(None).cast("long"))
         if near_best is not None:
             decisions = decisions.join(near_best, "doc_id", "left")
         else:
@@ -1176,21 +1341,24 @@ def make_full_cascade_ingest_batch_fn(
             decisions = decisions.withColumn(
                 "sm_id", F.lit(None).cast("long")
             ).withColumn("sm_cos", F.lit(None).cast("double"))
+        # ex_id / ib_id are mutually exclusive (intra-batch dedup runs on
+        # the index tier's survivors)
+        ex_any = F.col("ex_id").isNotNull() | F.col("ib_id").isNotNull()
         decisions = decisions.select(
             "doc_id",
             (
-                F.col("ex_id").isNull()
+                ~ex_any
                 & F.col("nd_id").isNull()
                 & F.col("sm_id").isNull()
             ).alias("admitted"),
-            F.coalesce("ex_id", "nd_id", "sm_id", F.lit(-1))
+            F.coalesce("ex_id", "ib_id", "nd_id", "sm_id", F.lit(-1))
             .cast("long")
             .alias("matched_id"),
-            F.when(F.col("ex_id").isNotNull(), F.lit(1.0))
+            F.when(ex_any, F.lit(1.0))
             .when(F.col("nd_id").isNotNull(), F.col("nd_jaccard"))
             .otherwise(F.coalesce("sm_cos", F.lit(0.0)))
             .alias("score"),
-            F.when(F.col("ex_id").isNotNull(), F.lit("exact"))
+            F.when(ex_any, F.lit("exact"))
             .when(F.col("nd_id").isNotNull(), F.lit("near_dup"))
             .when(F.col("sm_id").isNotNull(), F.lit("semantic"))
             .alias("tier"),
@@ -1199,8 +1367,10 @@ def make_full_cascade_ingest_batch_fn(
             spark, decisions_root, batch_id, decisions, compact_every, epoch=ep_dec
         )
         _publish_delta(
-            spark, fp_index_root, batch_id, exact_fingerprint_index(admitted),
+            spark, fp_index_root, batch_id,
+            exact_fingerprint_index(admitted, distinct=fp_distinct),
             compact_every, epoch=ep_fp,
+            compact_transform=fp_transform,
         )
         sig_delta = index_signatures(admitted, shingler)
         if sig_bands_root is not None:
@@ -1253,13 +1423,17 @@ def run_full_cascade_ingest_stream(
     sig_bands_root: str | None = None,
     band_cap: int | None = None,
     cell_cap: int | None = None,
+    fp_distinct: bool = True,
+    intra_batch_exact: bool = False,
 ) -> DataFrame:
     """Drive a ``(doc_id, text, embedding)`` stream through the
     three-tier admission sink; returns the union of all per-batch
     decision frames. ``sig_bands_root`` maintains the persisted banded
     layout for the MinHash tier, exactly as in run_ingest_stream;
     ``band_cap``/``cell_cap`` are the hot-key skew guards (re-applied at
-    every compaction of the bands / semantic roots)."""
+    every compaction of the bands / semantic roots);
+    ``fp_distinct``/``intra_batch_exact`` are the exact tier's hot-fp
+    guard and within-batch pre-dedup (make_cascade_ingest_batch_fn)."""
     q = (
         docs_stream.writeStream.foreachBatch(
             make_full_cascade_ingest_batch_fn(
@@ -1276,6 +1450,8 @@ def run_full_cascade_ingest_stream(
                 sig_bands_root,
                 band_cap,
                 cell_cap,
+                fp_distinct,
+                intra_batch_exact,
             )
         )
         .option("checkpointLocation", checkpoint)
@@ -1311,7 +1487,16 @@ def admission_report_frame(decisions: DataFrame) -> DataFrame:
     (≤4-value) tier column over a column-pruned scan of the log, then a
     single-partition window over the ≤4 grouped rows for the shares.
     No joins, no Python. Plan gate:
-    tests/test_streaming.py::test_admission_report_plan."""
+    tests/test_streaming.py::test_admission_report_plan.
+
+    FP determinism (the q15 discipline — this IS a registered query,
+    q106, so avg must be bit-identical across engines): the mean is an
+    exact DECIMAL(38,9) sum divided once as a double and re-rounded to
+    DECIMAL(18,9) — no double-reduction-order dependence; min/max/share
+    are order-free. Scale 9 keeps the int128 sum exactly
+    double-representable to ~9e6 log rows per outcome (far above any
+    correctness-gate SF) while resolving far below any tier threshold
+    gap."""
     score = next(
         (c for c in ("score", "jaccard", "cos") if c in decisions.columns), None
     )
@@ -1332,7 +1517,7 @@ def admission_report_frame(decisions: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("s").alias("min_score"),
-            F.avg("s").alias("avg_score"),
+            F.sum(F.col("s").cast("decimal(38,9)")).alias("_ssum"),
             F.max("s").alias("max_score"),
         )
     )
@@ -1344,7 +1529,10 @@ def admission_report_frame(decisions: DataFrame) -> DataFrame:
         "n_docs",
         (F.col("n_docs") / F.sum("n_docs").over(w)).alias("share"),
         "min_score",
-        "avg_score",
+        (F.col("_ssum").cast("double") / F.col("n_docs"))
+        .cast("decimal(18,9)")
+        .cast("double")
+        .alias("avg_score"),
         "max_score",
     ).orderBy("outcome")
 
@@ -1372,11 +1560,15 @@ def run_cascade_ingest_stream(
     compact_every: int | None = DEFAULT_COMPACT_EVERY,
     sig_bands_root: str | None = None,
     band_cap: int | None = None,
+    fp_distinct: bool = True,
+    intra_batch_exact: bool = False,
 ) -> DataFrame:
     """Drive the document stream through the tiered admission sink;
     returns the union of all per-batch decision frames. ``sig_bands_root``
     maintains the persisted banded layout for the MinHash tier, exactly
-    as in run_ingest_stream; ``band_cap`` is the hot-band skew guard."""
+    as in run_ingest_stream; ``band_cap`` is the hot-band skew guard;
+    ``fp_distinct``/``intra_batch_exact`` are the exact tier's hot-fp
+    guard and within-batch pre-dedup (make_cascade_ingest_batch_fn)."""
     q = (
         docs_stream.writeStream.foreachBatch(
             make_cascade_ingest_batch_fn(
@@ -1389,6 +1581,8 @@ def run_cascade_ingest_stream(
                 compact_every,
                 sig_bands_root,
                 band_cap,
+                fp_distinct,
+                intra_batch_exact,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -62,14 +62,18 @@ def test_dataframe_fold_matches_sequential_model(spark_global, ops):
 
 
 def test_q06_q28_fold_parity_and_flagship_order(spark_global, sf_dir):
-    """The JVM-side array fold (q06, the production path) and the
-    demonstrative per-group Python fold (q28) must stay result-identical —
-    they implement the same KV replay semantics through different engines.
-    The driver rotation must also keep q06 ahead of q28 so the KV family's
-    flagship evidence is always the scalable form."""
+    """The JVM-side array fold (q06, the production path), the REGISTERED
+    interpreted fold (q28 — since round 9 the bounded-memory mapInPandas
+    form), and the retained applyInPandas twin (the pre-swap registered
+    builder) must all stay result-identical — three engines, one KV
+    replay semantics. The registered q28 plan must be the post-swap shape
+    (MapInPandas, no per-group FlatMapGroups — the perf-weak cliff the
+    swap cleared). The driver rotation must also keep q06 ahead of q28 so
+    the KV family's flagship evidence is always the scalable form."""
     from mapreduce_framework_spark.operators.kv import (
         q06_kv_final_state,
         q28_kv_stateful_replay,
+        q28_kv_stateful_replay_grouped,
     )
     from mapreduce_framework_spark.registry import CURATED_ORDER
 
@@ -81,8 +85,17 @@ def test_q06_q28_fold_parity_and_flagship_order(spark_global, sf_dir):
         (r["key"], r["value"])
         for r in q28_kv_stateful_replay(spark_global, sf_dir).collect()
     }
-    assert a == b
+    c = {
+        (r["key"], r["value"])
+        for r in q28_kv_stateful_replay_grouped(spark_global, sf_dir).collect()
+    }
+    assert a == b == c
     assert len(a) > 0
+    df = q28_kv_stateful_replay(spark_global, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" not in plan
     assert CURATED_ORDER.index("q06_kv_final_state") < CURATED_ORDER.index(
         "q28_kv_stateful_replay"
     )

@@ -82,3 +82,20 @@ def test_retired_q34_matches_oracle(spark, sf_dir):
     )
 
     compare(q34_ann_bruteforce(spark, sf_dir), _ANN_BRUTEFORCE_ORACLE, sf_dir)
+
+
+def test_retired_q30_matches_oracle(spark, sf_dir):
+    """q30_ngram_jaccard_neardup was RETIRED from the registry in round 9
+    (registry.py policy item 4; its slot funded q106_admission_report).
+    Per the policy, its builder and oracle stay in the repo permanently
+    and THIS dedicated differential replaces its registry parametrization
+    — it remains the exact-Jaccard baseline the LSH forms q31/q84 carry
+    forward, and bench.py keeps timing it directly for the r1-subset
+    series. (The shared _JACCARD_ORACLE constant is still registered
+    through q31, so this also cross-checks exact-vs-LSH equality.)"""
+    from mapreduce_framework_spark.pipeline.dedup import (
+        _JACCARD_ORACLE,
+        q30_ngram_jaccard_neardup,
+    )
+
+    compare(q30_ngram_jaccard_neardup(spark, sf_dir), _JACCARD_ORACLE, sf_dir)

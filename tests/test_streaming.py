@@ -727,7 +727,7 @@ def test_ingest_batch_redelivery_is_idempotent(spark, sf_dir, tmp_path):
         .parquet(dec_root)
         .collect()
     }
-    delta1_once = spark.read.parquet(str(tmp_path / "index" / "delta_v1")).count()
+    delta1_once = _delta(spark, str(tmp_path / "index"), 1).count()
     assert delta1_once > 0
 
     fn(b1, 1)  # crash-and-restart redelivery of the same batch id
@@ -737,7 +737,7 @@ def test_ingest_batch_redelivery_is_idempotent(spark, sf_dir, tmp_path):
         .parquet(dec_root)
         .collect()
     }
-    delta1_twice = spark.read.parquet(str(tmp_path / "index" / "delta_v1")).count()
+    delta1_twice = _delta(spark, str(tmp_path / "index"), 1).count()
     assert twice == once, "redelivered batch changed the recorded decisions"
     assert delta1_twice == delta1_once, "redelivered batch rewrote its delta"
 
@@ -1058,7 +1058,7 @@ def test_semantic_ingest_redelivery_is_idempotent(spark, tmp_path):
             .parquet(dec_root)
             .collect()
         }
-        delta1 = spark.read.parquet(str(tmp_path / "index" / "delta_v1")).count()
+        delta1 = _delta(spark, str(tmp_path / "index"), 1).count()
         return dec, delta1
 
     once = snapshot()
@@ -1169,7 +1169,7 @@ def test_ingest_loop_accepts_char_shingler(spark, sf_dir, tmp_path):
     assert dec[planted_id][0] is False
     assert dec[planted_id][1] == planted_id - 1_000_000
     # the delta's stored shingles are char 8-grams, not word shingles
-    delta0 = spark.read.parquet(str(tmp_path / "index" / "delta_v0"))
+    delta0 = _delta(spark, str(tmp_path / "index"), 0)
     one = delta0.select(F.explode("shingles").alias("s")).limit(5).collect()
     assert all(len(r["s"]) == CHAR_NGRAM_K for r in one)
 
@@ -1269,7 +1269,7 @@ def test_ingest_redelivery_after_compaction(spark, sf_dir, tmp_path):
             .parquet(dec_root)
             .collect()
         }
-        delta2 = spark.read.parquet(str(tmp_path / "index" / "delta_v2")).count()
+        delta2 = _delta(spark, str(tmp_path / "index"), 2).count()
         return dec, delta2
 
     before = state()
@@ -1447,6 +1447,14 @@ def _cascade_batches(spark, sf_dir):
     return b0, b1
 
 
+def _delta(spark, root, batch_id):
+    """Read one batch's delta through the manifest resolver (fenced sinks
+    epoch-suffix their delta dir names — streaming/ingest.py:delta_dir)."""
+    from mapreduce_framework_spark.streaming.ingest import delta_dir
+
+    return spark.read.parquet(delta_dir(root, batch_id))
+
+
 def _decisions(spark, root):
     return {
         r["doc_id"]: r
@@ -1597,8 +1605,8 @@ def test_cascade_ingest_redelivery_is_idempotent(spark, sf_dir, tmp_path):
         (r["doc_id"], r["admitted"], r["matched_id"], r["tier"])
         for r in _decisions(spark, str(tmp_path / "dec")).values()
     }
-    fp_once = spark.read.parquet(fp_root + "/delta_v1").count()
-    sig_once = spark.read.parquet(sig_root + "/delta_v1").count()
+    fp_once = _delta(spark, fp_root, 1).count()
+    sig_once = _delta(spark, sig_root, 1).count()
     assert fp_once > 0 and sig_once > 0
 
     # plain redelivery
@@ -1609,17 +1617,20 @@ def test_cascade_ingest_redelivery_is_idempotent(spark, sf_dir, tmp_path):
     }
 
     # crash between the publishes: fp delta committed, signature delta not
+    from mapreduce_framework_spark.streaming.ingest import delta_dir
+
+    sig_delta1 = delta_dir(sig_root, 1)  # resolve BEFORE the manifest surgery
     man = read_index_manifest(sig_root)
     man["deltas"] = [e for e in man["deltas"] if e[0] != 1]
     write_index_manifest(sig_root, man)
-    _shutil.rmtree(sig_root + "/delta_v1")
+    _shutil.rmtree(sig_delta1)
     fn(b1, 1)  # redelivery re-publishes both
     assert once == {
         (r["doc_id"], r["admitted"], r["matched_id"], r["tier"])
         for r in _decisions(spark, str(tmp_path / "dec")).values()
     }
-    assert spark.read.parquet(fp_root + "/delta_v1").count() == fp_once
-    assert spark.read.parquet(sig_root + "/delta_v1").count() == sig_once
+    assert _delta(spark, fp_root, 1).count() == fp_once
+    assert _delta(spark, sig_root, 1).count() == sig_once
     assert [e[0] for e in read_index_manifest(sig_root)["deltas"]] == [0, 1]
 
 
@@ -1839,7 +1850,7 @@ def test_full_cascade_redelivery_is_idempotent(spark, tmp_path):
     }
     once = snap()
     assert once == {d: v for d, v in want.items() if d < 20}
-    sem_once = read(roots["sem"] + "/delta_v1").count()
+    sem_once = _delta(spark, roots["sem"], 1).count()
     assert sem_once > 0
 
     fn(dfs[1], 1)  # plain redelivery
@@ -1847,13 +1858,16 @@ def test_full_cascade_redelivery_is_idempotent(spark, tmp_path):
 
     # crash between publish #3 (signatures) and #4 (semantic): batch 1's
     # semantic delta never committed; fp/sig/decisions all did
+    from mapreduce_framework_spark.streaming.ingest import delta_dir
+
+    sem_delta1 = delta_dir(roots["sem"], 1)  # resolve BEFORE the surgery
     man = read_index_manifest(roots["sem"])
     man["deltas"] = [e for e in man["deltas"] if e[0] != 1]
     write_index_manifest(roots["sem"], man)
-    shutil.rmtree(roots["sem"] + "/delta_v1")
+    shutil.rmtree(sem_delta1)
     fn(dfs[1], 1)
     assert snap() == once
-    assert read(roots["sem"] + "/delta_v1").count() == sem_once
+    assert _delta(spark, roots["sem"], 1).count() == sem_once
     assert [e[0] for e in read_index_manifest(roots["sem"])["deltas"]] == [0, 1]
     # batch 2's decision depends on batch 1's repaired semantic delta:
     # doc 20 must semantic-match the batch-1 admittee 13 exactly as in
@@ -2289,7 +2303,7 @@ def test_semantic_reindex_swaps_codebook(spark, tmp_path):
     fn_b(dfs[2], 2)
     got = {
         r["vec_id"]: (r["admitted"], r["matched_id"], r["cos"])
-        for r in spark.read.parquet(os.path.join(dec_root, "delta_v2")).collect()
+        for r in _delta(spark, dec_root, 2).collect()
     }
     w = Window.partitionBy("new_id").orderBy(F.col("cos").desc(), F.col("index_id"))
     best = {
@@ -2347,7 +2361,9 @@ def test_semantic_sink_rejects_mismatched_codebook(spark, tmp_path):
         spark, idx_root, dec_root, _cents_b(spark)
     )
     fn_b2(dfs[1], 1)  # the post-swap sink is sanctioned
-    assert os.path.isdir(os.path.join(idx_root, "delta_v1"))
+    from mapreduce_framework_spark.streaming.ingest import delta_dir
+
+    assert os.path.isdir(delta_dir(idx_root, 1))
 
 
 def test_full_cascade_sink_rejects_mismatched_codebook(spark, tmp_path):
@@ -2372,9 +2388,20 @@ def test_full_cascade_sink_rejects_mismatched_codebook(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="ONE codebook"):
         fn_b(dfs[1], 1)
-    # nothing from batch 1 committed anywhere
+    # nothing from batch 1 committed anywhere (fenced sinks epoch-suffix
+    # their delta names, so check by prefix on disk AND via the manifest)
+    import re as _re
+
+    from mapreduce_framework_spark.streaming.ingest import delta_dir
+
     for k in ("fp", "sig", "sem", "dec"):
-        assert not os.path.isdir(os.path.join(roots[k], "delta_v1")), k
+        assert not [
+            d
+            for d in os.listdir(roots[k])
+            if _re.fullmatch(r"delta_v1(_e\d+)?", d)
+        ], k
+        with pytest.raises(ValueError, match="no unfolded delta"):
+            delta_dir(roots[k], 1)
 
 
 def test_reindex_refuses_unseeded_and_midstream(spark, tmp_path):
@@ -2541,7 +2568,9 @@ def test_full_cascade_sig_bands_root_equality(spark, tmp_path):
         for d, r in _decisions(spark, roots["dec"]).items()
     }
     assert dec(banded) == dec(plain)
-    assert os.path.isdir(os.path.join(str(tmp_path / "bb_bands"), "delta_v1"))
+    from mapreduce_framework_spark.streaming.ingest import delta_dir
+
+    assert os.path.isdir(delta_dir(str(tmp_path / "bb_bands"), 1))
 
 
 def test_ingest_bands_root_survives_compaction(spark, sf_dir, tmp_path):
@@ -2673,10 +2702,10 @@ def test_legacy_d_v_decisions_root_is_adopted(spark, sf_dir, tmp_path):
     for i, b in enumerate(batches[:2]):
         fn_old(b, i)
     for i in range(2):
-        spark.read.parquet(str(tmp_path / f"s_dec/delta_v{i}")).write.parquet(
+        _delta(spark, str(tmp_path / "s_dec"), i).write.parquet(
             os.path.join(dec, f"d_v{i}")
         )
-        spark.read.parquet(str(tmp_path / f"s_idx/delta_v{i}")).write.parquet(
+        _delta(spark, str(tmp_path / "s_idx"), i).write.parquet(
             os.path.join(idx, f"d_v{i}")
         )
 
@@ -2686,7 +2715,9 @@ def test_legacy_d_v_decisions_root_is_adopted(spark, sf_dir, tmp_path):
     fn(batches[2], 2)
 
     man = read_index_manifest(dec)
-    assert man["deltas"] == [[0, "d_v0"], [1, "d_v1"], [2, "delta_v2"]]
+    assert [e[0] for e in man["deltas"]] == [0, 1, 2]
+    assert [e[1] for e in man["deltas"][:2]] == ["d_v0", "d_v1"]
+    assert man["deltas"][2][1].startswith("delta_v2")  # fenced: epoch-suffixed
     all_dec = _decisions(spark, dec)
     want = {r["doc_id"] for b in batches for r in b.select("doc_id").collect()}
     assert set(all_dec) == want
@@ -2781,7 +2812,16 @@ def _drift_batches(spark):
 
     low = [[4, 1, 0], [1, 4, 0], [8, 2, 0], [2, 8, 0]]
     high = [[1, 1, 1], [1, 1, -1], [-1, 1, 1], [1, -1, 1]]
-    return cents, [mk(0, low), mk(10, low), mk(20, high), mk(30, high)]
+    # 4 healthy batches (= DRIFT_BASELINE_K, so the median baseline stamps
+    # on an all-healthy prefix) then 2 drifted ones
+    return cents, [
+        mk(0, low),
+        mk(10, low),
+        mk(40, low),
+        mk(50, low),
+        mk(20, high),
+        mk(30, high),
+    ]
 
 
 def test_drift_statistic_triggers_refit(spark, tmp_path):
@@ -2805,42 +2845,62 @@ def test_drift_statistic_triggers_refit(spark, tmp_path):
     dec = str(tmp_path / "dec")
     fn = make_semantic_ingest_batch_fn(spark, idx, dec, cents)
 
+    import statistics
+
+    # WARMUP (round-9 ADVICE): until DRIFT_BASELINE_K batches are logged
+    # the baseline is unstamped — drift_stats is None and needs_refit is
+    # conservatively False, so one unrepresentative early batch can no
+    # longer anchor the codebook's whole lifetime
     fn(dfs[0], 0)
     fn(dfs[1], 1)
-    s = drift_stats(idx, window=2)
-    assert s is not None and s["n"] == 2
-    # the logged statistic IS the library quantization error of the batch
-    assert abs(s["baseline"] - quantization_error(dfs[0], cents)) < 1e-12
+    assert drift_stats(idx, window=2) is None
     assert not needs_refit(idx, threshold=1.25, window=2)
 
     fn(dfs[2], 2)
     fn(dfs[3], 3)
     s = drift_stats(idx, window=2)
+    assert s is not None and s["n"] == 2
+    # the stamped baseline is the MEDIAN of the K earliest logged batches'
+    # library quantization errors
+    want_base = statistics.median(
+        quantization_error(dfs[i], cents) for i in range(4)
+    )
+    assert abs(s["baseline"] - want_base) < 1e-12
+    assert not needs_refit(idx, threshold=1.25, window=2)
+
+    fn(dfs[4], 4)
+    fn(dfs[5], 5)
+    s = drift_stats(idx, window=2)
     assert s["ratio"] > 5.0  # drifted population: ~10x the baseline error
     assert needs_refit(idx, threshold=1.25, window=2)
     man = read_index_manifest(idx)
-    assert [b for b, _ in man["drift"]] == [0, 1, 2, 3]
+    assert [b for b, _ in man["drift"]] == [0, 1, 2, 3, 4, 5]
 
-    # redelivery replaces (never duplicates) a batch's drift entry
-    fn(dfs[3], 3)
+    # redelivery replaces (never duplicates) a batch's drift entry, and —
+    # after the stamp — leaves the baseline fixed
+    fn(dfs[5], 5)
     man = read_index_manifest(idx)
-    assert [b for b, _ in man["drift"]] == [0, 1, 2, 3]
+    assert [b for b, _ in man["drift"]] == [0, 1, 2, 3, 4, 5]
+    assert abs(man["drift_baseline"] - want_base) < 1e-12
 
-    # refresh: refit on the drifted population and swap — the log resets,
-    # and the first post-swap batch (drawn from the drifted population)
-    # sets a new baseline under which the stream is healthy again
+    # refresh: refit on the drifted population and swap — the log resets
+    # and the baseline is stamped from the REINDEXED corpus under the new
+    # book (fit-time anchor), so the very next batch is judged against it
+    # with no K-batch warmup
     from mapreduce_framework_spark.pipeline.codebook import refit_codebook
 
-    drifted = dfs[2].unionByName(dfs[3]).select("vec_id", "embedding")
+    drifted = dfs[4].unionByName(dfs[5]).select("vec_id", "embedding")
     cents_b = refit_codebook(drifted, cents, iters=4).localCheckpoint(eager=True)
-    reindex_semantic_root(spark, idx, cents_b, next_batch=4)
+    reindex_semantic_root(spark, idx, cents_b, next_batch=6)
     assert drift_stats(idx) is None and not needs_refit(idx)
+    man = read_index_manifest(idx)
+    assert man.get("drift") is None and man.get("drift_baseline") is not None
 
     fn_b = make_semantic_ingest_batch_fn(spark, idx, dec, cents_b)
-    more = dfs[3].select(
+    more = dfs[5].select(
         (F.col("vec_id") + 100).alias("vec_id"), "embedding"
     )
-    fn_b(more, 4)
+    fn_b(more, 6)
     s = drift_stats(idx, window=2)
     assert s is not None and s["n"] == 1
     assert not needs_refit(idx, threshold=1.25, window=2)
@@ -2851,10 +2911,12 @@ def test_drift_statistic_triggers_refit(spark, tmp_path):
 
 
 def test_admission_report_matches_duckdb(spark, tmp_path):
-    """Registered-query-grade differential: the rollup over a real
-    full-cascade decisions root equals DuckDB re-deriving it from the
-    replayed decision parquet (counts/shares/min/max exactly; avg to FP
-    reduction-order tolerance)."""
+    """Registered-query-grade differential (q106 registers this op over
+    the q104 replay): the rollup over a real full-cascade decisions root
+    equals DuckDB re-deriving it from the replayed decision parquet —
+    ALL cells exactly, including the mean, because both engines compute
+    it as the exact DECIMAL(38,9) sum divided once and re-rounded at
+    scale 9 (the q15 FP-determinism discipline)."""
     import duckdb
 
     from mapreduce_framework_spark.streaming.ingest import admission_report
@@ -2875,7 +2937,8 @@ def test_admission_report_matches_duckdb(spark, tmp_path):
                count(*) AS n_docs,
                CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS share,
                min(score) AS min_score,
-               avg(score) AS avg_score,
+               CAST(CAST(CAST(SUM(CAST(score AS DECIMAL(38,9))) AS DOUBLE)
+                    / count(*) AS DECIMAL(18,9)) AS DOUBLE) AS avg_score,
                max(score) AS max_score
         FROM dec GROUP BY 1 ORDER BY 1
         """
@@ -2883,9 +2946,9 @@ def test_admission_report_matches_duckdb(spark, tmp_path):
     assert len(got) == len(want)
     for g, w in zip(got, want):
         assert (g["outcome"], g["n_docs"]) == (w[0], w[1])
-        assert abs(g["share"] - w[2]) < 1e-12
+        assert g["share"] == w[2]
         assert g["min_score"] == w[3] and g["max_score"] == w[5]
-        assert abs(g["avg_score"] - w[4]) < 1e-12
+        assert g["avg_score"] == w[4]
 
 
 def test_admission_report_single_tier_schema(spark, sf_dir, tmp_path):
@@ -2948,41 +3011,48 @@ def test_refresh_autopilot_fires_only_on_drift(spark, tmp_path):
     idx = str(tmp_path / "idx")
     dec = str(tmp_path / "dec")
     fn = make_semantic_ingest_batch_fn(spark, idx, dec, cents)
-    fn(dfs[0], 0)
-    fn(dfs[1], 1)
+    for i in range(4):
+        fn(dfs[i], i)  # 4 healthy batches: baseline stamps all-healthy
 
     # healthy stream: no refresh, manifest untouched
     man_before = read_index_manifest(idx)
     assert (
         refresh_semantic_root_if_needed(
-            spark, idx, cents, next_batch=2, threshold=1.25, window=2
+            spark, idx, cents, next_batch=4, threshold=1.25, window=2
         )
         is None
     )
     assert read_index_manifest(idx) == man_before
 
-    fn(dfs[2], 2)
-    fn(dfs[3], 3)
+    fn(dfs[4], 4)
+    fn(dfs[5], 5)
     assert needs_refit(idx, threshold=1.25, window=2)
     refreshed = refresh_semantic_root_if_needed(
-        spark, idx, cents, next_batch=4, threshold=1.25, window=2, iters=4
+        spark, idx, cents, next_batch=6, threshold=1.25, window=2, iters=4
     )
     assert refreshed is not None
     man = read_index_manifest(idx)
     assert man["codebook_id"] == codebook_fingerprint(refreshed)
-    assert man.get("drift") is None and man.get("drift_baseline") is None
+    # log reset; baseline re-stamped at FIT TIME from the reindexed corpus
+    assert man.get("drift") is None and man.get("drift_baseline") is not None
     # no post-swap drift evidence -> the autopilot stands down
     assert (
         refresh_semantic_root_if_needed(
-            spark, idx, refreshed, next_batch=4, threshold=1.25, window=2
+            spark, idx, refreshed, next_batch=6, threshold=1.25, window=2
         )
         is None
     )
-    # the next sink accepts the refreshed book and streams on
+    # the next sink accepts the refreshed book and streams on; the
+    # autopilot's refit corpus was the WHOLE committed index (healthy +
+    # drifted), so a batch drawn from that same mixed population sits at
+    # the fit-time baseline and the trigger stays quiet — while a stream
+    # that kept drifting PAST the refit population would (correctly)
+    # trigger again
     fn_b = make_semantic_ingest_batch_fn(spark, idx, dec, refreshed)
-    fn_b(
-        dfs[3].select((F.col("vec_id") + 100).alias("vec_id"), "embedding"), 4
-    )
+    mixed = dfs[0]
+    for i in range(1, 5):
+        mixed = mixed.unionByName(dfs[i])
+    fn_b(mixed.select((F.col("vec_id") + 100).alias("vec_id"), "embedding"), 6)
     assert not needs_refit(idx, threshold=1.25, window=2)
 
 
@@ -3073,3 +3143,200 @@ def test_full_cascade_stream_with_bands_root(spark, tmp_path):
         b for b, _ in man["deltas"]
     }
     assert covered == {0, 1, 2}
+
+
+# Exact-tier hot-fp guard (round 9, VERDICT r8 missing item 1) and the
+# intra-batch pre-dedup option.
+
+
+def test_fp_distinct_cascade_decisions_identical(spark, sf_dir, tmp_path):
+    """fp_distinct (the default) is decision-lossless end-to-end: the
+    cascade's decisions with the distinct-fp index (compaction
+    re-applying cap_fingerprints) are byte-identical to the full-fp run,
+    and the compacted fp root carries one row per fingerprint."""
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.storage import read_index_manifest
+    from mapreduce_framework_spark.streaming.ingest import (
+        _index_so_far,
+        make_cascade_ingest_batch_fn,
+    )
+
+    b0, b1 = _cascade_batches(spark, sf_dir)
+    # a third batch re-fetching batch-0 docs AGAIN exercises matching
+    # against the compacted (distinct) artifact, not just the fresh deltas
+    b2 = b0.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+
+    def run(tag, fp_distinct):
+        fn = make_cascade_ingest_batch_fn(
+            spark,
+            str(tmp_path / tag / "fp"),
+            str(tmp_path / tag / "sig"),
+            str(tmp_path / tag / "dec"),
+            JACCARD_THRESHOLD,
+            compact_every=1,
+            fp_distinct=fp_distinct,
+        )
+        for i, b in enumerate([b0, b1, b2]):
+            fn(b, i)
+        return {
+            d: (r["admitted"], r["tier"], r["matched_id"], r["jaccard"])
+            for d, r in _decisions(spark, str(tmp_path / tag / "dec")).items()
+        }
+
+    dist = run("fd_on", True)
+    full = run("fd_off", False)
+    assert dist == full
+    assert any(t == "exact" for _, t, _, _ in dist.values())
+    # the distinct root's compacted artifact: one row per fp
+    fp_root = str(tmp_path / "fd_on" / "fp")
+    man = read_index_manifest(fp_root)
+    assert man["compacted_path"] is not None
+    fps = _index_so_far(spark, fp_root)
+    assert (
+        fps.groupBy("fp").count().agg(F.max("count")).collect()[0][0] == 1
+    )
+    # the full root keeps per-doc rows (it is the doc_id -> fp lookup)
+    fps_full = _index_so_far(spark, str(tmp_path / "fd_off" / "fp"))
+    assert fps_full.count() >= fps.count()
+
+
+def test_intra_batch_exact_pre_dedup(spark, sf_dir, tmp_path):
+    """The opt-in within-batch byte-identical pre-dedup: copies arriving
+    in ONE batch are rejected (tier 'exact', matched_id = the lowest
+    same-fp batch doc, which stays admitted and indexed); the default
+    sink admits them all (the module's within-batch-is-upstream policy).
+    Docs whose fp is already in the corpus keep the INDEX tier's verdict
+    on every copy — intra-batch order never shadows the index."""
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.streaming.ingest import (
+        make_cascade_ingest_batch_fn,
+    )
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    cut = docs.agg(((F.max("doc_id") + 1) / 2).cast("long")).collect()[0][0]
+    b0 = docs.where(F.col("doc_id") < cut).localCheckpoint(eager=True)
+    up = docs.where(F.col("doc_id") >= cut)
+    # plant TWO kinds of in-batch copies into batch 1:
+    #   * +3M/+4M: copies of upper-half docs (fp NEW to the corpus) — only
+    #     the lowest id (the original) should survive with intra dedup
+    #   * +5M: copies of batch-0 docs (fp ALREADY indexed) — the INDEX
+    #     tier rejects original-and-copy alike, under both settings
+    b1 = (
+        up.unionByName(
+            up.where(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            up.where(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 4_000_000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            b0.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def run(tag, intra):
+        fn = make_cascade_ingest_batch_fn(
+            spark,
+            str(tmp_path / tag / "fp"),
+            str(tmp_path / tag / "sig"),
+            str(tmp_path / tag / "dec"),
+            JACCARD_THRESHOLD,
+            intra_batch_exact=intra,
+        )
+        for i, b in enumerate([b0, b1]):
+            fn(b, i)
+        return _decisions(spark, str(tmp_path / tag / "dec"))
+
+    off = run("ib_off", False)
+    on = run("ib_on", True)
+    assert set(on) == set(off)
+
+    marks = [d for d in on if 3_000_000 <= d < 5_000_000]
+    assert marks
+    for d in marks:
+        base = d - (3_000_000 if d < 4_000_000 else 4_000_000)
+        # default: within-batch copies all share the original's fate
+        assert off[d]["admitted"] == off[base]["admitted"]
+        r = on[d]
+        if on[base]["admitted"]:
+            # fp new to the corpus: the original survives, the in-batch
+            # copy is exact-rejected against it
+            assert not r["admitted"] and r["tier"] == "exact"
+            assert r["matched_id"] == base and r["jaccard"] == 1.0
+        else:
+            # the original was itself rejected (near-dup vs the index):
+            # the copy must NOT be admitted either way
+            assert not r["admitted"]
+    # index-known fps: verdicts identical under both settings (the index
+    # tier owns them)
+    for d in on:
+        if d >= 5_000_000 or d < cut:
+            assert (on[d]["admitted"], on[d]["tier"], on[d]["matched_id"]) == (
+                off[d]["admitted"],
+                off[d]["tier"],
+                off[d]["matched_id"],
+            )
+    # everything else (no in-batch copy involved) is untouched
+    for d in on:
+        if d < 3_000_000:
+            assert on[d]["admitted"] == off[d]["admitted"]
+
+
+def test_caps_require_compaction(spark, tmp_path):
+    """Round-9 ADVICE: a hot-key cap with compact_every=None would never
+    be applied (caps run at compaction) — every sink that accepts a cap
+    must hard-error instead of silently returning an uncapped index."""
+    import pytest as _pytest
+
+    from mapreduce_framework_spark.pipeline.codebook import fit_codebook
+    from mapreduce_framework_spark.streaming.ingest import (
+        make_cascade_ingest_batch_fn,
+        make_full_cascade_ingest_batch_fn,
+        make_ingest_batch_fn,
+        make_semantic_ingest_batch_fn,
+    )
+
+    cents = fit_codebook(
+        spark.range(40).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 5).cast("double"),
+                (F.col("id") % 3).cast("double"),
+                F.lit(1.0),
+            ).alias("embedding"),
+        ),
+        k=4,
+        iters=1,
+    ).localCheckpoint(eager=True)
+
+    with _pytest.raises(ValueError, match="compact_every"):
+        make_ingest_batch_fn(
+            spark, str(tmp_path / "i1"), str(tmp_path / "d1"), 0.8,
+            compact_every=None, bands_root=str(tmp_path / "b1"), band_cap=64,
+        )
+    with _pytest.raises(ValueError, match="compact_every"):
+        make_cascade_ingest_batch_fn(
+            spark, str(tmp_path / "f2"), str(tmp_path / "s2"),
+            str(tmp_path / "d2"), 0.8,
+            compact_every=None, sig_bands_root=str(tmp_path / "b2"), band_cap=64,
+        )
+    with _pytest.raises(ValueError, match="compact_every"):
+        make_semantic_ingest_batch_fn(
+            spark, str(tmp_path / "i3"), str(tmp_path / "d3"), cents,
+            compact_every=None, cell_cap=64,
+        )
+    with _pytest.raises(ValueError, match="compact_every"):
+        make_full_cascade_ingest_batch_fn(
+            spark, str(tmp_path / "f4"), str(tmp_path / "s4"),
+            str(tmp_path / "m4"), str(tmp_path / "d4"), cents, 0.8,
+            compact_every=None, cell_cap=64,
+        )

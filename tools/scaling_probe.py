@@ -651,6 +651,7 @@ def probe_cascade(spark, base, batch_n=5000) -> None:
 
     from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
     from mapreduce_framework_spark.streaming.ingest import (
+        delta_dir,
         make_cascade_ingest_batch_fn,
         make_ingest_batch_fn,
     )
@@ -711,7 +712,7 @@ def probe_cascade(spark, base, batch_n=5000) -> None:
             # the quantity that transfers: docs the cascade still had to
             # shingle/minhash (= survivors of the exact tier)
             dec = spark.read.parquet(
-                os.path.join(roots["cascade"], "dec", "delta_v1")
+                delta_dir(os.path.join(roots["cascade"], "dec"), 1)
             )
             survivors = dec.where(
                 F.col("tier").isNull() | (F.col("tier") == "near_dup")
@@ -755,6 +756,7 @@ def probe_full_cascade(spark, sf_dir, batch_n=2000) -> None:
     from mapreduce_framework_spark.pipeline.codebook import fit_codebook
     from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
     from mapreduce_framework_spark.streaming.ingest import (
+        delta_dir,
         make_full_cascade_ingest_batch_fn,
         make_semantic_ingest_batch_fn,
     )
@@ -873,7 +875,7 @@ def probe_full_cascade(spark, sf_dir, batch_n=2000) -> None:
             tb = time.perf_counter()
             fn_sem(b.select(F.col("doc_id").alias("vec_id"), "embedding"), 1)
             tc = time.perf_counter()
-            dec = spark.read.parquet(os.path.join(casc_root, "dec", "delta_v1"))
+            dec = spark.read.parquet(delta_dir(os.path.join(casc_root, "dec"), 1))
             tiers = {
                 r["tier"]: r["n"]
                 for r in dec.groupBy("tier").agg(F.count("*").alias("n")).collect()
@@ -897,7 +899,7 @@ def probe_full_cascade(spark, sf_dir, batch_n=2000) -> None:
             tb = time.perf_counter()
             fn_sem(b.select(F.col("doc_id").alias("vec_id"), "embedding"), 1)
             tc = time.perf_counter()
-            dec = spark.read.parquet(os.path.join(casc_root, "dec", "delta_v1"))
+            dec = spark.read.parquet(delta_dir(os.path.join(casc_root, "dec"), 1))
             rejected = dec.where(
                 F.col("tier").isin("exact", "near_dup")
             ).count()
@@ -1086,6 +1088,248 @@ def probe_hot_bands_xl(spark, n=1_000_000, cap=64, batch_n=500) -> None:
         f"1e6-doc boilerplate cluster, cap={cap}: sig build {t_sig} s (once), "
         f"capped layout build {t_cap} s (once), max key {hot_c}, "
         f"match_batch({batch_n} probes) {t_m} s, {n_rej}/{batch_n} rejected"
+    )
+
+
+def probe_autopilot(spark, sf_dir, batch_n=400, twins_n=80, k=32) -> None:
+    """Round-9 series (VERDICT r8 task 6): the drift AUTOPILOT measured
+    END-TO-END inside a long semantic ingest — refresh_semantic_root_if_needed
+    composing measure -> decide -> act between batches of a real sink,
+    against a SHADOW chain that never refreshes (the counterfactual the
+    round-7 --refit series priced in isolation).
+
+    The sf embeddings are near-uniform on the sphere (measured qerr 0.69
+    under ANY fitted book, saturating at 0.77 under arbitrary shifts — no
+    cluster structure, hence nothing to drift), so this probe uses the
+    synthetic population codebook drift actually happens to: 8 clusters
+    with member noise 0.12 (pairwise member cos ~0.81 — ADMITTED at the
+    0.9 threshold) and planted near-twins of previously-committed vectors
+    (twin noise 0.06, cos ~0.97 — true duplicates the sink must REJECT).
+    Population A = the fitted clusters; population B = 8 different
+    directions (a topic shift). Under the stale book a B vector's cosines
+    to every centroid are small and nearly tied, so the top-SEM_PROBES
+    cell ranking decorrelates between a vector and its near-twin —
+    candidates are missed and twin recall drops; the autopilot's warm
+    refit gives the B clusters cells of their own and recall recovers.
+    Autopilot policy: threshold=1.25, window=3, baseline = median of the
+    first 4 batches (module defaults)."""
+    import numpy as np
+
+    from pyspark.sql import Row
+
+    from mapreduce_framework_spark.pipeline.codebook import fit_codebook
+    from mapreduce_framework_spark.streaming.ingest import (
+        delta_dir,
+        make_semantic_ingest_batch_fn,
+        refresh_semantic_root_if_needed,
+    )
+
+    dim, n_clusters, noise, twin_noise = 16, 8, 0.12, 0.06
+    threshold = 0.9
+    rng = np.random.RandomState(7)
+
+    def directions(n):
+        c = rng.randn(n, dim)
+        return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+    a_centers = directions(n_clusters)
+    b_centers = directions(n_clusters)
+
+    def make_batch(centers, base_id, n):
+        cl = rng.randint(0, n_clusters, n)
+        vecs = centers[cl] + noise * rng.randn(n, dim)
+        return spark.createDataFrame(
+            [
+                Row(vec_id=base_id + j, embedding=[float(x) for x in vecs[j]])
+                for j in range(n)
+            ]
+        )
+
+    def near_twins(committed_rows, base_id):
+        out = []
+        for j, r in enumerate(committed_rows[:twins_n]):
+            v = np.array(r["embedding"]) + twin_noise * rng.randn(dim)
+            out.append(Row(vec_id=base_id + j, embedding=[float(x) for x in v]))
+        return spark.createDataFrame(out) if out else None
+
+    fit = make_batch(a_centers, 90_000_000, 1200)
+    cents = fit_codebook(
+        fit.select("vec_id", "embedding"), k=k, iters=4
+    ).localCheckpoint(eager=True)
+
+    import shutil as _shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="mfs_autopilot_")
+
+    def twin_rejects(dec_root, i):
+        rows = spark.read.parquet(delta_dir(dec_root, i)).where(
+            F.col("vec_id") >= 500_000_000
+        )
+        return rows.where(~F.col("admitted")).count(), rows.count()
+
+    try:
+        # AUTOPILOT chain (refresh between batches when the trend says so)
+        # vs SHADOW chain (same batches, stale book forever)
+        idx_a, dec_a = os.path.join(root, "idx_a"), os.path.join(root, "dec_a")
+        idx_s, dec_s = os.path.join(root, "idx_s"), os.path.join(root, "dec_s")
+        held = cents
+        fn_a = make_semantic_ingest_batch_fn(spark, idx_a, dec_a, held, threshold)
+        fn_s = make_semantic_ingest_batch_fn(spark, idx_s, dec_s, cents, threshold)
+        prev_committed = []
+        print(
+            "| batch | population | sink wall | "
+            f"twin rejects autopilot | twin rejects stale | autopilot |"
+        )
+        print("|---|---|---|---|---|---|")
+        for i in range(9):
+            pop = "A" if i < 4 else "B (drifted)"
+            centers = a_centers if i < 4 else b_centers
+            fresh = make_batch(centers, 1_000_000 * (i + 1), batch_n)
+            twins = near_twins(prev_committed, 500_000_000 + 1_000_000 * i)
+            batch = fresh.unionByName(twins) if twins is not None else fresh
+            batch = batch.localCheckpoint(eager=True)
+            t0 = time.perf_counter()
+            fn_a(batch, i)
+            wall = round(time.perf_counter() - t0, 2)
+            fn_s(batch, i)
+            ra, na = twin_rejects(dec_a, i)
+            rs, ns = twin_rejects(dec_s, i)
+            # twins for the NEXT batch come from vectors BOTH chains
+            # committed (admitted in the autopilot chain; the chains only
+            # diverge on twin verdicts, and those are never twin donors)
+            admitted_ids = {
+                r["vec_id"]
+                for r in spark.read.parquet(delta_dir(dec_a, i))
+                .where(F.col("admitted") & (F.col("vec_id") < 500_000_000))
+                .collect()
+            }
+            prev_committed = [
+                r for r in batch.collect() if r["vec_id"] in admitted_ids
+            ]
+            t0 = time.perf_counter()
+            refreshed = refresh_semantic_root_if_needed(
+                spark, idx_a, held, next_batch=i + 1, threshold=1.25, window=3
+            )
+            ap_wall = round(time.perf_counter() - t0, 3)
+            if refreshed is not None:
+                held = refreshed
+                fn_a = make_semantic_ingest_batch_fn(
+                    spark, idx_a, dec_a, held, threshold
+                )
+                verdict = f"REFIT+SWAP ({ap_wall} s)"
+            else:
+                verdict = f"no-op ({ap_wall} s)"
+            fmt = lambda r, n: f"{r}/{n}" if n else "-"  # noqa: E731
+            print(
+                f"| {i} | {pop} | {wall} s | {fmt(ra, na)} | {fmt(rs, ns)} "
+                f"| {verdict} |"
+            )
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+
+def probe_hot_fp(spark, sizes=(10_000, 100_000, 300_000), batch_n=500) -> None:
+    """Round-9 series: HOT-FINGERPRINT index skew (VERDICT r8 missing item
+    1 — the round-8 band/cell probe shape applied to the EXACT tier). A
+    byte-identical boilerplate cluster of n crawl re-fetches is ONE md5
+    key carrying n index rows, so exact_match_batch ships |batch| x n
+    pairs THROUGH THAT SINGLE KEY (no AQE split can save identical-key
+    rows). The distinct-fp index (cap_fingerprints: min doc_id per fp)
+    bounds every key at ONE row — and unlike the band/cell caps this is
+    DECISION-LOSSLESS: the admission rule's min(id1) IS the retained row.
+    Columns: max fp key population, matched-pair volume, per-batch
+    decision wall (exact_match_batch -> min(id1) per doc), decision
+    parity."""
+    from mapreduce_framework_spark.pipeline.dedup import (
+        exact_fingerprint_index,
+        exact_match_batch,
+    )
+
+    print(
+        "| index docs | hot fp full | hot fp distinct | pairs full | "
+        "pairs distinct | decide full | decide distinct | decisions equal |"
+    )
+    print("|---|---|---|---|---|---|---|---|")
+    for n in sizes:
+        cluster = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.lit("the same boilerplate page body").alias("text"),
+        )
+        normals = spark.range(5_000).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.concat(F.lit("unique page "), F.col("id").cast("string")).alias("text"),
+        )
+        docs = cluster.unionByName(normals)
+        full = exact_fingerprint_index(docs).localCheckpoint(eager=True)
+        dist = exact_fingerprint_index(docs, distinct=True).localCheckpoint(eager=True)
+        hot_f = full.groupBy("fp").count().agg(F.max("count")).collect()[0][0]
+        hot_d = dist.groupBy("fp").count().agg(F.max("count")).collect()[0][0]
+        probes = spark.range(batch_n).select(
+            (F.col("id") + 50_000_000).alias("doc_id"),
+            F.lit("the same boilerplate page body").alias("text"),
+        ).localCheckpoint(eager=True)
+
+        def decide(idx):
+            return (
+                exact_match_batch(idx, probes)
+                .groupBy("id2")
+                .agg(F.min("id1").alias("matched_id"))
+            )
+
+        t_pf, n_pf = timed(exact_match_batch(full, probes))
+        t_pd, n_pd = timed(exact_match_batch(dist, probes))
+        t_df, _ = timed(decide(full))
+        t_dd, _ = timed(decide(dist))
+        eq = {
+            (r["id2"], r["matched_id"]) for r in decide(full).collect()
+        } == {(r["id2"], r["matched_id"]) for r in decide(dist).collect()}
+        print(
+            f"| {n} | {hot_f} | {hot_d} | {n_pf} ({t_pf} s) | {n_pd} ({t_pd} s) "
+            f"| {t_df} s | {t_dd} s | {'yes' if eq else 'NO'} |"
+        )
+
+
+def probe_hot_fp_xl(spark, n=1_000_000, batch_n=500) -> None:
+    """The distinct path at the 10^6-copy cluster itself (the plain path
+    there is 5e8 matched pairs through one key — the main series already
+    shows it growing linearly with the index). Claim under test: with the
+    distinct-fp guard, a batch against a million-copy byte-identical
+    cluster costs O(batch) and every probe still reports the min doc_id."""
+    from mapreduce_framework_spark.pipeline.dedup import (
+        exact_fingerprint_index,
+        exact_match_batch,
+    )
+
+    cluster = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate page body").alias("text"),
+    )
+    normals = spark.range(5_000).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("unique page "), F.col("id").cast("string")).alias("text"),
+    )
+    docs = cluster.unionByName(normals)
+    t0 = time.perf_counter()
+    dist = exact_fingerprint_index(docs, distinct=True).localCheckpoint(eager=True)
+    t_build = round(time.perf_counter() - t0, 2)
+    hot_d = dist.groupBy("fp").count().agg(F.max("count")).collect()[0][0]
+    probes = spark.range(batch_n).select(
+        (F.col("id") + 50_000_000).alias("doc_id"),
+        F.lit("the same boilerplate page body").alias("text"),
+    ).localCheckpoint(eager=True)
+    decide = (
+        exact_match_batch(dist, probes)
+        .groupBy("id2")
+        .agg(F.min("id1").alias("matched_id"))
+    )
+    t_m, n_m = timed(decide)
+    rows = decide.collect()
+    ok = len(rows) == batch_n and all(r["matched_id"] == 0 for r in rows)
+    print(
+        f"1e6-copy byte-identical cluster: distinct-fp build {t_build} s (once), "
+        f"max fp key {hot_d}, decide({batch_n} probes) {t_m} s, "
+        f"{n_m}/{batch_n} rejected, min-id parity {'yes' if ok else 'NO'}"
     )
 
 
@@ -1398,6 +1642,15 @@ def main() -> None:
         return
     if "--hot-bands-xl" in sys.argv:  # round-8: capped path at 1e6 docs
         probe_hot_bands_xl(spark)
+        return
+    if "--autopilot" in sys.argv:  # round-9: drift autopilot end-to-end
+        probe_autopilot(spark, sf_dir)
+        return
+    if "--hot-fp" in sys.argv:  # round-9: exact-tier hot-fp skew series
+        probe_hot_fp(spark)
+        return
+    if "--hot-fp-xl" in sys.argv:  # round-9: distinct-fp at a 1e6 cluster
+        probe_hot_fp_xl(spark)
         return
     if "--hot-cells" in sys.argv:  # round-8: semantic hot-cell twin
         probe_hot_cells(spark)
