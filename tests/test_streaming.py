@@ -3340,3 +3340,66 @@ def test_caps_require_compaction(spark, tmp_path):
             str(tmp_path / "m4"), str(tmp_path / "d4"), cents, 0.8,
             compact_every=None, cell_cap=64,
         )
+
+
+def test_zombie_delta_write_cannot_touch_committed_dirs(spark, sf_dir, tmp_path):
+    """Round-9 ADVICE: the pre-commit epoch check cannot protect the delta
+    WRITE that precedes it — a zombie redelivering a batch id the new
+    owner already committed used to overwrite parquet inside a dir the
+    committed manifest references, corrupting visible data before the
+    check fired. With epoch-suffixed delta names the zombie's write lands
+    in a dir NO committed manifest references: the owner's bytes are
+    untouched for the whole duration, the zombie still errors loudly at
+    its commit, and its orphan is swept by the owner's next publish."""
+    import glob as _glob
+
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.storage import read_index_manifest
+    from mapreduce_framework_spark.streaming.ingest import (
+        delta_dir,
+        make_ingest_batch_fn,
+    )
+
+    batches = _split_docs(spark, sf_dir, 3)
+    idx = str(tmp_path / "index")
+    dec = str(tmp_path / "dec")
+    fn_a = make_ingest_batch_fn(spark, idx, dec, JACCARD_THRESHOLD)  # epoch 1
+    fn_a(batches[0], 0)
+    fn_b = make_ingest_batch_fn(spark, idx, dec, JACCARD_THRESHOLD)  # epoch 2
+    fn_b(batches[1], 1)  # the new owner commits batch 1
+
+    owner_dir = delta_dir(idx, 1)
+    assert owner_dir.endswith("_e2")
+    owner_files = {
+        p: os.path.getmtime(p)
+        for p in _glob.glob(os.path.join(owner_dir, "*.parquet"))
+    }
+    assert owner_files
+
+    # the zombie retries batch 1: the BEFORE-data check already kills it
+    # loudly, with no write at all...
+    with pytest.raises(ValueError, match="fenced"):
+        fn_a(batches[1], 1)
+    assert not [d for d in os.listdir(idx) if d.startswith("delta_v1_e1")]
+    # ...but that check cannot cover a zombie that passed it a moment
+    # BEFORE the takeover and is mid-write when the owner commits — the
+    # ADVICE window. Simulate exactly that interleaving: the stale writer
+    # (epoch 1) materializes its delta under ITS name, delta_v1_e1 —
+    # which, by construction, is a dir NO committed manifest references —
+    # while the owner's committed delta_v1_e2 must stay bit-untouched.
+    from mapreduce_framework_spark.pipeline.dedup import index_signatures
+
+    index_signatures(batches[1]).write.mode("overwrite").parquet(
+        os.path.join(idx, "delta_v1_e1")
+    )
+    assert {
+        p: os.path.getmtime(p)
+        for p in _glob.glob(os.path.join(owner_dir, "*.parquet"))
+    } == owner_files
+    man = read_index_manifest(idx)
+    assert dict(e for e in man["deltas"])[1].endswith("_e2")
+
+    # the owner streams on; its next publish's prune sweeps the orphan
+    fn_b(batches[2], 2)
+    assert not [d for d in os.listdir(idx) if d.startswith("delta_v1_e1")]
+    assert spark.read.parquet(delta_dir(idx, 1)).count() > 0

@@ -318,6 +318,41 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
         assert capped <= plain
         return len(capped)
 
+    def _fp_guard_check():
+        # round-9: the exact tier's hot-fp guard must be decision-lossless
+        # on every variant — distinct index (min doc_id per fp) and full
+        # index yield identical per-doc best exact matches, including the
+        # NULL-text-fingerprints-as-empty policy (two NULL docs collapse)
+        from pyspark.sql import functions as F
+
+        from mapreduce_framework_spark.pipeline.dedup import (
+            cap_fingerprints,
+            exact_fingerprint_index,
+            exact_match_batch,
+        )
+
+        full = exact_fingerprint_index(docs).localCheckpoint(eager=True)
+        dist = exact_fingerprint_index(docs, distinct=True).localCheckpoint(
+            eager=True
+        )
+        assert dist.count() == dist.select("fp").distinct().count()
+        # cap_fingerprints is idempotent (compaction re-application safety)
+        again = {tuple(r) for r in cap_fingerprints(dist).collect()}
+        assert again == {tuple(r) for r in dist.collect()}
+        probes = docs.select((F.col("doc_id") + 77_000_000).alias("doc_id"), "text")
+
+        def best(idx):
+            return {
+                (r["id2"], r["m"])
+                for r in exact_match_batch(idx, probes)
+                .groupBy("id2")
+                .agg(F.min("id1").alias("m"))
+                .collect()
+            }
+
+        assert best(full) == best(dist)
+        return dist.count()
+
     def _streaming_fold_check():
         from mapreduce_framework_spark.deploy import ensure_package_on_executors
         from mapreduce_framework_spark.operators.kv import (
@@ -387,6 +422,8 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
         # every variant (empty frames cap to empty; capped ⊆ plain)
         ("lib_cap_banded", _cap_banded_check),
         ("lib_cap_cells", _cap_cells_check),
+        # round-9: the exact tier's decision-lossless hot-fp guard
+        ("lib_fp_distinct_guard", _fp_guard_check),
         # round-8: the bounded-memory interpreted fold must equal the JVM
         # fold on every variant (incl. NULLed event columns) — the
         # differential that guards the q28 builder swap scheduled for the
