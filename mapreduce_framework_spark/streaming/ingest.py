@@ -1144,6 +1144,8 @@ def make_full_cascade_ingest_batch_fn(
     cell_cap: int | None = None,
     fp_distinct: bool = True,
     intra_batch_exact: bool = False,
+    benchmark_span_index: DataFrame | None = None,
+    cont_threshold: float = 0.05,
 ):
     """The COMPLETE admission cascade the two-tier sink's docstring names
     as the real pretraining shape: exact → near-dup → SEMANTIC. Batches
@@ -1191,7 +1193,27 @@ def make_full_cascade_ingest_batch_fn(
     guard and the opt-in within-batch byte-identical pre-dedup — exactly
     as documented on make_cascade_ingest_batch_fn (fp_distinct is
     decision-lossless by the min(id1) rule; intra_batch_exact runs after
-    the index tier and is stricter by design)."""
+    the index tier and is stricter by design).
+
+    ``benchmark_span_index`` (round 9, library-first): the opt-in
+    DECONTAMINATION tier — the streaming counterpart of q105's batch
+    span-trim stage. A persisted ``span_dedup.span_index`` artifact of
+    the benchmark/eval corpus (built once per benchmark release, exactly
+    like ``centroids`` — a static frame, no delta lifecycle) is
+    span-checked against the docs every DEDUP tier admitted: a doc whose
+    contaminated-token fraction (span_dedup.span_contamination) reaches
+    ``cont_threshold`` is rejected with tier 'contaminated' and
+    score = cont_frac; its matched_id is -1 — uniquely for this tier the
+    reject has no corpus counterpart (the hit is benchmark-side), which
+    the decisions schema states here once. Runs LAST (contamination is
+    orthogonal to dedup; a contaminated re-fetch is cheaper to reject as
+    a dup) and only over full survivors, so its per-batch cost is one
+    batch-side tokenize/shingle + a semi-join against the (distinct,
+    usually broadcastable) span-hash column — O(batch). Rejected docs
+    are NOT indexed by any tier, exactly like dup rejects; admission
+    REJECTS rather than trims (the trim form stays the batch-side
+    deliverable, sampling.training_corpus). None (default) keeps the
+    cascade exactly three-tier."""
     from pyspark.sql.window import Window
 
     from mapreduce_framework_spark.pipeline.codebook import codebook_fingerprint
@@ -1320,6 +1342,22 @@ def make_full_cascade_ingest_batch_fn(
             )
             admitted = survivors2.join(sem_best, "doc_id", "left_anti")
 
+        cont_best = None
+        if benchmark_span_index is not None:
+            from mapreduce_framework_spark.pipeline.span_dedup import (
+                span_contamination,
+            )
+
+            cont_best = (
+                span_contamination(
+                    benchmark_span_index, admitted.select("doc_id", "text")
+                )
+                .where(F.col("cont_frac") >= cont_threshold)
+                .select("doc_id", F.col("cont_frac").alias("ct_frac"))
+                .localCheckpoint(eager=True)
+            )
+            admitted = admitted.join(cont_best, "doc_id", "left_anti")
+
         decisions = batch.select("doc_id")
         if exact_best is not None:
             decisions = decisions.join(exact_best, "doc_id", "left")
@@ -1341,8 +1379,14 @@ def make_full_cascade_ingest_batch_fn(
             decisions = decisions.withColumn(
                 "sm_id", F.lit(None).cast("long")
             ).withColumn("sm_cos", F.lit(None).cast("double"))
+        if cont_best is not None:
+            decisions = decisions.join(cont_best, "doc_id", "left")
+        else:
+            decisions = decisions.withColumn(
+                "ct_frac", F.lit(None).cast("double")
+            )
         # ex_id / ib_id are mutually exclusive (intra-batch dedup runs on
-        # the index tier's survivors)
+        # the index tier's survivors); ct_frac only on full survivors
         ex_any = F.col("ex_id").isNotNull() | F.col("ib_id").isNotNull()
         decisions = decisions.select(
             "doc_id",
@@ -1350,17 +1394,20 @@ def make_full_cascade_ingest_batch_fn(
                 ~ex_any
                 & F.col("nd_id").isNull()
                 & F.col("sm_id").isNull()
+                & F.col("ct_frac").isNull()
             ).alias("admitted"),
             F.coalesce("ex_id", "ib_id", "nd_id", "sm_id", F.lit(-1))
             .cast("long")
             .alias("matched_id"),
             F.when(ex_any, F.lit(1.0))
             .when(F.col("nd_id").isNotNull(), F.col("nd_jaccard"))
-            .otherwise(F.coalesce("sm_cos", F.lit(0.0)))
+            .when(F.col("sm_id").isNotNull(), F.col("sm_cos"))
+            .otherwise(F.coalesce("ct_frac", F.lit(0.0)))
             .alias("score"),
             F.when(ex_any, F.lit("exact"))
             .when(F.col("nd_id").isNotNull(), F.lit("near_dup"))
             .when(F.col("sm_id").isNotNull(), F.lit("semantic"))
+            .when(F.col("ct_frac").isNotNull(), F.lit("contaminated"))
             .alias("tier"),
         )
         _publish_delta(
@@ -1425,6 +1472,8 @@ def run_full_cascade_ingest_stream(
     cell_cap: int | None = None,
     fp_distinct: bool = True,
     intra_batch_exact: bool = False,
+    benchmark_span_index: DataFrame | None = None,
+    cont_threshold: float = 0.05,
 ) -> DataFrame:
     """Drive a ``(doc_id, text, embedding)`` stream through the
     three-tier admission sink; returns the union of all per-batch
@@ -1433,7 +1482,8 @@ def run_full_cascade_ingest_stream(
     ``band_cap``/``cell_cap`` are the hot-key skew guards (re-applied at
     every compaction of the bands / semantic roots);
     ``fp_distinct``/``intra_batch_exact`` are the exact tier's hot-fp
-    guard and within-batch pre-dedup (make_cascade_ingest_batch_fn)."""
+    guard and within-batch pre-dedup; ``benchmark_span_index`` adds the
+    opt-in decontamination tier (all on make_full_cascade_ingest_batch_fn)."""
     q = (
         docs_stream.writeStream.foreachBatch(
             make_full_cascade_ingest_batch_fn(
@@ -1452,6 +1502,8 @@ def run_full_cascade_ingest_stream(
                 cell_cap,
                 fp_distinct,
                 intra_batch_exact,
+                benchmark_span_index,
+                cont_threshold,
             )
         )
         .option("checkpointLocation", checkpoint)
@@ -1484,7 +1536,7 @@ def admission_report_frame(decisions: DataFrame) -> DataFrame:
     'rejected'.
 
     Scale shape: aggregation-only — one partial-agg shuffle keyed by the
-    (≤4-value) tier column over a column-pruned scan of the log, then a
+    (≤5-value) tier column over a column-pruned scan of the log, then a
     single-partition window over the ≤4 grouped rows for the shares.
     No joins, no Python. Plan gate:
     tests/test_streaming.py::test_admission_report_plan.

@@ -3403,3 +3403,117 @@ def test_zombie_delta_write_cannot_touch_committed_dirs(spark, sf_dir, tmp_path)
     fn_b(batches[2], 2)
     assert not [d for d in os.listdir(idx) if d.startswith("delta_v1_e1")]
     assert spark.read.parquet(delta_dir(idx, 1)).count() > 0
+
+
+def test_decontamination_tier(spark, tmp_path):
+    """Round-9 library-first: the opt-in DECONTAMINATION tier of the full
+    cascade — the streaming counterpart of q105's batch span-trim stage.
+    Admitted-by-all-dedup-tiers docs whose contaminated-token fraction
+    against a persisted benchmark span_index reaches the threshold are
+    rejected (tier 'contaminated', score = the library cont_frac,
+    matched_id = -1 — benchmark-side hit, no corpus counterpart) and are
+    NOT indexed; sub-threshold hits and clean docs admit; every other
+    doc's verdict is byte-identical to the three-tier run."""
+    from mapreduce_framework_spark.pipeline.codebook import fit_codebook
+    from mapreduce_framework_spark.pipeline.span_dedup import (
+        span_contamination,
+        span_index,
+    )
+    from mapreduce_framework_spark.streaming.ingest import (
+        _index_so_far,
+        admission_report,
+        make_full_cascade_ingest_batch_fn,
+    )
+
+    alpha = lambda i: chr(97 + (i // 26) % 26) + chr(97 + i % 26)  # noqa: E731
+
+    def words(prefix, n, start=0):
+        return " ".join(f"{prefix}{alpha(start + j)}" for j in range(n))
+
+    # pure-alpha tokens only: the family tokenizer splits on non-letter
+    # runs, so a digit inside a token would double the token count
+    bench = spark.createDataFrame(
+        [(100 + b, words("bm" + alpha(b), 30)) for b in range(3)],
+        "doc_id long, text string",
+    )
+    bench_idx = span_index(bench).localCheckpoint(eager=True)
+
+    # batch 0: clean seed docs. batch 1: clean fresh docs + a GROSSLY
+    # contaminated plant (12 benchmark tokens inside 27) + a SUB-THRESHOLD
+    # plant (10 benchmark tokens inside 310 -> frac ~0.032 < 0.05)
+    b0 = spark.createDataFrame(
+        [(i, words(f"s{i}", 25), None) for i in range(4)],
+        "doc_id long, text string, embedding array<float>",
+    )
+    bm0 = words("bm" + alpha(0), 30).split()
+    gross = words("fil", 15) + " " + " ".join(bm0[:12])
+    subth = words("big", 300) + " " + " ".join(bm0[:10])
+    b1 = spark.createDataFrame(
+        [
+            (10, words("t10", 25), None),
+            (11, gross, None),
+            (12, subth, None),
+        ],
+        "doc_id long, text string, embedding array<float>",
+    )
+    cents = fit_codebook(
+        spark.range(30).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 3).cast("double"),
+                (F.col("id") % 5).cast("double"),
+                F.lit(1.0),
+            ).alias("embedding"),
+        ),
+        k=4,
+        iters=1,
+    ).localCheckpoint(eager=True)
+
+    def run(tag, **kw):
+        fn = make_full_cascade_ingest_batch_fn(
+            spark,
+            str(tmp_path / tag / "fp"),
+            str(tmp_path / tag / "sig"),
+            str(tmp_path / tag / "sem"),
+            str(tmp_path / tag / "dec"),
+            cents,
+            threshold=0.8,
+            **kw,
+        )
+        for i, b in enumerate([b0, b1]):
+            fn(b, i)
+        return _decisions(spark, str(tmp_path / tag / "dec"))
+
+    plain = run("ct_off")
+    decon = run("ct_on", benchmark_span_index=bench_idx, cont_threshold=0.05)
+    assert set(decon) == set(plain)
+
+    want_frac = {
+        r["doc_id"]: r["cont_frac"]
+        for r in span_contamination(bench_idx, b1.select("doc_id", "text")).collect()
+    }
+    r = decon[11]
+    assert not r["admitted"] and r["tier"] == "contaminated"
+    assert r["matched_id"] == -1 and r["score"] == want_frac[11] >= 0.05
+    # sub-threshold hit and clean docs admit; all other verdicts identical
+    assert 0 < want_frac[12] < 0.05
+    for d in decon:
+        if d != 11:
+            assert (
+                decon[d]["admitted"],
+                decon[d]["tier"],
+                decon[d]["matched_id"],
+            ) == (plain[d]["admitted"], plain[d]["tier"], plain[d]["matched_id"])
+    assert decon[12]["admitted"] and decon[10]["admitted"]
+
+    # the contaminated doc is indexed NOWHERE (dup rejects' rule applies)
+    for root in ("fp", "sig"):
+        idx = _index_so_far(spark, str(tmp_path / "ct_on" / root))
+        assert idx.where(F.col("doc_id") == 11).count() == 0
+    # and the ops rollup surfaces the new outcome unchanged
+    rep = {
+        r["outcome"]: r
+        for r in admission_report(spark, str(tmp_path / "ct_on" / "dec")).collect()
+    }
+    assert rep["contaminated"]["n_docs"] == 1
+    assert rep["contaminated"]["min_score"] == want_frac[11]
