@@ -249,6 +249,12 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
         cb = fit_codebook(embs, k=8, iters=1)
         root = tempfile.mkdtemp(prefix="mfs_sweep_fullcasc_")
         try:
+            # round-9: drive the FOUR-tier form on every variant — the
+            # decontamination tier must honor the family NULL/empty
+            # policies too (NULL text -> n_tokens 0 -> cont_frac 0.0,
+            # never a crash; an empty benchmark index is a no-op tier)
+            from mapreduce_framework_spark.pipeline.span_dedup import span_index
+
             fn = make_full_cascade_ingest_batch_fn(
                 spark,
                 os.path.join(root, "fp"),
@@ -257,6 +263,7 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
                 os.path.join(root, "dec"),
                 cb,
                 JACCARD_THRESHOLD,
+                benchmark_span_index=span_index(docs.limit(5)),
             )
             fn(de, 0)
             # id-shifted copy: every doc byte-collapses in the exact tier
@@ -277,7 +284,7 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
             from mapreduce_framework_spark.streaming.ingest import admission_report
 
             n_outcomes = admission_report(spark, os.path.join(root, "dec")).count()
-            assert 1 <= n_outcomes <= 4
+            assert 1 <= n_outcomes <= 5
             return (
                 spark.read.option("recursiveFileLookup", "true")
                 .parquet(os.path.join(root, "dec"))
