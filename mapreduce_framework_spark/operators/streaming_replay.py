@@ -881,3 +881,306 @@ def q83_streaming_kv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(staging, ignore_errors=True)  # memory sink holds the rows
     return out.orderBy("key")
+
+
+# --- q107 (round-9 LIBRARY-FIRST; the ranked r10 registration candidate:
+# q63 is that round's timing-eligible retiree) -------------------------------
+# The DECONTAMINATING admission cascade: q104's replay shape with the
+# round-9 fourth tier on — a benchmark split (doc_id % 17 == 0, the q105
+# rule) is span-indexed once, the remaining pool streams in two batches,
+# and every tier's decision is hash-checked against a full DuckDB replay
+# (exact + Jaccard + exact-semantic + exact span coverage). NOT registered
+# this round (registry at capacity; the policy requires a same-commit
+# retirement, and no retiree is timing-eligible until r10) — the builder,
+# oracle, and differential run in pytest every sweep so the r10 swap is a
+# one-commit slot change.
+
+_Q107_SPLIT = 17
+_Q107_CONT = 0.05
+
+
+def _q107_oracle() -> str:
+    from mapreduce_framework_spark.pipeline.dedup import (
+        JACCARD_THRESHOLD,
+        SHINGLES_DUCK,
+        TOKS_DUCK,
+    )
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        SEM_PROBES,
+        SEM_STRIDE,
+        SEMDEDUP_COS,
+    )
+    from mapreduce_framework_spark.pipeline.similarity import _E_CTE_DUCK, _dot_duck
+    from mapreduce_framework_spark.pipeline.span_dedup import EXSUB_W, _sliding_duck
+
+    W = EXSUB_W
+    sl = _sliding_duck(W)
+    icos = f"{_dot_duck('i.embedding', 'cents.cent')} / (i.norm * cents.cent_norm)"
+    ncos = f"{_dot_duck('nn.embedding', 'cents.cent')} / (nn.norm * cents.cent_norm)"
+
+    def cont_cte(src: str, tag: str) -> str:
+        """Per-doc contaminated-token fraction of ``src`` vs the benchmark
+        span hashes (bref) — the exact span_contamination arithmetic:
+        distinct covered positions / token count, 0.0 on token-free docs."""
+        return f"""
+    {tag}t AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM {src}),
+    {tag}raw AS (
+      SELECT doc_id, unnest({sl}) AS s,
+             unnest(range(1, len({sl}) + 1)) AS pos
+      FROM {tag}t
+    ),
+    {tag}hits AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos FROM {tag}raw
+      WHERE md5(s) IN (SELECT sh FROM bref)
+    ),
+    {tag}cov AS (
+      SELECT DISTINCT doc_id,
+             CAST(unnest(range(pos, pos + {W})) AS BIGINT) AS tpos
+      FROM {tag}hits
+    ),
+    {tag}cnt AS (SELECT doc_id, count(*) AS nc FROM {tag}cov GROUP BY 1),
+    {tag}frac AS (
+      SELECT t.doc_id,
+             CASE WHEN coalesce(len(toks), 0) > 0
+                  THEN CAST(coalesce(nc, 0) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS frac
+      FROM {tag}t t LEFT JOIN {tag}cnt USING (doc_id)
+    ),
+    {tag}rej AS (SELECT doc_id, frac FROM {tag}frac WHERE frac >= {_Q107_CONT})"""
+
+    return f"""
+    WITH {_E_CTE_DUCK},
+    bench AS (SELECT doc_id, text FROM documents WHERE doc_id % {_Q107_SPLIT} = 0),
+    pool AS (SELECT doc_id, text FROM documents WHERE doc_id % {_Q107_SPLIT} <> 0),
+    cut AS (SELECT (max(doc_id) + 1) // 2 AS c FROM pool),
+    b0 AS (SELECT doc_id, text FROM pool, cut WHERE doc_id < c),
+    up AS (SELECT doc_id, text FROM pool, cut WHERE doc_id >= c),
+    b1 AS (
+      SELECT doc_id, text FROM up
+      UNION ALL
+      SELECT doc_id + 10000000, text FROM b0 WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT doc_id + 30000000, text FROM bench WHERE doc_id % 3 = 0
+    ),
+    bt AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM bench),
+    bref AS (
+      SELECT DISTINCT md5(s) AS sh FROM (SELECT unnest({sl}) AS s FROM bt)
+    ),{cont_cte('b0', 'c0')},
+    i0 AS (SELECT * FROM b0 WHERE doc_id NOT IN (SELECT doc_id FROM c0rej)),
+    ex AS (
+      SELECT b1.doc_id AS id2, min(i0.doc_id) AS ex_id
+      FROM i0 JOIN b1 ON md5(coalesce(i0.text, '')) = md5(coalesce(b1.text, ''))
+      GROUP BY 1
+    ),
+    surv AS (SELECT * FROM b1 WHERE doc_id NOT IN (SELECT id2 FROM ex)),
+    t0 AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM i0),
+    sh0 AS (SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK}) AS s FROM t0),
+    sz0 AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
+    t1 AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM surv),
+    sh1 AS (SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK}) AS s FROM t1),
+    sz1 AS (SELECT doc_id, count(*) AS n FROM sh1 GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id1, p.doc_id AS id2, count(*) AS common
+      FROM sh0 a JOIN sh1 p ON a.s = p.s
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT id1, id2, CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
+      FROM pairs JOIN sz0 x ON pairs.id1 = x.doc_id
+                 JOIN sz1 y ON pairs.id2 = y.doc_id
+      WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {JACCARD_THRESHOLD}
+    ),
+    nb AS (
+      SELECT id2 AS doc_id, id1 AS nd_id, jaccard,
+             row_number() OVER (PARTITION BY id2
+                                ORDER BY jaccard DESC, id1 ASC) AS rn
+      FROM jac
+    ),
+    nd AS (SELECT doc_id, nd_id, jaccard FROM nb WHERE rn = 1),
+    surv2 AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent, norm AS cent_norm
+      FROM e WHERE vec_id % {SEM_STRIDE} = 0
+    ),
+    ie AS (
+      SELECT i0.doc_id, e.embedding, e.norm
+      FROM i0 JOIN e ON i0.doc_id = e.vec_id
+    ),
+    asg_i AS (
+      SELECT doc_id, cent_id FROM (
+        SELECT i.doc_id, cents.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY i.doc_id
+                 ORDER BY {icos} DESC, cents.cent_id) AS r
+        FROM ie i, cents
+      ) WHERE r <= {SEM_PROBES}
+    ),
+    ne AS (
+      SELECT s.doc_id, e.embedding, e.norm
+      FROM surv2 s JOIN e ON s.doc_id = e.vec_id
+    ),
+    asg_n AS (
+      SELECT doc_id, cent_id FROM (
+        SELECT nn.doc_id, cents.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY nn.doc_id
+                 ORDER BY {ncos} DESC, cents.cent_id) AS r
+        FROM ne nn, cents
+      ) WHERE r <= {SEM_PROBES}
+    ),
+    scand AS (
+      SELECT DISTINCT a.doc_id AS index_id, b.doc_id AS new_id
+      FROM asg_i a JOIN asg_n b ON a.cent_id = b.cent_id
+    ),
+    sp AS (
+      SELECT scand.new_id, scand.index_id,
+             {_dot_duck('x.embedding', 'y.embedding')} / (x.norm * y.norm) AS cos
+      FROM scand JOIN ie x ON scand.index_id = x.doc_id
+                 JOIN ne y ON scand.new_id = y.doc_id
+    ),
+    sb AS (
+      SELECT new_id AS doc_id, index_id AS sm_id, cos,
+             row_number() OVER (PARTITION BY new_id
+                                ORDER BY cos DESC, index_id ASC) AS rn
+      FROM sp WHERE cos >= {SEMDEDUP_COS}
+    ),
+    sm AS (SELECT doc_id, sm_id, cos FROM sb WHERE rn = 1),
+    surv3 AS (SELECT * FROM surv2 WHERE doc_id NOT IN (SELECT doc_id FROM sm)),{cont_cte('surv3', 'c1')}
+    SELECT b0.doc_id,
+           (c0rej.doc_id IS NULL) AS admitted,
+           CAST(-1 AS BIGINT) AS matched_id,
+           coalesce(c0rej.frac, 0.0) AS score,
+           CASE WHEN c0rej.doc_id IS NOT NULL THEN 'contaminated' END AS tier
+    FROM b0 LEFT JOIN c0rej ON b0.doc_id = c0rej.doc_id
+    UNION ALL
+    SELECT b1.doc_id,
+           (ex.ex_id IS NULL AND nd.nd_id IS NULL AND sm.sm_id IS NULL
+            AND c1rej.doc_id IS NULL) AS admitted,
+           CAST(coalesce(ex.ex_id, nd.nd_id, sm.sm_id, -1) AS BIGINT)
+             AS matched_id,
+           CASE WHEN ex.ex_id IS NOT NULL THEN 1.0
+                WHEN nd.nd_id IS NOT NULL THEN nd.jaccard
+                WHEN sm.sm_id IS NOT NULL THEN sm.cos
+                ELSE coalesce(c1rej.frac, 0.0) END AS score,
+           CASE WHEN ex.ex_id IS NOT NULL THEN 'exact'
+                WHEN nd.nd_id IS NOT NULL THEN 'near_dup'
+                WHEN sm.sm_id IS NOT NULL THEN 'semantic'
+                WHEN c1rej.doc_id IS NOT NULL THEN 'contaminated' END AS tier
+    FROM b1 LEFT JOIN ex ON b1.doc_id = ex.id2
+            LEFT JOIN nd ON b1.doc_id = nd.doc_id
+            LEFT JOIN sm ON b1.doc_id = sm.doc_id
+            LEFT JOIN c1rej ON b1.doc_id = c1rej.doc_id
+    ORDER BY doc_id
+    """
+
+
+def q107_decontaminating_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q104's replay with the round-9 DECONTAMINATION tier on: the
+    doc_id % 17 == 0 split (the q105 rule) plays the benchmark — its
+    span_index is built once and handed to the four-tier sink — and the
+    remaining pool streams as two batches: the lower-id half seeds
+    (batch-0 docs quoting >= 5% benchmark tokens are 'contaminated' and
+    never indexed), then the upper half PLUS byte-identical re-fetches of
+    every 50th seed doc (ids +10M) and VERBATIM COPIES of every 3rd
+    benchmark doc (ids +30M — the contamination plant; guaranteed
+    cont_frac ~1.0 unless an indexed doc already duplicates it, in which
+    case the cheaper dedup tier correctly fires first). Plants carry NULL
+    embeddings (lexical-only — unembedded docs degrade to the lexical +
+    decon tiers, the sink's stated policy), so the oracle's semantic side
+    is exactly the embeddings-table join. Decisions schema is q104's; the
+    'contaminated' tier reports score = cont_frac and matched_id -1 (the
+    hit is benchmark-side). Degenerate corpora: empty pool returns the
+    empty decisions frame; a corpus with NO usable centroid degrades to
+    the lexical two-tier cascade WITHOUT the decon tier (the 4-tier sink
+    is semantic-sink-shaped) — rows-only territory, never reached at the
+    correctness-gate SF."""
+    import shutil
+    import time
+
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.pipeline.semantic_dedup import stride_centroids
+    from mapreduce_framework_spark.pipeline.span_dedup import span_index
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    embs_tbl = table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    bench = docs.where(F.col("doc_id") % _Q107_SPLIT == 0)
+    pool = docs.where(F.col("doc_id") % _Q107_SPLIT != 0).join(
+        embs_tbl.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        "doc_id",
+        "left",
+    )
+    max_id = pool.agg(F.max("doc_id")).collect()[0][0]
+    if max_id is None:  # empty pool: no batches, no decisions
+        return pool.select(
+            "doc_id",
+            F.lit(True).alias("admitted"),
+            F.lit(-1).cast("long").alias("matched_id"),
+            F.lit(0.0).alias("score"),
+            F.lit(None).cast("string").alias("tier"),
+        )
+    cut = (max_id + 1) // 2
+    b0 = pool.where(F.col("doc_id") < cut)
+    up = pool.where(F.col("doc_id") >= cut)
+    null_emb = F.lit(None).cast(dict(pool.dtypes)["embedding"]).alias("embedding")
+    refetch = b0.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text", null_emb
+    )
+    bcopy = bench.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"), "text", null_emb
+    )
+    b1 = up.unionByName(refetch).unionByName(bcopy)
+    centroids = stride_centroids(embs_tbl)
+    root = os.path.join("/tmp", f"mfs_q107_{uuid.uuid4().hex[:8]}")
+    staging = os.path.join(root, "staging")
+    os.makedirs(staging)
+    try:
+        now = time.time()
+        for i, part in enumerate((b0, b1)):
+            part.coalesce(1).write.parquet(os.path.join(staging, f"b_{i}"))
+            _set_staged_mtime(os.path.join(staging, f"b_{i}"), now - 300 + i * 100)
+        stream = (
+            spark.readStream.schema(b0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(staging, "b_*"))
+        )
+        if not centroids.take(1):
+            from mapreduce_framework_spark.streaming.ingest import (
+                run_cascade_ingest_stream,
+            )
+
+            decisions = run_cascade_ingest_stream(
+                stream,
+                spark,
+                fp_index_root=os.path.join(root, "fp_index"),
+                sig_index_root=os.path.join(root, "sig_index"),
+                decisions_root=os.path.join(root, "decisions"),
+                checkpoint=os.path.join(root, "ckpt"),
+                threshold=JACCARD_THRESHOLD,
+            ).select(
+                "doc_id",
+                "admitted",
+                "matched_id",
+                F.col("jaccard").alias("score"),
+                "tier",
+            )
+        else:
+            from mapreduce_framework_spark.streaming.ingest import (
+                run_full_cascade_ingest_stream,
+            )
+
+            decisions = run_full_cascade_ingest_stream(
+                stream,
+                spark,
+                fp_index_root=os.path.join(root, "fp_index"),
+                sig_index_root=os.path.join(root, "sig_index"),
+                sem_index_root=os.path.join(root, "sem_index"),
+                decisions_root=os.path.join(root, "decisions"),
+                checkpoint=os.path.join(root, "ckpt"),
+                centroids=centroids,
+                threshold=JACCARD_THRESHOLD,
+                benchmark_span_index=span_index(bench).localCheckpoint(eager=True),
+                cont_threshold=_Q107_CONT,
+            )
+        decisions = decisions.localCheckpoint(eager=True)  # survives cleanup
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return decisions.orderBy("doc_id")

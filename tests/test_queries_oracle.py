@@ -99,3 +99,29 @@ def test_retired_q30_matches_oracle(spark, sf_dir):
     )
 
     compare(q30_ngram_jaccard_neardup(spark, sf_dir), _JACCARD_ORACLE, sf_dir)
+
+
+def test_q107_candidate_matches_oracle(spark, sf_dir):
+    """q107_decontaminating_admission is LIBRARY-FIRST (round 9): the
+    four-tier admission cascade (exact → MinHash → semantic →
+    span-decontamination) replayed end-to-end and checked against a full
+    DuckDB oracle — registered-query-grade, but NOT registered: the
+    registry is at capacity and no retiree is timing-eligible until r10
+    (q63 rotates in-window then; registry.py dry-run ranking). This
+    differential makes the r10 registration a one-commit slot change
+    with a proven oracle, the q105/q106 playbook."""
+    from mapreduce_framework_spark.operators.streaming_replay import (
+        _q107_oracle,
+        q107_decontaminating_admission,
+    )
+
+    df = q107_decontaminating_admission(spark, sf_dir)
+    rows = df.collect()
+    # the decon tier actually fired: the +30M verbatim benchmark copies
+    # are rejected, and at least one carries the 'contaminated' tier
+    # (copies whose text an indexed doc duplicates fall to a dedup tier
+    # first, by design)
+    plants = [r for r in rows if r["doc_id"] >= 30_000_000]
+    assert plants and all(not r["admitted"] for r in plants)
+    assert any(r["tier"] == "contaminated" for r in rows)
+    compare(df, _q107_oracle(), sf_dir)
