@@ -1229,6 +1229,74 @@ def probe_autopilot(spark, sf_dir, batch_n=400, twins_n=80, k=32) -> None:
         _shutil.rmtree(root, ignore_errors=True)
 
 
+def probe_decon_tier(spark, sf_dir, batch_n=None) -> None:
+    """Round-9 series: what the opt-in DECONTAMINATION tier costs per
+    batch, and that the cost is FLAT in benchmark size (the tier is a
+    batch-side tokenize/shingle + a semi-join against the distinct span
+    hashes — the benchmark never explodes into the batch). Three
+    full-cascade configurations over the same two sf batches: no decon /
+    small benchmark (every 100th doc) / large benchmark (every 3rd doc)."""
+    import shutil as _shutil
+    import tempfile
+
+    from mapreduce_framework_spark.pipeline.codebook import fit_codebook
+    from mapreduce_framework_spark.pipeline.span_dedup import span_index
+    from mapreduce_framework_spark.streaming.ingest import (
+        make_full_cascade_ingest_batch_fn,
+    )
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    embs = table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    de = docs.join(embs, "doc_id", "left")
+    cut = de.agg(((F.max("doc_id") + 1) / 2).cast("long")).collect()[0][0]
+    b0 = de.where(F.col("doc_id") < cut).localCheckpoint(eager=True)
+    b1 = de.where(F.col("doc_id") >= cut).localCheckpoint(eager=True)
+    cb = fit_codebook(
+        table(spark, "embeddings", sf_dir).where(F.col("vec_id") < cut),
+        k=64,
+        iters=2,
+    ).localCheckpoint(eager=True)
+    configs = [
+        ("no decon", None),
+        ("bench = every 100th doc", docs.where(F.col("doc_id") % 100 == 0)),
+        ("bench = every 3rd doc", docs.where(F.col("doc_id") % 3 == 0)),
+    ]
+    print("| config | bench spans | seed batch | match batch |")
+    print("|---|---|---|---|")
+    for label, bench in configs:
+        idx = (
+            span_index(bench).localCheckpoint(eager=True)
+            if bench is not None
+            else None
+        )
+        n_spans = idx.count() if idx is not None else 0
+        root = tempfile.mkdtemp(prefix="mfs_decon_probe_")
+        try:
+            fn = make_full_cascade_ingest_batch_fn(
+                spark,
+                os.path.join(root, "fp"),
+                os.path.join(root, "sig"),
+                os.path.join(root, "sem"),
+                os.path.join(root, "dec"),
+                cb,
+                threshold=0.8,
+                benchmark_span_index=idx,
+            )
+            t0 = time.perf_counter()
+            fn(b0, 0)
+            t1 = time.perf_counter()
+            fn(b1, 1)
+            t2 = time.perf_counter()
+            print(
+                f"| {label} | {n_spans} | {round(t1 - t0, 2)} s | "
+                f"{round(t2 - t1, 2)} s |"
+            )
+        finally:
+            _shutil.rmtree(root, ignore_errors=True)
+
+
 def probe_hot_fp(spark, sizes=(10_000, 100_000, 300_000), batch_n=500) -> None:
     """Round-9 series: HOT-FINGERPRINT index skew (VERDICT r8 missing item
     1 — the round-8 band/cell probe shape applied to the EXACT tier). A
@@ -1645,6 +1713,9 @@ def main() -> None:
         return
     if "--autopilot" in sys.argv:  # round-9: drift autopilot end-to-end
         probe_autopilot(spark, sf_dir)
+        return
+    if "--decon-tier" in sys.argv:  # round-9: decon tier per-batch cost
+        probe_decon_tier(spark, sf_dir)
         return
     if "--hot-fp" in sys.argv:  # round-9: exact-tier hot-fp skew series
         probe_hot_fp(spark)
