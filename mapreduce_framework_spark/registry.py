@@ -129,6 +129,15 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 #   the newcomer in the same commit, and place the newcomer in the
 #   in-window half of CURATED_ORDER (new-this-round rule).
 #
+# ROUND-10 HANDOFF: the timing-eligible retiree next round is q63 (q47,
+# though ranked higher, sits in the r9 window and so is behind-window in
+# r10 — eligible r11). The newcomer is already staged oracle-in-waiting:
+# operators/streaming_replay.py:q107_decontaminating_admission (the
+# four-tier decontaminating cascade; full DuckDB oracle matching at
+# sf0.001 AND sf0.01 via
+# tests/test_queries_oracle.py::test_q107_candidate_matches_oracle) —
+# the q105/q106 first-driver-check-hash-green playbook.
+#
 # The curated order below puts, inside the window: (a) every query new
 # or changed this round, (b) every query whose last driver row is a full
 # round old (rotation). Long-stable queries rotate behind position 50
