@@ -82,7 +82,14 @@ def kv_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fold_sql(where: str = "") -> str:
     """Final state per key: value of last put ('' if none) ⧺ all appends
-    after it, in linearization order (src/models/kv.go:40-54)."""
+    after it, in linearization order (src/models/kv.go:40-54).
+
+    NULL-KEY POLICY (round 10): a NULL key is a group like any other —
+    Spark's groupBy and the streaming fold both keep it, so the oracle's
+    w↔lp self-join is null-safe (IS NOT DISTINCT FROM), not an equi-join
+    that would silently drop the NULL group. Reachable only when a
+    source user_id is NULL (the derived key is NULL then); covered by
+    the dirty-data sweep's user_id null plan."""
     return f"""
     WITH ops AS ({KV_OPS_SQL}),
     w AS (
@@ -98,7 +105,7 @@ def _fold_sql(where: str = "") -> str:
            COALESCE(string_agg(value, '' ORDER BY ord)
                     FILTER (WHERE (op = 'put' AND ord = lp.last_put)
                                OR (op = 'append' AND ord > lp.last_put)), '') AS value
-    FROM w JOIN lp ON w.key = lp.key
+    FROM w JOIN lp ON w.key IS NOT DISTINCT FROM lp.key
     GROUP BY w.key ORDER BY w.key
     """
 
@@ -216,24 +223,30 @@ def fold_kv_history_streaming(ops: DataFrame) -> DataFrame:
     (registry.py retirement notes)."""
 
     def fold_partitions(batches):
+        # NULL-KEY POLICY (round-10 ADVICE): a NULL key is a group like any
+        # other — the boundary test is an explicit `started` flag, not a
+        # `cur = None` sentinel (which would make the first NULL-key row
+        # compare equal to "no group yet" and silently drop the group's
+        # emit). The SQL oracle's GROUP BY keeps the NULL group; so do we.
+        started = False
         cur = None
         state = ""
         for pdf in batches:
             out_keys: list = []
             out_vals: list = []
             for k, op, v in zip(pdf["key"], pdf["op"], pdf["value"]):
-                if k != cur:
-                    if cur is not None:
+                if not started or k != cur:
+                    if started:
                         out_keys.append(cur)
                         out_vals.append(state)
-                    cur, state = k, ""
+                    started, cur, state = True, k, ""
                 if op == "put":
                     state = v
                 elif op == "append":
                     state = state + v
             if out_keys:
                 yield pd.DataFrame({"key": out_keys, "value": out_vals})
-        if cur is not None:
+        if started:
             yield pd.DataFrame({"key": [cur], "value": [state]})
 
     return (

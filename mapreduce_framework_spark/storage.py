@@ -222,7 +222,16 @@ class ManifestPreconditionFailed(Exception):
     """A backend's conditional commit failed: the committed manifest's
     epoch (ETag / generation, on object storage) no longer matches what
     the writer presented. commit_manifest maps this to the standard
-    fenced ValueError."""
+    fenced error (WriterFenced)."""
+
+
+class WriterFenced(ValueError):
+    """The standard fenced error every losing writer sees (round-10
+    ADVICE: a dedicated subclass, so CAS retry loops can catch exactly
+    the fencing outcome instead of a bare ValueError that would swallow
+    a custom backend's unrelated errors). Subclasses ValueError so every
+    existing `except ValueError` / pytest.raises(ValueError) caller
+    keeps working."""
 
 
 class PosixManifestBackend:
@@ -311,11 +320,11 @@ def commit_manifest(path: str, manifest: dict, expected_epoch: int | None = None
     ``expected_epoch`` None = unconditional (callers that own the root by
     construction); an int = the writer's fencing token, enforced by the
     backend at the commit itself. A failed precondition surfaces as the
-    standard fenced ValueError with nothing committed."""
+    standard fenced error (WriterFenced) with nothing committed."""
     try:
         _MANIFEST_BACKEND.commit(path, manifest, expected_epoch)
     except ManifestPreconditionFailed as ex:
-        raise ValueError(
+        raise WriterFenced(
             f"writer fenced: manifest {path} was committed by another owner "
             f"({ex}) — another sink acquired the root after this one (two "
             "streams pointed at one root, or a zombie retry of a replaced "
@@ -372,7 +381,7 @@ def check_index_epoch(index_root: str, epoch: int) -> None:
     man = read_index_manifest(index_root)
     cur = None if man is None else man.get("epoch")
     if cur != epoch:
-        raise ValueError(
+        raise WriterFenced(
             f"writer fenced: index root {index_root} is owned by epoch "
             f"{cur!r} but this writer holds epoch {epoch} — another sink "
             "acquired the root after this one (two streams pointed at one "

@@ -122,7 +122,10 @@ def _acquire_state_root(state_root: str, takeover: bool = True) -> int:
     both commit N+1), same object-storage conditional-PUT mapping
     through the storage.py commit seam."""
     path = os.path.join(state_root, STATE_MANIFEST)
-    from mapreduce_framework_spark.storage import ManifestPreconditionFailed
+    from mapreduce_framework_spark.storage import (
+        ManifestPreconditionFailed,
+        WriterFenced,
+    )
 
     with manifest_lock(path):
         for _ in range(16):
@@ -137,9 +140,11 @@ def _acquire_state_root(state_root: str, takeover: bool = True) -> int:
             man["epoch"] = prev + 1
             try:
                 commit_manifest(path, man, expected_epoch=prev)
-            except ValueError:
-                continue  # lost the CAS to a concurrent acquirer: re-read
-            except ManifestPreconditionFailed:
+            except (WriterFenced, ManifestPreconditionFailed):
+                # lost the CAS to a concurrent acquirer: re-read. ONLY the
+                # fencing outcomes retry (round-10 ADVICE) — a custom
+                # backend's unrelated ValueError propagates to the caller
+                # instead of being swallowed 16 times.
                 continue
             return man["epoch"]
     raise RuntimeError(
@@ -148,10 +153,12 @@ def _acquire_state_root(state_root: str, takeover: bool = True) -> int:
 
 
 def _check_state_epoch(state_root: str, epoch: int) -> None:
+    from mapreduce_framework_spark.storage import WriterFenced
+
     man = read_manifest_doc(os.path.join(state_root, STATE_MANIFEST))
     cur = None if man is None else man.get("epoch")
     if cur != epoch:
-        raise ValueError(
+        raise WriterFenced(
             f"writer fenced: state root {state_root} is owned by epoch "
             f"{cur!r} but this writer holds epoch {epoch} — another merge "
             "sink acquired the root after this one. Nothing was committed "

@@ -173,3 +173,112 @@ def test_streaming_fold_carries_state_across_arrow_batches(spark_global):
     assert got["hot"] == "S" + "".join(str(i % 10) for i in range(n))
     assert got["cold1"] == "a" and got["cold2"] == "bb"
     assert set(got) == {"hot", "cold1", "cold2"}
+
+
+def test_streaming_fold_keeps_null_key_group(spark_global):
+    """NULL-KEY POLICY (round-10 ADVICE): a NULL key is a group like any
+    other. The old `cur = None` sentinel made the first NULL-key row
+    compare equal to "no group yet", so a NULL group that sorted FIRST in
+    a partition (Spark sorts NULLs first ascending) was folded but never
+    emitted. All three engines — the JVM array fold, the applyInPandas
+    twin, and the bounded-memory streaming fold — must keep it, and the
+    streaming fold must emit it even when the NULL history spans multiple
+    Arrow batches."""
+    import datetime as dt2
+
+    from mapreduce_framework_spark.deploy import ensure_package_on_executors
+    from mapreduce_framework_spark.operators.kv import fold_kv_history_streaming
+
+    ensure_package_on_executors(spark_global)
+    ops = [(None, "put", "N"), (None, "append", "1"), (None, "append", "2")]
+    ops += [("a", "put", "A"), ("b", "append", "B")]
+    ops += [(None, "append", "3")]
+    rows = [
+        (
+            dt2.datetime(2024, 1, 1) + dt2.timedelta(seconds=i),
+            i,
+            key,
+            op,
+            value,
+        )
+        for i, (key, op, value) in enumerate(ops)
+    ]
+    df = spark_global.createDataFrame(
+        rows, schema="ts timestamp, event_id long, key string, op string, value string"
+    )
+    want = {None: "N123", "a": "A", "b": "B"}
+    got_jvm = {r["key"]: r["value"] for r in _fold_spark(df).collect()}
+    assert got_jvm == want
+    got_stream = {
+        r["key"]: r["value"] for r in fold_kv_history_streaming(df).collect()
+    }
+    assert got_stream == want
+    # the cliff shape too: NULL group spanning Arrow batches
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark_global.conf.get(conf)
+    many = [(None, "put", "S")] + [(None, "append", str(i % 10)) for i in range(300)]
+    many += [("z", "put", "Z")]
+    rows2 = [
+        (
+            dt2.datetime(2024, 1, 1) + dt2.timedelta(seconds=i),
+            i,
+            key,
+            op,
+            value,
+        )
+        for i, (key, op, value) in enumerate(many)
+    ]
+    df2 = spark_global.createDataFrame(
+        rows2, schema="ts timestamp, event_id long, key string, op string, value string"
+    )
+    try:
+        spark_global.conf.set(conf, "64")
+        got2 = {
+            r["key"]: r["value"] for r in fold_kv_history_streaming(df2).collect()
+        }
+    finally:
+        spark_global.conf.set(conf, old)
+    assert got2 == {
+        None: "S" + "".join(str(i % 10) for i in range(300)),
+        "z": "Z",
+    }
+
+
+def test_fold_sql_oracle_keeps_null_key_group(spark_global):
+    """The q06/q28/q83 oracle's w↔lp self-join is null-safe (IS NOT
+    DISTINCT FROM) so DuckDB keeps the NULL-key group exactly as Spark's
+    groupBy does — proven by running the oracle's fold CTE shape over an
+    op log with a NULL key and comparing to the Spark fold."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        """
+        CREATE TABLE ops_null (ts TIMESTAMP, event_id BIGINT, key VARCHAR,
+                               op VARCHAR, value VARCHAR);
+        INSERT INTO ops_null VALUES
+          ('2024-01-01 00:00:00', 0, NULL, 'put', 'N'),
+          ('2024-01-01 00:00:01', 1, NULL, 'append', '1'),
+          ('2024-01-01 00:00:02', 2, 'a', 'put', 'A'),
+          ('2024-01-01 00:00:03', 3, NULL, 'append', '2');
+        """
+    )
+    sql = """
+    WITH w AS (
+      SELECT key, op, value,
+             ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts, event_id) AS ord
+      FROM ops_null WHERE op <> 'get'
+    ),
+    lp AS (
+      SELECT key, MAX(CASE WHEN op = 'put' THEN ord ELSE 0 END) AS last_put
+      FROM w GROUP BY key
+    )
+    SELECT w.key,
+           COALESCE(string_agg(value, '' ORDER BY ord)
+                    FILTER (WHERE (op = 'put' AND ord = lp.last_put)
+                               OR (op = 'append' AND ord > lp.last_put)), '') AS value
+    FROM w JOIN lp ON w.key IS NOT DISTINCT FROM lp.key
+    GROUP BY w.key ORDER BY w.key
+    """
+    got = {k: v for k, v in con.execute(sql).fetchall()}
+    assert got == {None: "N12", "a": "A"}

@@ -142,3 +142,76 @@ def test_concurrent_acquisition_yields_distinct_epochs(tmp_path):
         if e != final:
             with _pytest.raises(ValueError, match="fenced"):
                 check_index_epoch(root, e)
+
+
+def test_state_acquisition_propagates_non_fencing_backend_errors(tmp_path):
+    """Round-10 ADVICE: _acquire_state_root's CAS retry must catch exactly
+    the fencing outcomes (WriterFenced / ManifestPreconditionFailed) — a
+    custom backend's UNRELATED ValueError must propagate on first raise
+    instead of being swallowed 16 times and resurfacing as the opaque
+    'lost the epoch CAS 16 times' RuntimeError."""
+    import pytest as _pytest
+
+    from mapreduce_framework_spark.storage import (
+        PosixManifestBackend,
+        set_manifest_backend,
+    )
+    from mapreduce_framework_spark.streaming.foreach_batch import (
+        _acquire_state_root,
+    )
+
+    class BrokenBackend(PosixManifestBackend):
+        def __init__(self):
+            self.calls = 0
+
+        def commit(self, path, obj, expected_epoch=None):
+            if expected_epoch is not None:
+                self.calls += 1
+                raise ValueError("backend exploded: quota exceeded")
+            super().commit(path, obj, expected_epoch)
+
+    backend = BrokenBackend()
+    prev = set_manifest_backend(backend)
+    try:
+        with _pytest.raises(ValueError, match="quota exceeded"):
+            _acquire_state_root(str(tmp_path / "state"))
+        assert backend.calls == 1  # first raise, no retry loop
+    finally:
+        set_manifest_backend(prev)
+
+
+def test_state_acquisition_retries_fenced_commits(tmp_path):
+    """The converse: genuine CAS losses (WriterFenced from
+    commit_manifest's mapping, or a backend's raw
+    ManifestPreconditionFailed) DO retry and succeed once the race
+    clears."""
+    from mapreduce_framework_spark.storage import (
+        ManifestPreconditionFailed,
+        PosixManifestBackend,
+        set_manifest_backend,
+    )
+    from mapreduce_framework_spark.streaming.foreach_batch import (
+        _acquire_state_root,
+    )
+
+    class FlakyBackend(PosixManifestBackend):
+        def __init__(self):
+            self.failures_left = 3
+            self.calls = 0
+
+        def commit(self, path, obj, expected_epoch=None):
+            if expected_epoch is not None:
+                self.calls += 1
+                if self.failures_left > 0:
+                    self.failures_left -= 1
+                    raise ManifestPreconditionFailed("lost the race")
+            super().commit(path, obj, expected_epoch)
+
+    backend = FlakyBackend()
+    prev = set_manifest_backend(backend)
+    try:
+        epoch = _acquire_state_root(str(tmp_path / "state"))
+        assert epoch == 1
+        assert backend.calls == 4  # 3 losses + the winning commit
+    finally:
+        set_manifest_backend(prev)

@@ -54,8 +54,9 @@ def build_empty(src: str, dst: str) -> None:
 def build_nulls(src: str, dst: str) -> None:
     """documents: text/lang/source NULL on every 7th row; embeddings:
     embedding NULL on every 9th row; events: event_type NULL on every
-    11th, value on every 13th, ts on every 17th. Other tables
-    unchanged."""
+    11th, value on every 13th, ts on every 17th, user_id on every 19th
+    (round 10 — drives the NULL-key group through the KV/session
+    families). Other tables unchanged."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -63,7 +64,7 @@ def build_nulls(src: str, dst: str) -> None:
     null_plan = {
         "documents": {"text": 7, "lang": 7, "source": 7},
         "embeddings": {"embedding": 9},
-        "events": {"event_type": 11, "value": 13, "ts": 17},
+        "events": {"event_type": 11, "value": 13, "ts": 17, "user_id": 19},
     }
     for t in TABLES:
         tbl = pq.read_table(os.path.join(src, f"{t}.parquet"))
