@@ -259,9 +259,12 @@ def q61_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q63_posexplode",
-    oracle="""
+# RETIRED from the registry in round 10 (registry.py policy item 4; its
+# slot funded q107_decontaminating_admission — q63's positional-explode
+# surface is subsumed by q23's array battery). Builder + oracle stay
+# permanently; dedicated differential:
+# tests/test_queries_oracle.py::test_retired_q63_matches_oracle.
+_Q63_POSEXPLODE_ORACLE = """
     WITH t AS (
       SELECT doc_id,
              list_filter(string_split_regex(text, '[^a-zA-Z]+'), w -> w <> '') AS toks
@@ -275,9 +278,9 @@ def q61_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, CAST(u.pos AS INT) AS pos, u.word AS word
     FROM p ORDER BY doc_id, pos
-    """,
-    tags=("ext", "explode"),
-)
+    """
+
+
 def q63_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional explode (lateral view): token with its 0-based position
     (oracle builds {pos, word} structs and unnests — this DuckDB build has

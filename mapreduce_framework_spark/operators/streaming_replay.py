@@ -883,46 +883,30 @@ def q83_streaming_kv_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("key")
 
 
-# --- q107 (round-9 LIBRARY-FIRST; the ranked r10 registration candidate:
-# q63 is that round's timing-eligible retiree) -------------------------------
+# --- q107 (round-9 LIBRARY-FIRST; REGISTERED round 10 by retiring q63
+# under the registry's retirement policy, in q63's scheduled round) ----------
 # The DECONTAMINATING admission cascade: q104's replay shape with the
 # round-9 fourth tier on — a benchmark split (doc_id % 17 == 0, the q105
 # rule) is span-indexed once, the remaining pool streams in two batches,
 # and every tier's decision is hash-checked against a full DuckDB replay
-# (exact + Jaccard + exact-semantic + exact span coverage). NOT registered
-# this round (registry at capacity; the policy requires a same-commit
-# retirement, and no retiree is timing-eligible until r10) — the builder,
-# oracle, and differential run in pytest every sweep so the r10 swap is a
-# one-commit slot change.
+# (exact + Jaccard + exact-semantic + exact span coverage).
 
 _Q107_SPLIT = 17
 _Q107_CONT = 0.05
 
 
-def _q107_oracle() -> str:
-    from mapreduce_framework_spark.pipeline.dedup import (
-        JACCARD_THRESHOLD,
-        SHINGLES_DUCK,
-        TOKS_DUCK,
-    )
-    from mapreduce_framework_spark.pipeline.semantic_dedup import (
-        SEM_PROBES,
-        SEM_STRIDE,
-        SEMDEDUP_COS,
-    )
-    from mapreduce_framework_spark.pipeline.similarity import _E_CTE_DUCK, _dot_duck
+def _cont_rej_cte(src: str, tag: str) -> str:
+    """Per-doc contaminated-token fraction of ``src`` vs the benchmark
+    span hashes (bref CTE) — the exact span_contamination arithmetic:
+    distinct covered positions / token count, 0.0 on token-free docs.
+    Shared by the q107 oracle and the staged q108 oracle (round 10), so
+    the decon arithmetic can never drift between them."""
+    from mapreduce_framework_spark.pipeline.dedup import TOKS_DUCK
     from mapreduce_framework_spark.pipeline.span_dedup import EXSUB_W, _sliding_duck
 
     W = EXSUB_W
     sl = _sliding_duck(W)
-    icos = f"{_dot_duck('i.embedding', 'cents.cent')} / (i.norm * cents.cent_norm)"
-    ncos = f"{_dot_duck('nn.embedding', 'cents.cent')} / (nn.norm * cents.cent_norm)"
-
-    def cont_cte(src: str, tag: str) -> str:
-        """Per-doc contaminated-token fraction of ``src`` vs the benchmark
-        span hashes (bref) — the exact span_contamination arithmetic:
-        distinct covered positions / token count, 0.0 on token-free docs."""
-        return f"""
+    return f"""
     {tag}t AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM {src}),
     {tag}raw AS (
       SELECT doc_id, unnest({sl}) AS s,
@@ -947,6 +931,26 @@ def _q107_oracle() -> str:
       FROM {tag}t t LEFT JOIN {tag}cnt USING (doc_id)
     ),
     {tag}rej AS (SELECT doc_id, frac FROM {tag}frac WHERE frac >= {_Q107_CONT})"""
+
+
+def _q107_oracle() -> str:
+    from mapreduce_framework_spark.pipeline.dedup import (
+        JACCARD_THRESHOLD,
+        SHINGLES_DUCK,
+        TOKS_DUCK,
+    )
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        SEM_PROBES,
+        SEM_STRIDE,
+        SEMDEDUP_COS,
+    )
+    from mapreduce_framework_spark.pipeline.similarity import _E_CTE_DUCK, _dot_duck
+    from mapreduce_framework_spark.pipeline.span_dedup import EXSUB_W, _sliding_duck
+
+    sl = _sliding_duck(EXSUB_W)  # the bref CTE below hashes the same windows
+    icos = f"{_dot_duck('i.embedding', 'cents.cent')} / (i.norm * cents.cent_norm)"
+    ncos = f"{_dot_duck('nn.embedding', 'cents.cent')} / (nn.norm * cents.cent_norm)"
+    cont_cte = _cont_rej_cte
 
     return f"""
     WITH {_E_CTE_DUCK},
@@ -1015,8 +1019,13 @@ def _q107_oracle() -> str:
       ) WHERE r <= {SEM_PROBES}
     ),
     ne AS (
+      -- s.doc_id < 10000000 makes the builder's NULL-embedding policy for
+      -- the shifted plants (+10M re-fetches, +30M benchmark copies)
+      -- STRUCTURAL: at an SF where vec_id reaches the shifted range, the
+      -- bare equi-join would hand plants embeddings the stream never
+      -- carries (round-10 ADVICE).
       SELECT s.doc_id, e.embedding, e.norm
-      FROM surv2 s JOIN e ON s.doc_id = e.vec_id
+      FROM surv2 s JOIN e ON s.doc_id = e.vec_id AND s.doc_id < 10000000
     ),
     asg_n AS (
       SELECT doc_id, cent_id FROM (
@@ -1072,26 +1081,14 @@ def _q107_oracle() -> str:
     """
 
 
-def q107_decontaminating_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q104's replay with the round-9 DECONTAMINATION tier on: the
-    doc_id % 17 == 0 split (the q105 rule) plays the benchmark — its
-    span_index is built once and handed to the four-tier sink — and the
-    remaining pool streams as two batches: the lower-id half seeds
-    (batch-0 docs quoting >= 5% benchmark tokens are 'contaminated' and
-    never indexed), then the upper half PLUS byte-identical re-fetches of
-    every 50th seed doc (ids +10M) and VERBATIM COPIES of every 3rd
-    benchmark doc (ids +30M — the contamination plant; guaranteed
-    cont_frac ~1.0 unless an indexed doc already duplicates it, in which
-    case the cheaper dedup tier correctly fires first). Plants carry NULL
-    embeddings (lexical-only — unembedded docs degrade to the lexical +
-    decon tiers, the sink's stated policy), so the oracle's semantic side
-    is exactly the embeddings-table join. Decisions schema is q104's; the
-    'contaminated' tier reports score = cont_frac and matched_id -1 (the
-    hit is benchmark-side). Degenerate corpora: empty pool returns the
-    empty decisions frame; a corpus with NO usable centroid degrades to
-    the lexical two-tier cascade WITHOUT the decon tier (the 4-tier sink
-    is semantic-sink-shaped) — rows-only territory, never reached at the
-    correctness-gate SF."""
+def _decon_replay(
+    spark: SparkSession, sf_dir: str, quality_gate: bool = False
+) -> DataFrame:
+    """The decontaminating replay shared by q107 (quality_gate=False) and
+    the staged q108 candidate (quality_gate=True) — one body, so the two
+    contracts can never diverge on the split/plant/stream mechanics (the
+    q104/q106 shared-code pattern). See q107_decontaminating_admission
+    for the full replay semantics."""
     import shutil
     import time
 
@@ -1147,6 +1144,10 @@ def q107_decontaminating_admission(spark: SparkSession, sf_dir: str) -> DataFram
                 run_cascade_ingest_stream,
             )
 
+            # round-10 ADVICE: the decon tier is purely lexical, so the
+            # no-usable-centroid degradation keeps it — builder and oracle
+            # agree on the contamination tiers even on this path (only the
+            # semantic tier drops, mirroring q104's empty-e degradation).
             decisions = run_cascade_ingest_stream(
                 stream,
                 spark,
@@ -1155,6 +1156,9 @@ def q107_decontaminating_admission(spark: SparkSession, sf_dir: str) -> DataFram
                 decisions_root=os.path.join(root, "decisions"),
                 checkpoint=os.path.join(root, "ckpt"),
                 threshold=JACCARD_THRESHOLD,
+                benchmark_span_index=span_index(bench).localCheckpoint(eager=True),
+                cont_threshold=_Q107_CONT,
+                quality_gate=quality_gate,
             ).select(
                 "doc_id",
                 "admitted",
@@ -1179,8 +1183,225 @@ def q107_decontaminating_admission(spark: SparkSession, sf_dir: str) -> DataFram
                 threshold=JACCARD_THRESHOLD,
                 benchmark_span_index=span_index(bench).localCheckpoint(eager=True),
                 cont_threshold=_Q107_CONT,
+                quality_gate=quality_gate,
             )
         decisions = decisions.localCheckpoint(eager=True)  # survives cleanup
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return decisions.orderBy("doc_id")
+
+
+@register(
+    "q107_decontaminating_admission",
+    oracle=_q107_oracle(),
+    tags=("ext", "streaming", "dedup", "decontamination", "replay"),
+)
+def q107_decontaminating_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q104's replay with the round-9 DECONTAMINATION tier on: the
+    doc_id % 17 == 0 split (the q105 rule) plays the benchmark — its
+    span_index is built once and handed to the four-tier sink — and the
+    remaining pool streams as two batches: the lower-id half seeds
+    (batch-0 docs quoting >= 5% benchmark tokens are 'contaminated' and
+    never indexed), then the upper half PLUS byte-identical re-fetches of
+    every 50th seed doc (ids +10M) and VERBATIM COPIES of every 3rd
+    benchmark doc (ids +30M — the contamination plant; guaranteed
+    cont_frac ~1.0 unless an indexed doc already duplicates it, in which
+    case the cheaper dedup tier correctly fires first). Plants carry NULL
+    embeddings (lexical-only — unembedded docs degrade to the lexical +
+    decon tiers, the sink's stated policy), so the oracle's semantic side
+    is exactly the embeddings-table join. Decisions schema is q104's; the
+    'contaminated' tier reports score = cont_frac and matched_id -1 (the
+    hit is benchmark-side). Degenerate corpora: empty pool returns the
+    empty decisions frame; a corpus with NO usable centroid degrades to
+    the lexical two-tier cascade WITH the decon tier still on (round-10
+    ADVICE: the tier is purely lexical, so only the semantic tier drops
+    — builder and oracle stay aligned on that path, mirroring q104's
+    empty-e degradation). Registered round 10 by retiring q63; the
+    replay body is shared with the staged q108 candidate
+    (_decon_replay)."""
+    return _decon_replay(spark, sf_dir, quality_gate=False)
+
+
+# --- q108 (round-10 LIBRARY-FIRST; the ranked r11 registration candidate:
+# q47 is that round's timing-eligible retiree, registry.py ROUND-11
+# HANDOFF) --------------------------------------------------------------------
+# The QUALITY-GATED decontaminating cascade: q107's replay with the
+# round-10 quality tier ON — the FIVE-tier admission shape (quality →
+# exact → MinHash → semantic → span-decontamination), reaching full tier
+# parity with the q105 batch flagship (quality + dedup + decon). The
+# corpus itself supplies the quality rejects (the synthetic docs' dup/
+# top-2-gram distributions straddle the Gopher thresholds by
+# construction, quality.py), so no quality plants are needed; the q107
+# plants keep exercising the other four tiers. NOT registered this round
+# (capacity; the policy requires a same-commit retirement and q47 is
+# behind-window until r11) — builder, oracle, and differential run in
+# pytest every sweep so the r11 swap is a one-commit slot change.
+
+
+def _q108_oracle() -> str:
+    from mapreduce_framework_spark.pipeline.dedup import (
+        JACCARD_THRESHOLD,
+        SHINGLES_DUCK,
+        TOKS_DUCK,
+    )
+    from mapreduce_framework_spark.pipeline.quality import quality_reject_duck
+    from mapreduce_framework_spark.pipeline.semantic_dedup import (
+        SEM_PROBES,
+        SEM_STRIDE,
+        SEMDEDUP_COS,
+    )
+    from mapreduce_framework_spark.pipeline.similarity import _E_CTE_DUCK, _dot_duck
+    from mapreduce_framework_spark.pipeline.span_dedup import EXSUB_W, _sliding_duck
+
+    sl = _sliding_duck(EXSUB_W)
+    icos = f"{_dot_duck('i.embedding', 'cents.cent')} / (i.norm * cents.cent_norm)"
+    ncos = f"{_dot_duck('nn.embedding', 'cents.cent')} / (nn.norm * cents.cent_norm)"
+
+    return f"""
+    WITH {_E_CTE_DUCK},
+    bench AS (SELECT doc_id, text FROM documents WHERE doc_id % {_Q107_SPLIT} = 0),
+    pool AS (SELECT doc_id, text FROM documents WHERE doc_id % {_Q107_SPLIT} <> 0),
+    cut AS (SELECT (max(doc_id) + 1) // 2 AS c FROM pool),
+    b0 AS (SELECT doc_id, text FROM pool, cut WHERE doc_id < c),
+    up AS (SELECT doc_id, text FROM pool, cut WHERE doc_id >= c),
+    b1 AS (
+      SELECT doc_id, text FROM up
+      UNION ALL
+      SELECT doc_id + 10000000, text FROM b0 WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT doc_id + 30000000, text FROM bench WHERE doc_id % 3 = 0
+    ),
+    bt AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM bench),
+    bref AS (
+      SELECT DISTINCT md5(s) AS sh FROM (SELECT unnest({sl}) AS s FROM bt)
+    ),{quality_reject_duck('b0', 'qz')},
+    l0 AS (SELECT * FROM b0 WHERE doc_id NOT IN (SELECT doc_id FROM qzrej)),{_cont_rej_cte('l0', 'c0')},
+    i0 AS (SELECT * FROM l0 WHERE doc_id NOT IN (SELECT doc_id FROM c0rej)),{quality_reject_duck('b1', 'qo')},
+    l1 AS (SELECT * FROM b1 WHERE doc_id NOT IN (SELECT doc_id FROM qorej)),
+    ex AS (
+      SELECT l1.doc_id AS id2, min(i0.doc_id) AS ex_id
+      FROM i0 JOIN l1 ON md5(coalesce(i0.text, '')) = md5(coalesce(l1.text, ''))
+      GROUP BY 1
+    ),
+    surv AS (SELECT * FROM l1 WHERE doc_id NOT IN (SELECT id2 FROM ex)),
+    t0 AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM i0),
+    sh0 AS (SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK}) AS s FROM t0),
+    sz0 AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
+    t1 AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM surv),
+    sh1 AS (SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK}) AS s FROM t1),
+    sz1 AS (SELECT doc_id, count(*) AS n FROM sh1 GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id1, p.doc_id AS id2, count(*) AS common
+      FROM sh0 a JOIN sh1 p ON a.s = p.s
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT id1, id2, CAST(common AS DOUBLE) / (x.n + y.n - common) AS jaccard
+      FROM pairs JOIN sz0 x ON pairs.id1 = x.doc_id
+                 JOIN sz1 y ON pairs.id2 = y.doc_id
+      WHERE CAST(common AS DOUBLE) / (x.n + y.n - common) >= {JACCARD_THRESHOLD}
+    ),
+    nb AS (
+      SELECT id2 AS doc_id, id1 AS nd_id, jaccard,
+             row_number() OVER (PARTITION BY id2
+                                ORDER BY jaccard DESC, id1 ASC) AS rn
+      FROM jac
+    ),
+    nd AS (SELECT doc_id, nd_id, jaccard FROM nb WHERE rn = 1),
+    surv2 AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS cent, norm AS cent_norm
+      FROM e WHERE vec_id % {SEM_STRIDE} = 0
+    ),
+    ie AS (
+      SELECT i0.doc_id, e.embedding, e.norm
+      FROM i0 JOIN e ON i0.doc_id = e.vec_id
+    ),
+    asg_i AS (
+      SELECT doc_id, cent_id FROM (
+        SELECT i.doc_id, cents.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY i.doc_id
+                 ORDER BY {icos} DESC, cents.cent_id) AS r
+        FROM ie i, cents
+      ) WHERE r <= {SEM_PROBES}
+    ),
+    ne AS (
+      -- s.doc_id < 10000000: the shifted plants carry NULL embeddings in
+      -- the stream (the q107 structural policy, round-10 ADVICE)
+      SELECT s.doc_id, e.embedding, e.norm
+      FROM surv2 s JOIN e ON s.doc_id = e.vec_id AND s.doc_id < 10000000
+    ),
+    asg_n AS (
+      SELECT doc_id, cent_id FROM (
+        SELECT nn.doc_id, cents.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY nn.doc_id
+                 ORDER BY {ncos} DESC, cents.cent_id) AS r
+        FROM ne nn, cents
+      ) WHERE r <= {SEM_PROBES}
+    ),
+    scand AS (
+      SELECT DISTINCT a.doc_id AS index_id, b.doc_id AS new_id
+      FROM asg_i a JOIN asg_n b ON a.cent_id = b.cent_id
+    ),
+    sp AS (
+      SELECT scand.new_id, scand.index_id,
+             {_dot_duck('x.embedding', 'y.embedding')} / (x.norm * y.norm) AS cos
+      FROM scand JOIN ie x ON scand.index_id = x.doc_id
+                 JOIN ne y ON scand.new_id = y.doc_id
+    ),
+    sb AS (
+      SELECT new_id AS doc_id, index_id AS sm_id, cos,
+             row_number() OVER (PARTITION BY new_id
+                                ORDER BY cos DESC, index_id ASC) AS rn
+      FROM sp WHERE cos >= {SEMDEDUP_COS}
+    ),
+    sm AS (SELECT doc_id, sm_id, cos FROM sb WHERE rn = 1),
+    surv3 AS (SELECT * FROM surv2 WHERE doc_id NOT IN (SELECT doc_id FROM sm)),{_cont_rej_cte('surv3', 'c1')}
+    SELECT b0.doc_id,
+           (qz.doc_id IS NULL AND c0rej.doc_id IS NULL) AS admitted,
+           CAST(-1 AS BIGINT) AS matched_id,
+           CASE WHEN qz.doc_id IS NOT NULL THEN qz.frac
+                ELSE coalesce(c0rej.frac, 0.0) END AS score,
+           CASE WHEN qz.doc_id IS NOT NULL THEN 'quality'
+                WHEN c0rej.doc_id IS NOT NULL THEN 'contaminated' END AS tier
+    FROM b0 LEFT JOIN qzrej qz ON b0.doc_id = qz.doc_id
+            LEFT JOIN c0rej ON b0.doc_id = c0rej.doc_id
+    UNION ALL
+    SELECT b1.doc_id,
+           (qo.doc_id IS NULL AND ex.ex_id IS NULL AND nd.nd_id IS NULL
+            AND sm.sm_id IS NULL AND c1rej.doc_id IS NULL) AS admitted,
+           CAST(coalesce(ex.ex_id, nd.nd_id, sm.sm_id, -1) AS BIGINT)
+             AS matched_id,
+           CASE WHEN qo.doc_id IS NOT NULL THEN qo.frac
+                WHEN ex.ex_id IS NOT NULL THEN 1.0
+                WHEN nd.nd_id IS NOT NULL THEN nd.jaccard
+                WHEN sm.sm_id IS NOT NULL THEN sm.cos
+                ELSE coalesce(c1rej.frac, 0.0) END AS score,
+           CASE WHEN qo.doc_id IS NOT NULL THEN 'quality'
+                WHEN ex.ex_id IS NOT NULL THEN 'exact'
+                WHEN nd.nd_id IS NOT NULL THEN 'near_dup'
+                WHEN sm.sm_id IS NOT NULL THEN 'semantic'
+                WHEN c1rej.doc_id IS NOT NULL THEN 'contaminated' END AS tier
+    FROM b1 LEFT JOIN qorej qo ON b1.doc_id = qo.doc_id
+            LEFT JOIN ex ON b1.doc_id = ex.id2
+            LEFT JOIN nd ON b1.doc_id = nd.doc_id
+            LEFT JOIN sm ON b1.doc_id = sm.doc_id
+            LEFT JOIN c1rej ON b1.doc_id = c1rej.doc_id
+    ORDER BY doc_id
+    """
+
+
+def q108_quality_gated_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q107's replay with the round-10 QUALITY tier on — the five-tier
+    admission cascade (quality → exact → MinHash → semantic →
+    span-decontamination), tier parity with the q105 batch flagship. The
+    quality gate runs FIRST (index-free, O(batch)); its rejects carry
+    tier 'quality', score = dup_frac, matched_id -1 and never touch any
+    index, so a low-quality re-fetch reports 'quality', not 'exact'
+    (strict precedence in both directions — pinned by the differential:
+    the oracle's l0/l1 CTEs remove quality rejects before every dedup
+    CTE). Quality rejects come from the corpus itself (the synthetic
+    dup/top-2-gram distributions straddle the Gopher thresholds); the
+    q107 plants exercise the other four tiers. Same degenerate-corpus
+    policies as q107 (shared _decon_replay body)."""
+    return _decon_replay(spark, sf_dir, quality_gate=True)

@@ -141,6 +141,105 @@ def q88_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs).orderBy("doc_id")
 
 
+# --- streaming quality gate (round 10, library-first; the r11 newcomer
+# candidate per registry.py's ROUND-11 HANDOFF) -------------------------------
+# The per-doc admission gate the streaming cascade runs as its FIRST tier
+# (streaming/ingest.py `quality_gate=True`): the q105/q81 integer quality
+# rule (>= MIN_TOKENS tokens, punctuation <= 30% of chars) PLUS the
+# Gopher repetition flags above — the streaming counterpart of q105's
+# batch quality stage, completing tier parity between the batch flagship
+# and the cascade. Reject score is dup_frac (the primary Gopher signal;
+# cross-engine bit-exact, the q88 argument).
+_PUNCT_SPARK = "length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))"
+QUALITY_REJ_DUCK_TEMPLATE = """
+    {tag}t AS (SELECT doc_id, text, {toks} AS toks FROM {src}),
+    {tag}base AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+             length(text) AS n_chars
+      FROM {tag}t
+    ),
+    {tag}g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      FROM {tag}t
+    ),
+    {tag}c AS (SELECT doc_id, gram, count(*) AS cnt FROM {tag}g GROUP BY 1, 2),
+    {tag}top AS (SELECT doc_id, max(cnt) AS top2_count FROM {tag}c GROUP BY 1),
+    {tag}j AS (
+      SELECT b.doc_id,
+             b.n_tokens, b.n_punct, b.n_chars,
+             CASE WHEN b.n_tokens > 0
+                  THEN 1 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens
+                  ELSE 0.0 END AS dup_frac,
+             CASE WHEN b.n_tokens > 1
+                  THEN CAST(COALESCE(t.top2_count, 0) AS DOUBLE) / (b.n_tokens - 1)
+                  ELSE 0.0 END AS top2_frac
+      FROM {tag}base b LEFT JOIN {tag}top t USING (doc_id)
+    ),
+    {tag}rej AS (
+      SELECT doc_id, dup_frac AS frac FROM {tag}j
+      WHERE NOT COALESCE(n_tokens >= {min_tokens}
+                         AND 10 * n_punct <= 3 * n_chars
+                         AND dup_frac <= {dup_max}
+                         AND top2_frac <= {top2_max}, FALSE)
+    )"""
+
+
+def quality_reject_duck(src: str, tag: str) -> str:
+    """The DuckDB twin of :func:`quality_rejects` as a CTE chain ending in
+    ``{tag}rej (doc_id, frac)`` — shared by the q108 replay oracle and any
+    future quality-gated replay, so builder and oracle can never drift on
+    the gate arithmetic."""
+    from mapreduce_framework_spark.pipeline.sampling import MIN_TOKENS
+
+    return QUALITY_REJ_DUCK_TEMPLATE.format(
+        src=src,
+        tag=tag,
+        toks=tokenize_duckdb("text"),
+        min_tokens=MIN_TOKENS,
+        dup_max=DUP_FRAC_MAX,
+        top2_max=TOP2_FRAC_MAX,
+    )
+
+
+def quality_rejects(docs: DataFrame) -> DataFrame:
+    """(doc_id, q_frac) for every doc the streaming quality gate rejects.
+
+    PASS requires ALL of: n_tokens >= sampling.MIN_TOKENS, punctuation
+    <= 30% of characters (both the q105 integer rule), dup_frac <=
+    DUP_FRAC_MAX and top2_frac <= TOP2_FRAC_MAX (the Gopher repetition
+    flags, repetition_stats). NULL text fails closed (NOT COALESCE(pass,
+    FALSE) — a NULL-text doc has no quality evidence, so it is rejected;
+    same arithmetic in quality_reject_duck, so the dirty sweep's NULL
+    variants hash-match). q_frac is dup_frac — informative for
+    boilerplate (the dominant reject class) and bit-exact cross-engine.
+    Shape: one per-row integer/array pass + the q88 two-level gram
+    aggregate — O(batch), no index, no Python."""
+    stats = repetition_stats(docs.select("doc_id", "text"))
+    ints = docs.select(
+        "doc_id",
+        (F.length("text") - F.expr(_PUNCT_SPARK)).cast("long").alias("n_punct"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    from mapreduce_framework_spark.pipeline.sampling import MIN_TOKENS
+
+    passes = (
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (10 * F.col("n_punct") <= 3 * F.col("n_chars"))
+        & (F.col("dup_frac") <= DUP_FRAC_MAX)
+        & (F.col("top2_frac") <= TOP2_FRAC_MAX)
+    )
+    return (
+        stats.join(ints, "doc_id")
+        .where(~F.coalesce(passes, F.lit(False)))
+        .select("doc_id", F.col("dup_frac").alias("q_frac"))
+    )
+
+
 # Redaction patterns: RE2/Java-compatible subset (no lookarounds), so the
 # Spark and DuckDB regex engines agree. The synthetic corpus contains no
 # emails/phones (counts prove the negative); the term denylist fires on

@@ -113,8 +113,12 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 #      form of the window battery whose DataFrame forms q18/q19 stay
 #      registered; the SQL-frontend surface itself stays represented by
 #      q46. Next in line now that the 2b pool is spent.
-#   5. q63_posexplode — narrow battery query (2c) subsumed by q23's
-#      array surface; keep ahead of q28 (below).
+#   [SPENT r10] q63_posexplode — narrow battery query (2c) subsumed by
+#      q23's array surface, spent in its scheduled round (it rotated
+#      into the r10 window per the timing rule) to register
+#      q107_decontaminating_admission (the four-tier decontaminating
+#      streaming cascade). q63's builder + oracle + pytest differential
+#      remain (tests/test_queries_oracle.py::test_retired_q63_matches_oracle).
 #   6. q28_kv_stateful_replay — demonstrative twin (2a) of q06; its
 #      point (the documented Arrow/Python boundary) is equally made by
 #      the streaming q83 path which shares the fold. Spend LAST: q28 is
@@ -129,14 +133,17 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 #   the newcomer in the same commit, and place the newcomer in the
 #   in-window half of CURATED_ORDER (new-this-round rule).
 #
-# ROUND-10 HANDOFF: the timing-eligible retiree next round is q63 (q47,
-# though ranked higher, sits in the r9 window and so is behind-window in
-# r10 — eligible r11). The newcomer is already staged oracle-in-waiting:
-# operators/streaming_replay.py:q107_decontaminating_admission (the
-# four-tier decontaminating cascade; full DuckDB oracle matching at
-# sf0.001 AND sf0.01 via
-# tests/test_queries_oracle.py::test_q107_candidate_matches_oracle) —
-# the q105/q106 first-driver-check-hash-green playbook.
+# ROUND-10 EXECUTED: q63 → RETIRED in its scheduled round;
+# q107_decontaminating_admission registered into exactly q63's window
+# slot (swap mechanics per policy item 4, one commit).
+#
+# ROUND-11 HANDOFF: the timing-eligible retiree next round is q47 (it
+# sits in the r9 window, so it rotates into the r11 window — the ranked
+# 2a entry, its SQL-frontend surface carried by q46 and its window
+# battery by q18/q19). The newcomer to stage library-first this round
+# (r10) per the verdict: a streaming QUALITY-GATE admission tier (the
+# per-doc Gopher-style stats of pipeline/quality.py as a cascade sink
+# option — the streaming counterpart of q105's batch quality stage).
 #
 # The curated order below puts, inside the window: (a) every query new
 # or changed this round, (b) every query whose last driver row is a full
@@ -146,70 +153,24 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # WINDOW_HISTORY below — that no registered query goes more than one
 # round without a driver window slot.
 CURATED_ORDER = [
-    # --- round-9 window: the r8 behind-window half (the enforced
-    # rotation — every name here last had a driver row in r7, so max
-    # staleness stays one round) with ONE executed swap and ONE builder
-    # swap, both scheduled by the round-8 notes above:
-    #   * q30's slot now holds the round-9 newcomer q106_admission_report
-    #     (retirement policy item 4; q30 → RETIRED below — q30 rotated
-    #     into this window, satisfying the timing rule that blocked its
-    #     retirement in r8);
-    #   * q28 keeps its name and oracle but its registered builder is now
-    #     the bounded-memory fold_kv_history_streaming (operators/kv.py)
-    #     — a changed query, so the rotation correctly has it in-window
-    #     this round for a fresh driver row under the new plan. ---
-    "q101_span_dedup",
-    "q102_semantic_dedup",
-    "q89_denylist_scrub",
-    "q91_cross_snapshot_dedup",
-    "q01_wordcount",
-    "q06_kv_final_state",
-    "q31_minhash_lsh_neardup",
-    "q84_char_ngram_lsh_neardup",
-    "q85_shardctrler_replay",
-    "q86_boilerplate_ngrams",
-    "q87_boilerplate_doc_stats",
-    "q88_repetition_stats",
-    "q90_domain_mix_resample",
-    "q92_tfidf_topk",
-    "q36_embedding_neardup",
-    "q104_full_cascade_admission",
-    "q75_percentile_sketch_bound",
-    "q83_streaming_kv_replay",
-    "q28_kv_stateful_replay",
-    "q24_exact_dedup",
-    "q02_inverted_index",
-    "q11_filter_project",
-    "q106_admission_report",  # round-9 newcomer in q30's retired slot
-    "q49_neardup_components",
-    "q03_crash_emits",
-    "q04_per_doc_counts",
-    "q05_global_count",
-    "q09_fnv_bucket_histogram",
-    "q10_global_sort",
-    "q07_kv_point_in_time",
-    "q08_shard_histogram",
-    "q14_semi_join",
-    "q14_anti_join",
-    "q16_count_distinct",
-    "q18_window_topk_per_group",
-    "q20_global_topk",
-    "q21_set_ops",
-    "q23_array_functions",
-    "q25_tumbling_window",
-    "q26_sliding_window",
-    "q32_simhash",
-    "q33_exact_dedup_docs",
-    "q44_map_functions",
-    "q47_sql_frontend_window",
-    "q50_window_battery",
-    "q52_pandas_udf_path",
-    "q103_cascade_admission",
-    "q57_asof_join",
-    "q73_simhash_banded_neardup",
-    "q81_training_corpus",
-    # --- behind the window (driver rows recorded in round 8; swept by
-    # the local oracle suite every run) ---
+    # --- round-10 window: the r9 behind-window half (the enforced
+    # rotation — every name here last had a driver row in r8, so max
+    # staleness stays one round) with ONE executed swap, scheduled by the
+    # round-9 handoff above:
+    #   * q63's slot now holds the round-10 newcomer
+    #     q107_decontaminating_admission (retirement policy item 4;
+    #     q63 → RETIRED below — q63 rotated into this window, satisfying
+    #     the timing rule; its array surface stays covered by q23, and
+    #     its builder/oracle/differential remain in the local sweep).
+    #     q107 puts the FOUR-TIER streaming decontamination cascade —
+    #     the 100 TB counterpart of q105's batch span-trim — under
+    #     driver eyes with the oracle proven at two SFs in r9.
+    # NOTE (r10): the q06/q07/q28/q83 oracle text gained a null-safe
+    # w↔lp join (_fold_sql NULL-KEY POLICY) — a no-op at every gate SF
+    # (kv keys derive from user_id, never NULL there), proven by the new
+    # NULL-key pytest differentials and the dirty sweep's user_id null
+    # plan, so those four stay on their normal rotation (fresh driver
+    # rows under the refreshed oracle land in r11).
     "q94_streaming_session_replay",
     "q95_incremental_ingest_dedup",
     "q96_incremental_rollup_replay",
@@ -248,7 +209,7 @@ CURATED_ORDER = [
     "q54_percentiles",
     "q59_string_battery",
     "q60_grouping_sets",
-    "q63_posexplode",
+    "q107_decontaminating_admission",  # round-10 newcomer in q63's retired slot
     "q67_multiset_ops",
     "q70_grouped_agg_pandas_udf",
     "q71_dedup_corpus_output",
@@ -260,6 +221,58 @@ CURATED_ORDER = [
     "q77_multimodal_resize",
     "q79_sequence_packing",
     "q80_contamination_check",
+    # --- behind the window (driver rows recorded in round 9; swept by
+    # the local oracle suite every run) ---
+    "q101_span_dedup",
+    "q102_semantic_dedup",
+    "q89_denylist_scrub",
+    "q91_cross_snapshot_dedup",
+    "q01_wordcount",
+    "q06_kv_final_state",
+    "q31_minhash_lsh_neardup",
+    "q84_char_ngram_lsh_neardup",
+    "q85_shardctrler_replay",
+    "q86_boilerplate_ngrams",
+    "q87_boilerplate_doc_stats",
+    "q88_repetition_stats",
+    "q90_domain_mix_resample",
+    "q92_tfidf_topk",
+    "q36_embedding_neardup",
+    "q104_full_cascade_admission",
+    "q75_percentile_sketch_bound",
+    "q83_streaming_kv_replay",
+    "q28_kv_stateful_replay",
+    "q24_exact_dedup",
+    "q02_inverted_index",
+    "q11_filter_project",
+    "q106_admission_report",
+    "q49_neardup_components",
+    "q03_crash_emits",
+    "q04_per_doc_counts",
+    "q05_global_count",
+    "q09_fnv_bucket_histogram",
+    "q10_global_sort",
+    "q07_kv_point_in_time",
+    "q08_shard_histogram",
+    "q14_semi_join",
+    "q14_anti_join",
+    "q16_count_distinct",
+    "q18_window_topk_per_group",
+    "q20_global_topk",
+    "q21_set_ops",
+    "q23_array_functions",
+    "q25_tumbling_window",
+    "q26_sliding_window",
+    "q32_simhash",
+    "q33_exact_dedup_docs",
+    "q44_map_functions",
+    "q47_sql_frontend_window",
+    "q50_window_battery",
+    "q52_pandas_udf_path",
+    "q103_cascade_admission",
+    "q57_asof_join",
+    "q73_simhash_banded_neardup",
+    "q81_training_corpus",
 ]
 
 
@@ -295,6 +308,15 @@ RETIRED: tuple[str, ...] = (
     # tests/test_queries_oracle.py::test_retired_q30_matches_oracle;
     # bench.py still times the builder directly (r1-subset series).
     "q30_ngram_jaccard_neardup",
+    # round 10: dry-run ranking entry 5 (narrow battery query, 2c —
+    # subsumed by q23's array surface) spent IN ITS SCHEDULED ROUND (q63
+    # rotated into the r10 window, satisfying the timing rule) to
+    # register q107_decontaminating_admission (the four-tier
+    # decontaminating streaming cascade, oracle proven at two SFs in
+    # r9). Builder + oracle constant stay in operators/functions_battery.py;
+    # dedicated local differential:
+    # tests/test_queries_oracle.py::test_retired_q63_matches_oracle.
+    "q63_posexplode",
 )
 
 # Hard ceiling = 2 rounds × DRIVER_WINDOW (see capacity note).
@@ -307,7 +329,7 @@ DRIVER_WINDOW = 50
 # records the window actually exposed in each past round (= the keys of
 # CORRECTNESS_r{N}.json, verbatim). Each new round: append the previous
 # round's first-DRIVER_WINDOW names here, bump CURRENT_ROUND, re-curate.
-CURRENT_ROUND = 9
+CURRENT_ROUND = 10
 
 WINDOW_HISTORY: dict[int, tuple[str, ...]] = {
     1: (
@@ -725,6 +747,58 @@ WINDOW_HISTORY: dict[int, tuple[str, ...]] = {
         "q77_multimodal_resize",
         "q79_sequence_packing",
         "q80_contamination_check",
+    ),
+    9: (
+        "q101_span_dedup",
+        "q102_semantic_dedup",
+        "q89_denylist_scrub",
+        "q91_cross_snapshot_dedup",
+        "q01_wordcount",
+        "q06_kv_final_state",
+        "q31_minhash_lsh_neardup",
+        "q84_char_ngram_lsh_neardup",
+        "q85_shardctrler_replay",
+        "q86_boilerplate_ngrams",
+        "q87_boilerplate_doc_stats",
+        "q88_repetition_stats",
+        "q90_domain_mix_resample",
+        "q92_tfidf_topk",
+        "q36_embedding_neardup",
+        "q104_full_cascade_admission",
+        "q75_percentile_sketch_bound",
+        "q83_streaming_kv_replay",
+        "q28_kv_stateful_replay",
+        "q24_exact_dedup",
+        "q02_inverted_index",
+        "q11_filter_project",
+        "q106_admission_report",
+        "q49_neardup_components",
+        "q03_crash_emits",
+        "q04_per_doc_counts",
+        "q05_global_count",
+        "q09_fnv_bucket_histogram",
+        "q10_global_sort",
+        "q07_kv_point_in_time",
+        "q08_shard_histogram",
+        "q14_semi_join",
+        "q14_anti_join",
+        "q16_count_distinct",
+        "q18_window_topk_per_group",
+        "q20_global_topk",
+        "q21_set_ops",
+        "q23_array_functions",
+        "q25_tumbling_window",
+        "q26_sliding_window",
+        "q32_simhash",
+        "q33_exact_dedup_docs",
+        "q44_map_functions",
+        "q47_sql_frontend_window",
+        "q50_window_battery",
+        "q52_pandas_udf_path",
+        "q103_cascade_admission",
+        "q57_asof_join",
+        "q73_simhash_banded_neardup",
+        "q81_training_corpus",
     ),
 }
 

@@ -892,6 +892,9 @@ def make_cascade_ingest_batch_fn(
     band_cap: int | None = None,
     fp_distinct: bool = True,
     intra_batch_exact: bool = False,
+    benchmark_span_index: DataFrame | None = None,
+    cont_threshold: float = 0.05,
+    quality_gate: bool = False,
 ):
     """Tiered admission: the EXACT fingerprint tier runs in front of the
     MinHash near-dup tier, each batch doc paying the cheapest test that
@@ -941,12 +944,46 @@ def make_cascade_ingest_batch_fn(
     BYTE-IDENTICAL copies arriving in one batch. Runs strictly AFTER the
     index tier (same fp ⇒ same index verdict, so order only matters for
     index-missed fps): among batch docs whose fp is new to the corpus,
-    the lowest doc_id is admitted and every other copy is rejected with
-    tier 'exact' and matched_id = that admitted doc — matched_id always
-    names a corpus doc, exactly as in every other tier. Changes
-    decisions BY DESIGN (stricter), hence opt-in and unregistered;
-    differential-pinned by
-    tests/test_streaming.py::test_intra_batch_exact_pre_dedup."""
+    the lowest doc_id (the batch REPRESENTATIVE) is admitted past this
+    tier and every other copy is rejected with tier 'exact' and
+    matched_id = that representative. NOTE the representative may itself
+    be rejected by a LATER tier (near-dup/semantic/contaminated) — its
+    copies still carry tier 'exact' pointing at it, so matched_id names
+    the batch representative, which is not necessarily an admitted/
+    indexed corpus doc; the representative's own decision row carries
+    that provenance (round-10 ADVICE: this tier's matched_id contract is
+    weaker than the index tiers'). Changes decisions BY DESIGN
+    (stricter), hence opt-in and unregistered; differential-pinned by
+    tests/test_streaming.py::test_intra_batch_exact_pre_dedup.
+
+    ``benchmark_span_index`` / ``cont_threshold`` (round 10): the opt-in
+    DECONTAMINATION tier, exactly as documented on
+    make_full_cascade_ingest_batch_fn — the tier is purely LEXICAL
+    (tokenize/shingle + span-hash semi-join; embeddings never touched),
+    so it composes with the two-tier cascade identically: it runs LAST,
+    over full survivors only, rejects at cont_frac >= cont_threshold
+    with tier 'contaminated', matched_id -1 (the hit is benchmark-side),
+    and the ``jaccard`` column carries the cont_frac for those rows (the
+    tier-typed score generalization the full cascade makes explicit).
+    This is what lets an embeddings-free deployment — or the full
+    cascade's documented no-usable-centroid degradation — keep
+    decontamination instead of silently dropping it.
+
+    ``quality_gate`` (round 10, library-first; the r11 registration
+    candidate per registry.py): the opt-in QUALITY tier — the per-doc
+    admission gate of pipeline/quality.py:quality_rejects (the q105/q81
+    integer rule + the Gopher repetition flags). Runs FIRST, before any
+    index tier: it is the only tier that needs NO index at all (pure
+    per-doc compute, one batch-local gram aggregate — O(batch)), and
+    running it first keeps junk out of every index — the production
+    ordering (filter before dedup). A rejected doc carries tier
+    'quality', score = dup_frac, matched_id -1 (like 'contaminated',
+    the reject has no corpus counterpart) and is never indexed; it never
+    consults the later tiers, so a low-quality re-fetch reports
+    'quality', not 'exact' (tier precedence is strict in BOTH
+    directions). The streaming counterpart of q105's batch quality
+    stage — with it, the cascade reaches tier parity with the batch
+    flagship (quality → exact → near-dup [→ semantic] → decon)."""
     from pyspark.sql.window import Window
 
     from mapreduce_framework_spark.pipeline.dedup import (
@@ -979,19 +1016,33 @@ def make_cascade_ingest_batch_fn(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.localCheckpoint(eager=True)  # read the source once
 
+        qual_best = None
+        live = batch
+        if quality_gate:
+            from mapreduce_framework_spark.pipeline.quality import (
+                quality_rejects,
+            )
+
+            qual_best = (
+                quality_rejects(batch)
+                .select("doc_id", F.col("q_frac").alias("ql_frac"))
+                .localCheckpoint(eager=True)
+            )
+            live = batch.join(qual_best, "doc_id", "left_anti")
+
         fp_idx = _index_so_far(spark, fp_index_root, before_batch=batch_id)
         if fp_idx is None:
             exact_best = None
-            survivors = batch
+            survivors = live
         else:
             exact_best = (
-                exact_match_batch(fp_idx, batch)
+                exact_match_batch(fp_idx, live)
                 .groupBy("id2")
                 .agg(F.min("id1").alias("ex_id"))
                 .select(F.col("id2").alias("doc_id"), "ex_id")
                 .localCheckpoint(eager=True)
             )
-            survivors = batch.join(exact_best, "doc_id", "left_anti")
+            survivors = live.join(exact_best, "doc_id", "left_anti")
 
         intra_best = None
         if intra_batch_exact:
@@ -1030,7 +1081,29 @@ def make_cascade_ingest_batch_fn(
             )
             admitted = survivors.join(near_best, "doc_id", "left_anti")
 
+        cont_best = None
+        if benchmark_span_index is not None:
+            from mapreduce_framework_spark.pipeline.span_dedup import (
+                span_contamination,
+            )
+
+            cont_best = (
+                span_contamination(
+                    benchmark_span_index, admitted.select("doc_id", "text")
+                )
+                .where(F.col("cont_frac") >= cont_threshold)
+                .select("doc_id", F.col("cont_frac").alias("ct_frac"))
+                .localCheckpoint(eager=True)
+            )
+            admitted = admitted.join(cont_best, "doc_id", "left_anti")
+
         decisions = batch.select("doc_id")
+        if qual_best is not None:
+            decisions = decisions.join(qual_best, "doc_id", "left")
+        else:
+            decisions = decisions.withColumn(
+                "ql_frac", F.lit(None).cast("double")
+            )
         if exact_best is not None:
             decisions = decisions.join(exact_best, "doc_id", "left")
         else:
@@ -1045,21 +1118,35 @@ def make_cascade_ingest_batch_fn(
             decisions = decisions.withColumn(
                 "nd_id", F.lit(None).cast("long")
             ).withColumn("nd_jaccard", F.lit(None).cast("double"))
+        if cont_best is not None:
+            decisions = decisions.join(cont_best, "doc_id", "left")
+        else:
+            decisions = decisions.withColumn(
+                "ct_frac", F.lit(None).cast("double")
+            )
         # ex_id and ib_id are mutually exclusive (intra-batch dedup runs on
         # the index tier's survivors), so coalesce order is provenance, not
-        # precedence
+        # precedence; ct_frac only on full survivors; ql_frac excludes a
+        # doc from every later tier (quality runs first)
         ex_any = F.col("ex_id").isNotNull() | F.col("ib_id").isNotNull()
+        ql = F.col("ql_frac").isNotNull()
         decisions = decisions.select(
             "doc_id",
-            (~ex_any & F.col("nd_id").isNull()).alias("admitted"),
+            (
+                ~ql & ~ex_any & F.col("nd_id").isNull() & F.col("ct_frac").isNull()
+            ).alias("admitted"),
             F.coalesce("ex_id", "ib_id", "nd_id", F.lit(-1))
             .cast("long")
             .alias("matched_id"),
-            F.when(ex_any, F.lit(1.0))
-            .otherwise(F.coalesce("nd_jaccard", F.lit(0.0)))
+            F.when(ql, F.col("ql_frac"))
+            .when(ex_any, F.lit(1.0))
+            .when(F.col("nd_id").isNotNull(), F.col("nd_jaccard"))
+            .otherwise(F.coalesce("ct_frac", F.lit(0.0)))
             .alias("jaccard"),
-            F.when(ex_any, F.lit("exact"))
+            F.when(ql, F.lit("quality"))
+            .when(ex_any, F.lit("exact"))
             .when(F.col("nd_id").isNotNull(), F.lit("near_dup"))
+            .when(F.col("ct_frac").isNotNull(), F.lit("contaminated"))
             .alias("tier"),
         )
         _publish_delta(
@@ -1090,10 +1177,13 @@ def make_cascade_ingest_batch_fn(
 def _intra_batch_exact_best(docs: DataFrame) -> DataFrame:
     """(doc_id, ib_id) for every batch doc that byte-duplicates a LOWER
     doc_id in the same (index-surviving) batch slice; ib_id is the lowest
-    such copy — the representative that stays admitted and indexed, so a
-    decision's matched_id always names a corpus doc. Shape: one narrow
-    min-aggregate + fp equi-join over the batch (no window, no index
-    involvement — strictly O(batch))."""
+    such copy — the batch REPRESENTATIVE, which proceeds to the later
+    tiers and is usually (not always) admitted and indexed: when a later
+    tier rejects the representative itself, its copies' matched_id still
+    names it, and the representative's own decision row carries the real
+    provenance (see make_cascade_ingest_batch_fn's intra_batch_exact
+    note). Shape: one narrow min-aggregate + fp equi-join over the batch
+    (no window, no index involvement — strictly O(batch))."""
     fps = docs.select(
         "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp")
     )
@@ -1146,6 +1236,7 @@ def make_full_cascade_ingest_batch_fn(
     intra_batch_exact: bool = False,
     benchmark_span_index: DataFrame | None = None,
     cont_threshold: float = 0.05,
+    quality_gate: bool = False,
 ):
     """The COMPLETE admission cascade the two-tier sink's docstring names
     as the real pretraining shape: exact → near-dup → SEMANTIC. Batches
@@ -1213,7 +1304,11 @@ def make_full_cascade_ingest_batch_fn(
     are NOT indexed by any tier, exactly like dup rejects; admission
     REJECTS rather than trims (the trim form stays the batch-side
     deliverable, sampling.training_corpus). None (default) keeps the
-    cascade exactly three-tier."""
+    cascade exactly three-tier.
+
+    ``quality_gate`` (round 10): the opt-in per-doc QUALITY tier, run
+    FIRST — exactly as documented on make_cascade_ingest_batch_fn (the
+    gate is index-free and identical in both sinks)."""
     from pyspark.sql.window import Window
 
     from mapreduce_framework_spark.pipeline.codebook import codebook_fingerprint
@@ -1268,19 +1363,33 @@ def make_full_cascade_ingest_batch_fn(
         _require_codebook(sem_index_root, cb_fp)
         batch = batch_df.localCheckpoint(eager=True)  # read the source once
 
+        qual_best = None
+        live = batch
+        if quality_gate:
+            from mapreduce_framework_spark.pipeline.quality import (
+                quality_rejects,
+            )
+
+            qual_best = (
+                quality_rejects(batch)
+                .select("doc_id", F.col("q_frac").alias("ql_frac"))
+                .localCheckpoint(eager=True)
+            )
+            live = batch.join(qual_best, "doc_id", "left_anti")
+
         fp_idx = _index_so_far(spark, fp_index_root, before_batch=batch_id)
         if fp_idx is None:
             exact_best = None
-            survivors = batch
+            survivors = live
         else:
             exact_best = (
-                exact_match_batch(fp_idx, batch)
+                exact_match_batch(fp_idx, live)
                 .groupBy("id2")
                 .agg(F.min("id1").alias("ex_id"))
                 .select(F.col("id2").alias("doc_id"), "ex_id")
                 .localCheckpoint(eager=True)
             )
-            survivors = batch.join(exact_best, "doc_id", "left_anti")
+            survivors = live.join(exact_best, "doc_id", "left_anti")
 
         intra_best = None
         if intra_batch_exact:
@@ -1359,6 +1468,12 @@ def make_full_cascade_ingest_batch_fn(
             admitted = admitted.join(cont_best, "doc_id", "left_anti")
 
         decisions = batch.select("doc_id")
+        if qual_best is not None:
+            decisions = decisions.join(qual_best, "doc_id", "left")
+        else:
+            decisions = decisions.withColumn(
+                "ql_frac", F.lit(None).cast("double")
+            )
         if exact_best is not None:
             decisions = decisions.join(exact_best, "doc_id", "left")
         else:
@@ -1386,12 +1501,15 @@ def make_full_cascade_ingest_batch_fn(
                 "ct_frac", F.lit(None).cast("double")
             )
         # ex_id / ib_id are mutually exclusive (intra-batch dedup runs on
-        # the index tier's survivors); ct_frac only on full survivors
+        # the index tier's survivors); ct_frac only on full survivors;
+        # ql_frac excludes a doc from every later tier (quality runs first)
         ex_any = F.col("ex_id").isNotNull() | F.col("ib_id").isNotNull()
+        ql = F.col("ql_frac").isNotNull()
         decisions = decisions.select(
             "doc_id",
             (
-                ~ex_any
+                ~ql
+                & ~ex_any
                 & F.col("nd_id").isNull()
                 & F.col("sm_id").isNull()
                 & F.col("ct_frac").isNull()
@@ -1399,12 +1517,14 @@ def make_full_cascade_ingest_batch_fn(
             F.coalesce("ex_id", "ib_id", "nd_id", "sm_id", F.lit(-1))
             .cast("long")
             .alias("matched_id"),
-            F.when(ex_any, F.lit(1.0))
+            F.when(ql, F.col("ql_frac"))
+            .when(ex_any, F.lit(1.0))
             .when(F.col("nd_id").isNotNull(), F.col("nd_jaccard"))
             .when(F.col("sm_id").isNotNull(), F.col("sm_cos"))
             .otherwise(F.coalesce("ct_frac", F.lit(0.0)))
             .alias("score"),
-            F.when(ex_any, F.lit("exact"))
+            F.when(ql, F.lit("quality"))
+            .when(ex_any, F.lit("exact"))
             .when(F.col("nd_id").isNotNull(), F.lit("near_dup"))
             .when(F.col("sm_id").isNotNull(), F.lit("semantic"))
             .when(F.col("ct_frac").isNotNull(), F.lit("contaminated"))
@@ -1474,6 +1594,7 @@ def run_full_cascade_ingest_stream(
     intra_batch_exact: bool = False,
     benchmark_span_index: DataFrame | None = None,
     cont_threshold: float = 0.05,
+    quality_gate: bool = False,
 ) -> DataFrame:
     """Drive a ``(doc_id, text, embedding)`` stream through the
     three-tier admission sink; returns the union of all per-batch
@@ -1504,6 +1625,7 @@ def run_full_cascade_ingest_stream(
                 intra_batch_exact,
                 benchmark_span_index,
                 cont_threshold,
+                quality_gate,
             )
         )
         .option("checkpointLocation", checkpoint)
@@ -1614,13 +1736,18 @@ def run_cascade_ingest_stream(
     band_cap: int | None = None,
     fp_distinct: bool = True,
     intra_batch_exact: bool = False,
+    benchmark_span_index: DataFrame | None = None,
+    cont_threshold: float = 0.05,
+    quality_gate: bool = False,
 ) -> DataFrame:
     """Drive the document stream through the tiered admission sink;
     returns the union of all per-batch decision frames. ``sig_bands_root``
     maintains the persisted banded layout for the MinHash tier, exactly
     as in run_ingest_stream; ``band_cap`` is the hot-band skew guard;
     ``fp_distinct``/``intra_batch_exact`` are the exact tier's hot-fp
-    guard and within-batch pre-dedup (make_cascade_ingest_batch_fn)."""
+    guard and within-batch pre-dedup; ``benchmark_span_index``/
+    ``cont_threshold`` the opt-in lexical decontamination tier
+    (make_cascade_ingest_batch_fn)."""
     q = (
         docs_stream.writeStream.foreachBatch(
             make_cascade_ingest_batch_fn(
@@ -1635,6 +1762,9 @@ def run_cascade_ingest_stream(
                 band_cap,
                 fp_distinct,
                 intra_batch_exact,
+                benchmark_span_index,
+                cont_threshold,
+                quality_gate,
             )
         )
         .option("checkpointLocation", checkpoint)

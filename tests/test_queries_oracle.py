@@ -4,6 +4,8 @@ exact cell equality instead of a hash)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from mapreduce_framework_spark.registry import all_queries
@@ -102,14 +104,13 @@ def test_retired_q30_matches_oracle(spark, sf_dir):
 
 
 def test_q107_candidate_matches_oracle(spark, sf_dir):
-    """q107_decontaminating_admission is LIBRARY-FIRST (round 9): the
-    four-tier admission cascade (exact → MinHash → semantic →
-    span-decontamination) replayed end-to-end and checked against a full
-    DuckDB oracle — registered-query-grade, but NOT registered: the
-    registry is at capacity and no retiree is timing-eligible until r10
-    (q63 rotates in-window then; registry.py dry-run ranking). This
-    differential makes the r10 registration a one-commit slot change
-    with a proven oracle, the q105/q106 playbook."""
+    """q107_decontaminating_admission — staged library-first in round 9,
+    REGISTERED in round 10 (q63's retired slot, the scheduled swap). The
+    registry parametrization above now covers the plain differential;
+    this test keeps the stronger structural assertions: the
+    contamination plants (+30M verbatim benchmark copies) must all be
+    rejected and at least one must carry the 'contaminated' tier, so the
+    decon tier provably FIRED rather than vacuously matching."""
     from mapreduce_framework_spark.operators.streaming_replay import (
         _q107_oracle,
         q107_decontaminating_admission,
@@ -125,3 +126,76 @@ def test_q107_candidate_matches_oracle(spark, sf_dir):
     assert plants and all(not r["admitted"] for r in plants)
     assert any(r["tier"] == "contaminated" for r in rows)
     compare(df, _q107_oracle(), sf_dir)
+
+
+def test_retired_q63_matches_oracle(spark, sf_dir):
+    """q63_posexplode was RETIRED from the registry in round 10
+    (registry.py policy item 4; its slot funded
+    q107_decontaminating_admission — the four-tier decontaminating
+    streaming cascade). Per the policy, its builder and oracle stay in
+    the repo permanently and THIS dedicated differential replaces its
+    registry parametrization — its positional-explode surface stays
+    registered through q23's array battery."""
+    from mapreduce_framework_spark.operators.functions_battery import (
+        _Q63_POSEXPLODE_ORACLE,
+        q63_posexplode,
+    )
+
+    compare(q63_posexplode(spark, sf_dir), _Q63_POSEXPLODE_ORACLE, sf_dir)
+
+def test_q107_no_centroid_degradation_matches_oracle(spark, sf_dir, tmp_path):
+    """The round-10 reconciliation of q107's degenerate path (ADVICE):
+    with NO usable centroid (empty embeddings table) the builder degrades
+    to the lexical two-tier cascade WITH the decontamination tier still
+    on — and the oracle, whose contamination CTEs are unconditional while
+    its semantic CTEs vanish with an empty `e`, must match it exactly.
+    Before the fix the fallback dropped the decon tier entirely and this
+    differential would fail."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_framework_spark.operators.streaming_replay import (
+        _q107_oracle,
+        q107_decontaminating_admission,
+    )
+
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        if t == "embeddings":
+            tbl = tbl.slice(0, 0)
+        pq.write_table(tbl, str(tmp_path / f"{t}.parquet"))
+    df = q107_decontaminating_admission(spark, str(tmp_path))
+    rows = df.collect()
+    # the decon tier fired on the degraded path
+    assert any(r["tier"] == "contaminated" for r in rows)
+    # nothing is semantic-rejected without centroids
+    assert all(r["tier"] != "semantic" for r in rows)
+    compare(df, _q107_oracle(), str(tmp_path))
+
+def test_q108_candidate_matches_oracle(spark, sf_dir):
+    """q108_quality_gated_admission is LIBRARY-FIRST (round 10): the
+    five-tier admission cascade (quality → exact → MinHash → semantic →
+    span-decontamination) replayed end-to-end and checked against a full
+    DuckDB oracle — registered-query-grade, but NOT registered: the
+    registry is at capacity and no retiree is timing-eligible until r11
+    (q47 rotates in-window then; registry.py ROUND-11 HANDOFF). This
+    differential makes the r11 registration a one-commit slot change
+    with a proven oracle — the q105/q106/q107 playbook. Structural
+    assertions: the quality tier actually FIRED, and strict precedence
+    holds (no doc carries both a quality reject and a dedup match —
+    quality-rejected docs never reach the index tiers)."""
+    from mapreduce_framework_spark.operators.streaming_replay import (
+        _q108_oracle,
+        q108_quality_gated_admission,
+    )
+
+    df = q108_quality_gated_admission(spark, sf_dir)
+    rows = df.collect()
+    tiers = {r["tier"] for r in rows}
+    assert "quality" in tiers  # the gate fired on the corpus itself
+    for r in rows:
+        if r["tier"] == "quality":
+            assert r["matched_id"] == -1 and not r["admitted"]
+    compare(df, _q108_oracle(), sf_dir)
