@@ -131,6 +131,7 @@ def main() -> None:
     # builder work remain charged to the query that causes them.
     build: dict[str, float] = {}
     execute: dict[str, float] = {}
+    execute_warm: dict[str, float] = {}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
@@ -138,8 +139,21 @@ def main() -> None:
         t1 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         t2 = time.perf_counter()
+        # WARM exec (round 10, verdict task 2): the round-9 adjudication
+        # proved single-shot exec at sf0.1 is dominated 2-4x by per-plan
+        # fixed costs (codegen JIT, shuffle-file setup) that host state
+        # modulates — every cross-round regression hunt dissolved into
+        # "host". The SECOND run of the identical plan is the stable
+        # series (BASELINE.md round-10: ±15% back-to-back), so warm is
+        # what the compact driver line publishes; cold stays in the full
+        # record as the fixed-cost series. Totals keep their historical
+        # build+cold semantics — the round-2 lesson about never changing
+        # a published series' meaning mid-stream.
+        df.write.format("noop").mode("overwrite").save()
+        t3 = time.perf_counter()
         build[name] = round(t1 - t0, 3)
         execute[name] = round(t2 - t1, 3)
+        execute_warm[name] = round(t3 - t2, 3)
         timings[name] = round(t2 - t0, 3)
 
     # Steady-state incremental dedup: q91's registry form rebuilds the
@@ -297,9 +311,76 @@ def main() -> None:
     except Exception as ex:  # bench must still emit its line
         steady["cascade_error"] = f"{type(ex).__name__}: {ex}"[:200]
 
+    # Steady-state FOUR-tier cascade (round 10, verdict task 3): the same
+    # per-batch lifecycle with the DECONTAMINATION tier wired
+    # (benchmark_span_index) — q107's registered shape. The benchmark
+    # split is q105/q107's doc_id % 17 == 0 rule; its span index is the
+    # build-once artifact (timed separately, like the codebook), and the
+    # seed/match batches carry the remaining pool. The decon tier's
+    # per-batch cost is cascade4_* minus cascade_* — a driver-visible
+    # cross-round series instead of a one-off SCALING.md probe.
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from mapreduce_framework_spark.catalog import table
+        from mapreduce_framework_spark.pipeline.codebook import fit_codebook
+        from mapreduce_framework_spark.pipeline.span_dedup import span_index
+        from mapreduce_framework_spark.streaming.ingest import (
+            make_full_cascade_ingest_batch_fn,
+        )
+
+        docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+        embs = table(spark, "embeddings", sf_dir).select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        bench_docs = docs.where(F.col("doc_id") % 17 == 0)
+        pool = docs.where(F.col("doc_id") % 17 != 0).join(embs, "doc_id", "left")
+        cut = pool.agg(((F.max("doc_id") + 1) / 2).cast("long")).collect()[0][0]
+        b0 = pool.where(F.col("doc_id") < cut).localCheckpoint(eager=True)
+        b1 = pool.where(F.col("doc_id") >= cut).localCheckpoint(eager=True)
+        casc4_dir = tempfile.mkdtemp(prefix="mfs_bench_casc4_")
+        try:
+            t0 = time.perf_counter()
+            bsi = span_index(bench_docs).localCheckpoint(eager=True)
+            t1 = time.perf_counter()
+            cb = fit_codebook(
+                table(spark, "embeddings", sf_dir).where(F.col("vec_id") < cut),
+                k=64,
+                iters=2,
+            ).localCheckpoint(eager=True)
+            fn4 = make_full_cascade_ingest_batch_fn(
+                spark,
+                os.path.join(casc4_dir, "fp"),
+                os.path.join(casc4_dir, "sig"),
+                os.path.join(casc4_dir, "sem"),
+                os.path.join(casc4_dir, "dec"),
+                cb,
+                threshold=0.8,
+                benchmark_span_index=bsi,
+                cont_threshold=0.05,
+            )
+            t2 = time.perf_counter()
+            fn4(b0, 0)
+            t3 = time.perf_counter()
+            fn4(b1, 1)
+            t4 = time.perf_counter()
+            steady["cascade4_span_index_build_once_sec"] = round(t1 - t0, 3)
+            steady["cascade4_seed_batch_sec"] = round(t3 - t2, 3)
+            steady["cascade4_match_batch_sec"] = round(t4 - t3, 3)
+        finally:
+            shutil.rmtree(casc4_dir, ignore_errors=True)
+    except Exception as ex:  # bench must still emit its line
+        steady["cascade4_error"] = f"{type(ex).__name__}: {ex}"[:200]
+
     total = round(sum(timings.values()), 3)
     r1_sum = round(sum(t for q, t in timings.items() if q in R1_SUBSET), 3)
     r1_exec = round(sum(t for q, t in execute.items() if q in R1_SUBSET), 3)
+    r1_exec_warm = round(
+        sum(t for q, t in execute_warm.items() if q in R1_SUBSET), 3
+    )
     loadavg = [round(x, 2) for x in os.getloadavg()]
     # The FULL record (per-query build+exec splits) — kept for humans and
     # BASELINE.md bookkeeping, printed first so the driver's bounded tail
@@ -313,14 +394,18 @@ def main() -> None:
                 "queries": timings,
                 "queries_build": build,
                 "queries_exec": execute,
+                "queries_exec_warm": execute_warm,
                 "sf": sf_dir,
                 "n_queries": len(timings),
                 # like-for-like series vs round 1's 17-query suite:
                 # r1 timers were exec-only, so r1_subset_exec_sec is the
                 # clean A/B against round 1's ~26-30 s; r1_subset_sec keeps
-                # the round-2 builder-inclusive semantics
+                # the round-2 builder-inclusive semantics.
+                # r1_subset_exec_warm_sec (round 10): the second-run sum —
+                # the stable regression series (BASELINE.md round-10)
                 "r1_subset_sec": r1_sum,
                 "r1_subset_exec_sec": r1_exec,
+                "r1_subset_exec_warm_sec": r1_exec_warm,
                 "steady_state": steady,
                 # host load (1/5/15-min averages) at end of run: round 4
                 # discarded one 3-10x-degraded run by hand; recording load
@@ -335,22 +420,27 @@ def main() -> None:
     # because the single giant JSON line overflowed the driver's tail
     # capture. Round 9 (verdict item: the r8 totals-only line made the q56
     # exec watch item unadjudicable from the artifact): the per-query dict
-    # here is now EXEC seconds — the metric every cross-round series and
-    # watch item is defined on — published as "queries_exec"; per-query
-    # TOTALS and builds stay in the full record above, and their suite-wide
-    # sums ride along as scalars so build attribution is still visible.
+    # here is EXEC seconds — the metric every cross-round series and
+    # watch item is defined on. Round 10 (verdict task 2): "queries_exec"
+    # is now the WARM (second-run) exec — the host-stable series; the
+    # cold firsts stay in the full record as "queries_exec" there is the
+    # cold series (unchanged meaning) plus "queries_exec_warm". Scalars
+    # keep both sums so the cold fixed-cost story stays visible here.
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries_exec": execute,
+                "queries_exec": execute_warm,
+                "exec_cold_total_sec": round(sum(execute.values()), 3),
+                "exec_warm_total_sec": round(sum(execute_warm.values()), 3),
                 "build_total_sec": round(sum(build.values()), 3),
                 "sf": sf_dir,
                 "n_queries": len(timings),
                 "r1_subset_sec": r1_sum,
                 "r1_subset_exec_sec": r1_exec,
+                "r1_subset_exec_warm_sec": r1_exec_warm,
                 "steady_state": steady,
                 "loadavg": loadavg,
             },
