@@ -1,0 +1,384 @@
+"""S3/MinIO manifest backend (storage_s3.py) — three layers of proof:
+
+1. botocore Stubber tests: the exact wire requests (If-Match / If-None-
+   Match conditional PUTs, 412 mapping) with no server.
+2. An in-memory fake S3 client with real ETag semantics driving the
+   ACTUAL fencing/acquisition flows (acquire_index_root, zombie commit,
+   concurrent acquirers) through set_manifest_backend — the same
+   scenarios the POSIX backend's suite pins, now through the S3 code
+   path end-to-end.
+3. An OPTIONAL live leg against a real S3-compatible endpoint, gated on
+   MFS_TEST_S3_ENDPOINT (+ bucket/credentials env) — skipped in this
+   sandbox, runnable in any CI with MinIO.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pytest
+
+from mapreduce_framework_spark.storage import (
+    ManifestPreconditionFailed,
+    WriterFenced,
+    acquire_index_root,
+    commit_manifest,
+    read_manifest_doc,
+    set_manifest_backend,
+)
+from mapreduce_framework_spark.storage_s3 import S3ManifestBackend
+
+boto3 = pytest.importorskip("boto3")
+from botocore.stub import ANY, Stubber  # noqa: E402
+
+
+def _client():
+    return boto3.client(
+        "s3",
+        region_name="us-east-1",
+        aws_access_key_id="test",
+        aws_secret_access_key="test",
+    )
+
+
+def _stubbed_backend():
+    c = _client()
+    return S3ManifestBackend("bkt", prefix="mfs", client=c), Stubber(c)
+
+
+def _get_response(doc: dict, etag: str):
+    import io
+
+    from botocore.response import StreamingBody
+
+    body = json.dumps(doc).encode()
+    return {
+        "Body": StreamingBody(io.BytesIO(body), len(body)),
+        "ETag": etag,
+    }
+
+
+def test_read_absent_returns_none():
+    be, stub = _stubbed_backend()
+    stub.add_client_error(
+        "get_object", service_error_code="NoSuchKey", http_status_code=404
+    )
+    with stub:
+        assert be.read("/tmp/root/_index_manifest.json") is None
+
+
+def test_key_mapping_prefixes_and_strips_leading_slash():
+    be, stub = _stubbed_backend()
+    stub.add_response(
+        "get_object",
+        _get_response({"epoch": 3}, '"abc"'),
+        {"Bucket": "bkt", "Key": "mfs/tmp/root/_index_manifest.json"},
+    )
+    with stub:
+        assert be.read("/tmp/root/_index_manifest.json") == {"epoch": 3}
+
+
+def test_unconditional_commit_puts_without_conditions():
+    be, stub = _stubbed_backend()
+    stub.add_response(
+        "put_object",
+        {},
+        {
+            "Bucket": "bkt",
+            "Key": "mfs/r/m.json",
+            "Body": ANY,
+            "ContentType": "application/json",
+        },
+    )
+    with stub:
+        be.commit("r/m.json", {"epoch": 1})
+
+
+def test_conditional_commit_uses_if_match_etag():
+    be, stub = _stubbed_backend()
+    stub.add_response(
+        "get_object",
+        _get_response({"epoch": 2}, '"etag-2"'),
+        {"Bucket": "bkt", "Key": "mfs/r/m.json"},
+    )
+    stub.add_response(
+        "put_object",
+        {},
+        {
+            "Bucket": "bkt",
+            "Key": "mfs/r/m.json",
+            "Body": ANY,
+            "ContentType": "application/json",
+            "IfMatch": '"etag-2"',
+        },
+    )
+    with stub:
+        be.commit("r/m.json", {"epoch": 3}, expected_epoch=2)
+
+
+def test_conditional_commit_on_absent_manifest_uses_if_none_match():
+    be, stub = _stubbed_backend()
+    stub.add_client_error(
+        "get_object", service_error_code="NoSuchKey", http_status_code=404
+    )
+    stub.add_response(
+        "put_object",
+        {},
+        {
+            "Bucket": "bkt",
+            "Key": "mfs/r/m.json",
+            "Body": ANY,
+            "ContentType": "application/json",
+            "IfNoneMatch": "*",
+        },
+    )
+    with stub:
+        be.commit("r/m.json", {"epoch": 1}, expected_epoch=0)
+
+
+def test_epoch_drift_read_at_commit_raises_precondition():
+    be, stub = _stubbed_backend()
+    stub.add_response(
+        "get_object",
+        _get_response({"epoch": 5}, '"etag-5"'),
+        {"Bucket": "bkt", "Key": "mfs/r/m.json"},
+    )
+    with stub:
+        with pytest.raises(ManifestPreconditionFailed, match="5 != expected 2"):
+            be.commit("r/m.json", {"epoch": 3}, expected_epoch=2)
+
+
+def test_412_from_store_maps_to_precondition_failed():
+    be, stub = _stubbed_backend()
+    stub.add_response(
+        "get_object",
+        _get_response({"epoch": 2}, '"etag-2"'),
+        {"Bucket": "bkt", "Key": "mfs/r/m.json"},
+    )
+    stub.add_client_error(
+        "put_object",
+        service_error_code="PreconditionFailed",
+        http_status_code=412,
+    )
+    with stub:
+        with pytest.raises(ManifestPreconditionFailed, match="ETag mismatch"):
+            be.commit("r/m.json", {"epoch": 3}, expected_epoch=2)
+
+
+def test_non_precondition_client_errors_propagate():
+    be, stub = _stubbed_backend()
+    stub.add_response(
+        "get_object",
+        _get_response({"epoch": 2}, '"etag-2"'),
+        {"Bucket": "bkt", "Key": "mfs/r/m.json"},
+    )
+    stub.add_client_error(
+        "put_object", service_error_code="AccessDenied", http_status_code=403
+    )
+    with stub:
+        with pytest.raises(Exception, match="AccessDenied"):
+            be.commit("r/m.json", {"epoch": 3}, expected_epoch=2)
+
+
+# --- layer 2: the real fencing flows over an in-memory S3 ----------------
+
+
+class _FakeS3Client:
+    """Minimal in-memory S3 with REAL conditional-write semantics: ETag =
+    md5(body) (exactly S3's single-part rule), If-Match / If-None-Match
+    enforced atomically. Implements only what S3ManifestBackend calls."""
+
+    def __init__(self):
+        self.objects: dict[tuple[str, str], bytes] = {}
+
+        from botocore.exceptions import ClientError
+
+        class _Exc:
+            pass
+
+        class NoSuchKey(Exception):
+            pass
+
+        self.exceptions = _Exc()
+        self.exceptions.NoSuchKey = NoSuchKey
+        self.exceptions.ClientError = ClientError
+
+    @staticmethod
+    def _etag(body: bytes) -> str:
+        return '"%s"' % hashlib.md5(body).hexdigest()
+
+    def get_object(self, Bucket, Key):
+        import io
+
+        from botocore.response import StreamingBody
+
+        if (Bucket, Key) not in self.objects:
+            raise self.exceptions.NoSuchKey()
+        body = self.objects[(Bucket, Key)]
+        return {
+            "Body": StreamingBody(io.BytesIO(body), len(body)),
+            "ETag": self._etag(body),
+        }
+
+    def _client_error(self, op):
+        from botocore.exceptions import ClientError
+
+        return ClientError(
+            {
+                "Error": {"Code": "PreconditionFailed", "Message": "412"},
+                "ResponseMetadata": {"HTTPStatusCode": 412},
+            },
+            op,
+        )
+
+    def put_object(self, Bucket, Key, Body, ContentType=None, IfMatch=None,
+                   IfNoneMatch=None):
+        existing = self.objects.get((Bucket, Key))
+        if IfNoneMatch == "*" and existing is not None:
+            raise self._client_error("PutObject")
+        if IfMatch is not None and (
+            existing is None or self._etag(existing) != IfMatch
+        ):
+            raise self._client_error("PutObject")
+        self.objects[(Bucket, Key)] = Body
+        return {"ETag": self._etag(Body)}
+
+
+@pytest.fixture()
+def s3_backend():
+    fake = _FakeS3Client()
+    backend = S3ManifestBackend("bkt", prefix="manifests", client=fake)
+    prev = set_manifest_backend(backend)
+    try:
+        yield backend, fake
+    finally:
+        set_manifest_backend(prev)
+
+
+def test_acquisition_and_fencing_over_s3(s3_backend, tmp_path):
+    """The storage.py acquisition cycle runs unmodified over the S3
+    backend: sequential acquirers get distinct epochs, and the earlier
+    owner's conditional commit is fenced with nothing committed."""
+    backend, fake = s3_backend
+    root = str(tmp_path / "idx")
+    e1 = acquire_index_root(root)
+    e2 = acquire_index_root(root)  # fences e1
+    assert (e1, e2) == (1, 2)
+    path = os.path.join(root, "_manifest.json")
+    man = read_manifest_doc(path)
+    assert man["epoch"] == 2
+    # zombie (epoch-1 owner) tries to commit conditionally on its stale view
+    stale = dict(man)
+    stale["epoch"] = e1
+    with pytest.raises(WriterFenced, match="fenced"):
+        commit_manifest(path, {"epoch": 99}, expected_epoch=e1)
+    assert read_manifest_doc(path)["epoch"] == 2  # nothing committed
+
+
+def test_interleaved_racer_hits_the_etag_cas(s3_backend, tmp_path):
+    """The window the POSIX backend documents (read-then-replace) is
+    CLOSED here: a racer that commits between this writer's epoch check
+    and its PUT flips the ETag, so the PUT itself 412s — proven by
+    injecting the race inside the fake's get_object."""
+    backend, fake = s3_backend
+    root = str(tmp_path / "idx")
+    acquire_index_root(root)
+    path = os.path.join(root, "_manifest.json")
+    key = ("bkt", "manifests" + path)
+
+    real_get = fake.get_object
+    raced = {"done": False}
+
+    def racing_get(Bucket, Key):
+        resp = real_get(Bucket=Bucket, Key=Key)
+        if not raced["done"]:
+            raced["done"] = True
+            # racer commits AFTER our read, BEFORE our PUT
+            body = json.dumps({"version": 1, "epoch": 1, "raced": True}).encode()
+            fake.objects[(Bucket, Key)] = body
+        return resp
+
+    fake.get_object = racing_get
+    with pytest.raises(WriterFenced):
+        commit_manifest(path, {"version": 1, "epoch": 2}, expected_epoch=1)
+    assert read_manifest_doc(path).get("raced") is True  # racer's commit won
+
+
+def test_concurrent_acquirers_get_distinct_epochs_over_s3(s3_backend, tmp_path):
+    """12 concurrent acquirers through the no-op lock + ETag CAS: every
+    epoch distinct, exactly 1..12 — the invariant the POSIX backend
+    proves with its O_EXCL lock, held here by the CAS alone."""
+    import threading
+
+    backend, fake = s3_backend
+    root = str(tmp_path / "idx")
+    got: list[int] = []
+    lock = threading.Lock()
+
+    def run():
+        e = acquire_index_root(root)
+        with lock:
+            got.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(got) == list(range(1, 13))
+
+
+def test_ingest_sink_fences_zombie_over_s3(s3_backend, tmp_path, spark):
+    """End-to-end: the actual two-tier cascade sink publishes through the
+    S3 backend; a second acquisition fences the first sink, whose next
+    batch hard-errors with nothing committed — the exact scenario of
+    test_storage.py's fake-backend test, now through storage_s3."""
+    from pyspark.sql import Row
+
+    from mapreduce_framework_spark.streaming.ingest import make_ingest_batch_fn
+
+    root = str(tmp_path / "idx")
+    dec = str(tmp_path / "dec")
+    fn = make_ingest_batch_fn(spark, root, dec, threshold=0.8)
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i} alpha beta gamma delta") for i in range(6)]
+    )
+    fn(docs.where("doc_id < 3"), 0)
+    man_before = read_manifest_doc(os.path.join(root, "_manifest.json"))
+    acquire_index_root(root)  # usurper fences the running sink
+    with pytest.raises(WriterFenced):
+        fn(docs.where("doc_id >= 3"), 1)
+    man_after = read_manifest_doc(os.path.join(root, "_manifest.json"))
+    assert man_after["deltas"] == man_before["deltas"]  # nothing committed
+
+
+# --- layer 3: optional live endpoint ------------------------------------
+
+
+LIVE_ENDPOINT = os.environ.get("MFS_TEST_S3_ENDPOINT")
+
+
+@pytest.mark.skipif(
+    not LIVE_ENDPOINT,
+    reason="set MFS_TEST_S3_ENDPOINT (+ MFS_TEST_S3_BUCKET / AWS_* creds) "
+    "to run the live S3/MinIO leg",
+)
+def test_live_acquisition_and_fencing(tmp_path):
+    backend = S3ManifestBackend(
+        os.environ["MFS_TEST_S3_BUCKET"],
+        prefix=f"mfs-test-{os.getpid()}",
+        endpoint_url=LIVE_ENDPOINT,
+    )
+    prev = set_manifest_backend(backend)
+    try:
+        root = str(tmp_path / "idx")
+        assert acquire_index_root(root) == 1
+        assert acquire_index_root(root) == 2
+        path = os.path.join(root, "_manifest.json")
+        with pytest.raises(WriterFenced):
+            commit_manifest(path, {"version": 1, "epoch": 99}, expected_epoch=1)
+        assert read_manifest_doc(path)["epoch"] == 2
+    finally:
+        set_manifest_backend(prev)
