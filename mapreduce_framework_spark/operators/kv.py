@@ -50,7 +50,7 @@ KV_OPS_SQL = f"""
            END AS op,
            CASE event_type
              WHEN 'view' THEN ''
-             ELSE 'x ' || CAST(user_id AS VARCHAR) || ' ' || CAST(event_id AS VARCHAR) || ' y'
+             ELSE concat_ws(' ', 'x', CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR), 'y')
            END AS value
     FROM {EVENTS_US_SQL} ev_us
 """
@@ -61,6 +61,14 @@ def kv_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (ts, event_id) is the linearization order (event_id breaks ts ties).
     Key construction covers all 10 shard buckets (first chars a..z).
+
+    NULL POLICY (round 10, exposed by the sweep's user_id null plan): a
+    NULL user_id yields a NULL key (concat propagates NULL on both
+    engines — the NULL-key group the fold keeps, see _fold_sql) but a
+    NON-NULL value: both sides build the value with concat_ws, which
+    skips NULL parts, so the fold never concatenates a NULL payload
+    ('x <event_id> y' for a NULL user). The op column never depends on
+    user_id.
     """
     ev = table(spark, "events", sf_dir)
     key = F.concat(
@@ -161,14 +169,20 @@ def q07_kv_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ops AS ({KV_OPS_SQL}),
     keys AS (SELECT DISTINCT key FROM ops)
-    SELECT CAST(unicode(substr(key, 1, 1)) % 10 AS INT) AS shard, count(*) AS cnt
+    SELECT CAST(CASE WHEN length(key) > 0
+                     THEN unicode(substr(key, 1, 1)) % 10 ELSE 0 END AS INT) AS shard,
+           count(*) AS cnt
     FROM keys GROUP BY 1 ORDER BY shard
     """,
     tags=("ref", "K4"),
 )
 def q08_shard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """key2shard routing (src/shardkv/client.go:22-29): shard = first byte
-    mod NShards(=10); count of distinct keys per shard."""
+    mod NShards(=10); count of distinct keys per shard. NULL POLICY
+    (round 10): a NULL key routes to shard 0 exactly like the empty key —
+    Go's guard has no nil string, so NULL-behaves-as-empty is the
+    reference-faithful reading; the oracle's CASE mirrors key2shard's
+    when/otherwise (length(NULL) > 0 is not TRUE on either engine)."""
     from mapreduce_framework_spark.functions.hashing import key2shard
 
     keys = kv_ops(spark, sf_dir).select("key").distinct()

@@ -172,7 +172,11 @@ def q94_streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(staging, ignore_errors=True)  # memory sink holds the rows
     return (
-        out.where(F.col("user_id") >= 0)
+        # sentinel filter is NULL-SAFE (round 10, sweep's user_id null
+        # plan): the advancers are user_id -1; a NULL user_id is a real
+        # corpus group (the batch q27 oracle's GROUP BY keeps it), so
+        # `>= 0` alone — which drops NULL — would lose that session row
+        out.where(F.col("user_id").isNull() | (F.col("user_id") >= 0))
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .orderBy("user_id")

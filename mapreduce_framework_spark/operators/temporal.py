@@ -50,8 +50,18 @@ def q57_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def asof_last_click(ev: DataFrame) -> DataFrame:
     """Library form of q57 over any (event_id, user_id, ts, event_type)
     frame — property-tested against a sequential model in
-    tests/test_temporal_props.py (equal-ts and tie cases)."""
-    clicks = ev.where(F.col("event_type") == "click").select(
+    tests/test_temporal_props.py (equal-ts and tie cases).
+
+    NULL POLICY (round 10, exposed by the sweep's user_id null plan): the
+    operator is a JOIN, so NULL keys never match — SQL equality, exactly
+    DuckDB's ASOF ON p.user_id = c.user_id. The window formulation would
+    silently group all NULL users into one partition and match them to
+    each other, so NULL-user clicks are masked out of the match side
+    here; NULL-user purchases stay in the output with last_click_ts NULL
+    (ASOF LEFT JOIN keeps every probe row)."""
+    clicks = ev.where(
+        (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+    ).select(
         F.lit(None).cast("long").alias("event_id"),
         "user_id",
         "ts",

@@ -256,6 +256,9 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
             # never a crash; an empty benchmark index is a no-op tier)
             from mapreduce_framework_spark.pipeline.span_dedup import span_index
 
+            # round-10: quality_gate=True drives the FIVE-tier form —
+            # the quality gate must honor the NULL policies too (NULL
+            # text fails closed with tier 'quality', never a crash)
             fn = make_full_cascade_ingest_batch_fn(
                 spark,
                 os.path.join(root, "fp"),
@@ -265,6 +268,7 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
                 cb,
                 JACCARD_THRESHOLD,
                 benchmark_span_index=span_index(docs.limit(5)),
+                quality_gate=True,
             )
             fn(de, 0)
             # id-shifted copy: every doc byte-collapses in the exact tier
@@ -285,7 +289,7 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
             from mapreduce_framework_spark.streaming.ingest import admission_report
 
             n_outcomes = admission_report(spark, os.path.join(root, "dec")).count()
-            assert 1 <= n_outcomes <= 5
+            assert 1 <= n_outcomes <= 6  # round-10: + the 'quality' outcome
             return (
                 spark.read.option("recursiveFileLookup", "true")
                 .parquet(os.path.join(root, "dec"))
