@@ -1,0 +1,91 @@
+"""Long-horizon composed soak (round 10, VERDICT r9 task 5).
+
+One multi-batch FIVE-tier cascade ingest composing everything hardened
+in rounds 8-10 — fencing with atomic acquisition, compaction with cap
+re-application, the drift autopilot firing mid-run, the decontamination
+tier, and the quality gate — with the soak invariants asserted:
+
+- every tier fires (the synthetic population plants all five reject
+  classes from previously admitted docs);
+- a mid-soak crash+takeover replays the in-flight batch byte-identically
+  and the fenced predecessor hard-errors;
+- manifest delta lists stay bounded by the compaction cadence on every
+  root;
+- the autopilot fires after the planted population shift;
+- wall/batch stays flat (generous 3x bound — absolute walls are host
+  noise, the invariant is no monotonic blowup).
+
+The 200-batch table lives in SCALING.md (tools/scaling_probe.py --soak);
+this test runs the same harness at pytest scale.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import statistics
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_spec = importlib.util.spec_from_file_location(
+    "scaling_probe_for_soak", os.path.join(REPO, "tools", "scaling_probe.py")
+)
+scaling_probe = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(scaling_probe)
+
+
+@pytest.fixture(scope="module")
+def soak_result(spark_global):
+    from mapreduce_framework_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(spark_global)
+    return scaling_probe.run_soak(
+        spark_global,
+        n_batches=18,
+        batch_n=60,
+        compact_every=6,
+        crash_at=8,
+        drift_at=10,
+    )
+
+
+def test_soak_every_tier_fires(soak_result):
+    tiers = set(soak_result["tier_counts"])
+    assert {
+        "admitted",
+        "quality",
+        "exact",
+        "near_dup",
+        "semantic",
+        "contaminated",
+    } <= tiers, soak_result["tier_counts"]
+    # admitted docs dominate (the gate is not rejecting the clean corpus)
+    counts = soak_result["tier_counts"]
+    assert counts["admitted"] > sum(v for k, v in counts.items() if k != "admitted")
+
+
+def test_soak_crash_takeover_replays_byte_identically(soak_result):
+    assert soak_result["crash_replay_identical"] is True
+    assert soak_result["zombie_fenced"] is True
+
+
+def test_soak_manifests_stay_bounded(soak_result):
+    # compaction folds every root's deltas; the list can hold at most the
+    # compacted entry plus the batches since the last fold (+1 in-flight)
+    for name, n in soak_result["manifest_delta_counts"].items():
+        assert n <= 6 + 2, (name, soak_result["manifest_delta_counts"])
+
+
+def test_soak_autopilot_fires_after_drift(soak_result):
+    fired = soak_result["autopilot_fired_at"]
+    assert fired, "autopilot never fired despite the population shift"
+    assert all(b >= 10 for b in fired), fired  # only after the drift point
+
+
+def test_soak_wall_per_batch_stays_flat(soak_result):
+    walls = soak_result["walls"]
+    early = statistics.median(walls[2:8])
+    late = statistics.median(walls[-5:])
+    assert late <= 3 * early, (early, late, walls)

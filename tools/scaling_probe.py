@@ -1693,6 +1693,9 @@ def main() -> None:
     if "--decon" in sys.argv:  # round-6 span-decontamination series
         probe_decon(spark, base)
         return
+    if "--soak" in sys.argv:  # round-10 long-horizon composed soak
+        probe_soak(spark)
+        return
     if "--ingest-compaction" in sys.argv:  # round-7 manifest/compaction series
         probe_ingest_compaction(spark, base)
         return
@@ -1767,3 +1770,259 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def run_soak(
+    spark,
+    n_batches: int = 200,
+    batch_n: int = 200,
+    compact_every: int = 16,
+    crash_at: int | None = 120,
+    drift_at: int | None = 110,
+    cos_threshold: float = 0.9,
+    k: int = 32,
+    seed: int = 11,
+):
+    """Round-10 LONG-HORIZON COMPOSED SOAK (VERDICT r9 task 5): one
+    multi-hundred-batch FIVE-tier cascade ingest (quality → exact →
+    MinHash → semantic → decon) composing everything hardened in rounds
+    8-10 — manifest fencing with atomic acquisition, compaction with cap
+    re-application (band_cap/cell_cap), the drift autopilot firing
+    mid-run on a real population shift, the decontamination tier against
+    a span-indexed benchmark, and the round-10 quality gate — and
+    measures the three soak invariants:
+
+    - wall/batch stays FLAT (per-batch work is O(batch) + manifest-
+      bounded index reads; compaction keeps file counts bounded);
+    - manifest delta lists stay BOUNDED by the compaction cadence on
+      every root (fp/sig/bands/sem/decisions);
+    - a mid-soak CRASH+TAKEOVER replays the in-flight batch
+      byte-identically (redelivery visibility is strictly-before-batch),
+      and the fenced predecessor hard-errors instead of writing.
+
+    Synthetic population (the probe_autopilot methodology — the sf
+    embeddings have no cluster structure to drift): texts are random
+    80-token draws from a 600-word vocab (pass the quality gate by
+    construction); embeddings come from 8 unit-sphere cluster centers
+    (population A, switching to disjoint population B at ``drift_at`` to
+    trip the autopilot). Each batch plants every reject class from
+    PREVIOUSLY ADMITTED docs: byte-identical re-fetches (exact tier),
+    suffix-append rewrites at Jaccard ~0.96 (MinHash tier), new-text
+    embedding twins at cos ~0.97 (semantic tier), verbatim benchmark
+    copies (decon tier), and single-word spam (quality tier).
+
+    Returns a dict of invariant measurements; probe/pytest assert on it.
+    """
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from mapreduce_framework_spark.pipeline.codebook import fit_codebook
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.pipeline.span_dedup import span_index
+    from mapreduce_framework_spark.storage import WriterFenced, read_index_manifest
+    from mapreduce_framework_spark.streaming.ingest import (
+        delta_dir,
+        make_full_cascade_ingest_batch_fn,
+        refresh_semantic_root_if_needed,
+    )
+
+    # member noise 0.25 puts same-cluster pairs at cos ~0.5 — far enough
+    # below the 0.9 threshold that even the max over hundreds of indexed
+    # cluster-mates stays under it (at 0.12 the extreme-value tail
+    # semantic-rejected half the fresh docs); twins at 0.05 sit ~0.98
+    dim, n_clusters, noise, twin_noise = 16, 8, 0.25, 0.05
+    rng = np.random.RandomState(seed)
+    # alphabetic-only words: the family tokenizer splits on [^a-zA-Z]+,
+    # so digits would collapse every word to "w" and the quality gate
+    # would (correctly) spam-reject the whole corpus
+    vocab = [
+        "w" + chr(97 + i % 26) + chr(97 + (i // 26) % 26) + chr(97 + (i // 676) % 26)
+        for i in range(600)
+    ]
+
+    def text_of(n_tok: int) -> str:
+        return " ".join(vocab[j] for j in rng.randint(0, len(vocab), n_tok))
+
+    def directions(n):
+        c = rng.randn(n, dim)
+        return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+    a_centers, b_centers = directions(n_clusters), directions(n_clusters)
+
+    def vec(centers):
+        v = centers[rng.randint(0, n_clusters)] + noise * rng.randn(dim)
+        return [float(x) for x in v]
+
+    bench_rows = [
+        Row(doc_id=900_000_000 + j, text=text_of(80)) for j in range(40)
+    ]
+    bench = spark.createDataFrame(bench_rows)
+    bsi = span_index(bench).localCheckpoint(eager=True)
+
+    fit = spark.createDataFrame(
+        [Row(vec_id=800_000_000 + j, embedding=vec(a_centers)) for j in range(1200)]
+    )
+    held = fit_codebook(fit, k=k, iters=4).localCheckpoint(eager=True)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # tiny batches: the
+    # per-batch fixed cost is dominated by shuffle-file and delta-file
+    # counts, which at this batch size measure the harness, not the sink
+    root = tempfile.mkdtemp(prefix="mfs_soak_")
+    roots = {
+        n: os.path.join(root, n) for n in ("fp", "sig", "bands", "sem", "dec")
+    }
+
+    def make_fn():
+        return make_full_cascade_ingest_batch_fn(
+            spark,
+            roots["fp"],
+            roots["sig"],
+            roots["sem"],
+            roots["dec"],
+            held,
+            threshold=JACCARD_THRESHOLD,
+            cos_threshold=cos_threshold,
+            compact_every=compact_every,
+            sig_bands_root=roots["bands"],
+            band_cap=4096,
+            cell_cap=4096,
+            benchmark_span_index=bsi,
+            cont_threshold=0.05,
+            quality_gate=True,
+        )
+
+    out = {
+        "walls": [],
+        "autopilot_fired_at": [],
+        "crash_replay_identical": None,
+        "zombie_fenced": None,
+        "tier_counts": {},
+        "manifest_delta_counts": {},
+    }
+    admitted_pool: list = []  # (doc_id, text, embedding) of admitted fresh docs
+    try:
+        fn = make_fn()
+        for i in range(n_batches):
+            centers = a_centers if (drift_at is None or i < drift_at) else b_centers
+            base = 1_000_000 * (i + 1)
+            rows = [
+                Row(doc_id=base + j, text=text_of(80), embedding=vec(centers))
+                for j in range(batch_n)
+            ]
+            donors = admitted_pool[-40:]
+            for j, d in enumerate(donors[:10]):  # exact-tier re-fetches
+                rows.append(Row(doc_id=base + 500_000 + j, text=d[1], embedding=d[2]))
+            for j, d in enumerate(donors[10:20]):  # MinHash-tier rewrites
+                rows.append(
+                    Row(
+                        doc_id=base + 600_000 + j,
+                        text=d[1] + " " + text_of(3),
+                        embedding=vec(centers),
+                    )
+                )
+            for j, d in enumerate(donors[20:30]):  # semantic-tier twins
+                tv = np.array(d[2]) + twin_noise * rng.randn(dim)
+                rows.append(
+                    Row(
+                        doc_id=base + 700_000 + j,
+                        text=text_of(80),
+                        embedding=[float(x) for x in tv],
+                    )
+                )
+            for j in range(6):  # decon-tier benchmark copies
+                rows.append(
+                    Row(
+                        doc_id=base + 800_000 + j,
+                        text=bench_rows[rng.randint(0, len(bench_rows))]["text"],
+                        embedding=vec(centers),
+                    )
+                )
+            for j in range(6):  # quality-tier spam
+                rows.append(
+                    Row(
+                        doc_id=base + 850_000 + j,
+                        text="spam " * 40,
+                        embedding=vec(centers),
+                    )
+                )
+            batch = spark.createDataFrame(rows).localCheckpoint(eager=True)
+
+            t0 = time.perf_counter()
+            fn(batch, i)
+            out["walls"].append(round(time.perf_counter() - t0, 3))
+
+            if crash_at is not None and i == crash_at:
+                # crash+takeover: a new acquirer re-delivers the SAME batch
+                # delta_dir resolves through the manifest: the takeover's
+                # redelivery publishes an epoch-suffixed replacement dir,
+                # so re-resolve after the replay
+                before = sorted(
+                    map(tuple, spark.read.parquet(delta_dir(roots["dec"], i)).collect())
+                )
+                old_fn = fn
+                fn = make_fn()  # re-acquires every root: fences old_fn
+                fn(batch, i)  # redelivery (visibility strictly-before-i)
+                after = sorted(
+                    map(tuple, spark.read.parquet(delta_dir(roots["dec"], i)).collect())
+                )
+                out["crash_replay_identical"] = before == after
+                try:
+                    old_fn(batch, i)
+                    out["zombie_fenced"] = False
+                except WriterFenced:
+                    out["zombie_fenced"] = True
+
+            dd = spark.read.parquet(delta_dir(roots["dec"], i))
+            for r in dd.groupBy("tier").count().collect():
+                key = r["tier"] or "admitted"
+                out["tier_counts"][key] = out["tier_counts"].get(key, 0) + r["count"]
+            admitted_pool = [
+                (r["doc_id"], r["text"], r["embedding"])
+                for r in batch.join(
+                    dd.where(F.col("admitted")).select("doc_id"), "doc_id"
+                ).collect()
+                if r["doc_id"] < 1_000_000 * (i + 1) + 500_000
+            ]
+
+            refreshed = refresh_semantic_root_if_needed(
+                spark, roots["sem"], held, next_batch=i + 1,
+                threshold=1.25, window=3,
+            )
+            if refreshed is not None:
+                held = refreshed.localCheckpoint(eager=True)
+                fn = make_fn()
+                out["autopilot_fired_at"].append(i)
+
+        for name, r in roots.items():
+            man = read_index_manifest(r)
+            out["manifest_delta_counts"][name] = len(man.get("deltas", []))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def probe_soak(spark, n_batches=200, batch_n=200) -> None:
+    """Print the SCALING.md soak table: per-batch wall at {1, 50, 100,
+    200} plus the invariant verdicts (see run_soak)."""
+    res = run_soak(spark, n_batches=n_batches, batch_n=batch_n)
+    walls = res["walls"]
+    print("| batch | wall (s) |")
+    print("|---|---|")
+    for b in (1, 50, 100, 200):
+        if b <= len(walls):
+            print(f"| {b} | {walls[b - 1]} |")
+    import statistics
+
+    early = statistics.median(walls[4:14]) if len(walls) > 14 else None
+    late = statistics.median(walls[-10:])
+    print(f"median wall batches 5-14: {early} s; last 10: {late} s")
+    print(f"tier counts: {res['tier_counts']}")
+    print(f"autopilot fired at: {res['autopilot_fired_at']}")
+    print(f"crash replay identical: {res['crash_replay_identical']}")
+    print(f"zombie fenced: {res['zombie_fenced']}")
+    print(f"manifest delta counts: {res['manifest_delta_counts']}")
