@@ -3517,3 +3517,78 @@ def test_decontamination_tier(spark, tmp_path):
     }
     assert rep["contaminated"]["n_docs"] == 1
     assert rep["contaminated"]["min_score"] == want_frac[11]
+
+
+def test_quality_gate_tier(spark, tmp_path):
+    """Round-10 library-first: the opt-in QUALITY tier runs FIRST and its
+    rejects are never indexed — pinned in both directions across
+    batches: (a) a spam doc is rejected with tier 'quality', score =
+    dup_frac, matched_id -1; (b) a LATER byte-identical copy of it is
+    ALSO 'quality', never 'exact' (the original entered no index); (c) a
+    later byte-identical copy of an ADMITTED doc is still 'exact'
+    (the gate does not disturb the dedup tiers); (d) with
+    quality_gate=False (default) the same batches admit the spam doc —
+    the gate is strictly opt-in."""
+    from mapreduce_framework_spark.pipeline.quality import quality_rejects
+    from mapreduce_framework_spark.streaming.ingest import (
+        delta_dir,
+        make_cascade_ingest_batch_fn,
+    )
+
+    alpha = lambda i: chr(97 + (i // 26) % 26) + chr(97 + i % 26)  # noqa: E731
+
+    def words(prefix, n, start=0):
+        return " ".join(f"{prefix}{alpha(start + j)}" for j in range(n))
+
+    spam = "spam " * 40
+    clean = words("cl", 30)
+    b0 = spark.createDataFrame(
+        [(0, clean), (1, spam), (2, words("zz", 25))],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(10, spam), (11, clean), (12, words("yy", 25))],
+        "doc_id long, text string",
+    )
+
+    def run(gate: bool, sub: str):
+        root = str(tmp_path / sub)
+        fn = make_cascade_ingest_batch_fn(
+            spark,
+            root + "/fp",
+            root + "/sig",
+            root + "/dec",
+            threshold=0.8,
+            quality_gate=gate,
+        )
+        fn(b0, 0)
+        fn(b1, 1)
+        return {
+            r["doc_id"]: r
+            for i in (0, 1)
+            for r in spark.read.parquet(delta_dir(root + "/dec", i)).collect()
+        }
+
+    dec = run(True, "gated")
+    # (a) spam rejected by the gate, with the library's own dup_frac
+    want_frac = {
+        r["doc_id"]: r["q_frac"]
+        for r in quality_rejects(b0.unionByName(b1)).collect()
+    }
+    for sid in (1, 10):
+        assert dec[sid]["tier"] == "quality" and not dec[sid]["admitted"]
+        assert dec[sid]["matched_id"] == -1
+        assert dec[sid]["jaccard"] == want_frac[sid]
+    # (b) the batch-1 spam copy is 'quality', NOT 'exact': doc 1 was
+    # never indexed, so there is nothing byte-identical in the corpus
+    assert dec[10]["tier"] == "quality"
+    # (c) the admitted clean doc's later copy still falls to the exact tier
+    assert dec[11]["tier"] == "exact" and dec[11]["matched_id"] == 0
+    # clean docs admit
+    assert dec[0]["admitted"] and dec[2]["admitted"] and dec[12]["admitted"]
+
+    # (d) default-off: the gate is opt-in — spam admits (and its batch-1
+    # copy then falls to the exact tier like any other duplicate)
+    off = run(False, "plain")
+    assert off[1]["admitted"]
+    assert off[10]["tier"] == "exact" and off[10]["matched_id"] == 1
