@@ -140,10 +140,16 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # ROUND-11 HANDOFF: the timing-eligible retiree next round is q47 (it
 # sits in the r9 window, so it rotates into the r11 window — the ranked
 # 2a entry, its SQL-frontend surface carried by q46 and its window
-# battery by q18/q19). The newcomer to stage library-first this round
-# (r10) per the verdict: a streaming QUALITY-GATE admission tier (the
-# per-doc Gopher-style stats of pipeline/quality.py as a cascade sink
-# option — the streaming counterpart of q105's batch quality stage).
+# battery by q18/q19). The newcomer is already staged oracle-in-waiting
+# (the q105/q106/q107 playbook, executed in r10):
+# operators/streaming_replay.py:q108_quality_gated_admission — the
+# FIVE-tier cascade replay (quality → exact → MinHash → semantic →
+# decon; tier parity with the q105 batch flagship), full DuckDB oracle
+# matching at sf0.001 AND sf0.01 via
+# tests/test_queries_oracle.py::test_q108_candidate_matches_oracle; the
+# sink option (quality_gate=True) is dirty-sweep-driven on every
+# variant and sink-level pinned by
+# tests/test_streaming.py::test_quality_gate_tier.
 #
 # The curated order below puts, inside the window: (a) every query new
 # or changed this round, (b) every query whose last driver row is a full
