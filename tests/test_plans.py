@@ -442,6 +442,9 @@ def test_library_surface_plan_audit(spark, sf_dir, tmp_path):
             docs_full, benchmark_index=span_idx
         ),
         "exact_match_batch": _exact_tier(docs),
+        # round-10 surface: the cascade's first tier — per-doc integer/
+        # array arithmetic + the q88 two-level gram aggregate, all JVM
+        "quality_rejects": _quality_rejects(docs),
     }
     offenders = {}
     for name, df in surfaces.items():
@@ -454,3 +457,9 @@ def test_library_surface_plan_audit(spark, sf_dir, tmp_path):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def _quality_rejects(docs):
+    from mapreduce_framework_spark.pipeline.quality import quality_rejects
+
+    return quality_rejects(docs)
