@@ -8,6 +8,8 @@ import os
 
 import pytest
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 from mapreduce_framework_spark.registry import all_queries
 from tests.oracle import compare
 
@@ -199,3 +201,29 @@ def test_q108_candidate_matches_oracle(spark, sf_dir):
         if r["tier"] == "quality":
             assert r["matched_id"] == -1 and not r["admitted"]
     compare(df, _q108_oracle(), sf_dir)
+
+def test_q108_candidate_matches_oracle_on_nulls(spark, tmp_path):
+    """The r11 registration candidate armored against the dirty-data
+    axis the sweep can't reach (the sweep's differential covers only
+    REGISTERED oracles): q108's five-tier replay vs its oracle on the
+    NULLs variant — NULL text must fail the quality gate CLOSED with the
+    identical NOT COALESCE(pass, FALSE) arithmetic on both engines, and
+    every downstream tier must keep its family NULL policy under the
+    thinned corpus."""
+    import importlib.util
+
+    from mapreduce_framework_spark.operators.streaming_replay import (
+        _q108_oracle,
+        q108_quality_gated_admission,
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "robustness_sweep_for_q108",
+        os.path.join(REPO_ROOT, "tools", "robustness_sweep.py"),
+    )
+    rs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rs)
+    rs.build_nulls("/root/testdata/sf0.001", str(tmp_path))
+    df = q108_quality_gated_admission(spark, str(tmp_path))
+    assert any(r["tier"] == "quality" for r in df.collect())
+    compare(df, _q108_oracle(), str(tmp_path))
