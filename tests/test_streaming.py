@@ -3592,3 +3592,33 @@ def test_quality_gate_tier(spark, tmp_path):
     off = run(False, "plain")
     assert off[1]["admitted"]
     assert off[10]["tier"] == "exact" and off[10]["matched_id"] == 1
+
+
+def test_admission_report_covers_quality_and_contaminated_outcomes(spark, tmp_path):
+    """The ops rollup over a FIVE-tier decisions log (round 10): the
+    'quality' and 'contaminated' outcomes roll up alongside the dedup
+    tiers with the same exact-decimal mean discipline — the report a
+    100 TB five-tier ingest reads daily has six outcome rows, not four."""
+    from mapreduce_framework_spark.streaming.ingest import admission_report_frame
+
+    rows = [
+        (1, True, -1, 0.0, None),
+        (2, False, 1, 1.0, "exact"),
+        (3, False, 1, 0.85, "near_dup"),
+        (4, False, 1, 0.97, "semantic"),
+        (5, False, -1, 0.2, "contaminated"),
+        (6, False, -1, 0.75, "quality"),
+        (7, False, -1, 0.65, "quality"),
+    ]
+    dec = spark.createDataFrame(
+        rows, "doc_id long, admitted boolean, matched_id long, score double, tier string"
+    )
+    rep = {r["outcome"]: r for r in admission_report_frame(dec).collect()}
+    assert set(rep) == {
+        "admitted", "exact", "near_dup", "semantic", "contaminated", "quality",
+    }
+    assert rep["quality"]["n_docs"] == 2
+    assert rep["quality"]["min_score"] == 0.65
+    assert rep["quality"]["max_score"] == 0.75
+    assert abs(rep["quality"]["avg_score"] - 0.7) < 1e-9
+    assert abs(sum(r["share"] for r in rep.values()) - 1.0) < 1e-9
