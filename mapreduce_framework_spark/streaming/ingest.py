@@ -1648,7 +1648,8 @@ def run_full_cascade_ingest_stream(
 def admission_report_frame(decisions: DataFrame) -> DataFrame:
     """Per-tier rollup of an admission decisions log — the daily ops view
     a 100 TB ingest reads instead of the raw log: one row per outcome
-    ('admitted', 'exact', 'near_dup', 'semantic') with document count,
+    ('admitted', 'exact', 'near_dup', 'semantic', and — when the opt-in
+    tiers are on — 'contaminated' and 'quality') with document count,
     share of the log, and the score distribution (min/avg/max of the
     tier's metric — Jaccard for the lexical tiers, cosine for the
     semantic tier, as the decisions schema defines). Works on every
