@@ -89,3 +89,40 @@ def test_soak_wall_per_batch_stays_flat(soak_result):
     early = statistics.median(walls[2:8])
     late = statistics.median(walls[-5:])
     assert late <= 3 * early, (early, late, walls)
+
+
+def test_soak_composes_with_the_s3_manifest_backend(spark_global, tmp_path):
+    """The composed five-tier soak through the OBJECT-STORAGE seam: every
+    manifest read/commit/acquisition of all five roots flows through
+    S3ManifestBackend over the in-memory conditional-PUT fake
+    (tests/test_storage_s3.py semantics: real md5 ETags, 412 on
+    If-Match/If-None-Match violations). A short horizon with a mid-run
+    crash+takeover — the takeover's epoch CAS and the zombie's fenced
+    commit both cross the S3 wire shape, proving the cascade's whole
+    manifest lifecycle is object-storage-clean end-to-end."""
+    from mapreduce_framework_spark.deploy import ensure_package_on_executors
+    from mapreduce_framework_spark.storage import set_manifest_backend
+    from mapreduce_framework_spark.storage_s3 import S3ManifestBackend
+    from tests.test_storage_s3 import _FakeS3Client
+
+    ensure_package_on_executors(spark_global)
+    backend = S3ManifestBackend("bkt", prefix="soak", client=_FakeS3Client())
+    prev = set_manifest_backend(backend)
+    try:
+        res = scaling_probe.run_soak(
+            spark_global,
+            n_batches=6,
+            batch_n=50,
+            compact_every=3,
+            crash_at=3,
+            drift_at=None,
+        )
+    finally:
+        set_manifest_backend(prev)
+    assert res["crash_replay_identical"] is True
+    assert res["zombie_fenced"] is True
+    assert {"admitted", "exact", "quality", "contaminated"} <= set(
+        res["tier_counts"]
+    )
+    for name, n in res["manifest_delta_counts"].items():
+        assert n <= 3 + 2, (name, res["manifest_delta_counts"])
