@@ -1656,6 +1656,84 @@ def probe_multimodal(spark, sf_dir) -> None:
         print(f"| {n} | {mb} | {t_feat} s | {t_frame} s ({n_frames}) | {t_rs} s |")
 
 
+
+def probe_quality_gate(spark, sf_dir, sizes=(2_000, 8_000, 32_000)) -> None:
+    """Round-10 series (the r11 registration evidence): the quality
+    gate's per-batch cost is LINEAR in batch rows and INDEPENDENT of any
+    index — the tier touches no state, so unlike every other tier there
+    is no index-size axis at all. Two measurements: (a) quality_rejects
+    wall vs batch rows on real sf docs (expect ~linear; the gram
+    aggregate dominates); (b) the full-cascade sink gate-on vs gate-off
+    A/B at a fixed batch (the composed marginal cost, which includes the
+    smaller downstream tiers working on fewer survivors)."""
+    import shutil
+    import tempfile
+
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.codebook import fit_codebook
+    from mapreduce_framework_spark.pipeline.quality import quality_rejects
+    from mapreduce_framework_spark.streaming.ingest import (
+        make_full_cascade_ingest_batch_fn,
+    )
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    n_docs = docs.count()
+    quality_rejects(docs.limit(500)).count()  # warm the plan/JIT
+    print("| batch rows | quality_rejects wall | rejects |")
+    print("|---|---|---|")
+    for n in sizes:
+        # amplify beyond the sf corpus with id-shifted copies (the
+        # standard no-synthetic-data methodology of this file) — the
+        # gate is per-doc, so copies exercise exactly the same work
+        factor = max(1, -(-n // n_docs))
+        batch = (
+            amplify(docs, factor).limit(n).localCheckpoint(eager=True)
+            if factor > 1
+            else docs.limit(n).localCheckpoint(eager=True)
+        )
+        t0 = time.perf_counter()
+        nrej = quality_rejects(batch).count()
+        w = round(time.perf_counter() - t0, 2)
+        print(f"| {n} | {w} s | {nrej} |")
+
+    embs = table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    de = docs.join(embs, "doc_id", "left")
+    cut = de.agg(((F.max("doc_id") + 1) / 2).cast("long")).collect()[0][0]
+    b0 = de.where(F.col("doc_id") < cut).localCheckpoint(eager=True)
+    b1 = de.where(F.col("doc_id") >= cut).localCheckpoint(eager=True)
+    cb = fit_codebook(
+        table(spark, "embeddings", sf_dir).where(F.col("vec_id") < cut),
+        k=64,
+        iters=2,
+    ).localCheckpoint(eager=True)
+    print("| sink | seed batch | match batch |")
+    print("|---|---|---|")
+    for gate in (False, True):
+        root = tempfile.mkdtemp(prefix="mfs_probe_qg_")
+        try:
+            fn = make_full_cascade_ingest_batch_fn(
+                spark,
+                os.path.join(root, "fp"),
+                os.path.join(root, "sig"),
+                os.path.join(root, "sem"),
+                os.path.join(root, "dec"),
+                cb,
+                threshold=0.8,
+                quality_gate=gate,
+            )
+            t0 = time.perf_counter()
+            fn(b0, 0)
+            t1 = time.perf_counter()
+            fn(b1, 1)
+            t2 = time.perf_counter()
+            label = "gate ON" if gate else "gate off"
+            print(f"| {label} | {round(t1 - t0, 2)} s | {round(t2 - t1, 2)} s |")
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="mfs-scaling-probe")
@@ -1695,6 +1773,9 @@ def main() -> None:
         return
     if "--soak" in sys.argv:  # round-10 long-horizon composed soak
         probe_soak(spark)
+        return
+    if "--quality-gate" in sys.argv:  # round-10 quality-tier cost series
+        probe_quality_gate(spark, sf_dir)
         return
     if "--ingest-compaction" in sys.argv:  # round-7 manifest/compaction series
         probe_ingest_compaction(spark, base)
