@@ -382,3 +382,22 @@ def test_live_acquisition_and_fencing(tmp_path):
         assert read_manifest_doc(path)["epoch"] == 2
     finally:
         set_manifest_backend(prev)
+
+
+def test_s3_backend_from_env(monkeypatch):
+    """Deployments opt in with env vars; everything else stays POSIX."""
+    from mapreduce_framework_spark.storage_s3 import s3_backend_from_env
+
+    monkeypatch.delenv("MFS_MANIFEST_S3_BUCKET", raising=False)
+    assert s3_backend_from_env() is None
+
+    monkeypatch.setenv("MFS_MANIFEST_S3_BUCKET", "corpus-manifests")
+    monkeypatch.setenv("MFS_MANIFEST_S3_PREFIX", "prod/mfs")
+    monkeypatch.setenv("MFS_MANIFEST_S3_ENDPOINT", "http://minio.local:9000")
+    be = s3_backend_from_env()
+    assert be is not None
+    assert be._bucket == "corpus-manifests"
+    assert be._prefix == "prod/mfs"
+    assert be._key("/data/root/_manifest.json") == (
+        "prod/mfs/data/root/_manifest.json"
+    )
