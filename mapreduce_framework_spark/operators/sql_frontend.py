@@ -47,18 +47,22 @@ def q46_sql_frontend_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q47_sql_frontend_window",
-    oracle="""
+# RETIRED from the registry in round 11 (registry.py policy item 4; its
+# slot funded q108_quality_gated_admission — q47's SQL-text window
+# surface is the demonstrative twin of the registered DataFrame forms
+# q18/q19, and the SQL-frontend surface stays represented by q46).
+# Builder + oracle stay permanently; dedicated differential:
+# tests/test_queries_oracle.py::test_retired_q47_matches_oracle.
+_Q47_SQL_FRONTEND_WINDOW_ORACLE = """
     SELECT o_custkey, o_orderkey, rnk FROM (
       SELECT o_custkey, o_orderkey,
              RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
       FROM orders
     ) t WHERE rnk <= 2
     ORDER BY o_custkey, rnk, o_orderkey
-    """,
-    tags=("ext", "sql", "window"),
-)
+    """
+
+
 def q47_sql_frontend_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window function via SQL text (RANK, vs q18's row_number)."""
     register_views(spark, sf_dir)

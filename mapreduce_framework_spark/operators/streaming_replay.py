@@ -1226,9 +1226,8 @@ def q107_decontaminating_admission(spark: SparkSession, sf_dir: str) -> DataFram
     return _decon_replay(spark, sf_dir, quality_gate=False)
 
 
-# --- q108 (round-10 LIBRARY-FIRST; the ranked r11 registration candidate:
-# q47 is that round's timing-eligible retiree, registry.py ROUND-11
-# HANDOFF) --------------------------------------------------------------------
+# --- q108 (round-10 LIBRARY-FIRST; REGISTERED round 11 in q47's retired
+# slot, exactly as the ROUND-11 HANDOFF scheduled) -----------------------------
 # The QUALITY-GATED decontaminating cascade: q107's replay with the
 # round-10 quality tier ON — the FIVE-tier admission shape (quality →
 # exact → MinHash → semantic → span-decontamination), reaching full tier
@@ -1236,10 +1235,9 @@ def q107_decontaminating_admission(spark: SparkSession, sf_dir: str) -> DataFram
 # corpus itself supplies the quality rejects (the synthetic docs' dup/
 # top-2-gram distributions straddle the Gopher thresholds by
 # construction, quality.py), so no quality plants are needed; the q107
-# plants keep exercising the other four tiers. NOT registered this round
-# (capacity; the policy requires a same-commit retirement and q47 is
-# behind-window until r11) — builder, oracle, and differential run in
-# pytest every sweep so the r11 swap is a one-commit slot change.
+# plants keep exercising the other four tiers. Oracle proven at sf0.001
+# AND sf0.01 in round 10 BEFORE registration (the q105/q106/q107
+# playbook).
 
 
 def _q108_oracle() -> str:
@@ -1395,6 +1393,11 @@ def _q108_oracle() -> str:
     """
 
 
+@register(
+    "q108_quality_gated_admission",
+    oracle=_q108_oracle(),
+    tags=("ext", "streaming", "dedup", "quality", "decontamination", "replay"),
+)
 def q108_quality_gated_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q107's replay with the round-10 QUALITY tier on — the five-tier
     admission cascade (quality → exact → MinHash → semantic →
@@ -1407,5 +1410,6 @@ def q108_quality_gated_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE). Quality rejects come from the corpus itself (the synthetic
     dup/top-2-gram distributions straddle the Gopher thresholds); the
     q107 plants exercise the other four tiers. Same degenerate-corpus
-    policies as q107 (shared _decon_replay body)."""
+    policies as q107 (shared _decon_replay body). Registered round 11 by
+    retiring q47 (the scheduled swap)."""
     return _decon_replay(spark, sf_dir, quality_gate=True)

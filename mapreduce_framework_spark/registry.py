@@ -109,10 +109,14 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 #      SURVEY §2.5 near-dup contract; q30's builder + oracle + pytest
 #      differential remain, and bench.py keeps timing it via direct
 #      import (r1-subset series unbroken).
-#   4. q47_sql_frontend_window — demonstrative twin (2a): the SQL-text
-#      form of the window battery whose DataFrame forms q18/q19 stay
-#      registered; the SQL-frontend surface itself stays represented by
-#      q46. Next in line now that the 2b pool is spent.
+#   [SPENT r11] q47_sql_frontend_window — demonstrative twin (2a): the
+#      SQL-text form of the window battery whose DataFrame forms q18/q19
+#      stay registered; the SQL-frontend surface itself stays represented
+#      by q46. Spent in its scheduled round (it rotated into the r11
+#      window per the timing rule) to register
+#      q108_quality_gated_admission (the five-tier quality-gated
+#      streaming cascade). q47's builder + oracle + pytest differential
+#      remain (tests/test_queries_oracle.py::test_retired_q47_matches_oracle).
 #   [SPENT r10] q63_posexplode — narrow battery query (2c) subsumed by
 #      q23's array surface, spent in its scheduled round (it rotated
 #      into the r10 window per the timing rule) to register
@@ -137,19 +141,31 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # q107_decontaminating_admission registered into exactly q63's window
 # slot (swap mechanics per policy item 4, one commit).
 #
-# ROUND-11 HANDOFF: the timing-eligible retiree next round is q47 (it
-# sits in the r9 window, so it rotates into the r11 window — the ranked
-# 2a entry, its SQL-frontend surface carried by q46 and its window
-# battery by q18/q19). The newcomer is already staged oracle-in-waiting
-# (the q105/q106/q107 playbook, executed in r10):
-# operators/streaming_replay.py:q108_quality_gated_admission — the
-# FIVE-tier cascade replay (quality → exact → MinHash → semantic →
-# decon; tier parity with the q105 batch flagship), full DuckDB oracle
-# matching at sf0.001 AND sf0.01 via
-# tests/test_queries_oracle.py::test_q108_candidate_matches_oracle; the
-# sink option (quality_gate=True) is dirty-sweep-driven on every
-# variant and sink-level pinned by
-# tests/test_streaming.py::test_quality_gate_tier.
+# ROUND-11 EXECUTED exactly as the handoff scheduled: q47 → RETIRED in
+# its scheduled round (it rotated into the r11 window, satisfying the
+# timing rule; SQL-frontend surface carried by q46, window battery by
+# q18/q19); q108_quality_gated_admission registered into exactly q47's
+# window slot — the FIVE-tier cascade replay (quality → exact → MinHash
+# → semantic → decon; full tier parity with the q105 batch flagship),
+# oracle proven at sf0.001 AND sf0.01 in round 10 before registration
+# (tests/test_queries_oracle.py::test_q108_candidate_matches_oracle).
+#
+# ROUND-12 HANDOFF: the timing-eligible retiree next round is
+# q29_approx_count_distinct (it sits in the r10 window, so it rotates
+# into the r12 window). Rationale, per the preference order: q29 is the
+# approximate-sketch twin whose HARD exact gate q74_hll_error_bound
+# stays registered (2b shape — q74 asserts the HLL estimate against the
+# exact distinct count within the published error bound), and q29 is one
+# of only two permanent rows-only `err: no_oracle` rows in every driver
+# artifact — retiring it improves the artifact's signal while q74 keeps
+# the approx-distinct contract under a STRONGER (exact, hash-checked)
+# driver gate. The approx family keeps q69 + q74 + q75 registered. The
+# newcomer is staged library-first THIS round (the q105..q108 playbook):
+# pipeline/multimodal_dedup.py:q109_multimodal_phash_neardup — the
+# perceptual average-hash near-dup tier over the q77 grayscale-grid
+# surface, Hamming-banded candidate join (the q73 playbook), DuckDB
+# oracle proven at two SFs via
+# tests/test_queries_oracle.py::test_q109_candidate_matches_oracle.
 #
 # The curated order below puts, inside the window: (a) every query new
 # or changed this round, (b) every query whose last driver row is a full
@@ -159,76 +175,23 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # WINDOW_HISTORY below — that no registered query goes more than one
 # round without a driver window slot.
 CURATED_ORDER = [
-    # --- round-10 window: the r9 behind-window half (the enforced
-    # rotation — every name here last had a driver row in r8, so max
+    # --- round-11 window: the r10 behind-window half (the enforced
+    # rotation — every name here last had a driver row in r9, so max
     # staleness stays one round) with ONE executed swap, scheduled by the
-    # round-9 handoff above:
-    #   * q63's slot now holds the round-10 newcomer
-    #     q107_decontaminating_admission (retirement policy item 4;
-    #     q63 → RETIRED below — q63 rotated into this window, satisfying
-    #     the timing rule; its array surface stays covered by q23, and
-    #     its builder/oracle/differential remain in the local sweep).
-    #     q107 puts the FOUR-TIER streaming decontamination cascade —
-    #     the 100 TB counterpart of q105's batch span-trim — under
-    #     driver eyes with the oracle proven at two SFs in r9.
-    # NOTE (r10): the q06/q07/q28/q83 oracle text gained a null-safe
-    # w↔lp join (_fold_sql NULL-KEY POLICY) — a no-op at every gate SF
-    # (kv keys derive from user_id, never NULL there), proven by the new
-    # NULL-key pytest differentials and the dirty sweep's user_id null
-    # plan, so those four stay on their normal rotation (fresh driver
-    # rows under the refreshed oracle land in r11).
-    "q94_streaming_session_replay",
-    "q95_incremental_ingest_dedup",
-    "q96_incremental_rollup_replay",
-    "q97_session_funnel",
-    "q98_cohort_retention",
-    "q99_session_transitions",
-    "q100_token_chunking",
-    "q82_streaming_tumbling_replay",
-    "q93_embedding_quantize",
-    "q58_range_join_binned",
-    "q12_join_revenue_per_nation",
-    "q74_hll_error_bound",
-    "q61_correlated_subqueries",
-    "q40_lang_id",
-    "q35_ann_lsh",
-    "q37_multimodal_features",
-    "q56_ann_ivf",
-    "q78_stratified_hash_sample",
-    "q13_broadcast_join",
-    "q15_tpch_q1_shape",
-    "q17_rollup",
-    "q19_window_running_sum",
-    "q22_scalar_battery",
-    "q45_cube",
-    "q46_sql_frontend_join",
-    "q48_salted_skew_agg",
-    "q51_pivot",
-    "q53_null_handling",
-    "q64_summary_stats",
-    "q66_json_functions",
-    "q68_merge_upsert",
-    "q29_approx_count_distinct",
-    "q69_approx_percentiles",
-    "q27_session_window",
-    "q65_hierarchical_rollup",
-    "q54_percentiles",
-    "q59_string_battery",
-    "q60_grouping_sets",
-    "q107_decontaminating_admission",  # round-10 newcomer in q63's retired slot
-    "q67_multiset_ops",
-    "q70_grouped_agg_pandas_udf",
-    "q71_dedup_corpus_output",
-    "q105_training_corpus_decontaminated",
-    "q41_quality_score",
-    "q42_token_stats",
-    "q43_fingerprint",
-    "q76_multimodal_frame_sample",
-    "q77_multimodal_resize",
-    "q79_sequence_packing",
-    "q80_contamination_check",
-    # --- behind the window (driver rows recorded in round 9; swept by
-    # the local oracle suite every run) ---
+    # round-10 handoff above:
+    #   * q47's slot now holds the round-11 newcomer
+    #     q108_quality_gated_admission (retirement policy item 4;
+    #     q47 → RETIRED below — q47 rotated into this window, satisfying
+    #     the timing rule; its SQL-frontend surface stays covered by q46
+    #     and its window battery by q18/q19, and its builder/oracle/
+    #     differential remain in the local sweep). q108 puts the
+    #     FIVE-tier quality-gated admission cascade — full streaming
+    #     parity with the q105 batch flagship (quality + dedup + decon)
+    #     — under driver eyes with the oracle proven at two SFs in r10.
+    # NOTE (r11): q06/q07/q28/q83 rotate in here with their r10-refreshed
+    # null-safe oracle text (_fold_sql NULL-KEY POLICY) — first driver
+    # rows under the refreshed oracle, a no-op at every gate SF per the
+    # r10 NULL-key pytest differentials.
     "q101_span_dedup",
     "q102_semantic_dedup",
     "q89_denylist_scrub",
@@ -272,13 +235,65 @@ CURATED_ORDER = [
     "q32_simhash",
     "q33_exact_dedup_docs",
     "q44_map_functions",
-    "q47_sql_frontend_window",
+    "q108_quality_gated_admission",  # round-11 newcomer in q47's retired slot
     "q50_window_battery",
     "q52_pandas_udf_path",
     "q103_cascade_admission",
     "q57_asof_join",
     "q73_simhash_banded_neardup",
     "q81_training_corpus",
+    # --- behind the window (driver rows recorded in round 10; swept by
+    # the local oracle suite every run) ---
+    "q94_streaming_session_replay",
+    "q95_incremental_ingest_dedup",
+    "q96_incremental_rollup_replay",
+    "q97_session_funnel",
+    "q98_cohort_retention",
+    "q99_session_transitions",
+    "q100_token_chunking",
+    "q82_streaming_tumbling_replay",
+    "q93_embedding_quantize",
+    "q58_range_join_binned",
+    "q12_join_revenue_per_nation",
+    "q74_hll_error_bound",
+    "q61_correlated_subqueries",
+    "q40_lang_id",
+    "q35_ann_lsh",
+    "q37_multimodal_features",
+    "q56_ann_ivf",
+    "q78_stratified_hash_sample",
+    "q13_broadcast_join",
+    "q15_tpch_q1_shape",
+    "q17_rollup",
+    "q19_window_running_sum",
+    "q22_scalar_battery",
+    "q45_cube",
+    "q46_sql_frontend_join",
+    "q48_salted_skew_agg",
+    "q51_pivot",
+    "q53_null_handling",
+    "q64_summary_stats",
+    "q66_json_functions",
+    "q68_merge_upsert",
+    "q29_approx_count_distinct",
+    "q69_approx_percentiles",
+    "q27_session_window",
+    "q65_hierarchical_rollup",
+    "q54_percentiles",
+    "q59_string_battery",
+    "q60_grouping_sets",
+    "q107_decontaminating_admission",
+    "q67_multiset_ops",
+    "q70_grouped_agg_pandas_udf",
+    "q71_dedup_corpus_output",
+    "q105_training_corpus_decontaminated",
+    "q41_quality_score",
+    "q42_token_stats",
+    "q43_fingerprint",
+    "q76_multimodal_frame_sample",
+    "q77_multimodal_resize",
+    "q79_sequence_packing",
+    "q80_contamination_check",
 ]
 
 
@@ -323,6 +338,16 @@ RETIRED: tuple[str, ...] = (
     # dedicated local differential:
     # tests/test_queries_oracle.py::test_retired_q63_matches_oracle.
     "q63_posexplode",
+    # round 11: dry-run ranking entry 4 (demonstrative twin, 2a — the
+    # SQL-text window form whose DataFrame twins q18/q19 and SQL-frontend
+    # sibling q46 stay registered) spent IN ITS SCHEDULED ROUND (q47
+    # rotated into the r11 window, satisfying the timing rule) to
+    # register q108_quality_gated_admission (the five-tier quality-gated
+    # streaming admission cascade, oracle proven at two SFs in r10).
+    # Builder + oracle stay in operators/sql_frontend.py; dedicated local
+    # differential:
+    # tests/test_queries_oracle.py::test_retired_q47_matches_oracle.
+    "q47_sql_frontend_window",
 )
 
 # Hard ceiling = 2 rounds × DRIVER_WINDOW (see capacity note).
@@ -335,7 +360,7 @@ DRIVER_WINDOW = 50
 # records the window actually exposed in each past round (= the keys of
 # CORRECTNESS_r{N}.json, verbatim). Each new round: append the previous
 # round's first-DRIVER_WINDOW names here, bump CURRENT_ROUND, re-curate.
-CURRENT_ROUND = 10
+CURRENT_ROUND = 11
 
 WINDOW_HISTORY: dict[int, tuple[str, ...]] = {
     1: (
@@ -805,6 +830,58 @@ WINDOW_HISTORY: dict[int, tuple[str, ...]] = {
         "q57_asof_join",
         "q73_simhash_banded_neardup",
         "q81_training_corpus",
+    ),
+    10: (
+        "q94_streaming_session_replay",
+        "q95_incremental_ingest_dedup",
+        "q96_incremental_rollup_replay",
+        "q97_session_funnel",
+        "q98_cohort_retention",
+        "q99_session_transitions",
+        "q100_token_chunking",
+        "q82_streaming_tumbling_replay",
+        "q93_embedding_quantize",
+        "q58_range_join_binned",
+        "q12_join_revenue_per_nation",
+        "q74_hll_error_bound",
+        "q61_correlated_subqueries",
+        "q40_lang_id",
+        "q35_ann_lsh",
+        "q37_multimodal_features",
+        "q56_ann_ivf",
+        "q78_stratified_hash_sample",
+        "q13_broadcast_join",
+        "q15_tpch_q1_shape",
+        "q17_rollup",
+        "q19_window_running_sum",
+        "q22_scalar_battery",
+        "q45_cube",
+        "q46_sql_frontend_join",
+        "q48_salted_skew_agg",
+        "q51_pivot",
+        "q53_null_handling",
+        "q64_summary_stats",
+        "q66_json_functions",
+        "q68_merge_upsert",
+        "q29_approx_count_distinct",
+        "q69_approx_percentiles",
+        "q27_session_window",
+        "q65_hierarchical_rollup",
+        "q54_percentiles",
+        "q59_string_battery",
+        "q60_grouping_sets",
+        "q107_decontaminating_admission",
+        "q67_multiset_ops",
+        "q70_grouped_agg_pandas_udf",
+        "q71_dedup_corpus_output",
+        "q105_training_corpus_decontaminated",
+        "q41_quality_score",
+        "q42_token_stats",
+        "q43_fingerprint",
+        "q76_multimodal_frame_sample",
+        "q77_multimodal_resize",
+        "q79_sequence_packing",
+        "q80_contamination_check",
     ),
 }
 

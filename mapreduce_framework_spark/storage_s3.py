@@ -80,6 +80,15 @@ class S3ManifestBackend:
         self._s3 = client
         self._bucket = bucket
         self._prefix = prefix.strip("/")
+        # (etag, epoch) per path from the read phase of the
+        # read-bump-commit cycle, so a fenced commit() needn't re-GET the
+        # whole manifest body just to learn the pair it already saw
+        # (round-10 ADVICE). Purely an etag GUESS: correctness rests on
+        # the If-Match CAS — a stale entry (racer committed in between)
+        # makes the PUT fail 412 exactly as a fresh read's etag would.
+        # Plain dict ops are atomic under the GIL, so sharing a backend
+        # across threads at worst swaps in a sibling's fresher pair.
+        self._seen: dict[str, tuple[str | None, int]] = {}
 
     def _key(self, path: str) -> str:
         rel = path.lstrip("/")
@@ -90,13 +99,17 @@ class S3ManifestBackend:
         try:
             resp = self._s3.get_object(Bucket=self._bucket, Key=self._key(path))
         except self._s3.exceptions.NoSuchKey:
+            self._seen[path] = (None, 0)
             return None, None
         except self._s3.exceptions.ClientError as err:  # pragma: no cover
             if err.response.get("Error", {}).get("Code") in ("NoSuchKey", "404"):
+                self._seen[path] = (None, 0)
                 return None, None
             raise
-        body = resp["Body"].read()
-        return json.loads(body.decode("utf-8")), resp.get("ETag")
+        obj = json.loads(resp["Body"].read().decode("utf-8"))
+        etag = resp.get("ETag")
+        self._seen[path] = (etag, int(obj.get("epoch", 0)))
+        return obj, etag
 
     # --- the three-method contract (see PosixManifestBackend) ---
 
@@ -112,28 +125,48 @@ class S3ManifestBackend:
             ContentType="application/json",
         )
         if expected_epoch is not None:
-            cur, etag = self._get(path)
-            committed = 0 if cur is None else int(cur.get("epoch", 0))
-            if committed != expected_epoch:
-                raise ManifestPreconditionFailed(
-                    f"committed epoch {committed} != expected {expected_epoch}"
-                )
-            # the CAS itself: the epoch check above narrows, but the ETag
-            # condition is what makes the commit atomic against a racer
-            # that slipped in after the read
+            # Prefer the (etag, epoch) pair cached by the read phase of
+            # this read-bump-commit cycle — the extra GetObject here paid
+            # a body download per fenced commit proportional to manifest
+            # size (round-10 ADVICE). Fresh-read fallback only when the
+            # cache can't vouch for expected_epoch.
+            cached = self._seen.get(path)
+            if cached is not None and cached[1] == expected_epoch:
+                etag = cached[0]
+            else:
+                cur, etag = self._get(path)
+                committed = 0 if cur is None else int(cur.get("epoch", 0))
+                if committed != expected_epoch:
+                    raise ManifestPreconditionFailed(
+                        f"committed epoch {committed} != expected {expected_epoch}"
+                    )
+            # the CAS itself: the epoch narrowing above is a courtesy
+            # check, but the ETag condition is what makes the commit
+            # atomic against a racer that slipped in after the read
             if etag is None:
                 kwargs["IfNoneMatch"] = "*"
             else:
                 kwargs["IfMatch"] = etag
         try:
-            self._s3.put_object(**kwargs)
+            resp = self._s3.put_object(**kwargs)
         except self._s3.exceptions.ClientError as err:
             if _is_precondition_failure(err):
+                # a racer won the CAS: this writer's view is stale — drop
+                # it so the caller's re-read starts clean
+                self._seen.pop(path, None)
                 raise ManifestPreconditionFailed(
                     f"conditional PUT of {self._key(path)} failed: the object "
                     "changed since this writer read it (ETag mismatch)"
                 ) from err
             raise
+        # our own PUT is now the committed state: roll the cache forward
+        # so back-to-back commits from this writer skip the re-read too.
+        # A cached etag of None means "object absent" (→ If-None-Match:*),
+        # so if the response omits ETag, invalidate instead of caching.
+        if resp.get("ETag"):
+            self._seen[path] = (resp["ETag"], int(obj.get("epoch", 0)))
+        else:  # pragma: no cover - stores always return ETag on PUT
+            self._seen.pop(path, None)
 
     @contextmanager
     def lock(self, path: str, timeout_s: float = 30.0):

@@ -145,6 +145,27 @@ def test_retired_q63_matches_oracle(spark, sf_dir):
 
     compare(q63_posexplode(spark, sf_dir), _Q63_POSEXPLODE_ORACLE, sf_dir)
 
+
+def test_retired_q47_matches_oracle(spark, sf_dir):
+    """q47_sql_frontend_window was RETIRED from the registry in round 11
+    (registry.py policy item 4; its slot funded
+    q108_quality_gated_admission — the five-tier quality-gated streaming
+    admission cascade). Per the policy, its builder and oracle stay in
+    the repo permanently and THIS dedicated differential replaces its
+    registry parametrization — its SQL-text window surface stays
+    registered through q46 (SQL frontend) and q18/q19 (window
+    battery)."""
+    from mapreduce_framework_spark.operators.sql_frontend import (
+        _Q47_SQL_FRONTEND_WINDOW_ORACLE,
+        q47_sql_frontend_window,
+    )
+
+    compare(
+        q47_sql_frontend_window(spark, sf_dir),
+        _Q47_SQL_FRONTEND_WINDOW_ORACLE,
+        sf_dir,
+    )
+
 def test_q107_no_centroid_degradation_matches_oracle(spark, sf_dir, tmp_path):
     """The round-10 reconciliation of q107's degenerate path (ADVICE):
     with NO usable centroid (empty embeddings table) the builder degrades
@@ -177,17 +198,12 @@ def test_q107_no_centroid_degradation_matches_oracle(spark, sf_dir, tmp_path):
     compare(df, _q107_oracle(), str(tmp_path))
 
 def test_q108_candidate_matches_oracle(spark, sf_dir):
-    """q108_quality_gated_admission is LIBRARY-FIRST (round 10): the
-    five-tier admission cascade (quality → exact → MinHash → semantic →
-    span-decontamination) replayed end-to-end and checked against a full
-    DuckDB oracle — registered-query-grade, but NOT registered: the
-    registry is at capacity and no retiree is timing-eligible until r11
-    (q47 rotates in-window then; registry.py ROUND-11 HANDOFF). This
-    differential makes the r11 registration a one-commit slot change
-    with a proven oracle — the q105/q106/q107 playbook. Structural
-    assertions: the quality tier actually FIRED, and strict precedence
-    holds (no doc carries both a quality reject and a dedup match —
-    quality-rejected docs never reach the index tiers)."""
+    """q108_quality_gated_admission — staged library-first in round 10,
+    REGISTERED in round 11 (q47's retired slot, the scheduled swap). The
+    registry parametrization now covers the plain differential; this
+    test keeps the stronger structural assertions: the quality tier
+    actually FIRED, and strict precedence holds (quality-rejected docs
+    carry matched_id -1 and never reach the index tiers)."""
     from mapreduce_framework_spark.operators.streaming_replay import (
         _q108_oracle,
         q108_quality_gated_admission,
@@ -223,7 +239,13 @@ def test_q108_candidate_matches_oracle_on_nulls(spark, tmp_path):
     )
     rs = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(rs)
-    rs.build_nulls("/root/testdata/sf0.001", str(tmp_path))
+    # smallest SF on purpose (the sweep variant is rebuilt per-run); derive
+    # the root from the same env seam conftest uses, not a literal path
+    # (round-10 ADVICE)
+    base = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001"
+    )
+    rs.build_nulls(base, str(tmp_path))
     df = q108_quality_gated_admission(spark, str(tmp_path))
     assert any(r["tier"] == "quality" for r in df.collect())
     compare(df, _q108_oracle(), str(tmp_path))

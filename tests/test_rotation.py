@@ -114,12 +114,20 @@ def test_retirement_dry_run_swap_preserves_invariants():
     from mapreduce_framework_spark.registry import REGISTRY
 
     all_queries()  # side-effect: operator modules register their builders
-    target = "q47_sql_frontend_window"  # top UNSPENT dry-run ranking entry
+    # The ROUND-12 HANDOFF target (registry.py): q29, the rows-only
+    # approx sketch whose HARD exact gate q74_hll_error_bound stays
+    # registered — retiring it erases a permanent `err: no_oracle`
+    # driver row while keeping the approx-distinct contract under a
+    # stronger (hash-checked) gate.
+    target = "q29_approx_count_distinct"
     assert target in REGISTRY and target in CURATED_ORDER
     newcomer = "q1xx_simulated_newcomer"
-    # the retiree's builder + oracle stay in the repo for the local sweep
+    # the retiree's builder stays in the repo for the local sweep; q29 is
+    # rows-only by design (no oracle to keep) — its exact gate q74 must
+    # stay registered so the family's driver evidence strictly improves
     assert REGISTRY[target].builder is not None
-    assert REGISTRY[target].oracle is not None
+    assert REGISTRY[target].oracle is None  # the no_oracle row being erased
+    assert "q74_hll_error_bound" in CURATED_ORDER
 
     if target in CURATED_ORDER[:DRIVER_WINDOW]:
         # the target is timing-eligible THIS round: simulate the swap and

@@ -118,6 +118,48 @@ def test_conditional_commit_uses_if_match_etag():
         be.commit("r/m.json", {"epoch": 3}, expected_epoch=2)
 
 
+def test_commit_reuses_read_phase_etag_without_a_second_get():
+    """Round-11 ADVICE fix: a fenced commit whose read phase already saw
+    the expected epoch issues ONLY the conditional PUT — no extra
+    GetObject (body download) per commit. The Stubber proves it by
+    construction: any second GET would be an unstubbed call and fail."""
+    be, stub = _stubbed_backend()
+    stub.add_response(
+        "get_object",
+        _get_response({"epoch": 2}, '"etag-2"'),
+        {"Bucket": "bkt", "Key": "mfs/r/m.json"},
+    )
+    stub.add_response(
+        "put_object",
+        {"ETag": '"etag-3"'},
+        {
+            "Bucket": "bkt",
+            "Key": "mfs/r/m.json",
+            "Body": ANY,
+            "ContentType": "application/json",
+            "IfMatch": '"etag-2"',
+        },
+    )
+    # back-to-back commit from the same writer: the PUT response's ETag
+    # was rolled forward, so again no GET
+    stub.add_response(
+        "put_object",
+        {"ETag": '"etag-4"'},
+        {
+            "Bucket": "bkt",
+            "Key": "mfs/r/m.json",
+            "Body": ANY,
+            "ContentType": "application/json",
+            "IfMatch": '"etag-3"',
+        },
+    )
+    with stub:
+        assert be.read("r/m.json") == {"epoch": 2}  # the read phase
+        be.commit("r/m.json", {"epoch": 3}, expected_epoch=2)
+        be.commit("r/m.json", {"epoch": 4}, expected_epoch=3)
+        stub.assert_no_pending_responses()
+
+
 def test_conditional_commit_on_absent_manifest_uses_if_none_match():
     be, stub = _stubbed_backend()
     stub.add_client_error(
@@ -191,7 +233,14 @@ class _FakeS3Client:
     enforced atomically. Implements only what S3ManifestBackend calls."""
 
     def __init__(self):
+        import threading
+
         self.objects: dict[tuple[str, str], bytes] = {}
+        # Real S3's conditional write is atomic server-side; without this
+        # lock the fake's ETag check and store would be separate steps, an
+        # interleave could let two CAS writers both succeed, and the
+        # concurrency test below would prove nothing (round-10 ADVICE).
+        self._lock = threading.Lock()
 
         from botocore.exceptions import ClientError
 
@@ -214,9 +263,10 @@ class _FakeS3Client:
 
         from botocore.response import StreamingBody
 
-        if (Bucket, Key) not in self.objects:
-            raise self.exceptions.NoSuchKey()
-        body = self.objects[(Bucket, Key)]
+        with self._lock:
+            if (Bucket, Key) not in self.objects:
+                raise self.exceptions.NoSuchKey()
+            body = self.objects[(Bucket, Key)]
         return {
             "Body": StreamingBody(io.BytesIO(body), len(body)),
             "ETag": self._etag(body),
@@ -235,14 +285,15 @@ class _FakeS3Client:
 
     def put_object(self, Bucket, Key, Body, ContentType=None, IfMatch=None,
                    IfNoneMatch=None):
-        existing = self.objects.get((Bucket, Key))
-        if IfNoneMatch == "*" and existing is not None:
-            raise self._client_error("PutObject")
-        if IfMatch is not None and (
-            existing is None or self._etag(existing) != IfMatch
-        ):
-            raise self._client_error("PutObject")
-        self.objects[(Bucket, Key)] = Body
+        with self._lock:  # check + store must be one atomic step, as on S3
+            existing = self.objects.get((Bucket, Key))
+            if IfNoneMatch == "*" and existing is not None:
+                raise self._client_error("PutObject")
+            if IfMatch is not None and (
+                existing is None or self._etag(existing) != IfMatch
+            ):
+                raise self._client_error("PutObject")
+            self.objects[(Bucket, Key)] = Body
         return {"ETag": self._etag(Body)}
 
 
@@ -279,28 +330,27 @@ def test_acquisition_and_fencing_over_s3(s3_backend, tmp_path):
 
 def test_interleaved_racer_hits_the_etag_cas(s3_backend, tmp_path):
     """The window the POSIX backend documents (read-then-replace) is
-    CLOSED here: a racer that commits between this writer's epoch check
-    and its PUT flips the ETag, so the PUT itself 412s — proven by
-    injecting the race inside the fake's get_object."""
+    CLOSED here: a racer that commits between this writer's read phase
+    and its PUT flips the ETag, so the PUT itself 412s. Since round 11
+    the backend carries the (etag, epoch) it read forward to the PUT
+    (no re-GET at commit; ADVICE), so the race is injected exactly in
+    that carried window: after acquisition read the manifest (= the
+    writer's view), then let the racer overwrite the object directly
+    before the conditional commit."""
     backend, fake = s3_backend
     root = str(tmp_path / "idx")
     acquire_index_root(root)
     path = os.path.join(root, "_manifest.json")
     key = ("bkt", "manifests" + path)
 
-    real_get = fake.get_object
-    raced = {"done": False}
+    # the writer's read phase: view at epoch 1 (also primes the carried
+    # etag — the exact state the conditional PUT will assert)
+    assert read_manifest_doc(path)["epoch"] == 1
+    # racer commits AFTER our read, BEFORE our PUT — same epoch value, so
+    # only the ETag CAS (not the epoch courtesy check) can catch it
+    body = json.dumps({"version": 1, "epoch": 1, "raced": True}).encode()
+    fake.objects[key] = body
 
-    def racing_get(Bucket, Key):
-        resp = real_get(Bucket=Bucket, Key=Key)
-        if not raced["done"]:
-            raced["done"] = True
-            # racer commits AFTER our read, BEFORE our PUT
-            body = json.dumps({"version": 1, "epoch": 1, "raced": True}).encode()
-            fake.objects[(Bucket, Key)] = body
-        return resp
-
-    fake.get_object = racing_get
     with pytest.raises(WriterFenced):
         commit_manifest(path, {"version": 1, "epoch": 2}, expected_epoch=1)
     assert read_manifest_doc(path).get("raced") is True  # racer's commit won
