@@ -1,0 +1,272 @@
+"""Multimodal near-dup tier: perceptual average-hash (aHash) + Hamming
+bands (round 11, staged LIBRARY-FIRST — the ROUND-12 HANDOFF newcomer
+q109_multimodal_phash_neardup; registry.py names q29 as the scheduled
+retiree whose slot funds it).
+
+The one brief surface without a dedup family until now is the multimodal
+column family (pipeline/multimodal.py): re-encoded, resized, or
+slightly-retouched copies of the same image share no bytes, so the exact
+(q24) and lexical (q31/q84/q73) tiers all miss them. The standard cheap
+answer is a PERCEPTUAL hash — average-hash here: downscale the image to
+a tiny grayscale grid, threshold each cell against the global mean
+brightness, pack the bits. Near-dups differ in a few cells ⇒ small
+Hamming distance, exactly the SimHash geometry — so the 100 TB candidate
+path is q73's byte-band pigeonhole join, reused verbatim.
+
+Pixel stand-in (same policy as the rest of the multimodal family —
+pipeline/multimodal.py:media_frame): the payload's code-point stream
+plays the decoded grayscale pixel stream (deterministic, library-free;
+cross-engine BIT-EXACT because both engines fold the same integers — the
+q93 integer-arithmetic playbook). A real deployment feeds
+decode_image()'s pixel rows through the IDENTICAL grid arithmetic below;
+only the `vals` projection changes.
+
+The grid: ``PHASH_CELLS`` contiguous cells over the L pixels, cell j
+covering positions [j·L/PHASH_CELLS, (j+1)·L/PHASH_CELLS) (integer
+division — the classic downscale-by-area). Bit j is set iff cell j's
+MEAN pixel exceeds the global mean, decided entirely in integer
+cross-multiplication: ``sum_j · L > total · n_j`` — no floats anywhere,
+so Spark and DuckDB agree bit-for-bit (the q64/q93 rule: divisions are
+the only cross-engine hazard; multiply instead).
+
+NULL/EMPTY POLICY (both engines, stated not accidental): NULL text is
+dropped (the media family's no-bytes-no-media rule) and ZERO-LENGTH
+payloads are dropped too — a zero-pixel image has no hash; without this
+rule every blank doc would share phash 0 and pair with every other blank
+(the q32 no-token-docs policy, applied here as length(text) > 0).
+
+Scale shape (SCALING.md round 11):
+- hashing is one linear pass per doc (split-once fold — the r5 FNV
+  lesson: never substring(i,1) per index, it is quadratic) + one slice
+  pass for the cell sums; all JVM-side HOFs, zero Python;
+- candidates come ONLY from the (band, bsig) equi-join — 4 byte-bands ×
+  9 keys/doc on the build side, 4 on the probe side; pigeonhole-complete
+  for hamming ≤ PHASH_HAMMING_MAX (≤ 7: 4 bands × ≥2 flips each would
+  already be 8);
+- the incremental lifecycle is q91's: build the (doc_id, phash) index
+  once, persist, match each batch O(batch) through the band join; the
+  hot-band guard is literally pipeline/dedup.py:cap_banded (the band
+  frame uses its (band, bsig) column contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_spark.catalog import table
+
+PHASH_CELLS = 32  # grid cells = hash bits; 32 reuses q73's 4-byte-band split
+PHASH_BANDS = 4  # byte bands over the 32-bit hash (q73's layout)
+PHASH_HAMMING_MAX = 4  # near-dup threshold; < 8 keeps the pigeonhole complete
+
+# at 32 bits and threshold 4, P(random pair ≤ 4) ≈ 41449/2^32 ≈ 1e-5 —
+# collision-level false-positive mass even at 1e5-doc corpora; threshold 6
+# (q73's) would admit ~30x more accidental pairs at this width
+
+
+def _phash_cols(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, phash) for every non-NULL, non-empty document.
+
+    All whole-stage-codegen'd / interpreted-HOF JVM expressions — no
+    Python. The pixel array is built ONCE by a linear split fold
+    (functions/hashing.py:fnv1a32 documents why substring-per-index is
+    quadratic and split('') is the linear form), then the 32 cell sums
+    are slices of it.
+    """
+    g = PHASH_CELLS
+    return (
+        docs.where(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .withColumn(
+            "_vals",
+            F.expr(f"transform(split({text_col}, ''), ch -> CAST(ascii(ch) AS BIGINT))"),
+        )
+        .withColumn("_L", F.expr("CAST(size(_vals) AS BIGINT)"))
+        .withColumn("_T", F.expr("aggregate(_vals, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn(
+            "_cells",
+            F.expr(
+                f"""transform(sequence(0, {g - 1}), j -> named_struct(
+                    'n', (CAST(j + 1 AS BIGINT) * _L) div {g} - (CAST(j AS BIGINT) * _L) div {g},
+                    's', aggregate(
+                        slice(_vals,
+                              CAST((CAST(j AS BIGINT) * _L) div {g} AS INT) + 1,
+                              CAST((CAST(j + 1 AS BIGINT) * _L) div {g}
+                                   - (CAST(j AS BIGINT) * _L) div {g} AS INT)),
+                        CAST(0 AS BIGINT), (a, x) -> a + x)))"""
+            ),
+        )
+        .withColumn(
+            "phash",
+            F.expr(
+                f"""aggregate(transform(sequence(0, {g - 1}),
+                    j -> IF(_cells[j].n > 0 AND _cells[j].s * _L > _T * _cells[j].n,
+                            shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
+                    CAST(0 AS BIGINT), (a, x) -> a + x)"""
+            ),
+        )
+        .select("doc_id", "phash")
+    )
+
+
+def phash_of(docs: DataFrame) -> DataFrame:
+    """Library form: 32-bit perceptual average-hash of any
+    (doc_id, text) frame, ordered for the differential."""
+    return _phash_cols(docs).orderBy("doc_id")
+
+
+def _band_frame(hashes: DataFrame) -> DataFrame:
+    """Explode (doc_id, phash) into the probe-side band frame
+    (doc_id, phash, band, bsig) — bsig is the band's exact byte. Column
+    names follow pipeline/dedup.py's band contract so cap_banded applies
+    verbatim as the hot-band guard."""
+    bands = F.expr(
+        f"transform(sequence(0, {PHASH_BANDS - 1}), "
+        f"b -> struct(b AS band, shiftright(phash, 8 * b) & 255 AS bsig))"
+    )
+    return hashes.select("doc_id", "phash", F.explode(bands).alias("bb")).select(
+        "doc_id", "phash", "bb.band", "bb.bsig"
+    )
+
+
+def _variant_frame(band_frame: DataFrame) -> DataFrame:
+    """Build-side variants: per band, the exact byte plus its 8
+    single-bit flips (9 keys/band). Pigeonhole: hamming(a, b) ≤
+    PHASH_HAMMING_MAX < 2·PHASH_BANDS ⇒ some band differs by ≤ 1 bit ⇒
+    the (band, bsig) equi-join emits the pair — candidate generation is
+    provably complete, never a cross join."""
+    variants = F.expr(
+        "transform(sequence(0, 8), f -> IF(f = 0, bsig, bsig ^ shiftleft(1, f - 1)))"
+    )
+    return band_frame.select(
+        "doc_id", "phash", "band", F.explode(variants).alias("bsig")
+    )
+
+
+def phash_banded_pairs(docs: DataFrame) -> DataFrame:
+    """Library form of q109: perceptual near-dup pairs (id1 < id2,
+    hamming ≤ PHASH_HAMMING_MAX) of any (doc_id, text) frame via the
+    banded candidate join + exact Hamming verify — q73's scale shape on
+    the perceptual hash."""
+    hashes = _phash_cols(docs).localCheckpoint(eager=True)
+    probe = _band_frame(hashes)
+    build = _variant_frame(probe)
+    hamming = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).cast("int")
+    return (
+        build.alias("a")
+        .join(
+            probe.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(hamming <= PHASH_HAMMING_MAX)
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .orderBy("id1", "id2")
+    )
+
+
+# --- incremental lifecycle (the q91 shape: build once, match O(batch)) ------
+
+
+def phash_index(index_docs: DataFrame) -> DataFrame:
+    """The persistable index artifact: (doc_id, phash). Tiny — 16 bytes a
+    doc — so snapshots of any size stay a broadcast-scale side table
+    until ~1e8 docs; past that the band join below shuffles both sides
+    on (band, bsig) like every other tier."""
+    return _phash_cols(index_docs)
+
+
+def phash_match_batch(
+    index_hashes: DataFrame, batch_docs: DataFrame, band_cap: int | None = None
+) -> DataFrame:
+    """(doc_id, matched_id, hamming) for every batch doc within
+    PHASH_HAMMING_MAX of an index doc — matched_id is the LOWEST
+    matching index doc_id (deterministic canonical pick, the family
+    rule). O(batch): candidates come from the (band, bsig) equi-join of
+    the batch's 4 exact band keys against the index's 9-variant band
+    frame; ``band_cap`` bounds adversarial hot bands via
+    pipeline/dedup.py:cap_banded (⊆-semantics: capping only drops
+    candidate EDGES, every capped survivor is still a real match)."""
+    from mapreduce_framework_spark.pipeline.dedup import cap_banded
+
+    build_bands = _band_frame(index_hashes)
+    if band_cap is not None:
+        build_bands = cap_banded(build_bands, band_cap)
+    build = _variant_frame(build_bands)
+    probe = _band_frame(_phash_cols(batch_docs))
+    hamming = F.bit_count(F.col("i.phash").bitwiseXOR(F.col("n.phash"))).cast("int")
+    return (
+        build.alias("i")
+        .join(
+            probe.alias("n"),
+            (F.col("i.band") == F.col("n.band")) & (F.col("i.bsig") == F.col("n.bsig")),
+        )
+        .where(hamming <= PHASH_HAMMING_MAX)
+        .groupBy(F.col("n.doc_id").alias("doc_id"))
+        .agg(
+            F.min(F.col("i.doc_id")).alias("matched_id"),
+            F.min_by(hamming, F.col("i.doc_id")).alias("hamming"),
+        )
+    )
+
+
+# --- q109: the staged registered-grade query + its DuckDB oracle -------------
+
+_PHASH_DUCK_CTES = f"""
+    v AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) + 1),
+                            i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)) AS vals,
+             CAST(length(text) AS BIGINT) AS L
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+    ),
+    c AS (
+      SELECT doc_id, L, list_sum(vals) AS T,
+             list_transform(range(0, {PHASH_CELLS}),
+                            j -> ((j + 1) * L) // {PHASH_CELLS} - (j * L) // {PHASH_CELLS}) AS ns,
+             list_transform(range(0, {PHASH_CELLS}),
+                            j -> coalesce(list_sum(list_slice(vals,
+                                 (j * L) // {PHASH_CELLS} + 1,
+                                 ((j + 1) * L) // {PHASH_CELLS})), 0)) AS ss
+      FROM v
+    ),
+    ph AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, {PHASH_CELLS}), j ->
+               CASE WHEN ns[j + 1] > 0 AND ss[j + 1] * L > T * ns[j + 1]
+                    THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+                  AS BIGINT) AS phash
+      FROM c
+    )
+"""
+
+# the hash itself, for the phash_of differential
+_PHASH_ORACLE = f"WITH {_PHASH_DUCK_CTES} SELECT doc_id, phash FROM ph ORDER BY doc_id"
+
+# the pairs: the oracle may go all-pairs (DuckDB-side only; the Spark side
+# must NOT — the banded join is the point), same split as q73's oracle
+_Q109_ORACLE = f"""
+    WITH {_PHASH_DUCK_CTES}
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
+    ORDER BY id1, id2
+"""
+
+
+def q109_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (average-hash) near-dup pairs over the multimodal
+    payload stand-in — the dedup tier for re-encoded/resized media
+    copies that share no bytes. 32-cell integer-exact aHash, q73's
+    pigeonhole byte-band candidate join, exact Hamming verify; oracle is
+    the all-pairs exact form (DuckDB side only). Staged library-first in
+    round 11 for the scheduled r12 registration (registry.py ROUND-12
+    HANDOFF: retiree q29)."""
+    return phash_banded_pairs(table(spark, "documents", sf_dir))

@@ -32,8 +32,10 @@ join roots with os.path); the backend maps it verbatim (minus a leading
 '/') under ``prefix`` so distinct roots can never collide.
 
 Env gating: the module imports boto3 lazily so environments without it
-still import the package; tests run against a botocore Stubber (no
-server needed — proves the request/412 mapping) plus an OPTIONAL live
+still import the package; tests run against a botocore Stubber (the
+request/412 mapping), an in-memory fake (fencing flows), a LIVE
+in-process moto S3 server (round 11 — real HTTP conditional writes with
+server-side 412s, run on every suite pass), and an OPTIONAL external
 leg against ``MFS_TEST_S3_ENDPOINT`` when that env is present
 (tests/test_storage_s3.py).
 """

@@ -74,6 +74,9 @@ def test_dedup_pipeline_no_cartesian_product(spark, sf_dir):
         q84_char_ngram_lsh_neardup,
         q87_boilerplate_doc_stats,
     )
+    from mapreduce_framework_spark.pipeline.multimodal_dedup import (
+        q109_multimodal_phash_neardup,
+    )
 
     for builder in (
         q31_minhash_lsh_neardup,
@@ -81,6 +84,9 @@ def test_dedup_pipeline_no_cartesian_product(spark, sf_dir):
         q73_simhash_banded_neardup,
         q84_char_ngram_lsh_neardup,
         q87_boilerplate_doc_stats,
+        # staged r12 newcomer: audited here BEFORE registration so the
+        # whole-registry audit inherits a known-good shape in r12
+        q109_multimodal_phash_neardup,
     ):
         plan = _plan(builder(spark, sf_dir))
         assert "CartesianProduct" not in plan, f"{builder.__name__}: cross join in plan"

@@ -146,6 +146,49 @@ def test_retired_q63_matches_oracle(spark, sf_dir):
     compare(q63_posexplode(spark, sf_dir), _Q63_POSEXPLODE_ORACLE, sf_dir)
 
 
+def test_q109_candidate_matches_oracle(spark, sf_dir):
+    """q109_multimodal_phash_neardup is LIBRARY-FIRST (round 11): the
+    perceptual average-hash near-dup tier over the multimodal payload
+    stand-in, checked against the all-pairs exact DuckDB oracle —
+    registered-query-grade, but NOT registered: the registry is at
+    capacity and the scheduled retiree q29 is behind-window until r12
+    (registry.py ROUND-12 HANDOFF). This differential makes the r12
+    registration a one-commit slot change with a proven oracle — the
+    q105..q108 playbook. Structural assertion: the corpus's planted
+    near-dup docs actually produce pairs (a vacuously-empty differential
+    would prove nothing)."""
+    from mapreduce_framework_spark.pipeline.multimodal_dedup import (
+        _Q109_ORACLE,
+        q109_multimodal_phash_neardup,
+    )
+
+    df = q109_multimodal_phash_neardup(spark, sf_dir)
+    assert df.count() > 0
+    compare(df, _Q109_ORACLE, sf_dir)
+
+
+def test_q109_candidate_matches_oracle_smallest_sf(spark):
+    """The staged oracle proven at the SECOND scale factor explicitly
+    (sf0.001), so the two-SF pre-registration evidence is self-contained
+    in the suite rather than dependent on how the sweep was invoked."""
+    from mapreduce_framework_spark.pipeline.multimodal_dedup import (
+        _PHASH_ORACLE,
+        _Q109_ORACLE,
+        phash_of,
+        q109_multimodal_phash_neardup,
+    )
+    from mapreduce_framework_spark.catalog import table
+
+    base = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001"
+    )
+    df = q109_multimodal_phash_neardup(spark, base)
+    assert df.count() > 0
+    compare(df, _Q109_ORACLE, base)
+    # the hash itself, bit-exact per doc (finer-grained than the pairs)
+    compare(phash_of(table(spark, "documents", base)), _PHASH_ORACLE, base)
+
+
 def test_retired_q47_matches_oracle(spark, sf_dir):
     """q47_sql_frontend_window was RETIRED from the registry in round 11
     (registry.py policy item 4; its slot funded

@@ -3594,6 +3594,64 @@ def test_quality_gate_tier(spark, tmp_path):
     assert off[10]["tier"] == "exact" and off[10]["matched_id"] == 1
 
 
+def test_quality_decisions_invariant_under_batch_slicing(spark, tmp_path):
+    """Round-11 (VERDICT r10 task 6): the quality tier is STATELESS —
+    per-doc arithmetic, no index — so with the gate on, WHICH docs it
+    rejects must not depend on how the stream is sliced into batches.
+    The real sf0.001 corpus is delivered as 1, 2, and 5 batches through
+    the gated cascade sink; the set of 'quality'-tier doc_ids must be
+    identical in every slicing AND equal the library's own batch-free
+    quality_rejects(corpus) answer (the ground truth the oracle CTE
+    shares). This is the gate's composed-correctness guarantee: the
+    net-cost probe (tools/scaling_probe.py --quality-net) can trade
+    batch size freely without changing a single quality decision."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.quality import quality_rejects
+    from mapreduce_framework_spark.streaming.ingest import (
+        delta_dir,
+        make_cascade_ingest_batch_fn,
+    )
+
+    base = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001"
+    )
+    docs = (
+        table(spark, "documents", base)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    n = docs.count()
+    want = {r["doc_id"] for r in quality_rejects(docs).collect()}
+    assert want, "corpus must straddle the thresholds or this proves nothing"
+
+    for slices in (1, 2, 5):
+        root = str(tmp_path / f"slice{slices}")
+        fn = make_cascade_ingest_batch_fn(
+            spark,
+            root + "/fp",
+            root + "/sig",
+            root + "/dec",
+            threshold=0.8,
+            quality_gate=True,
+        )
+        per = -(-n // slices)
+        ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+        for i in range(slices):
+            lo = ids[i * per]
+            hi = ids[min((i + 1) * per, n) - 1]
+            fn(docs.where(F.col("doc_id").between(lo, hi)), i)
+        got = {
+            r["doc_id"]
+            for i in range(slices)
+            for r in spark.read.parquet(delta_dir(root + "/dec", i))
+            .where("tier = 'quality'")
+            .collect()
+        }
+        assert got == want, f"slicing into {slices} batches changed the gate"
+
+
 def test_admission_report_covers_quality_and_contaminated_outcomes(spark, tmp_path):
     """The ops rollup over a FIVE-tier decisions log (round 10): the
     'quality' and 'contaminated' outcomes roll up alongside the dedup

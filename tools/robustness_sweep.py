@@ -148,6 +148,11 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
         semantic_index,
         semantic_match_batch,
     )
+    from mapreduce_framework_spark.pipeline.multimodal_dedup import (
+        phash_banded_pairs as _phash_banded_pairs,
+        phash_index as _phash_index,
+        phash_match_batch as _phash_match_batch,
+    )
     from mapreduce_framework_spark.pipeline.similarity import _norms_spark
     from mapreduce_framework_spark.pipeline.sampling import training_corpus
     from mapreduce_framework_spark.pipeline.span_dedup import (
@@ -441,6 +446,20 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
         # differential that guards the q28 builder swap scheduled for the
         # round it rotates into the driver window
         ("lib_streaming_kv_fold", _streaming_fold_check),
+        # round-11: the staged multimodal perceptual-hash tier (the r12
+        # newcomer q109) — hash + banded pairs + incremental match on
+        # every variant: NULL and zero-length payloads drop per the
+        # stated no-pixels policy (empty variant → clean zero), the
+        # giant-doc variant proves the split-once fold stays linear
+        (
+            "lib_phash_lifecycle",
+            lambda: (
+                _phash_banded_pairs(docs).count(),
+                _phash_match_batch(
+                    _phash_index(docs).localCheckpoint(eager=True), docs, band_cap=512
+                ).count(),
+            ),
+        ),
     ]
     fails = []
     for name, fn in checks:

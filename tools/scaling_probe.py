@@ -1774,6 +1774,9 @@ def main() -> None:
     if "--soak" in sys.argv:  # round-10 long-horizon composed soak
         probe_soak(spark)
         return
+    if "--quality-net" in sys.argv:  # round-11 composed gate-off/on A/B
+        probe_quality_net(spark)
+        return
     if "--quality-gate" in sys.argv:  # round-10 quality-tier cost series
         probe_quality_gate(spark, sf_dir)
         return
@@ -1849,10 +1852,6 @@ def main() -> None:
         )
 
 
-if __name__ == "__main__":
-    main()
-
-
 def run_soak(
     spark,
     n_batches: int = 200,
@@ -1863,6 +1862,7 @@ def run_soak(
     cos_threshold: float = 0.9,
     k: int = 32,
     seed: int = 11,
+    quality_gate: bool = True,
 ):
     """Round-10 LONG-HORIZON COMPOSED SOAK (VERDICT r9 task 5): one
     multi-hundred-batch FIVE-tier cascade ingest (quality → exact →
@@ -1973,7 +1973,7 @@ def run_soak(
             cell_cap=4096,
             benchmark_span_index=bsi,
             cont_threshold=0.05,
-            quality_gate=True,
+            quality_gate=quality_gate,
         )
 
     out = {
@@ -2107,3 +2107,40 @@ def probe_soak(spark, n_batches=200, batch_n=200) -> None:
     print(f"crash replay identical: {res['crash_replay_identical']}")
     print(f"zombie fenced: {res['zombie_fenced']}")
     print(f"manifest delta counts: {res['manifest_delta_counts']}")
+
+
+def probe_quality_net(spark, sizes=(200, 800, 2000), n_batches=8) -> None:
+    """Round-11 series (VERDICT r10 task 6): the quality gate's COMPOSED
+    net cost, gate-off vs gate-on, at three batch sizes through the soak
+    harness (steady state: no crash, no drift — the cost axis only).
+    The round-10 claim was "net-negative in the composed cascade"; this
+    makes it a table WITH the mechanism visible: gate-on moves the spam
+    plants (and any organic junk) to the stateless 'quality' tier, so
+    they never reach the index tiers — fewer survivors shingle, band,
+    and probe, and none of the junk is ever INDEXED (gate-off admits
+    first-seen spam, which then grows the index and every later batch's
+    candidate sets). Read the tier_counts columns next to the wall."""
+    import statistics
+
+    for batch_n in sizes:
+        for gate in (False, True):
+            res = run_soak(
+                spark,
+                n_batches=n_batches,
+                batch_n=batch_n,
+                crash_at=None,
+                drift_at=None,
+                quality_gate=gate,
+            )
+            med = statistics.median(res["walls"][2:])  # skip seed batches
+            label = "ON " if gate else "off"
+            print(
+                f"| {batch_n} | gate {label} | {round(med, 2)} s/batch | "
+                f"{res['tier_counts']} |"
+            )
+
+
+# Keep this at the very END: everything above (incl. the post-main
+# soak/quality-net probes) must be defined before the CLI dispatch runs.
+if __name__ == "__main__":
+    main()
