@@ -36,9 +36,13 @@ rule every blank doc would share phash 0 and pair with every other blank
 (the q32 no-token-docs policy, applied here as length(text) > 0).
 
 Scale shape (SCALING.md round 11):
-- hashing is one linear pass per doc (split-once fold — the r5 FNV
-  lesson: never substring(i,1) per index, it is quadratic) + one slice
-  pass for the cell sums; all JVM-side HOFs, zero Python;
+- hashing is the multimodal family's Arrow batch path (one vectorized
+  numpy cumsum pass per doc, ~ms/MB, int64-exact) — see _phash_cols
+  for the measured story of why BOTH pure-JVM expression forms are
+  wrong here (projection collapse × interpreted HOFs; O(L) length()
+  inlined per exploded row). Exactness bound: s·L and T·n stay inside
+  int64 for docs up to ~16M chars even at the max code point — far
+  past any real document; the family's giant-doc sweep axis is 1M;
 - candidates come ONLY from the (band, bsig) equi-join — 4 byte-bands ×
   9 keys/doc on the build side, 4 on the probe side; pigeonhole-complete
   for hamming ≤ PHASH_HAMMING_MAX (≤ 7: 4 bands × ≥2 flips each would
@@ -68,44 +72,65 @@ PHASH_HAMMING_MAX = 4  # near-dup threshold; < 8 keeps the pigeonhole complete
 def _phash_cols(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, phash) for every non-NULL, non-empty document.
 
-    All whole-stage-codegen'd / interpreted-HOF JVM expressions — no
-    Python. The pixel array is built ONCE by a linear split fold
-    (functions/hashing.py:fnv1a32 documents why substring-per-index is
-    quadratic and split('') is the linear form), then the 32 cell sums
-    are slices of it.
+    SHAPE (the round-11 lesson, measured on the sweep's 1 MB giant
+    docs): this is the multimodal family's ARROW BATCH path
+    (pipeline/multimodal.py — decode/featurize/resize all run
+    vectorized mapInPandas), not a JVM expression. Two JVM forms were
+    built and measured first:
+
+    * a slice/HOF projection — Catalyst's projection collapse inlines
+      the whole cell computation into every downstream reference (band
+      frames reference phash per band/variant row) and interpreted
+      HOFs get no common-subexpression reuse: ~64 re-folds per
+      reference, the giant-variant match hung for minutes;
+    * a posexplode + two-level aggregation — the per-char pass is
+      codegen'd, but ``length(text)`` (O(L): UTF8String.numChars walks
+      the bytes) is inlined into the post-explode consumer and re-paid
+      per CHARACTER row: 1 MB docs went quadratic (jstack showed the
+      agg loop pinned in getNumChars). Any expression form needs the
+      pixel array or its length referenced at least twice, and each
+      extra reference re-materializes it.
+
+    The numpy form is one cumsum pass per doc (~ms/MB, int64 exact —
+    identical arithmetic to the DuckDB oracle and the pytest model),
+    transferred once as an Arrow batch; the candidate join stays
+    JVM-side. The batch fn is a CLOSURE (cloudpickle ships it by
+    value), so executors need no package install.
     """
+    import pandas as pd
+
     g = PHASH_CELLS
-    return (
-        docs.where(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
-        .withColumn(
-            "_vals",
-            F.expr(f"transform(split({text_col}, ''), ch -> CAST(ascii(ch) AS BIGINT))"),
-        )
-        .withColumn("_L", F.expr("CAST(size(_vals) AS BIGINT)"))
-        .withColumn("_T", F.expr("aggregate(_vals, CAST(0 AS BIGINT), (a, x) -> a + x)"))
-        .withColumn(
-            "_cells",
-            F.expr(
-                f"""transform(sequence(0, {g - 1}), j -> named_struct(
-                    'n', (CAST(j + 1 AS BIGINT) * _L) div {g} - (CAST(j AS BIGINT) * _L) div {g},
-                    's', aggregate(
-                        slice(_vals,
-                              CAST((CAST(j AS BIGINT) * _L) div {g} AS INT) + 1,
-                              CAST((CAST(j + 1 AS BIGINT) * _L) div {g}
-                                   - (CAST(j AS BIGINT) * _L) div {g} AS INT)),
-                        CAST(0 AS BIGINT), (a, x) -> a + x)))"""
-            ),
-        )
-        .withColumn(
-            "phash",
-            F.expr(
-                f"""aggregate(transform(sequence(0, {g - 1}),
-                    j -> IF(_cells[j].n > 0 AND _cells[j].s * _L > _T * _cells[j].n,
-                            shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
-                    CAST(0 AS BIGINT), (a, x) -> a + x)"""
-            ),
-        )
-        .select("doc_id", "phash")
+
+    def batches(it):
+        import numpy as np
+
+        bit_vals = (np.int64(1) << np.arange(g, dtype=np.int64))
+
+        def one(text: str) -> int:
+            a = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+                np.int64
+            )
+            length = np.int64(a.shape[0])
+            total = a.sum()
+            bounds = (np.arange(g + 1, dtype=np.int64) * length) // g
+            csum = np.concatenate([[np.int64(0)], np.cumsum(a)])
+            s = csum[bounds[1:]] - csum[bounds[:-1]]
+            n = bounds[1:] - bounds[:-1]
+            bits = (n > 0) & (s * length > total * n)
+            return int((bit_vals[bits]).sum())
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [one(t) for t in pdf["text"]],
+                }
+            )
+
+    return docs.where(
+        F.col(text_col).isNotNull() & (F.length(text_col) > 0)
+    ).select(F.col("doc_id"), F.col(text_col).alias("text")).mapInPandas(
+        batches, schema="doc_id bigint, phash bigint"
     )
 
 
@@ -199,7 +224,10 @@ def phash_match_batch(
     if band_cap is not None:
         build_bands = cap_banded(build_bands, band_cap)
     build = _variant_frame(build_bands)
-    probe = _band_frame(_phash_cols(batch_docs))
+    # materialize the batch hashes once before banding (the match_batch
+    # family rule, pipeline/dedup.py): without this the Arrow hash pass
+    # would sit under the join and re-run per plan reference
+    probe = _band_frame(_phash_cols(batch_docs).localCheckpoint(eager=True))
     hamming = F.bit_count(F.col("i.phash").bitwiseXOR(F.col("n.phash"))).cast("int")
     return (
         build.alias("i")

@@ -1777,6 +1777,9 @@ def main() -> None:
     if "--quality-net" in sys.argv:  # round-11 composed gate-off/on A/B
         probe_quality_net(spark)
         return
+    if "--phash" in sys.argv:  # round-11 perceptual-hash tier series
+        probe_phash(spark, base)
+        return
     if "--quality-gate" in sys.argv:  # round-10 quality-tier cost series
         probe_quality_gate(spark, sf_dir)
         return
@@ -1863,6 +1866,7 @@ def run_soak(
     k: int = 32,
     seed: int = 11,
     quality_gate: bool = True,
+    spam_n: int = 6,
 ):
     """Round-10 LONG-HORIZON COMPOSED SOAK (VERDICT r9 task 5): one
     multi-hundred-batch FIVE-tier cascade ingest (quality → exact →
@@ -2022,11 +2026,22 @@ def run_soak(
                         embedding=vec(centers),
                     )
                 )
-            for j in range(6):  # quality-tier spam
+            for j in range(spam_n):  # quality-tier spam
                 rows.append(
                     Row(
                         doc_id=base + 850_000 + j,
-                        text="spam " * 40,
+                        # spam bodies unique per (batch, doc) — fresh junk
+                        # every batch, like a real crawl. With the gate OFF
+                        # they must NOT collapse in the exact tier (the
+                        # first probe draft reused bodies across batches and
+                        # measured md5-dedup, not the junk regime): each
+                        # pays full downstream candidate work AND is
+                        # admitted into every index, which is precisely
+                        # what the gate prevents.
+                        text="spam " * 40
+                        + vocab[(31 * i + j) % len(vocab)]
+                        + " "
+                        + vocab[(17 * i + 5 * j + 1) % len(vocab)],
                         embedding=vec(centers),
                     )
                 )
@@ -2109,6 +2124,63 @@ def probe_soak(spark, n_batches=200, batch_n=200) -> None:
     print(f"manifest delta counts: {res['manifest_delta_counts']}")
 
 
+def probe_phash(spark, base, factors=(1, 2, 4)) -> None:
+    """Round-11 series (the r12 registration evidence for q109): the
+    perceptual-hash tier's scale shape.
+
+    (a) hash build wall vs corpus size — expect ~linear (one vectorized
+        Arrow/numpy cumsum pass per doc; no shuffle at all);
+    (b) banded pairs wall vs corpus size — the (band, bsig) equi-join;
+        with 4 bands over 8-bit signatures the keyspace is only 1024, so
+        at amplification the join fans out as sum of squares of band
+        populations — the reason the INCREMENTAL form (index + O(batch)
+        match), not all-corpus pairs, is the production route (same
+        verdict as the q30/q31 exact-vs-LSH split);
+    (c) the adversarial hot band: a 20k-identical-doc cluster shares all
+        4 band keys; the capped match (cap_banded 64) must stay flat
+        while staying decision-lossless for the canonical lowest-id
+        match (the pigeonhole guarantee only needs ONE surviving band
+        row ≤1 bit away, and identical docs keep the lowest ids under
+        the cap by construction)."""
+    from mapreduce_framework_spark.pipeline.multimodal_dedup import (
+        phash_banded_pairs,
+        phash_index,
+        phash_match_batch,
+        phash_of,
+    )
+
+    print("| factor | docs | hash build | banded pairs | pairs |")
+    print("|---|---|---|---|---|")
+    for f in factors:
+        docs = amplify(base, f).localCheckpoint(eager=True)
+        tw, n = timed(phash_of(docs))
+        # NOTE: amplified copies are byte-identical, so every copy-pair is
+        # hamming 0 — the pair count grows ~quadratically in factor by
+        # construction; the wall column is the signal, the pairs column
+        # the explanation
+        tp, npairs = timed(phash_banded_pairs(docs))
+        print(f"| {f} | {n} | {tw} s | {tp} s | {npairs} |")
+
+    n_hot = 20_000
+    from pyspark.sql import Row
+
+    hot = spark.createDataFrame(
+        [Row(doc_id=i, text="the same hot boilerplate body " * 4) for i in range(n_hot)]
+    )
+    idx = phash_index(hot).localCheckpoint(eager=True)
+    batch = spark.createDataFrame(
+        [Row(doc_id=10_000_000 + i, text="the same hot boilerplate body " * 4) for i in range(200)]
+    ).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    got = phash_match_batch(idx, batch, band_cap=64).collect()
+    tc = round(time.perf_counter() - t0, 2)
+    assert len(got) == 200 and all(r["matched_id"] == 0 and r["hamming"] == 0 for r in got)
+    print(
+        f"hot cluster {n_hot} identical docs, 200-doc batch, cap 64: "
+        f"{tc} s, all matched to canonical doc 0"
+    )
+
+
 def probe_quality_net(spark, sizes=(200, 800, 2000), n_batches=8) -> None:
     """Round-11 series (VERDICT r10 task 6): the quality gate's COMPOSED
     net cost, gate-off vs gate-on, at three batch sizes through the soak
@@ -2118,26 +2190,37 @@ def probe_quality_net(spark, sizes=(200, 800, 2000), n_batches=8) -> None:
     plants (and any organic junk) to the stateless 'quality' tier, so
     they never reach the index tiers — fewer survivors shingle, band,
     and probe, and none of the junk is ever INDEXED (gate-off admits
-    first-seen spam, which then grows the index and every later batch's
-    candidate sets). Read the tier_counts columns next to the wall."""
+    distinct-bodied spam, which then grows the index and every later
+    batch's candidate sets). Two axes: batch size at the default ~3%
+    junk (where the gate's fixed floor is the dominant term), and the
+    JUNK FRACTION at a fixed batch (where the downstream savings grow
+    until the gate pays for itself — the regime of the r10 claim)."""
     import statistics
+
+    def row(batch_n, gate, spam_n, label):
+        res = run_soak(
+            spark,
+            n_batches=n_batches,
+            batch_n=batch_n,
+            crash_at=None,
+            drift_at=None,
+            quality_gate=gate,
+            spam_n=spam_n,
+        )
+        med = statistics.median(res["walls"][2:])  # skip seed batches
+        g = "ON " if gate else "off"
+        print(
+            f"| {batch_n} | {label} | gate {g} | {round(med, 2)} s/batch | "
+            f"{res['tier_counts']} |",
+            flush=True,
+        )
 
     for batch_n in sizes:
         for gate in (False, True):
-            res = run_soak(
-                spark,
-                n_batches=n_batches,
-                batch_n=batch_n,
-                crash_at=None,
-                drift_at=None,
-                quality_gate=gate,
-            )
-            med = statistics.median(res["walls"][2:])  # skip seed batches
-            label = "ON " if gate else "off"
-            print(
-                f"| {batch_n} | gate {label} | {round(med, 2)} s/batch | "
-                f"{res['tier_counts']} |"
-            )
+            row(batch_n, gate, 6, "junk ~3%")
+    # the junk-fraction axis: same fixed batch, 30% distinct-bodied spam
+    for gate in (False, True):
+        row(800, gate, 240, "junk ~30%")
 
 
 # Keep this at the very END: everything above (incl. the post-main
