@@ -903,7 +903,7 @@ def _cont_rej_cte(src: str, tag: str) -> str:
     """Per-doc contaminated-token fraction of ``src`` vs the benchmark
     span hashes (bref CTE) — the exact span_contamination arithmetic:
     distinct covered positions / token count, 0.0 on token-free docs.
-    Shared by the q107 oracle and the staged q108 oracle (round 10), so
+    Shared by the q107 oracle and the q108 oracle (registered r11), so
     the decon arithmetic can never drift between them."""
     from mapreduce_framework_spark.pipeline.dedup import TOKS_DUCK
     from mapreduce_framework_spark.pipeline.span_dedup import EXSUB_W, _sliding_duck
@@ -1089,7 +1089,7 @@ def _decon_replay(
     spark: SparkSession, sf_dir: str, quality_gate: bool = False
 ) -> DataFrame:
     """The decontaminating replay shared by q107 (quality_gate=False) and
-    the staged q108 candidate (quality_gate=True) — one body, so the two
+    q108 (quality_gate=True; registered r11) — one body, so the two
     contracts can never diverge on the split/plant/stream mechanics (the
     q104/q106 shared-code pattern). See q107_decontaminating_admission
     for the full replay semantics."""
@@ -1221,8 +1221,8 @@ def q107_decontaminating_admission(spark: SparkSession, sf_dir: str) -> DataFram
     ADVICE: the tier is purely lexical, so only the semantic tier drops
     — builder and oracle stay aligned on that path, mirroring q104's
     empty-e degradation). Registered round 10 by retiring q63; the
-    replay body is shared with the staged q108 candidate
-    (_decon_replay)."""
+    replay body is shared with q108 — registered r11 — via
+    _decon_replay."""
     return _decon_replay(spark, sf_dir, quality_gate=False)
 
 

@@ -262,7 +262,7 @@ def test_q108_candidate_matches_oracle(spark, sf_dir):
     compare(df, _q108_oracle(), sf_dir)
 
 def test_q108_candidate_matches_oracle_on_nulls(spark, tmp_path):
-    """The r11 registration candidate armored against the dirty-data
+    """q108 (registered r11) armored against the dirty-data
     axis the sweep can't reach (the sweep's differential covers only
     REGISTERED oracles): q108's five-tier replay vs its oracle on the
     NULLs variant — NULL text must fail the quality gate CLOSED with the
