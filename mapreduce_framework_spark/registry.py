@@ -166,6 +166,11 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # surface, Hamming-banded candidate join (the q73 playbook), DuckDB
 # oracle proven at two SFs via
 # tests/test_queries_oracle.py::test_q109_candidate_matches_oracle.
+# Natural r12 companion work (the decon/quality trajectory: sink option
+# lands with or after the standalone query): wire phash as an OPT-IN
+# cascade tier (phash index root + band-join matcher between the exact
+# and MinHash tiers, tier name 'media_dup', cap_banded guard, sweep +
+# soak coverage) so a later round can stage its replay twin.
 #
 # The curated order below puts, inside the window: (a) every query new
 # or changed this round, (b) every query whose last driver row is a full
