@@ -166,11 +166,14 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # surface, Hamming-banded candidate join (the q73 playbook), DuckDB
 # oracle proven at two SFs via
 # tests/test_queries_oracle.py::test_q109_candidate_matches_oracle.
-# Natural r12 companion work (the decon/quality trajectory: sink option
-# lands with or after the standalone query): wire phash as an OPT-IN
-# cascade tier (phash index root + band-join matcher between the exact
-# and MinHash tiers, tier name 'media_dup', cap_banded guard, sweep +
-# soak coverage) so a later round can stage its replay twin.
+# The sink tier LANDED this round too (the decon/quality trajectory):
+# make_full_cascade_ingest_batch_fn(phash_index_root=...) wires phash as
+# the OPT-IN 'media_dup' tier between exact and MinHash (band-join
+# matcher, cap_banded guard, never-indexed-rejects invariant pinned by
+# tests/test_streaming.py::test_full_cascade_media_dup_tier; six-tier
+# form driven by the dirty sweep on every variant) — so r12 can also
+# stage the replay twin (a q107/q108-style media_dup replay) as the r13
+# newcomer if the capacity math allows.
 #
 # The curated order below puts, inside the window: (a) every query new
 # or changed this round, (b) every query whose last driver row is a full

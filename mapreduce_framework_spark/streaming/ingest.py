@@ -1237,6 +1237,8 @@ def make_full_cascade_ingest_batch_fn(
     benchmark_span_index: DataFrame | None = None,
     cont_threshold: float = 0.05,
     quality_gate: bool = False,
+    phash_index_root: str | None = None,
+    phash_band_cap: int | None = None,
 ):
     """The COMPLETE admission cascade the two-tier sink's docstring names
     as the real pretraining shape: exact → near-dup → SEMANTIC. Batches
@@ -1308,7 +1310,29 @@ def make_full_cascade_ingest_batch_fn(
 
     ``quality_gate`` (round 10): the opt-in per-doc QUALITY tier, run
     FIRST — exactly as documented on make_cascade_ingest_batch_fn (the
-    gate is index-free and identical in both sinks)."""
+    gate is index-free and identical in both sinks).
+
+    ``phash_index_root`` (round 11, library-first — the q109 tier): the
+    opt-in MULTIMODAL near-dup tier between the exact and MinHash tiers
+    (cheaper than shingling: one Arrow hash pass + a 9-keys/doc band
+    join). The persisted index is ``multimodal_dedup.phash_index``'s
+    (doc_id, phash) — 16 bytes/doc — on the same delta/manifest
+    lifecycle as the other tiers; a re-encoded/retouched copy of an
+    indexed doc (small Hamming distance, shared bytes NOT required) is
+    rejected with tier 'media_dup', matched_id = the lowest matching
+    index doc_id, and score = (32 − hamming)/32 (the tier-typed
+    similarity, ≥ 0.875 at the ≤ 4-bit threshold). NULL and zero-length
+    payloads have no pixels, hence no phash: such docs are invisible to
+    this tier (never phash-rejected, never phash-indexed) and stay
+    fully subject to every other tier — the multimodal family's
+    no-bytes-no-media policy. ``phash_band_cap`` bounds adversarial hot
+    bands via cap_banded at match time (⊆-only, canonical lowest-id
+    match survives). Scale note: the band frame is derived from the
+    (doc_id, phash) index per batch — a projection+explode of a
+    16-byte row; if profiles ever show that derivation dominating, the
+    sig_bands_root pattern (persisted banded layout, cap at compaction)
+    applies verbatim. None (default) keeps the cascade exactly as
+    before."""
     from pyspark.sql.window import Window
 
     from mapreduce_framework_spark.pipeline.codebook import codebook_fingerprint
@@ -1350,6 +1374,11 @@ def make_full_cascade_ingest_batch_fn(
     ep_dec = acquire_index_root(decisions_root)
     ep_bands = (
         acquire_index_root(sig_bands_root) if sig_bands_root is not None else None
+    )
+    ep_ph = (
+        acquire_index_root(phash_index_root)
+        if phash_index_root is not None
+        else None
     )
 
     def _sem_side(docs: DataFrame) -> DataFrame:
@@ -1395,6 +1424,33 @@ def make_full_cascade_ingest_batch_fn(
         if intra_batch_exact:
             intra_best = _intra_batch_exact_best(survivors)
             survivors = survivors.join(intra_best, "doc_id", "left_anti")
+
+        ph_best = None
+        if phash_index_root is not None:
+            ph_idx = _index_so_far(spark, phash_index_root, before_batch=batch_id)
+            if ph_idx is not None:
+                from mapreduce_framework_spark.pipeline.multimodal_dedup import (
+                    PHASH_CELLS,
+                    phash_match_batch,
+                )
+
+                ph_best = (
+                    phash_match_batch(
+                        ph_idx,
+                        survivors.select("doc_id", "text"),
+                        band_cap=phash_band_cap,
+                    )
+                    .select(
+                        "doc_id",
+                        F.col("matched_id").alias("ph_id"),
+                        (
+                            (F.lit(PHASH_CELLS) - F.col("hamming"))
+                            / F.lit(float(PHASH_CELLS))
+                        ).alias("ph_sim"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                survivors = survivors.join(ph_best, "doc_id", "left_anti")
 
         sig_idx = _index_so_far(spark, sig_index_root, before_batch=batch_id)
         if sig_idx is None:
@@ -1482,6 +1538,12 @@ def make_full_cascade_ingest_batch_fn(
             decisions = decisions.join(intra_best, "doc_id", "left")
         else:
             decisions = decisions.withColumn("ib_id", F.lit(None).cast("long"))
+        if ph_best is not None:
+            decisions = decisions.join(ph_best, "doc_id", "left")
+        else:
+            decisions = decisions.withColumn(
+                "ph_id", F.lit(None).cast("long")
+            ).withColumn("ph_sim", F.lit(None).cast("double"))
         if near_best is not None:
             decisions = decisions.join(near_best, "doc_id", "left")
         else:
@@ -1510,21 +1572,24 @@ def make_full_cascade_ingest_batch_fn(
             (
                 ~ql
                 & ~ex_any
+                & F.col("ph_id").isNull()
                 & F.col("nd_id").isNull()
                 & F.col("sm_id").isNull()
                 & F.col("ct_frac").isNull()
             ).alias("admitted"),
-            F.coalesce("ex_id", "ib_id", "nd_id", "sm_id", F.lit(-1))
+            F.coalesce("ex_id", "ib_id", "ph_id", "nd_id", "sm_id", F.lit(-1))
             .cast("long")
             .alias("matched_id"),
             F.when(ql, F.col("ql_frac"))
             .when(ex_any, F.lit(1.0))
+            .when(F.col("ph_id").isNotNull(), F.col("ph_sim"))
             .when(F.col("nd_id").isNotNull(), F.col("nd_jaccard"))
             .when(F.col("sm_id").isNotNull(), F.col("sm_cos"))
             .otherwise(F.coalesce("ct_frac", F.lit(0.0)))
             .alias("score"),
             F.when(ql, F.lit("quality"))
             .when(ex_any, F.lit("exact"))
+            .when(F.col("ph_id").isNotNull(), F.lit("media_dup"))
             .when(F.col("nd_id").isNotNull(), F.lit("near_dup"))
             .when(F.col("sm_id").isNotNull(), F.lit("semantic"))
             .when(F.col("ct_frac").isNotNull(), F.lit("contaminated"))
@@ -1550,6 +1615,19 @@ def make_full_cascade_ingest_batch_fn(
                 spark, sig_bands_root, batch_id, banded_signatures(sig_delta),
                 compact_every, epoch=ep_bands,
                 compact_transform=bands_transform,
+            )
+        if phash_index_root is not None:
+            from mapreduce_framework_spark.pipeline.multimodal_dedup import (
+                phash_index,
+            )
+
+            _publish_delta(
+                spark,
+                phash_index_root,
+                batch_id,
+                phash_index(admitted.select("doc_id", "text")),
+                compact_every,
+                epoch=ep_ph,
             )
         _publish_delta(
             spark,
@@ -1595,6 +1673,8 @@ def run_full_cascade_ingest_stream(
     benchmark_span_index: DataFrame | None = None,
     cont_threshold: float = 0.05,
     quality_gate: bool = False,
+    phash_index_root: str | None = None,
+    phash_band_cap: int | None = None,
 ) -> DataFrame:
     """Drive a ``(doc_id, text, embedding)`` stream through the
     three-tier admission sink; returns the union of all per-batch
@@ -1604,7 +1684,8 @@ def run_full_cascade_ingest_stream(
     every compaction of the bands / semantic roots);
     ``fp_distinct``/``intra_batch_exact`` are the exact tier's hot-fp
     guard and within-batch pre-dedup; ``benchmark_span_index`` adds the
-    opt-in decontamination tier (all on make_full_cascade_ingest_batch_fn)."""
+    opt-in decontamination tier and ``phash_index_root`` the opt-in
+    multimodal 'media_dup' tier (all on make_full_cascade_ingest_batch_fn)."""
     q = (
         docs_stream.writeStream.foreachBatch(
             make_full_cascade_ingest_batch_fn(
@@ -1626,6 +1707,8 @@ def run_full_cascade_ingest_stream(
                 benchmark_span_index,
                 cont_threshold,
                 quality_gate,
+                phash_index_root,
+                phash_band_cap,
             )
         )
         .option("checkpointLocation", checkpoint)

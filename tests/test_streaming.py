@@ -3594,6 +3594,85 @@ def test_quality_gate_tier(spark, tmp_path):
     assert off[10]["tier"] == "exact" and off[10]["matched_id"] == 1
 
 
+def test_full_cascade_media_dup_tier(spark, tmp_path):
+    """Round-11 library-first: the opt-in MULTIMODAL near-dup tier
+    (phash_index_root → tier 'media_dup', between exact and MinHash).
+    The planted retouch is the tier's raison d'être: a same-length
+    1-char perturbation of an admitted doc sits at word-shingle
+    J = 0.5 — INVISIBLE to the MinHash tier (threshold 0.8) — but at
+    phash Hamming 0. Pinned in both directions plus the lifecycle
+    invariants: (a) a byte-identical copy is still 'exact' (strict
+    precedence — the cheaper tier wins); (b) the retouch is
+    'media_dup', matched to the canonical original, score
+    (32−hamming)/32 = 1.0; (c) a later byte-copy of the REJECTED
+    retouch is ALSO 'media_dup' against the original (rejects are never
+    indexed), while a byte-copy of an ADMITTED batch-1 doc is 'exact'
+    against it (admits are); (d) NULL-text docs are invisible to the
+    tier in both directions (admitted here; absent from the phash
+    index — the family's no-pixels policy); (e) with the tier OFF
+    (default) the identical batches admit the retouch — proving both
+    the opt-in contract and that the lexical tiers genuinely cannot
+    catch this reject class."""
+    from pyspark.sql import Row
+
+    from mapreduce_framework_spark.streaming.ingest import _index_so_far
+
+    cents = spark.createDataFrame(
+        [Row(cent_id=i, cent=[float(x) for x in v])
+         for i, v in enumerate([[1.0, 0.0], [0.0, 1.0]])]
+    )
+    A = "alpha beta gamma delta epsilon"
+    C = "red orange yellow green blue"
+    R = "alpha beta gamma delta epsilom"  # same-length retouch: hamming 0
+    Z = "zig zag zap zoom zest"  # hamming 13/15 from A/C: admits
+    rows = {
+        0: [(1, A), (2, C)],
+        1: [(10, A), (11, R), (12, None), (13, Z)],
+        2: [(20, R), (21, Z)],
+    }
+    dfs = [
+        spark.createDataFrame(
+            [Row(doc_id=i, text=t, embedding=None) for i, t in rows[b]],
+            "doc_id bigint, text string, embedding array<double>",
+        )
+        for b in sorted(rows)
+    ]
+
+    ph_root = str(tmp_path / "fc_ph")
+    roots, _ = _run_full_cascade(
+        spark, tmp_path, dfs, cents, prefix="mdon", phash_index_root=ph_root
+    )
+    got = {
+        d: (r["admitted"], r["tier"], r["matched_id"], r["score"])
+        for d, r in _decisions(spark, roots["dec"]).items()
+    }
+    assert got == {
+        1: (True, None, -1, 0.0),
+        2: (True, None, -1, 0.0),
+        10: (False, "exact", 1, 1.0),        # precedence over media_dup
+        11: (False, "media_dup", 1, 1.0),    # J=0.5: lexical tiers blind
+        12: (True, None, -1, 0.0),           # NULL text: no pixels
+        13: (True, None, -1, 0.0),
+        20: (False, "media_dup", 1, 1.0),    # 11 was never indexed
+        21: (False, "exact", 13, 1.0),       # 13 was indexed
+    }
+    # the phash index holds exactly the admitted docs WITH pixels —
+    # no rejects, no NULL-text doc 12
+    ph_ids = {r["doc_id"] for r in _index_so_far(spark, ph_root).collect()}
+    assert ph_ids == {1, 2, 13}
+
+    # (e) default-off control on the identical batches
+    roots_off, _ = _run_full_cascade(spark, tmp_path, dfs, cents, prefix="mdoff")
+    off = {
+        d: (r["admitted"], r["tier"], r["matched_id"])
+        for d, r in _decisions(spark, roots_off["dec"]).items()
+    }
+    assert off[11] == (True, None, -1)          # lexical tiers blind to R
+    assert off[20] == (False, "exact", 11)      # ...so R entered the index
+    assert off[21] == (False, "exact", 13)
+    assert "media_dup" not in {v[1] for v in off.values()}
+
+
 def test_quality_decisions_invariant_under_batch_slicing(spark, tmp_path):
     """Round-11 (VERDICT r10 task 6): the quality tier is STATELESS —
     per-doc arithmetic, no index — so with the gate on, WHICH docs it

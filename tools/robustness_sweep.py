@@ -264,6 +264,10 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
             # round-10: quality_gate=True drives the FIVE-tier form —
             # the quality gate must honor the NULL policies too (NULL
             # text fails closed with tier 'quality', never a crash)
+            # round-11: phash_index_root drives the SIX-tier form — the
+            # media_dup tier must honor the family NULL/empty policies
+            # too (NULL and zero-length payloads are invisible to it in
+            # both directions, never a crash)
             fn = make_full_cascade_ingest_batch_fn(
                 spark,
                 os.path.join(root, "fp"),
@@ -274,6 +278,7 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
                 JACCARD_THRESHOLD,
                 benchmark_span_index=span_index(docs.limit(5)),
                 quality_gate=True,
+                phash_index_root=os.path.join(root, "ph"),
             )
             fn(de, 0)
             # id-shifted copy: every doc byte-collapses in the exact tier
@@ -294,7 +299,7 @@ def library_sweep(spark, sf_dir: str, label: str) -> list[str]:
             from mapreduce_framework_spark.streaming.ingest import admission_report
 
             n_outcomes = admission_report(spark, os.path.join(root, "dec")).count()
-            assert 1 <= n_outcomes <= 6  # round-10: + the 'quality' outcome
+            assert 1 <= n_outcomes <= 7  # r10 'quality' + r11 'media_dup'
             return (
                 spark.read.option("recursiveFileLookup", "true")
                 .parquet(os.path.join(root, "dec"))
