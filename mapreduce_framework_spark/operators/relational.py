@@ -457,18 +457,17 @@ def q23_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "q29_approx_count_distinct",
-    oracle=None,  # approximate by design; rsd bound asserted in tests
-    tags=("ext", "agg", "approx"),
-)
 def q29_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct customers per priority
-    (rsd=0.05). Checked against the exact q16 within tolerance in
-    tests/test_probes.py; the driver records a rows-only check here — the
-    *hard* driver gate for this sketch is q74_hll_error_bound, which
-    encodes the tolerance as an exact boolean oracle. At 100 TB this
-    replaces q16's exact expand+shuffle with a fixed-size sketch."""
+    (rsd=0.05). RETIRED round 12 (registry.py RETIRED) to fund
+    q109_multimodal_phash_neardup: as a rows-only sketch it was a
+    permanent `err: no_oracle` driver row, while its *hard* exact gate
+    q74_hll_error_bound — which encodes the tolerance as an exact
+    boolean oracle — stays registered. The builder stays per retirement
+    policy item 4; tests/test_probes.py::test_q29_within_rsd_bound keeps
+    checking it against the exact q16 within tolerance every run. At
+    100 TB this replaces q16's exact expand+shuffle with a fixed-size
+    sketch."""
     o = table(spark, "orders", sf_dir)
     return (
         o.groupBy("o_orderpriority")

@@ -1,7 +1,7 @@
 """Multimodal near-dup tier: perceptual average-hash (aHash) + Hamming
-bands (round 11, staged LIBRARY-FIRST — the ROUND-12 HANDOFF newcomer
-q109_multimodal_phash_neardup; registry.py names q29 as the scheduled
-retiree whose slot funds it).
+bands (staged library-first in round 11; q109_multimodal_phash_neardup
+REGISTERED in round 12 into the retired q29's window slot — registry.py
+ROUND-12 EXECUTED).
 
 The one brief surface without a dedup family until now is the multimodal
 column family (pipeline/multimodal.py): re-encoded, resized, or
@@ -59,6 +59,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_framework_spark.catalog import table
+from mapreduce_framework_spark.registry import register
 
 PHASH_CELLS = 32  # grid cells = hash bits; 32 reuses q73's 4-byte-band split
 PHASH_BANDS = 4  # byte bands over the 32-bit hash (q73's layout)
@@ -212,12 +213,22 @@ def phash_match_batch(
 ) -> DataFrame:
     """(doc_id, matched_id, hamming) for every batch doc within
     PHASH_HAMMING_MAX of an index doc — matched_id is the LOWEST
-    matching index doc_id (deterministic canonical pick, the family
-    rule). O(batch): candidates come from the (band, bsig) equi-join of
-    the batch's 4 exact band keys against the index's 9-variant band
-    frame; ``band_cap`` bounds adversarial hot bands via
-    pipeline/dedup.py:cap_banded (⊆-semantics: capping only drops
-    candidate EDGES, every capped survivor is still a real match)."""
+    matching index doc_id among the CANDIDATES (deterministic canonical
+    pick, the family rule; with band_cap=None candidates are
+    pigeonhole-complete, so this is the global lowest-id match).
+    O(batch): candidates come from the (band, bsig) equi-join of the
+    batch's 4 exact band keys against the index's 9-variant band frame.
+    ``band_cap`` bounds adversarial hot bands via
+    pipeline/dedup.py:cap_banded, whose documented semantics apply
+    verbatim: every reported match is REAL (a genuine index doc within
+    the threshold — capping never invents a pair), but under adversarial
+    saturation (≥ band_cap lower-id docs sharing every band byte the
+    true best match occupies) matched_id can shift to a retained
+    higher-id member — so the capped output is not row-level ⊆ of the
+    uncapped one, only match-validity-preserving. Non-adversarial
+    corpora are unaffected (the cap never binds). Pinned in both
+    directions by tests/test_multimodal_dedup_props.py::
+    test_phash_match_batch_cap_shifts_matched_id_under_saturation."""
     from mapreduce_framework_spark.pipeline.dedup import cap_banded
 
     build_bands = _band_frame(index_hashes)
@@ -244,7 +255,7 @@ def phash_match_batch(
     )
 
 
-# --- q109: the staged registered-grade query + its DuckDB oracle -------------
+# --- q109: the registered query + its DuckDB oracle (registered r12) ---------
 
 _PHASH_DUCK_CTES = f"""
     v AS (
@@ -289,12 +300,18 @@ _Q109_ORACLE = f"""
 """
 
 
+@register(
+    "q109_multimodal_phash_neardup",
+    oracle=_Q109_ORACLE,
+    tags=("ext", "dedup", "multimodal", "phash"),
+)
 def q109_multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual (average-hash) near-dup pairs over the multimodal
     payload stand-in — the dedup tier for re-encoded/resized media
     copies that share no bytes. 32-cell integer-exact aHash, q73's
     pigeonhole byte-band candidate join, exact Hamming verify; oracle is
-    the all-pairs exact form (DuckDB side only). Staged library-first in
-    round 11 for the scheduled r12 registration (registry.py ROUND-12
-    HANDOFF: retiree q29)."""
+    the all-pairs exact form (DuckDB side only; the Spark side must stay
+    banded — that asymmetry is the point). Staged library-first in round
+    11, REGISTERED round 12 into the retired q29's window slot
+    (registry.py ROUND-12 EXECUTED)."""
     return phash_banded_pairs(table(spark, "documents", sf_dir))

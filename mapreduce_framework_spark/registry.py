@@ -150,30 +150,40 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # oracle proven at sf0.001 AND sf0.01 in round 10 before registration
 # (tests/test_queries_oracle.py::test_q108_candidate_matches_oracle).
 #
-# ROUND-12 HANDOFF: the timing-eligible retiree next round is
-# q29_approx_count_distinct (it sits in the r10 window, so it rotates
-# into the r12 window). Rationale, per the preference order: q29 is the
-# approximate-sketch twin whose HARD exact gate q74_hll_error_bound
-# stays registered (2b shape — q74 asserts the HLL estimate against the
-# exact distinct count within the published error bound), and q29 is one
-# of only two permanent rows-only `err: no_oracle` rows in every driver
-# artifact — retiring it improves the artifact's signal while q74 keeps
-# the approx-distinct contract under a STRONGER (exact, hash-checked)
-# driver gate. The approx family keeps q69 + q74 + q75 registered. The
-# newcomer is staged library-first THIS round (the q105..q108 playbook):
-# pipeline/multimodal_dedup.py:q109_multimodal_phash_neardup — the
-# perceptual average-hash near-dup tier over the q77 grayscale-grid
-# surface, Hamming-banded candidate join (the q73 playbook), DuckDB
-# oracle proven at two SFs via
-# tests/test_queries_oracle.py::test_q109_candidate_matches_oracle.
-# The sink tier LANDED this round too (the decon/quality trajectory):
-# make_full_cascade_ingest_batch_fn(phash_index_root=...) wires phash as
-# the OPT-IN 'media_dup' tier between exact and MinHash (band-join
-# matcher, cap_banded guard, never-indexed-rejects invariant pinned by
-# tests/test_streaming.py::test_full_cascade_media_dup_tier; six-tier
-# form driven by the dirty sweep on every variant) — so r12 can also
-# stage the replay twin (a q107/q108-style media_dup replay) as the r13
-# newcomer if the capacity math allows.
+# ROUND-12 EXECUTED exactly as the handoff scheduled: q29 → RETIRED in
+# its scheduled round (it rotated into the r12 window, satisfying the
+# timing rule; the approx-distinct contract stays under the STRONGER
+# exact hash-checked gate q74_hll_error_bound, and the approx family
+# keeps q69 + q74 + q75 registered); q109_multimodal_phash_neardup
+# registered into exactly q29's window slot — the perceptual
+# average-hash near-dup tier over the multimodal payload surface
+# (integer-exact 32-cell aHash, q73's pigeonhole byte-band candidate
+# join), oracle proven at sf0.001 AND sf0.01 in round 11 before
+# registration (tests/test_queries_oracle.py::
+# test_q109_candidate_matches_oracle). Retiring q29 also erases one of
+# the artifact's two permanent rows-only `err: no_oracle` rows.
+#
+# ROUND-13 HANDOFF: the timing-eligible retiree next round is
+# q36_embedding_neardup (it sits in the r11 window, so it rotates into
+# the r13 window). Rationale, per the preference order: q36 is a capped
+# exact-oracle twin (2b) — the sanctioned exact all-pairs cosine pass
+# whose banded/bucketed scale paths q35_ann_lsh and q56_ann_ivf stay
+# registered (both hash-green r10) and whose library form
+# (pipeline/similarity.py) plus oracle plus pytest differential remain
+# in the local sweep permanently, exactly like the retired q30/q34
+# twins; bench.py keeps timing it directly so the r1-subset series is
+# unbroken. The newcomer is staged library-first THIS round (the
+# q105..q109 playbook): operators/streaming_replay.py:
+# q110_media_gated_admission — the SIX-tier media-gated admission
+# replay (quality → exact → media/phash → MinHash → semantic → decon;
+# the full production sink shape with the r11 media_dup tier under
+# driver eyes), DuckDB oracle proven at two SFs via
+# tests/test_queries_oracle.py::test_q110_candidate_matches_oracle.
+# The OTHER permanent rows-only row, q69_approx_percentiles, rotates
+# into the r13 window too and is equally eligible (its exact gate q75
+# stays registered) — q36 is preferred because the six-tier replay is
+# a dedup-family newcomer and 2b twins outrank sketch rows in the
+# dry-run ranking; q69 remains the named r14 fallback.
 #
 # The curated order below puts, inside the window: (a) every query new
 # or changed this round, (b) every query whose last driver row is a full
@@ -183,23 +193,71 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # WINDOW_HISTORY below — that no registered query goes more than one
 # round without a driver window slot.
 CURATED_ORDER = [
-    # --- round-11 window: the r10 behind-window half (the enforced
-    # rotation — every name here last had a driver row in r9, so max
+    # --- round-12 window: the r11 behind-window half (the enforced
+    # rotation — every name here last had a driver row in r10, so max
     # staleness stays one round) with ONE executed swap, scheduled by the
-    # round-10 handoff above:
-    #   * q47's slot now holds the round-11 newcomer
-    #     q108_quality_gated_admission (retirement policy item 4;
-    #     q47 → RETIRED below — q47 rotated into this window, satisfying
-    #     the timing rule; its SQL-frontend surface stays covered by q46
-    #     and its window battery by q18/q19, and its builder/oracle/
-    #     differential remain in the local sweep). q108 puts the
-    #     FIVE-tier quality-gated admission cascade — full streaming
-    #     parity with the q105 batch flagship (quality + dedup + decon)
-    #     — under driver eyes with the oracle proven at two SFs in r10.
-    # NOTE (r11): q06/q07/q28/q83 rotate in here with their r10-refreshed
-    # null-safe oracle text (_fold_sql NULL-KEY POLICY) — first driver
-    # rows under the refreshed oracle, a no-op at every gate SF per the
-    # r10 NULL-key pytest differentials.
+    # round-11 handoff above:
+    #   * q29's slot now holds the round-12 newcomer
+    #     q109_multimodal_phash_neardup (retirement policy item 4;
+    #     q29 → RETIRED below — q29 rotated into this window, satisfying
+    #     the timing rule; its approx-distinct contract stays covered by
+    #     the exact hash-checked gate q74, in this very window, and its
+    #     builder + tolerance differential remain in the local sweep).
+    #     q109 puts the multimodal perceptual near-dup tier — the last
+    #     brief surface without a dedup family — under driver eyes with
+    #     the oracle proven at two SFs in r11.
+    "q94_streaming_session_replay",
+    "q95_incremental_ingest_dedup",
+    "q96_incremental_rollup_replay",
+    "q97_session_funnel",
+    "q98_cohort_retention",
+    "q99_session_transitions",
+    "q100_token_chunking",
+    "q82_streaming_tumbling_replay",
+    "q93_embedding_quantize",
+    "q58_range_join_binned",
+    "q12_join_revenue_per_nation",
+    "q74_hll_error_bound",
+    "q61_correlated_subqueries",
+    "q40_lang_id",
+    "q35_ann_lsh",
+    "q37_multimodal_features",
+    "q56_ann_ivf",
+    "q78_stratified_hash_sample",
+    "q13_broadcast_join",
+    "q15_tpch_q1_shape",
+    "q17_rollup",
+    "q19_window_running_sum",
+    "q22_scalar_battery",
+    "q45_cube",
+    "q46_sql_frontend_join",
+    "q48_salted_skew_agg",
+    "q51_pivot",
+    "q53_null_handling",
+    "q64_summary_stats",
+    "q66_json_functions",
+    "q68_merge_upsert",
+    "q109_multimodal_phash_neardup",
+    "q69_approx_percentiles",
+    "q27_session_window",
+    "q65_hierarchical_rollup",
+    "q54_percentiles",
+    "q59_string_battery",
+    "q60_grouping_sets",
+    "q107_decontaminating_admission",
+    "q67_multiset_ops",
+    "q70_grouped_agg_pandas_udf",
+    "q71_dedup_corpus_output",
+    "q105_training_corpus_decontaminated",
+    "q41_quality_score",
+    "q42_token_stats",
+    "q43_fingerprint",
+    "q76_multimodal_frame_sample",
+    "q77_multimodal_resize",
+    "q79_sequence_packing",
+    "q80_contamination_check",
+    # --- behind the window (driver rows recorded in round 11; swept by
+    # the local oracle suite every run) ---
     "q101_span_dedup",
     "q102_semantic_dedup",
     "q89_denylist_scrub",
@@ -243,65 +301,13 @@ CURATED_ORDER = [
     "q32_simhash",
     "q33_exact_dedup_docs",
     "q44_map_functions",
-    "q108_quality_gated_admission",  # round-11 newcomer in q47's retired slot
+    "q108_quality_gated_admission",
     "q50_window_battery",
     "q52_pandas_udf_path",
     "q103_cascade_admission",
     "q57_asof_join",
     "q73_simhash_banded_neardup",
     "q81_training_corpus",
-    # --- behind the window (driver rows recorded in round 10; swept by
-    # the local oracle suite every run) ---
-    "q94_streaming_session_replay",
-    "q95_incremental_ingest_dedup",
-    "q96_incremental_rollup_replay",
-    "q97_session_funnel",
-    "q98_cohort_retention",
-    "q99_session_transitions",
-    "q100_token_chunking",
-    "q82_streaming_tumbling_replay",
-    "q93_embedding_quantize",
-    "q58_range_join_binned",
-    "q12_join_revenue_per_nation",
-    "q74_hll_error_bound",
-    "q61_correlated_subqueries",
-    "q40_lang_id",
-    "q35_ann_lsh",
-    "q37_multimodal_features",
-    "q56_ann_ivf",
-    "q78_stratified_hash_sample",
-    "q13_broadcast_join",
-    "q15_tpch_q1_shape",
-    "q17_rollup",
-    "q19_window_running_sum",
-    "q22_scalar_battery",
-    "q45_cube",
-    "q46_sql_frontend_join",
-    "q48_salted_skew_agg",
-    "q51_pivot",
-    "q53_null_handling",
-    "q64_summary_stats",
-    "q66_json_functions",
-    "q68_merge_upsert",
-    "q29_approx_count_distinct",
-    "q69_approx_percentiles",
-    "q27_session_window",
-    "q65_hierarchical_rollup",
-    "q54_percentiles",
-    "q59_string_battery",
-    "q60_grouping_sets",
-    "q107_decontaminating_admission",
-    "q67_multiset_ops",
-    "q70_grouped_agg_pandas_udf",
-    "q71_dedup_corpus_output",
-    "q105_training_corpus_decontaminated",
-    "q41_quality_score",
-    "q42_token_stats",
-    "q43_fingerprint",
-    "q76_multimodal_frame_sample",
-    "q77_multimodal_resize",
-    "q79_sequence_packing",
-    "q80_contamination_check",
 ]
 
 
@@ -356,6 +362,17 @@ RETIRED: tuple[str, ...] = (
     # differential:
     # tests/test_queries_oracle.py::test_retired_q47_matches_oracle.
     "q47_sql_frontend_window",
+    # round 12: the ROUND-12 HANDOFF retiree, spent IN ITS SCHEDULED
+    # ROUND (q29 rotated into the r12 window, satisfying the timing
+    # rule) to register q109_multimodal_phash_neardup (the perceptual
+    # average-hash multimodal near-dup tier, oracle proven at two SFs in
+    # r11). q29 was one of the artifact's two permanent rows-only
+    # `err: no_oracle` rows; its HARD exact gate q74_hll_error_bound
+    # stays registered, so the approx-distinct contract's driver
+    # evidence strictly improves. Builder stays in
+    # operators/relational.py; its tolerance differential vs the exact
+    # q16 remains tests/test_probes.py::test_q29_within_rsd_bound.
+    "q29_approx_count_distinct",
 )
 
 # Hard ceiling = 2 rounds × DRIVER_WINDOW (see capacity note).
@@ -368,7 +385,7 @@ DRIVER_WINDOW = 50
 # records the window actually exposed in each past round (= the keys of
 # CORRECTNESS_r{N}.json, verbatim). Each new round: append the previous
 # round's first-DRIVER_WINDOW names here, bump CURRENT_ROUND, re-curate.
-CURRENT_ROUND = 11
+CURRENT_ROUND = 12
 
 WINDOW_HISTORY: dict[int, tuple[str, ...]] = {
     1: (
@@ -891,6 +908,58 @@ WINDOW_HISTORY: dict[int, tuple[str, ...]] = {
         "q79_sequence_packing",
         "q80_contamination_check",
     ),
+    11: (
+        "q101_span_dedup",
+        "q102_semantic_dedup",
+        "q89_denylist_scrub",
+        "q91_cross_snapshot_dedup",
+        "q01_wordcount",
+        "q06_kv_final_state",
+        "q31_minhash_lsh_neardup",
+        "q84_char_ngram_lsh_neardup",
+        "q85_shardctrler_replay",
+        "q86_boilerplate_ngrams",
+        "q87_boilerplate_doc_stats",
+        "q88_repetition_stats",
+        "q90_domain_mix_resample",
+        "q92_tfidf_topk",
+        "q36_embedding_neardup",
+        "q104_full_cascade_admission",
+        "q75_percentile_sketch_bound",
+        "q83_streaming_kv_replay",
+        "q28_kv_stateful_replay",
+        "q24_exact_dedup",
+        "q02_inverted_index",
+        "q11_filter_project",
+        "q106_admission_report",
+        "q49_neardup_components",
+        "q03_crash_emits",
+        "q04_per_doc_counts",
+        "q05_global_count",
+        "q09_fnv_bucket_histogram",
+        "q10_global_sort",
+        "q07_kv_point_in_time",
+        "q08_shard_histogram",
+        "q14_semi_join",
+        "q14_anti_join",
+        "q16_count_distinct",
+        "q18_window_topk_per_group",
+        "q20_global_topk",
+        "q21_set_ops",
+        "q23_array_functions",
+        "q25_tumbling_window",
+        "q26_sliding_window",
+        "q32_simhash",
+        "q33_exact_dedup_docs",
+        "q44_map_functions",
+        "q108_quality_gated_admission",
+        "q50_window_battery",
+        "q52_pandas_udf_path",
+        "q103_cascade_admission",
+        "q57_asof_join",
+        "q73_simhash_banded_neardup",
+        "q81_training_corpus",
+    ),
 }
 
 
@@ -922,6 +991,7 @@ def all_queries() -> dict[str, QuerySpec]:
     import mapreduce_framework_spark.operators.shardctrler  # noqa: F401
     import mapreduce_framework_spark.pipeline.span_dedup  # noqa: F401
     import mapreduce_framework_spark.pipeline.semantic_dedup  # noqa: F401
+    import mapreduce_framework_spark.pipeline.multimodal_dedup  # noqa: F401
 
     missing = set(REGISTRY) - set(CURATED_ORDER)
     extra = set(CURATED_ORDER) - set(REGISTRY)

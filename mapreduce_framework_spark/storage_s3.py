@@ -43,6 +43,7 @@ leg against ``MFS_TEST_S3_ENDPOINT`` when that env is present
 from __future__ import annotations
 
 import json
+from collections import OrderedDict
 from contextlib import contextmanager
 
 from mapreduce_framework_spark.storage import ManifestPreconditionFailed
@@ -90,7 +91,21 @@ class S3ManifestBackend:
         # makes the PUT fail 412 exactly as a fresh read's etag would.
         # Plain dict ops are atomic under the GIL, so sharing a backend
         # across threads at worst swaps in a sibling's fresher pair.
-        self._seen: dict[str, tuple[str | None, int]] = {}
+        # Bounded LRU (round-11 ADVICE): an ingest writer touches a
+        # handful of manifests, but a long-lived backend walking many
+        # roots would otherwise grow one entry per path forever. Eviction
+        # is always safe — a missing entry just means one extra GET on
+        # the next fenced commit of that path.
+        self._seen: OrderedDict[str, tuple[str | None, int]] = OrderedDict()
+
+    _SEEN_MAX = 1024  # paths; ~100 B each, so the cache stays ~0.1 MB
+
+    def _remember(self, path: str, pair: tuple[str | None, int]) -> None:
+        seen = self._seen
+        seen[path] = pair
+        seen.move_to_end(path)
+        while len(seen) > self._SEEN_MAX:
+            seen.popitem(last=False)
 
     def _key(self, path: str) -> str:
         rel = path.lstrip("/")
@@ -101,16 +116,16 @@ class S3ManifestBackend:
         try:
             resp = self._s3.get_object(Bucket=self._bucket, Key=self._key(path))
         except self._s3.exceptions.NoSuchKey:
-            self._seen[path] = (None, 0)
+            self._remember(path, (None, 0))
             return None, None
         except self._s3.exceptions.ClientError as err:  # pragma: no cover
             if err.response.get("Error", {}).get("Code") in ("NoSuchKey", "404"):
-                self._seen[path] = (None, 0)
+                self._remember(path, (None, 0))
                 return None, None
             raise
         obj = json.loads(resp["Body"].read().decode("utf-8"))
         etag = resp.get("ETag")
-        self._seen[path] = (etag, int(obj.get("epoch", 0)))
+        self._remember(path, (etag, int(obj.get("epoch", 0))))
         return obj, etag
 
     # --- the three-method contract (see PosixManifestBackend) ---
@@ -166,7 +181,7 @@ class S3ManifestBackend:
         # A cached etag of None means "object absent" (→ If-None-Match:*),
         # so if the response omits ETag, invalidate instead of caching.
         if resp.get("ETag"):
-            self._seen[path] = (resp["ETag"], int(obj.get("epoch", 0)))
+            self._remember(path, (resp["ETag"], int(obj.get("epoch", 0))))
         else:  # pragma: no cover - stores always return ETag on PUT
             self._seen.pop(path, None)
 

@@ -1,6 +1,6 @@
 """Boundary-exact property tests for the multimodal perceptual-hash
-near-dup family (pipeline/multimodal_dedup.py — the staged r12 newcomer
-q109) against sequential pure-Python models.
+near-dup family (pipeline/multimodal_dedup.py — q109, registered in
+round 12) against sequential pure-Python models.
 
 Same method as tests/test_dedup_props.py: hypothesis builds corpora
 constructively (exact duplicates and single-character retouches injected
@@ -14,8 +14,13 @@ explicitly), and every Spark result is compared to a from-scratch model:
   on the model hashes — the 4-band pigeonhole is provably complete for
   any threshold < 8, so this is an EQUALITY, not an inclusion;
 - the incremental matcher (phash_match_batch) == the model's
-  lowest-index-match rule, and its band_cap degradation only ever
-  DROPS matches (⊆), never invents one.
+  lowest-index-match rule; its band_cap degradation never INVENTS a
+  match (every reported pair is a genuine within-threshold index doc),
+  but under adversarial saturation matched_id can shift to a retained
+  higher-id member — both directions pinned below (the identical-doc
+  case where the canonical pick trivially survives, AND the
+  non-identical hot cluster where the true best match is capped out and
+  the row changes — round-11 ADVICE).
 
 The code-point policy is exercised on purpose: the strategy mixes
 non-ASCII characters, and the model folds ord(ch) — exactly what both
@@ -179,3 +184,62 @@ def test_phash_match_batch_cap_only_drops(spark_global):
     }
     assert capped <= full
     assert (100, 0, 0) in capped  # canonical lowest-id match survives the cap
+
+
+def test_phash_match_batch_cap_shifts_matched_id_under_saturation(spark_global):
+    """Round-11 ADVICE: cap_banded keeps the LOWEST doc_ids per (band,
+    bsig) group, so lower-id NON-matching docs can saturate every band
+    group the true best match occupies and evict it — shifting
+    matched_id to a retained higher-id member. Row-level ⊆ of the
+    uncapped output therefore does NOT hold in general (the identical-doc
+    test above cannot show this: there the lowest id is also the
+    canonical match). This pins the documented degradation exactly:
+
+    - H = the batch doc's hash; index doc 50 has phash == H (hamming 0,
+      the true best/lowest-id match);
+    - per band b, three saturators (ids 3b..3b+2) share band b's exact
+      byte with H but differ by 2 bits in EACH other band (hamming 6 >
+      threshold, so none is a match) → with band_cap=3, doc 50 is capped
+      out of every band group it shares with the probe;
+    - index doc 60 differs from H by exactly 1 bit inside band 0
+      (hamming 1, a genuine match): its band-0 byte is its OWN
+      unsaturated group so it is retained, and the build side's
+      single-bit-flip variants land it back on the probe's exact key.
+
+    Uncapped → (100, 50, 0). Capped → (100, 60, 1): a real
+    within-threshold match (capping never invents a pair), but a
+    DIFFERENT row than any uncapped one."""
+    from pyspark.sql import Row
+
+    text = "a genuinely varied probe document body 0123 é語 with texture"
+    H = _phash_model(text)
+    assert H is not None and H != 0
+    sat_rows = []
+    for b in range(4):
+        flips = 0
+        for other in range(4):
+            if other != b:
+                flips ^= 0b11 << (8 * other)  # 2 bits per other band → hamming 6
+        for k in range(3):
+            sat_rows.append(Row(doc_id=3 * b + k, phash=H ^ flips))
+    index_hashes = spark_global.createDataFrame(
+        sat_rows
+        + [Row(doc_id=50, phash=H), Row(doc_id=60, phash=H ^ 1)],
+        "doc_id bigint, phash bigint",
+    )
+    batch = spark_global.createDataFrame(
+        [Row(doc_id=100, text=text)], "doc_id bigint, text string"
+    )
+    full = {
+        (r["doc_id"], r["matched_id"], r["hamming"])
+        for r in phash_match_batch(index_hashes, batch).collect()
+    }
+    capped = {
+        (r["doc_id"], r["matched_id"], r["hamming"])
+        for r in phash_match_batch(index_hashes, batch, band_cap=3).collect()
+    }
+    assert full == {(100, 50, 0)}  # uncapped: the true lowest-id match
+    assert capped == {(100, 60, 1)}  # capped: shifted, NOT ⊆ of uncapped
+    # validity preserved: the reported match is a genuine index doc
+    # within the threshold — capping degraded the pick, not the truth
+    assert ((H ^ 1) ^ H).bit_count() <= PHASH_HAMMING_MAX

@@ -147,16 +147,14 @@ def test_retired_q63_matches_oracle(spark, sf_dir):
 
 
 def test_q109_candidate_matches_oracle(spark, sf_dir):
-    """q109_multimodal_phash_neardup is LIBRARY-FIRST (round 11): the
-    perceptual average-hash near-dup tier over the multimodal payload
-    stand-in, checked against the all-pairs exact DuckDB oracle —
-    registered-query-grade, but NOT registered: the registry is at
-    capacity and the scheduled retiree q29 is behind-window until r12
-    (registry.py ROUND-12 HANDOFF). This differential makes the r12
-    registration a one-commit slot change with a proven oracle — the
-    q105..q108 playbook. Structural assertion: the corpus's planted
-    near-dup docs actually produce pairs (a vacuously-empty differential
-    would prove nothing)."""
+    """q109_multimodal_phash_neardup — staged library-first in round 11,
+    REGISTERED round 12 into the retired q29's window slot exactly as
+    the two-SF pre-registration evidence here scheduled (registry.py
+    ROUND-12 EXECUTED; the q105..q109 playbook). The perceptual
+    average-hash near-dup tier over the multimodal payload stand-in,
+    checked against the all-pairs exact DuckDB oracle. Structural
+    assertion: the corpus's planted near-dup docs actually produce pairs
+    (a vacuously-empty differential would prove nothing)."""
     from mapreduce_framework_spark.pipeline.multimodal_dedup import (
         _Q109_ORACLE,
         q109_multimodal_phash_neardup,
@@ -168,7 +166,7 @@ def test_q109_candidate_matches_oracle(spark, sf_dir):
 
 
 def test_q109_candidate_matches_oracle_smallest_sf(spark):
-    """The staged oracle proven at the SECOND scale factor explicitly
+    """The q109 oracle proven at the SECOND scale factor explicitly
     (sf0.001), so the two-SF pre-registration evidence is self-contained
     in the suite rather than dependent on how the sweep was invoked."""
     from mapreduce_framework_spark.pipeline.multimodal_dedup import (

@@ -114,20 +114,19 @@ def test_retirement_dry_run_swap_preserves_invariants():
     from mapreduce_framework_spark.registry import REGISTRY
 
     all_queries()  # side-effect: operator modules register their builders
-    # The ROUND-12 HANDOFF target (registry.py): q29, the rows-only
-    # approx sketch whose HARD exact gate q74_hll_error_bound stays
-    # registered — retiring it erases a permanent `err: no_oracle`
-    # driver row while keeping the approx-distinct contract under a
-    # stronger (hash-checked) gate.
-    target = "q29_approx_count_distinct"
+    # The ROUND-13 HANDOFF target (registry.py): q36, the sanctioned
+    # exact all-pairs cosine twin (2b) whose banded/bucketed scale paths
+    # q35/q56 stay registered — the q30/q34 retirement shape exactly.
+    target = "q36_embedding_neardup"
     assert target in REGISTRY and target in CURATED_ORDER
     newcomer = "q1xx_simulated_newcomer"
-    # the retiree's builder stays in the repo for the local sweep; q29 is
-    # rows-only by design (no oracle to keep) — its exact gate q74 must
-    # stay registered so the family's driver evidence strictly improves
+    # the retiree's builder/oracle/differential stay in the repo for the
+    # local sweep; its scale paths must stay registered so the ANN
+    # family's driver evidence never drops to zero
     assert REGISTRY[target].builder is not None
-    assert REGISTRY[target].oracle is None  # the no_oracle row being erased
-    assert "q74_hll_error_bound" in CURATED_ORDER
+    assert REGISTRY[target].oracle is not None  # exact twin keeps its oracle
+    assert "q35_ann_lsh" in CURATED_ORDER
+    assert "q56_ann_ivf" in CURATED_ORDER
 
     if target in CURATED_ORDER[:DRIVER_WINDOW]:
         # the target is timing-eligible THIS round: simulate the swap and

@@ -312,6 +312,25 @@ def s3_backend():
         set_manifest_backend(prev)
 
 
+def test_seen_cache_is_bounded_lru(s3_backend):
+    """Round-11 ADVICE: the (etag, epoch) read cache must not grow one
+    entry per manifest path forever on a long-lived backend walking many
+    roots. Touching more paths than _SEEN_MAX evicts the oldest entries
+    (eviction is always safe — just one extra GET on the next fenced
+    commit), and recently-touched paths survive (LRU, not FIFO-clear)."""
+    backend, _ = s3_backend
+    n = backend._SEEN_MAX + 50
+    for i in range(n):
+        backend.commit(f"/root_{i}/MANIFEST.json", {"epoch": 1})
+    assert len(backend._seen) == backend._SEEN_MAX
+    # the most recent _SEEN_MAX paths are exactly the retained ones
+    assert f"/root_{n - 1}/MANIFEST.json" in backend._seen
+    assert "/root_0/MANIFEST.json" not in backend._seen
+    # a retained entry still short-circuits the fenced re-read: commit
+    # with the cached pair succeeds via the CAS without a fresh GET
+    backend.commit(f"/root_{n - 1}/MANIFEST.json", {"epoch": 2}, expected_epoch=1)
+
+
 def test_acquisition_and_fencing_over_s3(s3_backend, tmp_path):
     """The storage.py acquisition cycle runs unmodified over the S3
     backend: sequential acquirers get distinct epochs, and the earlier
@@ -425,7 +444,9 @@ def live_s3():
         pytest.skip("moto not installed — use the MFS_TEST_S3_ENDPOINT leg")
     srv = ThreadedMotoServer(port=0, verbose=False)
     srv.start()
-    port = srv._server.socket.getsockname()[1]
+    # public accessor (round-11 ADVICE: the private srv._server.socket
+    # peek was brittle across moto versions)
+    host, port = srv.get_host_and_port()
     client = boto3.client(
         "s3",
         endpoint_url=f"http://127.0.0.1:{port}",
