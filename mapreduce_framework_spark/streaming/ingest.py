@@ -895,6 +895,8 @@ def make_cascade_ingest_batch_fn(
     benchmark_span_index: DataFrame | None = None,
     cont_threshold: float = 0.05,
     quality_gate: bool = False,
+    phash_index_root: str | None = None,
+    phash_band_cap: int | None = None,
 ):
     """Tiered admission: the EXACT fingerprint tier runs in front of the
     MinHash near-dup tier, each batch doc paying the cheapest test that
@@ -983,7 +985,19 @@ def make_cascade_ingest_batch_fn(
     'quality', not 'exact' (tier precedence is strict in BOTH
     directions). The streaming counterpart of q105's batch quality
     stage — with it, the cascade reaches tier parity with the batch
-    flagship (quality → exact → near-dup [→ semantic] → decon)."""
+    flagship (quality → exact → near-dup [→ semantic] → decon).
+
+    ``phash_index_root`` / ``phash_band_cap`` (round 12, tier parity with
+    the full cascade — the q110 staging prerequisite): the opt-in
+    MULTIMODAL 'media_dup' tier between the exact and MinHash tiers,
+    with EXACTLY make_full_cascade_ingest_batch_fn's semantics (same
+    matcher, same index artifact, same no-bytes-no-media NULL/empty
+    policy, same cap_banded degradation contract — see that docstring).
+    The tier is pixel/text-only (embeddings never touched), so an
+    embeddings-free deployment — or the full cascade's documented
+    no-usable-centroid degradation — keeps perceptual media dedup
+    instead of silently dropping it, the same composition argument as
+    the decontamination tier above."""
     from pyspark.sql.window import Window
 
     from mapreduce_framework_spark.pipeline.dedup import (
@@ -1011,6 +1025,11 @@ def make_cascade_ingest_batch_fn(
     ep_dec = acquire_index_root(decisions_root)
     ep_bands = (
         acquire_index_root(sig_bands_root) if sig_bands_root is not None else None
+    )
+    ep_ph = (
+        acquire_index_root(phash_index_root)
+        if phash_index_root is not None
+        else None
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1048,6 +1067,33 @@ def make_cascade_ingest_batch_fn(
         if intra_batch_exact:
             intra_best = _intra_batch_exact_best(survivors)
             survivors = survivors.join(intra_best, "doc_id", "left_anti")
+
+        ph_best = None
+        if phash_index_root is not None:
+            ph_idx = _index_so_far(spark, phash_index_root, before_batch=batch_id)
+            if ph_idx is not None:
+                from mapreduce_framework_spark.pipeline.multimodal_dedup import (
+                    PHASH_CELLS,
+                    phash_match_batch,
+                )
+
+                ph_best = (
+                    phash_match_batch(
+                        ph_idx,
+                        survivors.select("doc_id", "text"),
+                        band_cap=phash_band_cap,
+                    )
+                    .select(
+                        "doc_id",
+                        F.col("matched_id").alias("ph_id"),
+                        (
+                            (F.lit(PHASH_CELLS) - F.col("hamming"))
+                            / F.lit(float(PHASH_CELLS))
+                        ).alias("ph_sim"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                survivors = survivors.join(ph_best, "doc_id", "left_anti")
 
         sig_idx = _index_so_far(spark, sig_index_root, before_batch=batch_id)
         if sig_idx is None:
@@ -1112,6 +1158,12 @@ def make_cascade_ingest_batch_fn(
             decisions = decisions.join(intra_best, "doc_id", "left")
         else:
             decisions = decisions.withColumn("ib_id", F.lit(None).cast("long"))
+        if ph_best is not None:
+            decisions = decisions.join(ph_best, "doc_id", "left")
+        else:
+            decisions = decisions.withColumn(
+                "ph_id", F.lit(None).cast("long")
+            ).withColumn("ph_sim", F.lit(None).cast("double"))
         if near_best is not None:
             decisions = decisions.join(near_best, "doc_id", "left")
         else:
@@ -1133,18 +1185,24 @@ def make_cascade_ingest_batch_fn(
         decisions = decisions.select(
             "doc_id",
             (
-                ~ql & ~ex_any & F.col("nd_id").isNull() & F.col("ct_frac").isNull()
+                ~ql
+                & ~ex_any
+                & F.col("ph_id").isNull()
+                & F.col("nd_id").isNull()
+                & F.col("ct_frac").isNull()
             ).alias("admitted"),
-            F.coalesce("ex_id", "ib_id", "nd_id", F.lit(-1))
+            F.coalesce("ex_id", "ib_id", "ph_id", "nd_id", F.lit(-1))
             .cast("long")
             .alias("matched_id"),
             F.when(ql, F.col("ql_frac"))
             .when(ex_any, F.lit(1.0))
+            .when(F.col("ph_id").isNotNull(), F.col("ph_sim"))
             .when(F.col("nd_id").isNotNull(), F.col("nd_jaccard"))
             .otherwise(F.coalesce("ct_frac", F.lit(0.0)))
             .alias("jaccard"),
             F.when(ql, F.lit("quality"))
             .when(ex_any, F.lit("exact"))
+            .when(F.col("ph_id").isNotNull(), F.lit("media_dup"))
             .when(F.col("nd_id").isNotNull(), F.lit("near_dup"))
             .when(F.col("ct_frac").isNotNull(), F.lit("contaminated"))
             .alias("tier"),
@@ -1169,6 +1227,19 @@ def make_cascade_ingest_batch_fn(
                 spark, sig_bands_root, batch_id, banded_signatures(sig_delta),
                 compact_every, epoch=ep_bands,
                 compact_transform=bands_transform,
+            )
+        if phash_index_root is not None:
+            from mapreduce_framework_spark.pipeline.multimodal_dedup import (
+                phash_index,
+            )
+
+            _publish_delta(
+                spark,
+                phash_index_root,
+                batch_id,
+                phash_index(admitted.select("doc_id", "text")),
+                compact_every,
+                epoch=ep_ph,
             )
 
     return apply_batch
@@ -1326,8 +1397,14 @@ def make_full_cascade_ingest_batch_fn(
     this tier (never phash-rejected, never phash-indexed) and stay
     fully subject to every other tier — the multimodal family's
     no-bytes-no-media policy. ``phash_band_cap`` bounds adversarial hot
-    bands via cap_banded at match time (⊆-only, canonical lowest-id
-    match survives). Scale note: the band frame is derived from the
+    bands via cap_banded at match time, with cap_banded's documented
+    semantics exactly: every reported match is REAL (a genuine index doc
+    within the Hamming threshold), but under adversarial saturation —
+    lower-id non-matching docs filling every band the true best match
+    occupies — matched_id can shift to a retained member, and row-level
+    subset-of-uncapped is NOT guaranteed (pinned both ways by
+    tests/test_multimodal_dedup_props.py::
+    test_phash_match_batch_cap_shifts_matched_id_under_saturation). Scale note: the band frame is derived from the
     (doc_id, phash) index per batch — a projection+explode of a
     16-byte row; if profiles ever show that derivation dominating, the
     sig_bands_root pattern (persisted banded layout, cap at compaction)
@@ -1823,6 +1900,8 @@ def run_cascade_ingest_stream(
     benchmark_span_index: DataFrame | None = None,
     cont_threshold: float = 0.05,
     quality_gate: bool = False,
+    phash_index_root: str | None = None,
+    phash_band_cap: int | None = None,
 ) -> DataFrame:
     """Drive the document stream through the tiered admission sink;
     returns the union of all per-batch decision frames. ``sig_bands_root``
@@ -1830,7 +1909,8 @@ def run_cascade_ingest_stream(
     as in run_ingest_stream; ``band_cap`` is the hot-band skew guard;
     ``fp_distinct``/``intra_batch_exact`` are the exact tier's hot-fp
     guard and within-batch pre-dedup; ``benchmark_span_index``/
-    ``cont_threshold`` the opt-in lexical decontamination tier
+    ``cont_threshold`` the opt-in lexical decontamination tier and
+    ``phash_index_root`` the opt-in multimodal 'media_dup' tier
     (make_cascade_ingest_batch_fn)."""
     q = (
         docs_stream.writeStream.foreachBatch(
@@ -1849,6 +1929,8 @@ def run_cascade_ingest_stream(
                 benchmark_span_index,
                 cont_threshold,
                 quality_gate,
+                phash_index_root,
+                phash_band_cap,
             )
         )
         .option("checkpointLocation", checkpoint)

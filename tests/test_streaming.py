@@ -3673,6 +3673,83 @@ def test_full_cascade_media_dup_tier(spark, tmp_path):
     assert "media_dup" not in {v[1] for v in off.values()}
 
 
+def test_lexical_cascade_media_dup_tier(spark, tmp_path):
+    """Round 12: the media_dup tier reaches TIER PARITY across both
+    sinks (the quality-gate precedent) — make_cascade_ingest_batch_fn
+    accepts phash_index_root with exactly the full cascade's semantics,
+    so an embeddings-free deployment (or the full cascade's documented
+    no-usable-centroid degradation, which routes through this sink in
+    the q110 replay) keeps perceptual media dedup. Same plant matrix as
+    test_full_cascade_media_dup_tier, minus the semantic tier:
+    precedence (exact beats media_dup), the J=0.5 retouch invisible to
+    MinHash but Hamming-0 to phash, rejects-never-indexed, NULL-text
+    invisibility, and the default-off control."""
+    from pyspark.sql import Row
+
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.streaming.ingest import (
+        _index_so_far,
+        make_cascade_ingest_batch_fn,
+    )
+
+    A = "alpha beta gamma delta epsilon"
+    C = "red orange yellow green blue"
+    R = "alpha beta gamma delta epsilom"  # same-length retouch: hamming 0
+    Z = "zig zag zap zoom zest"
+    rows = {
+        0: [(1, A), (2, C)],
+        1: [(10, A), (11, R), (12, None), (13, Z)],
+        2: [(20, R), (21, Z)],
+    }
+    dfs = [
+        spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in rows[b]],
+            "doc_id bigint, text string",
+        )
+        for b in sorted(rows)
+    ]
+
+    def run(prefix, **kw):
+        roots = {k: str(tmp_path / f"{prefix}_{k}") for k in ["fp", "sig", "dec"]}
+        fn = make_cascade_ingest_batch_fn(
+            spark, roots["fp"], roots["sig"], roots["dec"],
+            JACCARD_THRESHOLD, **kw,
+        )
+        for i, df in enumerate(dfs):
+            fn(df, i)
+        return roots
+
+    ph_root = str(tmp_path / "lx_ph")
+    roots = run("lxon", phash_index_root=ph_root)
+    got = {
+        d: (r["admitted"], r["tier"], r["matched_id"], r["jaccard"])
+        for d, r in _decisions(spark, roots["dec"]).items()
+    }
+    assert got == {
+        1: (True, None, -1, 0.0),
+        2: (True, None, -1, 0.0),
+        10: (False, "exact", 1, 1.0),        # precedence over media_dup
+        11: (False, "media_dup", 1, 1.0),    # J=0.5: MinHash tier blind
+        12: (True, None, -1, 0.0),           # NULL text: no pixels
+        13: (True, None, -1, 0.0),
+        20: (False, "media_dup", 1, 1.0),    # 11 was never indexed
+        21: (False, "exact", 13, 1.0),       # 13 was indexed
+    }
+    ph_ids = {r["doc_id"] for r in _index_so_far(spark, ph_root).collect()}
+    assert ph_ids == {1, 2, 13}
+
+    # default-off control on the identical batches
+    off_roots = run("lxoff")
+    off = {
+        d: (r["admitted"], r["tier"], r["matched_id"])
+        for d, r in _decisions(spark, off_roots["dec"]).items()
+    }
+    assert off[11] == (True, None, -1)
+    assert off[20] == (False, "exact", 11)
+    assert off[21] == (False, "exact", 13)
+    assert "media_dup" not in {v[1] for v in off.values()}
+
+
 def test_quality_decisions_invariant_under_batch_slicing(spark, tmp_path):
     """Round-11 (VERDICT r10 task 6): the quality tier is STATELESS —
     per-doc arithmetic, no index — so with the gate on, WHICH docs it
