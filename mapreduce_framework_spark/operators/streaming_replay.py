@@ -1086,13 +1086,26 @@ def _q107_oracle() -> str:
 
 
 def _decon_replay(
-    spark: SparkSession, sf_dir: str, quality_gate: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    quality_gate: bool = False,
+    media_tier: bool = False,
 ) -> DataFrame:
-    """The decontaminating replay shared by q107 (quality_gate=False) and
-    q108 (quality_gate=True; registered r11) — one body, so the two
-    contracts can never diverge on the split/plant/stream mechanics (the
-    q104/q106 shared-code pattern). See q107_decontaminating_admission
-    for the full replay semantics."""
+    """The decontaminating replay shared by q107 (quality_gate=False),
+    q108 (quality_gate=True; registered r11), and q110 (quality_gate +
+    media_tier; staged r12) — one body, so the contracts can never
+    diverge on the split/plant/stream mechanics (the q104/q106
+    shared-code pattern). See q107_decontaminating_admission for the
+    full replay semantics.
+
+    ``media_tier`` adds (a) the perceptual 'media_dup' tier
+    (phash_index_root on both sink paths — the tier is pixel/text-only,
+    so the no-usable-centroid degradation keeps it, exactly like the
+    quality and decon tiers) and (b) the RETOUCH plant: a first-char
+    rewrite ('a' || substr(text, 2), ids +20M, NULL embeddings) of the
+    doc_id % 7 == 3 seed docs — byte-distinct (md5 misses it) and typically
+    shingle-distant, but phash-near its original, the reject class only
+    the perceptual tier can attribute."""
     import shutil
     import time
 
@@ -1129,6 +1142,14 @@ def _decon_replay(
         (F.col("doc_id") + 30_000_000).alias("doc_id"), "text", null_emb
     )
     b1 = up.unionByName(refetch).unionByName(bcopy)
+    if media_tier:
+        retouch = b0.where(F.col("doc_id") % 7 == 3).select(
+            (F.col("doc_id") + 20_000_000).alias("doc_id"),
+            F.concat(F.lit("a"), F.expr("substring(text, 2)")).alias("text"),
+            null_emb,
+        )
+        b1 = b1.unionByName(retouch)
+
     centroids = stride_centroids(embs_tbl)
     root = os.path.join("/tmp", f"mfs_q107_{uuid.uuid4().hex[:8]}")
     staging = os.path.join(root, "staging")
@@ -1163,6 +1184,9 @@ def _decon_replay(
                 benchmark_span_index=span_index(bench).localCheckpoint(eager=True),
                 cont_threshold=_Q107_CONT,
                 quality_gate=quality_gate,
+                phash_index_root=(
+                    os.path.join(root, "phash_index") if media_tier else None
+                ),
             ).select(
                 "doc_id",
                 "admitted",
@@ -1188,6 +1212,9 @@ def _decon_replay(
                 benchmark_span_index=span_index(bench).localCheckpoint(eager=True),
                 cont_threshold=_Q107_CONT,
                 quality_gate=quality_gate,
+                phash_index_root=(
+                    os.path.join(root, "phash_index") if media_tier else None
+                ),
             )
         decisions = decisions.localCheckpoint(eager=True)  # survives cleanup
     finally:
@@ -1240,11 +1267,25 @@ def q107_decontaminating_admission(spark: SparkSession, sf_dir: str) -> DataFram
 # playbook).
 
 
-def _q108_oracle() -> str:
+def _gated_oracle(media_tier: bool = False) -> str:
+    """The DuckDB oracle shared by q108 (media_tier=False — byte-
+    identical to its registered r11 text) and the staged q110
+    (media_tier=True): the quality-gated five-tier cascade, plus — when
+    media_tier — the retouch plant in b1 and the perceptual 'media_dup'
+    tier between the exact and MinHash tiers (phash over the indexed
+    seed docs joined to the exact tier's survivors at Hamming <=
+    PHASH_HAMMING_MAX; matched_id = the LOWEST matching index doc_id and
+    score = (cells - its hamming)/cells, exactly
+    multimodal_dedup.phash_match_batch's min/min_by contract)."""
     from mapreduce_framework_spark.pipeline.dedup import (
         JACCARD_THRESHOLD,
         SHINGLES_DUCK,
         TOKS_DUCK,
+    )
+    from mapreduce_framework_spark.pipeline.multimodal_dedup import (
+        PHASH_CELLS,
+        PHASH_HAMMING_MAX,
+        phash_duck,
     )
     from mapreduce_framework_spark.pipeline.quality import quality_reject_duck
     from mapreduce_framework_spark.pipeline.semantic_dedup import (
@@ -1256,6 +1297,42 @@ def _q108_oracle() -> str:
     from mapreduce_framework_spark.pipeline.span_dedup import EXSUB_W, _sliding_duck
 
     sl = _sliding_duck(EXSUB_W)
+    if media_tier:
+        retouch = """
+      UNION ALL
+      SELECT doc_id + 20000000, 'a' || substr(text, 2) AS text
+      FROM b0 WHERE doc_id % 7 = 3"""
+        media_ctes = f"""{phash_duck('i0', 'mi')},{phash_duck('surv', 'mb')},
+    mdc AS (
+      SELECT b.doc_id, a.doc_id AS md_id,
+             CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming,
+             row_number() OVER (PARTITION BY b.doc_id ORDER BY a.doc_id) AS rn
+      FROM miph a JOIN mbph b
+        ON bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
+    ),
+    md AS MATERIALIZED (
+      SELECT doc_id, md_id,
+             ({PHASH_CELLS} - hamming) / CAST({PHASH_CELLS} AS DOUBLE) AS ph_sim
+      FROM mdc WHERE rn = 1
+    ),
+    msurv AS MATERIALIZED (
+      SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM md)
+    ),"""
+        surv_src = "msurv"
+        md_null = " AND md.md_id IS NULL"
+        md_coal = "md.md_id, "
+        md_score = "WHEN md.md_id IS NOT NULL THEN md.ph_sim\n                "
+        md_tier = "WHEN md.md_id IS NOT NULL THEN 'media_dup'\n                "
+        md_join = "\n            LEFT JOIN md ON b1.doc_id = md.doc_id"
+    else:
+        retouch = ""
+        media_ctes = ""
+        surv_src = "surv"
+        md_null = ""
+        md_coal = ""
+        md_score = ""
+        md_tier = ""
+        md_join = ""
     icos = f"{_dot_duck('i.embedding', 'cents.cent')} / (i.norm * cents.cent_norm)"
     ncos = f"{_dot_duck('nn.embedding', 'cents.cent')} / (nn.norm * cents.cent_norm)"
 
@@ -1271,7 +1348,7 @@ def _q108_oracle() -> str:
       UNION ALL
       SELECT doc_id + 10000000, text FROM b0 WHERE doc_id % 50 = 0
       UNION ALL
-      SELECT doc_id + 30000000, text FROM bench WHERE doc_id % 3 = 0
+      SELECT doc_id + 30000000, text FROM bench WHERE doc_id % 3 = 0{retouch}
     ),
     bt AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM bench),
     bref AS (
@@ -1285,11 +1362,11 @@ def _q108_oracle() -> str:
       FROM i0 JOIN l1 ON md5(coalesce(i0.text, '')) = md5(coalesce(l1.text, ''))
       GROUP BY 1
     ),
-    surv AS (SELECT * FROM l1 WHERE doc_id NOT IN (SELECT id2 FROM ex)),
+    surv AS (SELECT * FROM l1 WHERE doc_id NOT IN (SELECT id2 FROM ex)),{media_ctes}
     t0 AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM i0),
     sh0 AS (SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK}) AS s FROM t0),
     sz0 AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY doc_id),
-    t1 AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM surv),
+    t1 AS (SELECT doc_id, {TOKS_DUCK} AS toks FROM {surv_src}),
     sh1 AS (SELECT DISTINCT doc_id, unnest({SHINGLES_DUCK}) AS s FROM t1),
     sz1 AS (SELECT doc_id, count(*) AS n FROM sh1 GROUP BY doc_id),
     pairs AS (
@@ -1310,7 +1387,7 @@ def _q108_oracle() -> str:
       FROM jac
     ),
     nd AS (SELECT doc_id, nd_id, jaccard FROM nb WHERE rn = 1),
-    surv2 AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+    surv2 AS (SELECT * FROM {surv_src} WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
     cents AS (
       SELECT vec_id AS cent_id, embedding AS cent, norm AS cent_norm
       FROM e WHERE vec_id % {SEM_STRIDE} = 0
@@ -1370,27 +1447,35 @@ def _q108_oracle() -> str:
             LEFT JOIN c0rej ON b0.doc_id = c0rej.doc_id
     UNION ALL
     SELECT b1.doc_id,
-           (qo.doc_id IS NULL AND ex.ex_id IS NULL AND nd.nd_id IS NULL
+           (qo.doc_id IS NULL AND ex.ex_id IS NULL{md_null} AND nd.nd_id IS NULL
             AND sm.sm_id IS NULL AND c1rej.doc_id IS NULL) AS admitted,
-           CAST(coalesce(ex.ex_id, nd.nd_id, sm.sm_id, -1) AS BIGINT)
+           CAST(coalesce(ex.ex_id, {md_coal}nd.nd_id, sm.sm_id, -1) AS BIGINT)
              AS matched_id,
            CASE WHEN qo.doc_id IS NOT NULL THEN qo.frac
                 WHEN ex.ex_id IS NOT NULL THEN 1.0
-                WHEN nd.nd_id IS NOT NULL THEN nd.jaccard
+                {md_score}WHEN nd.nd_id IS NOT NULL THEN nd.jaccard
                 WHEN sm.sm_id IS NOT NULL THEN sm.cos
                 ELSE coalesce(c1rej.frac, 0.0) END AS score,
            CASE WHEN qo.doc_id IS NOT NULL THEN 'quality'
                 WHEN ex.ex_id IS NOT NULL THEN 'exact'
-                WHEN nd.nd_id IS NOT NULL THEN 'near_dup'
+                {md_tier}WHEN nd.nd_id IS NOT NULL THEN 'near_dup'
                 WHEN sm.sm_id IS NOT NULL THEN 'semantic'
                 WHEN c1rej.doc_id IS NOT NULL THEN 'contaminated' END AS tier
     FROM b1 LEFT JOIN qorej qo ON b1.doc_id = qo.doc_id
-            LEFT JOIN ex ON b1.doc_id = ex.id2
+            LEFT JOIN ex ON b1.doc_id = ex.id2{md_join}
             LEFT JOIN nd ON b1.doc_id = nd.doc_id
             LEFT JOIN sm ON b1.doc_id = sm.doc_id
             LEFT JOIN c1rej ON b1.doc_id = c1rej.doc_id
     ORDER BY doc_id
     """
+
+
+def _q108_oracle() -> str:
+    return _gated_oracle(media_tier=False)
+
+
+def _q110_oracle() -> str:
+    return _gated_oracle(media_tier=True)
 
 
 @register(
@@ -1413,3 +1498,41 @@ def q108_quality_gated_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     policies as q107 (shared _decon_replay body). Registered round 11 by
     retiring q47 (the scheduled swap)."""
     return _decon_replay(spark, sf_dir, quality_gate=True)
+
+
+# --- q110 (round-12 LIBRARY-FIRST — the ROUND-13 HANDOFF newcomer;
+# registry.py names q36 as the scheduled retiree whose slot funds it) ----------
+# The MEDIA-GATED decontaminating cascade: q108's replay with the round-11
+# multimodal 'media_dup' tier ON — the SIX-tier admission shape (quality →
+# exact → media/phash → MinHash → semantic → span-decontamination), the
+# complete production sink with every opt-in tier engaged. The q107/q108
+# plants keep exercising their tiers; the RETOUCH plant ('a' || substr(text,
+# 2) of the doc_id % 7 == 3 seed docs, ids +20M, NULL embeddings) supplies the reject
+# class only the perceptual tier can attribute — byte-distinct (the md5
+# tier misses it) and typically shingle-distant, but phash-near its
+# original. Oracle = _gated_oracle(media_tier=True), sharing every CTE with
+# the registered q108 text (which stays byte-identical at
+# media_tier=False), plus the phash_duck CTEs of
+# pipeline/multimodal_dedup.py — builder and oracle arithmetic stay
+# unified exactly like the quality tier's quality_reject_duck. Staged with
+# the oracle proven at two SFs (the q105..q109 playbook):
+# tests/test_queries_oracle.py::test_q110_candidate_matches_oracle.
+
+
+def q110_media_gated_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q108's replay with the round-11 MEDIA tier on — the six-tier
+    admission cascade (quality → exact → media/phash → MinHash →
+    semantic → span-decontamination), every opt-in tier of the
+    production sink engaged at once. The media tier runs between the
+    exact and MinHash tiers (cheaper than shingling; see
+    make_full_cascade_ingest_batch_fn) and is pixel/text-only, so the
+    no-usable-centroid degradation keeps it alongside quality + decon
+    (the tier-parity argument — the degradation path routes through the
+    lexical sink's round-12 phash support). Rejects carry tier
+    'media_dup', matched_id = the lowest phash-matching index doc_id,
+    score = (32 − hamming)/32 ≥ 0.875. Same degenerate-corpus policies
+    as q107/q108 (shared _decon_replay body). LIBRARY-FIRST (round 12,
+    NOT registered): the registry is at capacity and the scheduled
+    retiree q36 rotates into the window in r13 (registry.py ROUND-13
+    HANDOFF)."""
+    return _decon_replay(spark, sf_dir, quality_gate=True, media_tier=True)

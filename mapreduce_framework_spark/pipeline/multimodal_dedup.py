@@ -257,15 +257,21 @@ def phash_match_batch(
 
 # --- q109: the registered query + its DuckDB oracle (registered r12) ---------
 
-_PHASH_DUCK_CTES = f"""
-    v AS (
+def phash_duck(src: str, p: str = "") -> str:
+    """The DuckDB phash CTE chain over any (doc_id, text) source CTE/
+    table ``src``, names prefixed with ``p`` (so multiple instances
+    compose in one oracle — the quality_reject_duck pattern): emits
+    ``{p}v, {p}c, {p}ph`` with ``{p}ph`` = (doc_id, phash). Exactly the
+    integer arithmetic of _phash_cols (cross-engine bit-exact)."""
+    return f"""
+    {p}v AS (
       SELECT doc_id,
              list_transform(range(1, length(text) + 1),
                             i -> CAST(unicode(substr(text, i, 1)) AS BIGINT)) AS vals,
              CAST(length(text) AS BIGINT) AS L
-      FROM documents WHERE text IS NOT NULL AND length(text) > 0
+      FROM {src} WHERE text IS NOT NULL AND length(text) > 0
     ),
-    c AS (
+    {p}c AS (
       SELECT doc_id, L, list_sum(vals) AS T,
              list_transform(range(0, {PHASH_CELLS}),
                             j -> ((j + 1) * L) // {PHASH_CELLS} - (j * L) // {PHASH_CELLS}) AS ns,
@@ -273,17 +279,20 @@ _PHASH_DUCK_CTES = f"""
                             j -> coalesce(list_sum(list_slice(vals,
                                  (j * L) // {PHASH_CELLS} + 1,
                                  ((j + 1) * L) // {PHASH_CELLS})), 0)) AS ss
-      FROM v
+      FROM {p}v
     ),
-    ph AS (
+    {p}ph AS (
       SELECT doc_id,
              CAST(list_sum(list_transform(range(0, {PHASH_CELLS}), j ->
                CASE WHEN ns[j + 1] > 0 AND ss[j + 1] * L > T * ns[j + 1]
                     THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
                   AS BIGINT) AS phash
-      FROM c
+      FROM {p}c
     )
 """
+
+
+_PHASH_DUCK_CTES = phash_duck("documents")
 
 # the hash itself, for the phash_of differential
 _PHASH_ORACLE = f"WITH {_PHASH_DUCK_CTES} SELECT doc_id, phash FROM ph ORDER BY doc_id"

@@ -187,6 +187,60 @@ def test_q109_candidate_matches_oracle_smallest_sf(spark):
     compare(phash_of(table(spark, "documents", base)), _PHASH_ORACLE, base)
 
 
+def test_q110_candidate_matches_oracle(spark, sf_dir):
+    """q110_media_gated_admission is LIBRARY-FIRST (round 12): the
+    SIX-tier media-gated admission replay (quality → exact → media/phash
+    → MinHash → semantic → span-decontamination — every opt-in tier of
+    the production sink engaged), checked against the shared
+    _gated_oracle(media_tier=True) — registered-query-grade, but NOT
+    registered: the registry is at capacity and the scheduled retiree
+    q36 is behind-window until r13 (registry.py ROUND-13 HANDOFF). This
+    differential makes the r13 registration a one-commit slot change
+    with a proven oracle — the q105..q109 playbook. Structural
+    assertion: the retouch plants actually produce 'media_dup' rows (a
+    replay where the tier never fires would prove nothing about it)."""
+    from mapreduce_framework_spark.operators.streaming_replay import (
+        _q110_oracle,
+        q110_media_gated_admission,
+    )
+
+    df = q110_media_gated_admission(spark, sf_dir)
+    assert df.where("tier = 'media_dup'").count() > 0
+    compare(df, _q110_oracle(), sf_dir)
+
+
+def test_q110_candidate_matches_oracle_smallest_sf(spark):
+    """The q110 oracle proven at the SECOND scale factor explicitly
+    (sf0.001), so the two-SF pre-registration evidence is self-contained
+    in the suite rather than dependent on how the sweep was invoked."""
+    from mapreduce_framework_spark.operators.streaming_replay import (
+        _q110_oracle,
+        q110_media_gated_admission,
+    )
+
+    base = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001"
+    )
+    df = q110_media_gated_admission(spark, base)
+    assert df.where("tier = 'media_dup'").count() > 0
+    compare(df, _q110_oracle(), base)
+
+
+def test_q108_oracle_text_unchanged_by_gated_refactor():
+    """The registered q108's oracle is now produced by the shared
+    _gated_oracle body (round 12). Its text with media_tier=False must
+    stay EXACTLY the SQL the driver has been hashing green since r11 —
+    the media fragments must vanish without a trace, not merely stay
+    semantically equivalent, because the registered oracle string IS the
+    driver contract. Anchors: no media CTE names, identical tier CASE."""
+    from mapreduce_framework_spark.operators.streaming_replay import _q108_oracle
+
+    sql = _q108_oracle()
+    for fragment in ("miv", "mbv", "mdc", "media_dup", "msurv", "retouch", "20000000"):
+        assert fragment not in sql
+    assert "FROM surv)" in sql  # t1 reads the unmodified survivor CTE
+
+
 def test_retired_q47_matches_oracle(spark, sf_dir):
     """q47_sql_frontend_window was RETIRED from the registry in round 11
     (registry.py policy item 4; its slot funded
@@ -290,3 +344,33 @@ def test_q108_candidate_matches_oracle_on_nulls(spark, tmp_path):
     df = q108_quality_gated_admission(spark, str(tmp_path))
     assert any(r["tier"] == "quality" for r in df.collect())
     compare(df, _q108_oracle(), str(tmp_path))
+
+
+def test_q110_candidate_matches_oracle_on_nulls(spark, tmp_path):
+    """The staged q110 armored the same way (the q108 precedent): the
+    six-tier media-gated replay vs its oracle on the NULLs variant —
+    NULL-text docs have no pixels (never phash-indexed, never
+    phash-rejected: the multimodal family's no-bytes-no-media policy),
+    their retouch plants are NULL too ('a' || NULL = NULL in both
+    engines) and fall where the other tiers' NULL policies put them, and
+    every other tier keeps its family NULL policy under the thinned
+    corpus."""
+    import importlib.util
+
+    from mapreduce_framework_spark.operators.streaming_replay import (
+        _q110_oracle,
+        q110_media_gated_admission,
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "robustness_sweep_for_q110",
+        os.path.join(REPO_ROOT, "tools", "robustness_sweep.py"),
+    )
+    rs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rs)
+    base = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001"
+    )
+    rs.build_nulls(base, str(tmp_path))
+    df = q110_media_gated_admission(spark, str(tmp_path))
+    compare(df, _q110_oracle(), str(tmp_path))
