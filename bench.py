@@ -407,6 +407,39 @@ def main() -> None:
                 steady["cascade5_match_batch_sec"] = round(t7 - t6, 3)
             finally:
                 shutil.rmtree(casc5_dir, ignore_errors=True)
+
+            # Steady-state SIX-tier cascade (round 12): the same
+            # lifecycle with the MEDIA/phash tier on too — the staged
+            # q110 shape (quality → exact → media → MinHash → semantic →
+            # decon, every opt-in tier of the production sink). Reuses
+            # the split/span-index/codebook above so cascade6_* minus
+            # cascade5_* prices exactly the perceptual tier per batch
+            # (one Arrow hash pass + the 9-keys/doc band join) as a
+            # cross-round driver series.
+            casc6_dir = tempfile.mkdtemp(prefix="mfs_bench_casc6_")
+            try:
+                fn6 = make_full_cascade_ingest_batch_fn(
+                    spark,
+                    os.path.join(casc6_dir, "fp"),
+                    os.path.join(casc6_dir, "sig"),
+                    os.path.join(casc6_dir, "sem"),
+                    os.path.join(casc6_dir, "dec"),
+                    cb,
+                    threshold=0.8,
+                    benchmark_span_index=bsi,
+                    cont_threshold=0.05,
+                    quality_gate=True,
+                    phash_index_root=os.path.join(casc6_dir, "ph"),
+                )
+                t8 = time.perf_counter()
+                fn6(b0, 0)
+                t9 = time.perf_counter()
+                fn6(b1, 1)
+                t10 = time.perf_counter()
+                steady["cascade6_seed_batch_sec"] = round(t9 - t8, 3)
+                steady["cascade6_match_batch_sec"] = round(t10 - t9, 3)
+            finally:
+                shutil.rmtree(casc6_dir, ignore_errors=True)
         finally:
             shutil.rmtree(casc4_dir, ignore_errors=True)
     except Exception as ex:  # bench must still emit its line

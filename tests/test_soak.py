@@ -126,3 +126,49 @@ def test_soak_composes_with_the_s3_manifest_backend(spark_global, tmp_path):
     )
     for name, n in res["manifest_delta_counts"].items():
         assert n <= 3 + 2, (name, res["manifest_delta_counts"])
+
+
+@pytest.fixture(scope="module")
+def soak_media_result(spark_global):
+    """The round-12 SIX-tier soak: media_tier=True (the staged q110
+    production shape) at pytest scale, with the crash+takeover landing
+    while the phash index is live."""
+    from mapreduce_framework_spark.deploy import ensure_package_on_executors
+
+    ensure_package_on_executors(spark_global)
+    return scaling_probe.run_soak(
+        spark_global,
+        n_batches=12,
+        batch_n=50,
+        compact_every=6,
+        crash_at=6,
+        drift_at=None,
+        media_tier=True,
+    )
+
+
+def test_soak_media_tier_fires_and_composes(soak_media_result):
+    counts = soak_media_result["tier_counts"]
+    assert counts.get("media_dup", 0) > 0, counts
+    # the other tiers keep firing around it — composition, not replacement
+    assert {"admitted", "quality", "exact", "near_dup", "semantic"} <= set(counts)
+
+
+def test_soak_media_crash_takeover_and_bounded_manifests(soak_media_result):
+    """The six-tier form keeps the soak invariants: byte-identical
+    redelivery across a crash that replays the phash tier too, the
+    fenced zombie hard-errors, and the phash manifest's delta list is
+    bounded by the same compaction cadence as every other root."""
+    assert soak_media_result["crash_replay_identical"] is True
+    assert soak_media_result["zombie_fenced"] is True
+    deltas = soak_media_result["manifest_delta_counts"]
+    assert "ph" in deltas
+    for name, n in deltas.items():
+        assert n <= 6 + 2, (name, deltas)
+
+
+def test_soak_media_wall_stays_flat(soak_media_result):
+    walls = soak_media_result["walls"]
+    early = statistics.median(walls[1:5])
+    late = statistics.median(walls[-4:])
+    assert late <= 3 * early, walls

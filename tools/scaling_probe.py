@@ -1867,6 +1867,7 @@ def run_soak(
     seed: int = 11,
     quality_gate: bool = True,
     spam_n: int = 6,
+    media_tier: bool = False,
 ):
     """Round-10 LONG-HORIZON COMPOSED SOAK (VERDICT r9 task 5): one
     multi-hundred-batch FIVE-tier cascade ingest (quality → exact →
@@ -1895,6 +1896,13 @@ def run_soak(
     suffix-append rewrites at Jaccard ~0.96 (MinHash tier), new-text
     embedding twins at cos ~0.97 (semantic tier), verbatim benchmark
     copies (decon tier), and single-word spam (quality tier).
+
+    ``media_tier`` (round 12, opt-in so the r10/r11 five-tier series
+    stays comparable): wires the perceptual phash tier
+    (phash_index_root) and plants same-length 1-char retouches of
+    admitted docs — the SIX-tier production shape of the staged q110,
+    soaked with the same crash/fencing/compaction invariants (the phash
+    manifest joins the bounded-deltas assertion via roots).
 
     Returns a dict of invariant measurements; probe/pytest assert on it.
     """
@@ -1927,6 +1935,24 @@ def run_soak(
         "w" + chr(97 + i % 26) + chr(97 + (i // 26) % 26) + chr(97 + (i // 676) % 26)
         for i in range(600)
     ]
+    if media_tier:
+        # the uniform-lowercase vocab is an adversarial LOW-TEXTURE corpus
+        # for an average-hash: every cell mean hovers at the global mean,
+        # so fresh random docs land within Hamming 4 of each other (70% of
+        # pairs measured ≤ 4 — the tier would "correctly" mass-reject the
+        # whole stream and starve every later tier). Real corpora carry
+        # brightness texture; model it by mixing character case (uppercase
+        # sits 32 code points below lowercase), which pushes the median
+        # random-pair Hamming to 15 with zero false pairs at this corpus
+        # size while the planted 1-char retouch stays ≤ 3. Gated on
+        # media_tier so the r10/r11 five-tier soak series stays
+        # population-identical.
+        vocab = [
+            w[:1] + "".join(
+                c.upper() if (i >> k) & 1 else c for k, c in enumerate(w[1:])
+            )
+            for i, w in enumerate(vocab)
+        ]
 
     def text_of(n_tok: int) -> str:
         return " ".join(vocab[j] for j in rng.randint(0, len(vocab), n_tok))
@@ -1957,9 +1983,10 @@ def run_soak(
     # per-batch fixed cost is dominated by shuffle-file and delta-file
     # counts, which at this batch size measure the harness, not the sink
     root = tempfile.mkdtemp(prefix="mfs_soak_")
-    roots = {
-        n: os.path.join(root, n) for n in ("fp", "sig", "bands", "sem", "dec")
-    }
+    root_names = ("fp", "sig", "bands", "sem", "dec") + (
+        ("ph",) if media_tier else ()
+    )
+    roots = {n: os.path.join(root, n) for n in root_names}
 
     def make_fn():
         return make_full_cascade_ingest_batch_fn(
@@ -1978,6 +2005,7 @@ def run_soak(
             benchmark_span_index=bsi,
             cont_threshold=0.05,
             quality_gate=quality_gate,
+            phash_index_root=roots.get("ph"),
         )
 
     out = {
@@ -2018,6 +2046,18 @@ def run_soak(
                         embedding=[float(x) for x in tv],
                     )
                 )
+            if media_tier:  # media-tier retouches: same-length 1-char
+                # perturbation of an admitted doc — word-shingle J ~ 79/81
+                # (MinHash would catch it too, but the phash tier runs
+                # FIRST, so tier attribution is the media tier's)
+                for j, d in enumerate(donors[30:40]):
+                    rows.append(
+                        Row(
+                            doc_id=base + 750_000 + j,
+                            text=d[1][:5] + "Q" + d[1][6:],
+                            embedding=vec(centers),
+                        )
+                    )
             for j in range(6):  # decon-tier benchmark copies
                 rows.append(
                     Row(
