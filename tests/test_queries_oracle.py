@@ -292,6 +292,40 @@ def test_q107_no_centroid_degradation_matches_oracle(spark, sf_dir, tmp_path):
     assert all(r["tier"] != "semantic" for r in rows)
     compare(df, _q107_oracle(), str(tmp_path))
 
+
+def test_q110_no_centroid_degradation_matches_oracle(spark, sf_dir, tmp_path):
+    """The staged q110's degenerate path: with NO usable centroid the
+    replay degrades to the LEXICAL sink — which since round 12 carries
+    the phash tier too (the tier-parity change this staging motivated).
+    The media, quality, and decon tiers must all keep firing on the
+    degraded path, semantic must vanish (the oracle's semantic CTEs
+    empty out with `e`; its media/quality/decon CTEs are unconditional),
+    and the differential must hold exactly. Before the parity change the
+    fallback would have silently dropped perceptual media dedup and this
+    test would fail on tier attribution."""
+    import pyarrow.parquet as pq
+
+    from mapreduce_framework_spark.operators.streaming_replay import (
+        _q110_oracle,
+        q110_media_gated_admission,
+    )
+
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        tbl = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        if t == "embeddings":
+            tbl = tbl.slice(0, 0)
+        pq.write_table(tbl, str(tmp_path / f"{t}.parquet"))
+    df = q110_media_gated_admission(spark, str(tmp_path))
+    rows = df.collect()
+    assert any(r["tier"] == "media_dup" for r in rows)
+    assert any(r["tier"] == "quality" for r in rows)
+    assert any(r["tier"] == "contaminated" for r in rows)
+    assert all(r["tier"] != "semantic" for r in rows)
+    compare(df, _q110_oracle(), str(tmp_path))
+
 def test_q108_candidate_matches_oracle(spark, sf_dir):
     """q108_quality_gated_admission — staged library-first in round 10,
     REGISTERED in round 11 (q47's retired slot, the scheduled swap). The

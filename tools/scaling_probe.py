@@ -1774,6 +1774,9 @@ def main() -> None:
     if "--soak" in sys.argv:  # round-10 long-horizon composed soak
         probe_soak(spark)
         return
+    if "--soak-media" in sys.argv:  # round-12 six-tier composed soak
+        probe_soak(spark, media_tier=True)
+        return
     if "--quality-net" in sys.argv:  # round-11 composed gate-off/on A/B
         probe_quality_net(spark)
         return
@@ -2142,10 +2145,14 @@ def run_soak(
     return out
 
 
-def probe_soak(spark, n_batches=200, batch_n=200) -> None:
+def probe_soak(spark, n_batches=200, batch_n=200, media_tier=False) -> None:
     """Print the SCALING.md soak table: per-batch wall at {1, 50, 100,
-    200} plus the invariant verdicts (see run_soak)."""
-    res = run_soak(spark, n_batches=n_batches, batch_n=batch_n)
+    200} plus the invariant verdicts (see run_soak). ``media_tier``
+    runs the round-12 SIX-tier form (phash tier + retouch plants +
+    textured vocab)."""
+    res = run_soak(
+        spark, n_batches=n_batches, batch_n=batch_n, media_tier=media_tier
+    )
     walls = res["walls"]
     print("| batch | wall (s) |")
     print("|---|---|")
