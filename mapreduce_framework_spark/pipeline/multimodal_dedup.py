@@ -65,9 +65,19 @@ PHASH_CELLS = 32  # grid cells = hash bits; 32 reuses q73's 4-byte-band split
 PHASH_BANDS = 4  # byte bands over the 32-bit hash (q73's layout)
 PHASH_HAMMING_MAX = 4  # near-dup threshold; < 8 keeps the pigeonhole complete
 
-# at 32 bits and threshold 4, P(random pair ≤ 4) ≈ 41449/2^32 ≈ 1e-5 —
-# collision-level false-positive mass even at 1e5-doc corpora; threshold 6
-# (q73's) would admit ~30x more accidental pairs at this width
+# at 32 bits and threshold 4, P(random pair ≤ 4) ≈ 41449/2^32 ≈ 1e-5 per
+# pair — which is BIRTHDAY MASS, not noise: a probe doc against an N-doc
+# index expects ~1e-5·N accidental matches, so the 32-bit width saturates
+# around N ≈ 1e5 (measured: the round-12 six-tier soak's ~24k-doc index
+# accidentally matched ~24% of fresh probes — SCALING.md round-12). The
+# production lever at scale is the 64-cell grid (~4e-14/pair): the SAME
+# arithmetic with PHASH_CELLS=64 / PHASH_BANDS=8 — cell 63 packs into the
+# int64 sign bit, which xor/bit_count/Hamming handle unchanged — proven
+# bit-exact against a two's-complement model by
+# tests/test_multimodal_dedup_props.py::test_phash_64_cell_grid_generalizes.
+# 32 stays the registered q109 width (cross-engine-proven, right-sized for
+# the gate corpora); threshold 6 (q73's) would admit ~30x more accidental
+# pairs at either width
 
 
 def _phash_cols(docs: DataFrame, text_col: str = "text") -> DataFrame:

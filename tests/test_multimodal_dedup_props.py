@@ -243,3 +243,69 @@ def test_phash_match_batch_cap_shifts_matched_id_under_saturation(spark_global):
     # validity preserved: the reported match is a genuine index doc
     # within the threshold — capping degraded the pick, not the truth
     assert ((H ^ 1) ^ H).bit_count() <= PHASH_HAMMING_MAX
+
+
+def test_phash_64_cell_grid_generalizes(spark_global, monkeypatch):
+    """Round-12 (the soak's birthday-mass finding, SCALING.md): a 32-bit
+    hash at Hamming ≤ 4 carries ~1e-5 accidental-match probability per
+    pair, so at ~1e5 indexed docs every probe doc expects an accidental
+    match — the production lever at scale is the 64-cell grid (false
+    mass ~4e-14/pair). This pins that the SAME arithmetic genuinely
+    generalizes: with PHASH_CELLS=64 / PHASH_BANDS=8 patched, (a) the
+    Spark hash equals a pure-python TWO'S-COMPLEMENT model bit for bit —
+    cell 63 packs into the int64 sign bit, which xor/bit_count/Hamming
+    handle unchanged — and (b) the 8-band pigeonhole candidate join
+    still equals the all-pairs model exactly (1-bit variants over 8
+    bands are complete for any threshold < 16, so ≤ 4 has margin)."""
+    import mapreduce_framework_spark.pipeline.multimodal_dedup as md
+
+    monkeypatch.setattr(md, "PHASH_CELLS", 64)
+    monkeypatch.setattr(md, "PHASH_BANDS", 8)
+
+    def model(t):
+        if not t:
+            return None
+        vals = [ord(c) for c in t]
+        L, T, h = len(vals), sum(vals), 0
+        for j in range(64):
+            lo, hi = j * L // 64, (j + 1) * L // 64
+            n, s = hi - lo, sum(vals[lo:hi])
+            if n > 0 and s * L > T * n:
+                h |= 1 << j
+        return h - (1 << 64) if h >= (1 << 63) else h  # int64 two's complement
+
+    base = (
+        "The quick brown Fox jumps over the lazy dog 0123456789 while "
+        "zebras graze on high TEXTURED plains under a violet sky é語!"
+    )
+    texts = [
+        base,
+        base,  # exact duplicate: hamming 0
+        base[:40] + "Q" + base[41:],  # 1-char retouch: small hamming
+        base.upper(),  # heavy rewrite
+        "aaaa",  # flat doc: no cell above mean → phash 0
+        "short",  # L < 64: empty cells stay 0
+        "",  # dropped (no pixels)
+        base[::-1],  # distant
+    ]
+    df = _df(spark_global, texts)
+    want = {i: model(t) for i, t in enumerate(texts) if model(t) is not None}
+    got = {r["doc_id"]: r["phash"] for r in md.phash_of(df).collect()}
+    assert got == want
+    # at least one doc actually uses the sign bit, else (a) proves nothing
+    assert any(v < 0 for v in want.values()), want
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    want_pairs = {
+        (i, j, ham(want[i], want[j]))
+        for i in want
+        for j in want
+        if i < j and ham(want[i], want[j]) <= md.PHASH_HAMMING_MAX
+    }
+    got_pairs = {
+        (r["id1"], r["id2"], r["hamming"])
+        for r in md.phash_banded_pairs(df).collect()
+    }
+    assert got_pairs == want_pairs and len(want_pairs) > 0

@@ -84,8 +84,9 @@ def test_dedup_pipeline_no_cartesian_product(spark, sf_dir):
         q73_simhash_banded_neardup,
         q84_char_ngram_lsh_neardup,
         q87_boilerplate_doc_stats,
-        # staged r12 newcomer: audited here BEFORE registration so the
-        # whole-registry audit inherits a known-good shape in r12
+        # audited here BEFORE its r12 registration (staged r11); kept
+        # after the swap — the whole-registry audit now covers it too,
+        # and this direct form stays the fast targeted check
         q109_multimodal_phash_neardup,
     ):
         plan = _plan(builder(spark, sf_dir))
