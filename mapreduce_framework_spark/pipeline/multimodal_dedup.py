@@ -145,6 +145,19 @@ def _phash_cols(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def phash_fingerprint() -> str:
+    """The phash CONFIG identity stamped into streaming phash-index
+    manifests (the codebook-fingerprint playbook, streaming/ingest.py):
+    hashes are only comparable under ONE (cells, bands, threshold)
+    configuration — a 32-cell index probed by a 64-cell sink silently
+    matches nothing — so the sinks stamp this at publish and hard-fail a
+    mismatch before any decision commits. Reads the module constants at
+    call time, so a deployment that widens the grid (the SCALING.md
+    round-12 birthday-mass guidance) gets a DIFFERENT identity for
+    free."""
+    return f"ahash-{PHASH_CELLS}c-{PHASH_BANDS}b-h{PHASH_HAMMING_MAX}"
+
+
 def phash_of(docs: DataFrame) -> DataFrame:
     """Library form: 32-bit perceptual average-hash of any
     (doc_id, text) frame, ordered for the differential."""

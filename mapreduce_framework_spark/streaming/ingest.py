@@ -354,6 +354,42 @@ def refresh_semantic_root_if_needed(
     return refreshed
 
 
+def _require_phash_config(index_root: str, fingerprint: str) -> None:
+    """Hard-fail when a phash index root was built under a DIFFERENT
+    (cells, bands, threshold) configuration than the sink holds
+    (manifest ``phash_config`` vs multimodal_dedup.phash_fingerprint()).
+    Hashes are only comparable under one grid: a 32-cell index probed by
+    a 64-cell sink (the SCALING.md round-12 width guidance) silently
+    matches NOTHING — every re-encoded copy admits. Runs when the index
+    is loaded, before the batch's first publish, so no decision commits
+    under the mismatch; an unstamped manifest (legacy root or first
+    batches) is accepted and stamped at publish time — exactly
+    _require_codebook's contract."""
+    man = read_index_manifest(index_root)
+    if man is None:
+        return
+    cfg = man.get("phash_config")
+    if cfg is not None and cfg != fingerprint:
+        raise ValueError(
+            f"phash index at {index_root} was built under config {cfg} but "
+            f"this sink computes {fingerprint} — perceptual hashes are only "
+            "comparable under ONE (cells, bands, threshold) configuration; "
+            "rebuild the index (phash_index over the corpus) at the new "
+            "width, or run the sink at the index's width"
+        )
+
+
+def _stamp_phash_config(
+    index_root: str, fingerprint: str, epoch: int | None = None
+) -> None:
+    """Record the sink's phash config in the index manifest if absent or
+    stale (same crash/fencing story as _stamp_codebook below)."""
+    man = read_index_manifest(index_root)
+    if man is not None and man.get("phash_config") != fingerprint:
+        man["phash_config"] = fingerprint
+        write_index_manifest(index_root, man, expected_epoch=epoch)
+
+
 def _stamp_codebook(index_root: str, fingerprint: str, epoch: int | None = None) -> None:
     """Record the sink's codebook fingerprint in the index manifest if
     absent (first publish, or a pre-check legacy root). Crash between the
@@ -1074,9 +1110,14 @@ def make_cascade_ingest_batch_fn(
             if ph_idx is not None:
                 from mapreduce_framework_spark.pipeline.multimodal_dedup import (
                     PHASH_CELLS,
+                    phash_fingerprint,
                     phash_match_batch,
                 )
 
+                # hashes are only comparable under one grid config — a
+                # width change (SCALING.md round-12) must rebuild, not
+                # silently match nothing
+                _require_phash_config(phash_index_root, phash_fingerprint())
                 ph_best = (
                     phash_match_batch(
                         ph_idx,
@@ -1230,6 +1271,7 @@ def make_cascade_ingest_batch_fn(
             )
         if phash_index_root is not None:
             from mapreduce_framework_spark.pipeline.multimodal_dedup import (
+                phash_fingerprint,
                 phash_index,
             )
 
@@ -1240,6 +1282,9 @@ def make_cascade_ingest_batch_fn(
                 phash_index(admitted.select("doc_id", "text")),
                 compact_every,
                 epoch=ep_ph,
+            )
+            _stamp_phash_config(
+                phash_index_root, phash_fingerprint(), epoch=ep_ph
             )
 
     return apply_batch
@@ -1508,9 +1553,14 @@ def make_full_cascade_ingest_batch_fn(
             if ph_idx is not None:
                 from mapreduce_framework_spark.pipeline.multimodal_dedup import (
                     PHASH_CELLS,
+                    phash_fingerprint,
                     phash_match_batch,
                 )
 
+                # hashes are only comparable under one grid config — a
+                # width change (SCALING.md round-12) must rebuild, not
+                # silently match nothing
+                _require_phash_config(phash_index_root, phash_fingerprint())
                 ph_best = (
                     phash_match_batch(
                         ph_idx,
@@ -1695,6 +1745,7 @@ def make_full_cascade_ingest_batch_fn(
             )
         if phash_index_root is not None:
             from mapreduce_framework_spark.pipeline.multimodal_dedup import (
+                phash_fingerprint,
                 phash_index,
             )
 
@@ -1705,6 +1756,9 @@ def make_full_cascade_ingest_batch_fn(
                 phash_index(admitted.select("doc_id", "text")),
                 compact_every,
                 epoch=ep_ph,
+            )
+            _stamp_phash_config(
+                phash_index_root, phash_fingerprint(), epoch=ep_ph
             )
         _publish_delta(
             spark,

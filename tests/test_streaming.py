@@ -3750,6 +3750,77 @@ def test_lexical_cascade_media_dup_tier(spark, tmp_path):
     assert "media_dup" not in {v[1] for v in off.values()}
 
 
+def test_phash_index_config_stamp_and_width_mismatch_fails(spark, tmp_path):
+    """Round 12: the phash index manifest carries the (cells, bands,
+    threshold) fingerprint — the codebook-id playbook. A 32-cell index
+    probed by a 64-cell sink (the SCALING.md width guidance) would
+    silently match NOTHING, admitting every re-encoded copy; the sink
+    must hard-fail BEFORE any decision commits instead. Also pinned: the
+    stamp lands at first publish, an unstamped legacy manifest is
+    accepted and re-stamped, and the fingerprint follows the module
+    constants (a deployment override changes it for free)."""
+    import mapreduce_framework_spark.pipeline.multimodal_dedup as md
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.storage import (
+        read_index_manifest,
+        write_index_manifest,
+    )
+    from mapreduce_framework_spark.streaming.ingest import (
+        make_cascade_ingest_batch_fn,
+    )
+    from pyspark.sql import Row
+
+    def batch(ids_texts):
+        return spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in ids_texts],
+            "doc_id bigint, text string",
+        )
+
+    roots = {k: str(tmp_path / f"pcfg_{k}") for k in ["fp", "sig", "dec"]}
+    ph_root = str(tmp_path / "pcfg_ph")
+    fn = make_cascade_ingest_batch_fn(
+        spark, roots["fp"], roots["sig"], roots["dec"],
+        JACCARD_THRESHOLD, phash_index_root=ph_root,
+    )
+    fn(batch([(1, "alpha beta gamma delta epsilon")]), 0)
+    # (a) the stamp landed at first publish with the module's fingerprint
+    man = read_index_manifest(ph_root)
+    assert man["phash_config"] == md.phash_fingerprint() == "ahash-32c-4b-h4"
+
+    # (b) a sink at a different width hard-fails before committing
+    fn(batch([(2, "red orange yellow green blue")]), 1)  # index now non-empty
+    orig_cells, orig_bands = md.PHASH_CELLS, md.PHASH_BANDS
+    md.PHASH_CELLS, md.PHASH_BANDS = 64, 8
+    try:
+        wide_fn = make_cascade_ingest_batch_fn(
+            spark, roots["fp"], roots["sig"], roots["dec"],
+            JACCARD_THRESHOLD, phash_index_root=ph_root,
+        )
+        with pytest.raises(ValueError, match="phash index.*built under config"):
+            wide_fn(batch([(3, "zig zag zap zoom zest")]), 2)
+    finally:
+        md.PHASH_CELLS, md.PHASH_BANDS = orig_cells, orig_bands
+    # nothing was committed for the failed batch on any root
+    # (manifest deltas are [batch_id, dirname] pairs)
+    for r in list(roots.values()) + [ph_root]:
+        deltas = read_index_manifest(r).get("deltas", [])
+        assert all(d[0] != 2 for d in deltas), (r, deltas)
+
+    # (c) an unstamped legacy manifest is accepted and re-stamped — by a
+    # FRESH correctly-configured sink (wide_fn's construction acquired
+    # the roots, so the original fn is fenced — the usual takeover rule)
+    man = read_index_manifest(ph_root)
+    epoch = man.get("epoch")
+    del man["phash_config"]
+    write_index_manifest(ph_root, man, expected_epoch=epoch)
+    fn2 = make_cascade_ingest_batch_fn(
+        spark, roots["fp"], roots["sig"], roots["dec"],
+        JACCARD_THRESHOLD, phash_index_root=ph_root,
+    )
+    fn2(batch([(4, "one more perfectly fine doc")]), 2)
+    assert read_index_manifest(ph_root)["phash_config"] == md.phash_fingerprint()
+
+
 def test_quality_decisions_invariant_under_batch_slicing(spark, tmp_path):
     """Round-11 (VERDICT r10 task 6): the quality tier is STATELESS —
     per-doc arithmetic, no index — so with the gate on, WHICH docs it
