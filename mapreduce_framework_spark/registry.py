@@ -184,6 +184,12 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # stays registered) — q36 is preferred because the six-tier replay is
 # a dedup-family newcomer and 2b twins outrank sketch rows in the
 # dry-run ranking; q69 remains the named r14 fallback.
+# R12 CLOSE: q110's pre-registration evidence exceeds the playbook —
+# two-SF + NULLs-variant + no-centroid-degradation differentials all
+# green, the registered q108 oracle text pinned byte-identical under
+# the shared _gated_oracle body, the six-tier form soaked 200 batches
+# (SCALING.md round-12, incl. the birthday-mass width finding and the
+# phash-config manifest stamp both sinks now enforce).
 #
 # The curated order below puts, inside the window: (a) every query new
 # or changed this round, (b) every query whose last driver row is a full
