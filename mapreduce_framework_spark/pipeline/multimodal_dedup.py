@@ -71,16 +71,56 @@ PHASH_HAMMING_MAX = 4  # near-dup threshold; < 8 keeps the pigeonhole complete
 # around N ≈ 1e5 (measured: the round-12 six-tier soak's ~24k-doc index
 # accidentally matched ~24% of fresh probes — SCALING.md round-12). The
 # production lever at scale is the 64-cell grid (~4e-14/pair): the SAME
-# arithmetic with PHASH_CELLS=64 / PHASH_BANDS=8 — cell 63 packs into the
-# int64 sign bit, which xor/bit_count/Hamming handle unchanged — proven
-# bit-exact against a two's-complement model by
-# tests/test_multimodal_dedup_props.py::test_phash_64_cell_grid_generalizes.
+# arithmetic with cells=64 / bands=8 — selectable PER CALL/PER SINK since
+# round 13 via the cells/bands params (phash_params; sinks take
+# phash_cells/phash_bands) — cell 63 packs into the int64 sign bit, which
+# xor/bit_count/Hamming handle unchanged — proven bit-exact against a
+# two's-complement model by
+# tests/test_multimodal_dedup_props.py::test_phash_64_cell_grid_generalizes
+# and width-parity-tested via the explicit params in
+# tests/test_multimodal_dedup_props.py::test_phash_width_parameterization.
 # 32 stays the registered q109 width (cross-engine-proven, right-sized for
 # the gate corpora); threshold 6 (q73's) would admit ~30x more accidental
 # pairs at either width
 
 
-def _phash_cols(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def phash_params(
+    cells: int | None = None, bands: int | None = None
+) -> tuple[int, int]:
+    """Resolve an explicit (cells, bands) override to the module defaults
+    and validate the byte-band invariant — the round-13 deployment lever
+    for the SCALING.md birthday-mass guidance: a 100 TB index selects the
+    64-cell grid per index root (``phash_cells=64`` on the sink or the
+    library calls) without editing module constants. Giving only one of
+    the pair derives the other (bands = cells / 8 — bands are always
+    byte-wide so ``_variant_frame``'s 8-flip enumeration and the
+    ``& 255`` band extraction stay exact). Bounds: cells must be a
+    multiple of 8 (byte bands) and ≤ 64 (the hash packs one int64; cell
+    63 lands in the sign bit, proven exact by
+    tests/test_multimodal_dedup_props.py::test_phash_64_cell_grid_generalizes)."""
+    if cells is None and bands is not None:
+        cells = 8 * bands
+    if bands is None and cells is not None:
+        if cells % 8:
+            raise ValueError(f"phash cells must be a multiple of 8, got {cells}")
+        bands = cells // 8
+    if cells is None:
+        cells, bands = PHASH_CELLS, PHASH_BANDS
+    if cells != 8 * bands:
+        raise ValueError(
+            f"phash bands are byte-wide: cells ({cells}) must equal "
+            f"8 x bands ({bands})"
+        )
+    if not 8 <= cells <= 64:
+        raise ValueError(
+            f"phash cells must be in [8, 64] (one int64 hash), got {cells}"
+        )
+    return cells, bands
+
+
+def _phash_cols(
+    docs: DataFrame, text_col: str = "text", cells: int | None = None
+) -> DataFrame:
     """(doc_id, phash) for every non-NULL, non-empty document.
 
     SHAPE (the round-11 lesson, measured on the sweep's 1 MB giant
@@ -110,7 +150,7 @@ def _phash_cols(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     import pandas as pd
 
-    g = PHASH_CELLS
+    g, _ = phash_params(cells)
 
     def batches(it):
         import numpy as np
@@ -145,37 +185,114 @@ def _phash_cols(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def phash_fingerprint() -> str:
+def phash_fingerprint(
+    cells: int | None = None, bands: int | None = None
+) -> str:
     """The phash CONFIG identity stamped into streaming phash-index
     manifests (the codebook-fingerprint playbook, streaming/ingest.py):
     hashes are only comparable under ONE (cells, bands, threshold)
     configuration — a 32-cell index probed by a 64-cell sink silently
     matches nothing — so the sinks stamp this at publish and hard-fail a
-    mismatch before any decision commits. Reads the module constants at
-    call time, so a deployment that widens the grid (the SCALING.md
-    round-12 birthday-mass guidance) gets a DIFFERENT identity for
-    free."""
-    return f"ahash-{PHASH_CELLS}c-{PHASH_BANDS}b-h{PHASH_HAMMING_MAX}"
+    mismatch before any decision commits. Defaults read the module
+    constants at call time; a per-root width override (``phash_cells``
+    on the sinks — the SCALING.md round-12 birthday-mass guidance) gets
+    a DIFFERENT identity for free."""
+    c, b = phash_params(cells, bands)
+    return f"ahash-{c}c-{b}b-h{PHASH_HAMMING_MAX}"
 
 
-def phash_of(docs: DataFrame) -> DataFrame:
-    """Library form: 32-bit perceptual average-hash of any
-    (doc_id, text) frame, ordered for the differential."""
-    return _phash_cols(docs).orderBy("doc_id")
+def phash_of(docs: DataFrame, cells: int | None = None) -> DataFrame:
+    """Library form: perceptual average-hash of any (doc_id, text)
+    frame (default 32-bit; ``cells`` selects the grid per phash_params),
+    ordered for the differential."""
+    return _phash_cols(docs, cells=cells).orderBy("doc_id")
 
 
-def _band_frame(hashes: DataFrame) -> DataFrame:
+def phash_of_images(
+    frames: DataFrame, payload_col: str = "payload", cells: int | None = None
+) -> DataFrame:
+    """REAL-PIXEL path (round 13, closing the module-header claim): the
+    perceptual average-hash of a (doc_id, <payload binary>) frame whose
+    payloads are actual encoded images — BMP/PNG/GIF decode pure-stdlib
+    in this container via pipeline/multimodal.py:decode_image (exact
+    rasters, tests/test_pipeline.py::test_decode_image_*), other formats
+    through the documented Pillow seam.
+
+    Only the ``vals`` projection changes vs the text path, exactly as
+    the header promises: here a pixel's value is the SUM of its decoded
+    8-bit channels (mode-width rows — L/LA/RGB/RGBA — so grayscale is
+    the identity and RGB collapses to an integer luma proxy in 0..765;
+    deterministic, no float weights), where the text path uses code
+    points. Everything downstream — cell bounds, cumsum fold, integer
+    cross-multiply threshold, bit packing — is the IDENTICAL arithmetic,
+    pinned bit-for-bit by tests/test_multimodal_dedup_props.py::
+    test_phash_real_pixels_match_text_path_arithmetic, which hashes
+    decoded BMP rasters through this path and the same channel-sums
+    through phash_of as synthetic code points and asserts equality.
+
+    NULL/empty payloads and zero-pixel images are dropped (the family's
+    no-bytes-no-media policy); an undecodable payload raises (corrupt
+    media is an upstream quality problem, not a silent skip). Output:
+    (doc_id, phash) — band/match/index composition is width-compatible
+    with the text path, so phash_index/phash_match_batch apply verbatim
+    at the same ``cells``."""
+    import pandas as pd
+
+    g, _ = phash_params(cells)
+
+    def batches(it):
+        import numpy as np
+
+        from mapreduce_framework_spark.pipeline.multimodal import decode_image
+
+        bit_vals = (np.int64(1) << np.arange(g, dtype=np.int64))
+
+        def one(payload) -> int | None:
+            if payload is None or len(payload) == 0:
+                return None
+            d = decode_image(bytes(payload))
+            px = np.frombuffer(d["pixels"], dtype=np.uint8).astype(np.int64)
+            ch = len(d["mode"])  # 8-bit samples, mode-width pixels
+            a = px.reshape(-1, ch).sum(axis=1)
+            length = np.int64(a.shape[0])
+            if length == 0:
+                return None
+            total = a.sum()
+            bounds = (np.arange(g + 1, dtype=np.int64) * length) // g
+            csum = np.concatenate([[np.int64(0)], np.cumsum(a)])
+            s = csum[bounds[1:]] - csum[bounds[:-1]]
+            n = bounds[1:] - bounds[:-1]
+            bits = (n > 0) & (s * length > total * n)
+            return int((bit_vals[bits]).sum())
+
+        for pdf in it:
+            hashes = [one(p) for p in pdf[payload_col]]
+            keep = [h is not None for h in hashes]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"][keep],
+                    "phash": [h for h in hashes if h is not None],
+                }
+            )
+
+    return frames.where(F.col(payload_col).isNotNull()).select(
+        "doc_id", payload_col
+    ).mapInPandas(batches, schema="doc_id bigint, phash bigint").orderBy("doc_id")
+
+
+def _band_frame(hashes: DataFrame, bands: int | None = None) -> DataFrame:
     """Explode (doc_id, phash) into the probe-side band frame
     (doc_id, phash, band, bsig) — bsig is the band's exact byte. Column
     names follow pipeline/dedup.py's band contract so cap_banded applies
     verbatim as the hot-band guard."""
-    bands = F.expr(
-        f"transform(sequence(0, {PHASH_BANDS - 1}), "
+    _, nb = phash_params(bands=bands)
+    bands_expr = F.expr(
+        f"transform(sequence(0, {nb - 1}), "
         f"b -> struct(b AS band, shiftright(phash, 8 * b) & 255 AS bsig))"
     )
-    return hashes.select("doc_id", "phash", F.explode(bands).alias("bb")).select(
-        "doc_id", "phash", "bb.band", "bb.bsig"
-    )
+    return hashes.select(
+        "doc_id", "phash", F.explode(bands_expr).alias("bb")
+    ).select("doc_id", "phash", "bb.band", "bb.bsig")
 
 
 def _variant_frame(band_frame: DataFrame) -> DataFrame:
@@ -192,13 +309,17 @@ def _variant_frame(band_frame: DataFrame) -> DataFrame:
     )
 
 
-def phash_banded_pairs(docs: DataFrame) -> DataFrame:
+def phash_banded_pairs(
+    docs: DataFrame, cells: int | None = None, bands: int | None = None
+) -> DataFrame:
     """Library form of q109: perceptual near-dup pairs (id1 < id2,
     hamming ≤ PHASH_HAMMING_MAX) of any (doc_id, text) frame via the
     banded candidate join + exact Hamming verify — q73's scale shape on
-    the perceptual hash."""
-    hashes = _phash_cols(docs).localCheckpoint(eager=True)
-    probe = _band_frame(hashes)
+    the perceptual hash. ``cells``/``bands`` select the grid width per
+    phash_params (default the module constants — q109's registered 32)."""
+    cells, bands = phash_params(cells, bands)
+    hashes = _phash_cols(docs, cells=cells).localCheckpoint(eager=True)
+    probe = _band_frame(hashes, bands=bands)
     build = _variant_frame(probe)
     hamming = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).cast("int")
     return (
@@ -223,16 +344,23 @@ def phash_banded_pairs(docs: DataFrame) -> DataFrame:
 # --- incremental lifecycle (the q91 shape: build once, match O(batch)) ------
 
 
-def phash_index(index_docs: DataFrame) -> DataFrame:
+def phash_index(index_docs: DataFrame, cells: int | None = None) -> DataFrame:
     """The persistable index artifact: (doc_id, phash). Tiny — 16 bytes a
     doc — so snapshots of any size stay a broadcast-scale side table
     until ~1e8 docs; past that the band join below shuffles both sides
-    on (band, bsig) like every other tier."""
-    return _phash_cols(index_docs)
+    on (band, bsig) like every other tier. ``cells`` selects the grid
+    width per phash_params; a root's width is stamped into its manifest
+    (streaming/ingest.py) so index and probe can never silently
+    disagree."""
+    return _phash_cols(index_docs, cells=cells)
 
 
 def phash_match_batch(
-    index_hashes: DataFrame, batch_docs: DataFrame, band_cap: int | None = None
+    index_hashes: DataFrame,
+    batch_docs: DataFrame,
+    band_cap: int | None = None,
+    cells: int | None = None,
+    bands: int | None = None,
 ) -> DataFrame:
     """(doc_id, matched_id, hamming) for every batch doc within
     PHASH_HAMMING_MAX of an index doc — matched_id is the LOWEST
@@ -251,17 +379,24 @@ def phash_match_batch(
     uncapped one, only match-validity-preserving. Non-adversarial
     corpora are unaffected (the cap never binds). Pinned in both
     directions by tests/test_multimodal_dedup_props.py::
-    test_phash_match_batch_cap_shifts_matched_id_under_saturation."""
+    test_phash_match_batch_cap_shifts_matched_id_under_saturation.
+    ``cells``/``bands`` select the grid width per phash_params and MUST
+    match the width ``index_hashes`` was built at — the streaming sinks
+    enforce that pairing through the manifest's phash_config stamp."""
     from mapreduce_framework_spark.pipeline.dedup import cap_banded
 
-    build_bands = _band_frame(index_hashes)
+    cells, bands = phash_params(cells, bands)
+    build_bands = _band_frame(index_hashes, bands=bands)
     if band_cap is not None:
         build_bands = cap_banded(build_bands, band_cap)
     build = _variant_frame(build_bands)
     # materialize the batch hashes once before banding (the match_batch
     # family rule, pipeline/dedup.py): without this the Arrow hash pass
     # would sit under the join and re-run per plan reference
-    probe = _band_frame(_phash_cols(batch_docs).localCheckpoint(eager=True))
+    probe = _band_frame(
+        _phash_cols(batch_docs, cells=cells).localCheckpoint(eager=True),
+        bands=bands,
+    )
     hamming = F.bit_count(F.col("i.phash").bitwiseXOR(F.col("n.phash"))).cast("int")
     return (
         build.alias("i")

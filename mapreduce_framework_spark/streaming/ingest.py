@@ -360,11 +360,15 @@ def _require_phash_config(index_root: str, fingerprint: str) -> None:
     (manifest ``phash_config`` vs multimodal_dedup.phash_fingerprint()).
     Hashes are only comparable under one grid: a 32-cell index probed by
     a 64-cell sink (the SCALING.md round-12 width guidance) silently
-    matches NOTHING — every re-encoded copy admits. Runs when the index
-    is loaded, before the batch's first publish, so no decision commits
-    under the mismatch; an unstamped manifest (legacy root or first
-    batches) is accepted and stamped at publish time — exactly
-    _require_codebook's contract."""
+    matches NOTHING — every re-encoded copy admits. Runs UNCONDITIONALLY
+    at the top of apply_batch whenever the sink holds a phash root
+    (exactly _require_codebook's placement), not just once the index
+    becomes visible: a sink restarted at batch 0 over an existing
+    never-compacted root sees no loaded index, and a load-gated check
+    would let it publish a new-width delta into the old-width root
+    before any probe ever runs (round-12 ADVICE). An unstamped manifest
+    (legacy root or first batches) is accepted and stamped at publish
+    time — _require_codebook's contract."""
     man = read_index_manifest(index_root)
     if man is None:
         return
@@ -382,10 +386,16 @@ def _require_phash_config(index_root: str, fingerprint: str) -> None:
 def _stamp_phash_config(
     index_root: str, fingerprint: str, epoch: int | None = None
 ) -> None:
-    """Record the sink's phash config in the index manifest if absent or
-    stale (same crash/fencing story as _stamp_codebook below)."""
+    """Record the sink's phash config in the index manifest if ABSENT
+    (first publish, or a pre-check legacy root) — same stamp-if-absent
+    contract and crash/fencing story as _stamp_codebook below. Never
+    overwrites a differing stamp: a mismatch is _require_phash_config's
+    hard failure (which runs unconditionally at the top of apply_batch),
+    and overwriting here would let a batch-0 restart under a different
+    grid clobber the old stamp and silently legitimize a mixed-width
+    index (round-12 ADVICE)."""
     man = read_index_manifest(index_root)
-    if man is not None and man.get("phash_config") != fingerprint:
+    if man is not None and man.get("phash_config") is None:
         man["phash_config"] = fingerprint
         write_index_manifest(index_root, man, expected_epoch=epoch)
 
@@ -933,6 +943,8 @@ def make_cascade_ingest_batch_fn(
     quality_gate: bool = False,
     phash_index_root: str | None = None,
     phash_band_cap: int | None = None,
+    phash_cells: int | None = None,
+    phash_bands: int | None = None,
 ):
     """Tiered admission: the EXACT fingerprint tier runs in front of the
     MinHash near-dup tier, each batch doc paying the cheapest test that
@@ -1033,7 +1045,12 @@ def make_cascade_ingest_batch_fn(
     embeddings-free deployment — or the full cascade's documented
     no-usable-centroid degradation — keeps perceptual media dedup
     instead of silently dropping it, the same composition argument as
-    the decontamination tier above."""
+    the decontamination tier above. ``phash_cells``/``phash_bands``
+    (round 13) select the grid width PER ROOT (multimodal_dedup.
+    phash_params; default the module 32/4): a 100 TB deployment passes
+    phash_cells=64 — the SCALING.md birthday-mass lever — and the
+    manifest's phash_config stamp makes a mixed-width root impossible
+    either way."""
     from pyspark.sql.window import Window
 
     from mapreduce_framework_spark.pipeline.dedup import (
@@ -1067,8 +1084,25 @@ def make_cascade_ingest_batch_fn(
         if phash_index_root is not None
         else None
     )
+    ph_fp = None
+    if phash_index_root is not None:
+        from mapreduce_framework_spark.pipeline.multimodal_dedup import (
+            phash_fingerprint,
+            phash_params,
+        )
+
+        # resolve the width ONCE at construction (fail-fast on a bad
+        # pair) — the sink holds exactly one grid config for its life
+        phash_cells, phash_bands = phash_params(phash_cells, phash_bands)
+        ph_fp = phash_fingerprint(phash_cells, phash_bands)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if phash_index_root is not None:
+            # hashes are only comparable under one grid config — checked
+            # unconditionally (like _require_codebook) so even a batch-0
+            # restart over an existing root with no visible index cannot
+            # publish a new-width delta into an old-width root
+            _require_phash_config(phash_index_root, ph_fp)
         batch = batch_df.localCheckpoint(eager=True)  # read the source once
 
         qual_best = None
@@ -1109,27 +1143,23 @@ def make_cascade_ingest_batch_fn(
             ph_idx = _index_so_far(spark, phash_index_root, before_batch=batch_id)
             if ph_idx is not None:
                 from mapreduce_framework_spark.pipeline.multimodal_dedup import (
-                    PHASH_CELLS,
-                    phash_fingerprint,
                     phash_match_batch,
                 )
 
-                # hashes are only comparable under one grid config — a
-                # width change (SCALING.md round-12) must rebuild, not
-                # silently match nothing
-                _require_phash_config(phash_index_root, phash_fingerprint())
                 ph_best = (
                     phash_match_batch(
                         ph_idx,
                         survivors.select("doc_id", "text"),
                         band_cap=phash_band_cap,
+                        cells=phash_cells,
+                        bands=phash_bands,
                     )
                     .select(
                         "doc_id",
                         F.col("matched_id").alias("ph_id"),
                         (
-                            (F.lit(PHASH_CELLS) - F.col("hamming"))
-                            / F.lit(float(PHASH_CELLS))
+                            (F.lit(phash_cells) - F.col("hamming"))
+                            / F.lit(float(phash_cells))
                         ).alias("ph_sim"),
                     )
                     .localCheckpoint(eager=True)
@@ -1271,7 +1301,6 @@ def make_cascade_ingest_batch_fn(
             )
         if phash_index_root is not None:
             from mapreduce_framework_spark.pipeline.multimodal_dedup import (
-                phash_fingerprint,
                 phash_index,
             )
 
@@ -1279,13 +1308,13 @@ def make_cascade_ingest_batch_fn(
                 spark,
                 phash_index_root,
                 batch_id,
-                phash_index(admitted.select("doc_id", "text")),
+                phash_index(
+                    admitted.select("doc_id", "text"), cells=phash_cells
+                ),
                 compact_every,
                 epoch=ep_ph,
             )
-            _stamp_phash_config(
-                phash_index_root, phash_fingerprint(), epoch=ep_ph
-            )
+            _stamp_phash_config(phash_index_root, ph_fp, epoch=ep_ph)
 
     return apply_batch
 
@@ -1355,6 +1384,8 @@ def make_full_cascade_ingest_batch_fn(
     quality_gate: bool = False,
     phash_index_root: str | None = None,
     phash_band_cap: int | None = None,
+    phash_cells: int | None = None,
+    phash_bands: int | None = None,
 ):
     """The COMPLETE admission cascade the two-tier sink's docstring names
     as the real pretraining shape: exact → near-dup → SEMANTIC. Batches
@@ -1454,7 +1485,11 @@ def make_full_cascade_ingest_batch_fn(
     16-byte row; if profiles ever show that derivation dominating, the
     sig_bands_root pattern (persisted banded layout, cap at compaction)
     applies verbatim. None (default) keeps the cascade exactly as
-    before."""
+    before. ``phash_cells``/``phash_bands`` (round 13) select the grid
+    width PER ROOT (multimodal_dedup.phash_params; default the module
+    32/4) — a 100 TB deployment passes phash_cells=64, the SCALING.md
+    birthday-mass lever; the manifest's phash_config stamp hard-fails
+    any mixed-width pairing either way."""
     from pyspark.sql.window import Window
 
     from mapreduce_framework_spark.pipeline.codebook import codebook_fingerprint
@@ -1502,6 +1537,17 @@ def make_full_cascade_ingest_batch_fn(
         if phash_index_root is not None
         else None
     )
+    ph_fp = None
+    if phash_index_root is not None:
+        from mapreduce_framework_spark.pipeline.multimodal_dedup import (
+            phash_fingerprint,
+            phash_params,
+        )
+
+        # resolve the width ONCE at construction (fail-fast on a bad
+        # pair) — the sink holds exactly one grid config for its life
+        phash_cells, phash_bands = phash_params(phash_cells, phash_bands)
+        ph_fp = phash_fingerprint(phash_cells, phash_bands)
 
     def _sem_side(docs: DataFrame) -> DataFrame:
         # NULL embeddings are invisible to the semantic tier (policy
@@ -1512,6 +1558,11 @@ def make_full_cascade_ingest_batch_fn(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         _require_codebook(sem_index_root, cb_fp)
+        if phash_index_root is not None:
+            # unconditional, like _require_codebook above: a batch-0
+            # restart over an existing root must fail on a width
+            # mismatch before publishing anything (round-12 ADVICE)
+            _require_phash_config(phash_index_root, ph_fp)
         batch = batch_df.localCheckpoint(eager=True)  # read the source once
 
         qual_best = None
@@ -1552,27 +1603,23 @@ def make_full_cascade_ingest_batch_fn(
             ph_idx = _index_so_far(spark, phash_index_root, before_batch=batch_id)
             if ph_idx is not None:
                 from mapreduce_framework_spark.pipeline.multimodal_dedup import (
-                    PHASH_CELLS,
-                    phash_fingerprint,
                     phash_match_batch,
                 )
 
-                # hashes are only comparable under one grid config — a
-                # width change (SCALING.md round-12) must rebuild, not
-                # silently match nothing
-                _require_phash_config(phash_index_root, phash_fingerprint())
                 ph_best = (
                     phash_match_batch(
                         ph_idx,
                         survivors.select("doc_id", "text"),
                         band_cap=phash_band_cap,
+                        cells=phash_cells,
+                        bands=phash_bands,
                     )
                     .select(
                         "doc_id",
                         F.col("matched_id").alias("ph_id"),
                         (
-                            (F.lit(PHASH_CELLS) - F.col("hamming"))
-                            / F.lit(float(PHASH_CELLS))
+                            (F.lit(phash_cells) - F.col("hamming"))
+                            / F.lit(float(phash_cells))
                         ).alias("ph_sim"),
                     )
                     .localCheckpoint(eager=True)
@@ -1745,7 +1792,6 @@ def make_full_cascade_ingest_batch_fn(
             )
         if phash_index_root is not None:
             from mapreduce_framework_spark.pipeline.multimodal_dedup import (
-                phash_fingerprint,
                 phash_index,
             )
 
@@ -1753,13 +1799,13 @@ def make_full_cascade_ingest_batch_fn(
                 spark,
                 phash_index_root,
                 batch_id,
-                phash_index(admitted.select("doc_id", "text")),
+                phash_index(
+                    admitted.select("doc_id", "text"), cells=phash_cells
+                ),
                 compact_every,
                 epoch=ep_ph,
             )
-            _stamp_phash_config(
-                phash_index_root, phash_fingerprint(), epoch=ep_ph
-            )
+            _stamp_phash_config(phash_index_root, ph_fp, epoch=ep_ph)
         _publish_delta(
             spark,
             sem_index_root,
@@ -1806,6 +1852,8 @@ def run_full_cascade_ingest_stream(
     quality_gate: bool = False,
     phash_index_root: str | None = None,
     phash_band_cap: int | None = None,
+    phash_cells: int | None = None,
+    phash_bands: int | None = None,
 ) -> DataFrame:
     """Drive a ``(doc_id, text, embedding)`` stream through the
     three-tier admission sink; returns the union of all per-batch
@@ -1816,7 +1864,8 @@ def run_full_cascade_ingest_stream(
     ``fp_distinct``/``intra_batch_exact`` are the exact tier's hot-fp
     guard and within-batch pre-dedup; ``benchmark_span_index`` adds the
     opt-in decontamination tier and ``phash_index_root`` the opt-in
-    multimodal 'media_dup' tier (all on make_full_cascade_ingest_batch_fn)."""
+    multimodal 'media_dup' tier, with ``phash_cells``/``phash_bands``
+    the per-root grid width (all on make_full_cascade_ingest_batch_fn)."""
     q = (
         docs_stream.writeStream.foreachBatch(
             make_full_cascade_ingest_batch_fn(
@@ -1840,6 +1889,8 @@ def run_full_cascade_ingest_stream(
                 quality_gate,
                 phash_index_root,
                 phash_band_cap,
+                phash_cells,
+                phash_bands,
             )
         )
         .option("checkpointLocation", checkpoint)
@@ -1956,6 +2007,8 @@ def run_cascade_ingest_stream(
     quality_gate: bool = False,
     phash_index_root: str | None = None,
     phash_band_cap: int | None = None,
+    phash_cells: int | None = None,
+    phash_bands: int | None = None,
 ) -> DataFrame:
     """Drive the document stream through the tiered admission sink;
     returns the union of all per-batch decision frames. ``sig_bands_root``
@@ -1964,7 +2017,8 @@ def run_cascade_ingest_stream(
     ``fp_distinct``/``intra_batch_exact`` are the exact tier's hot-fp
     guard and within-batch pre-dedup; ``benchmark_span_index``/
     ``cont_threshold`` the opt-in lexical decontamination tier and
-    ``phash_index_root`` the opt-in multimodal 'media_dup' tier
+    ``phash_index_root`` the opt-in multimodal 'media_dup' tier, with
+    ``phash_cells``/``phash_bands`` the per-root grid width
     (make_cascade_ingest_batch_fn)."""
     q = (
         docs_stream.writeStream.foreachBatch(
@@ -1985,6 +2039,8 @@ def run_cascade_ingest_stream(
                 quality_gate,
                 phash_index_root,
                 phash_band_cap,
+                phash_cells,
+                phash_bands,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -3821,6 +3821,157 @@ def test_phash_index_config_stamp_and_width_mismatch_fails(spark, tmp_path):
     assert read_index_manifest(ph_root)["phash_config"] == md.phash_fingerprint()
 
 
+@pytest.mark.parametrize("sink", ["lexical", "semantic"])
+def test_phash_width_mismatch_fails_even_at_batch_zero(spark, tmp_path, sink):
+    """Round-13 (round-12 ADVICE): the width check must run UNCONDITIONALLY
+    at the top of apply_batch, not only once _index_so_far returns a loaded
+    index. A sink restarted at batch 0 over an EXISTING never-compacted
+    root sees no visible index (before_batch=0 covers nothing), and a
+    load-gated check would let it publish a new-width delta into the
+    old-width root and clobber the stamp with its own fingerprint — after
+    which every later batch passes the check over a silently mixed-width
+    index. Pinned here for BOTH sinks: the mismatched batch-0 delivery
+    raises, publishes nothing, and leaves the original stamp intact
+    (stamp-if-absent — _stamp_codebook's contract)."""
+    import mapreduce_framework_spark.pipeline.multimodal_dedup as md
+    from mapreduce_framework_spark.pipeline.codebook import fit_codebook
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.storage import read_index_manifest
+    from mapreduce_framework_spark.streaming.ingest import (
+        make_cascade_ingest_batch_fn,
+        make_full_cascade_ingest_batch_fn,
+    )
+    from pyspark.sql import Row
+
+    def batch(ids_texts):
+        return spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in ids_texts],
+            "doc_id bigint, text string",
+        )
+
+    def emb_batch(ids_texts):
+        return spark.createDataFrame(
+            [
+                Row(doc_id=i, text=t, embedding=[float(i % 7), 1.0, 0.5, 2.0])
+                for i, t in ids_texts
+            ],
+            "doc_id bigint, text string, embedding array<double>",
+        )
+
+    ph_root = str(tmp_path / "b0_ph")
+    if sink == "lexical":
+        roots = {k: str(tmp_path / f"b0_{k}") for k in ["fp", "sig", "dec"]}
+
+        def mk():
+            return make_cascade_ingest_batch_fn(
+                spark, roots["fp"], roots["sig"], roots["dec"],
+                JACCARD_THRESHOLD, phash_index_root=ph_root,
+            ), batch
+    else:
+        roots = {
+            k: str(tmp_path / f"b0_{k}") for k in ["fp", "sig", "sem", "dec"]
+        }
+        cents = fit_codebook(
+            emb_batch([(90, "seed a"), (91, "seed b"), (92, "seed c")])
+            .select("doc_id", "embedding")
+            .withColumnRenamed("doc_id", "vec_id"),
+            k=2,
+        ).localCheckpoint(eager=True)
+
+        def mk():
+            return make_full_cascade_ingest_batch_fn(
+                spark, roots["fp"], roots["sig"], roots["sem"], roots["dec"],
+                cents, JACCARD_THRESHOLD, phash_index_root=ph_root,
+            ), emb_batch
+
+    fn, mkbatch = mk()
+    fn(mkbatch([(1, "alpha beta gamma delta epsilon")]), 0)
+    stamp = read_index_manifest(ph_root)["phash_config"]
+    assert stamp == md.phash_fingerprint()
+    deltas_before = read_index_manifest(ph_root).get("deltas", [])
+
+    orig_cells, orig_bands = md.PHASH_CELLS, md.PHASH_BANDS
+    md.PHASH_CELLS, md.PHASH_BANDS = 64, 8
+    try:
+        wide_fn, wide_mkbatch = mk()  # fresh sink, restarted at batch 0
+        with pytest.raises(ValueError, match="phash index.*built under config"):
+            wide_fn(wide_mkbatch([(2, "red orange yellow green blue")]), 0)
+    finally:
+        md.PHASH_CELLS, md.PHASH_BANDS = orig_cells, orig_bands
+    man = read_index_manifest(ph_root)
+    # the stamp was NOT clobbered and no new-width delta was published
+    assert man["phash_config"] == stamp
+    assert man.get("deltas", []) == deltas_before
+
+
+def test_phash_width_is_a_sink_parameter(spark, tmp_path):
+    """Round-13 (VERDICT r12 task 2): a deployment selects the 64-cell
+    grid PER SINK via phash_cells=64 — no module edit, no monkeypatch.
+    The SCALING.md birthday-mass lever end-to-end: the 64-width sink
+    stamps 'ahash-64c-8b-h4' into the root's manifest, its media tier
+    still catches a 1-char retouch of an indexed doc (tier 'media_dup',
+    ph_sim scaled by 64), and a DEFAULT-width (32) sink pointed at the
+    same root hard-fails at batch 0 — the width pairing is impossible to
+    get silently wrong in either direction."""
+    from mapreduce_framework_spark.pipeline.dedup import JACCARD_THRESHOLD
+    from mapreduce_framework_spark.storage import read_index_manifest
+    from mapreduce_framework_spark.streaming.ingest import (
+        _index_so_far,
+        make_cascade_ingest_batch_fn,
+    )
+    from pyspark.sql import Row
+
+    base = (
+        "The quick brown Fox jumps over the lazy dog 0123456789 while "
+        "zebras graze on high TEXTURED plains under a violet sky!"
+    )
+    retouch = base[:40] + "Q" + base[41:]
+
+    def batch(ids_texts):
+        return spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in ids_texts],
+            "doc_id bigint, text string",
+        )
+
+    roots = {k: str(tmp_path / f"w64_{k}") for k in ["fp", "sig", "dec"]}
+    ph_root = str(tmp_path / "w64_ph")
+    fn = make_cascade_ingest_batch_fn(
+        spark, roots["fp"], roots["sig"], roots["dec"],
+        JACCARD_THRESHOLD, phash_index_root=ph_root, phash_cells=64,
+    )
+    fn(batch([(1, base)]), 0)
+    assert read_index_manifest(ph_root)["phash_config"] == "ahash-64c-8b-h4"
+
+    fn(batch([(2, retouch), (3, base[::-1])]), 1)
+    dec = {
+        r["doc_id"]: (r["admitted"], r["tier"], r["matched_id"], r["jaccard"])
+        for r in _index_so_far(spark, roots["dec"]).collect()
+    }
+    admitted, tier, matched, sim = dec[2]
+    assert (admitted, tier, matched) == (False, "media_dup", 1)
+    # ph_sim is (64 - hamming)/64 with hamming <= PHASH_HAMMING_MAX=4,
+    # so it lands on a 1/64 lattice point at or above 60/64
+    assert 60 / 64 <= sim <= 1.0 and float(sim * 64).is_integer()
+    assert dec[3][0] is True  # the reversed doc is Hamming-far at 64 too
+
+    # a default-width sink on the same root fails before committing,
+    # even restarted at batch 0 (the unconditional check)
+    narrow_fn = make_cascade_ingest_batch_fn(
+        spark, roots["fp"], roots["sig"], roots["dec"],
+        JACCARD_THRESHOLD, phash_index_root=ph_root,
+    )
+    with pytest.raises(ValueError, match="built under config ahash-64c-8b-h4"):
+        narrow_fn(batch([(4, "whatever text")]), 0)
+
+    # and a malformed pair fails at construction, before any batch
+    with pytest.raises(ValueError, match="8 x bands"):
+        make_cascade_ingest_batch_fn(
+            spark, roots["fp"], roots["sig"], roots["dec"],
+            JACCARD_THRESHOLD, phash_index_root=ph_root,
+            phash_cells=64, phash_bands=4,
+        )
+
+
 def test_quality_decisions_invariant_under_batch_slicing(spark, tmp_path):
     """Round-11 (VERDICT r10 task 6): the quality tier is STATELESS —
     per-doc arithmetic, no index — so with the gate on, WHICH docs it

@@ -1774,8 +1774,17 @@ def main() -> None:
     if "--soak" in sys.argv:  # round-10 long-horizon composed soak
         probe_soak(spark)
         return
-    if "--soak-media" in sys.argv:  # round-12 six-tier composed soak
-        probe_soak(spark, media_tier=True)
+    if "--soak-media" in sys.argv:  # round-12 six-tier composed soak;
+        # round-13: --phash-cells=64 runs the birthday-mass width segment
+        cells = next(
+            (
+                int(a.split("=", 1)[1])
+                for a in sys.argv
+                if a.startswith("--phash-cells=")
+            ),
+            None,
+        )
+        probe_soak(spark, media_tier=True, phash_cells=cells)
         return
     if "--quality-net" in sys.argv:  # round-11 composed gate-off/on A/B
         probe_quality_net(spark)
@@ -1871,6 +1880,7 @@ def run_soak(
     quality_gate: bool = True,
     spam_n: int = 6,
     media_tier: bool = False,
+    phash_cells: int | None = None,
 ):
     """Round-10 LONG-HORIZON COMPOSED SOAK (VERDICT r9 task 5): one
     multi-hundred-batch FIVE-tier cascade ingest (quality → exact →
@@ -1903,9 +1913,13 @@ def run_soak(
     ``media_tier`` (round 12, opt-in so the r10/r11 five-tier series
     stays comparable): wires the perceptual phash tier
     (phash_index_root) and plants same-length 1-char retouches of
-    admitted docs — the SIX-tier production shape of the staged q110,
-    soaked with the same crash/fencing/compaction invariants (the phash
-    manifest joins the bounded-deltas assertion via roots).
+    admitted docs — the SIX-tier production shape of q110 (registered
+    r13), soaked with the same crash/fencing/compaction invariants (the
+    phash manifest joins the bounded-deltas assertion via roots).
+    ``phash_cells`` (round 13) selects the grid width per
+    multimodal_dedup.phash_params — the SCALING.md birthday-mass lever:
+    at 64 the accidental media_dup mass of the 32-bit run should
+    collapse to the planted retouches alone.
 
     Returns a dict of invariant measurements; probe/pytest assert on it.
     """
@@ -2009,6 +2023,7 @@ def run_soak(
             cont_threshold=0.05,
             quality_gate=quality_gate,
             phash_index_root=roots.get("ph"),
+            phash_cells=phash_cells,
         )
 
     out = {
@@ -2145,13 +2160,20 @@ def run_soak(
     return out
 
 
-def probe_soak(spark, n_batches=200, batch_n=200, media_tier=False) -> None:
+def probe_soak(
+    spark, n_batches=200, batch_n=200, media_tier=False, phash_cells=None
+) -> None:
     """Print the SCALING.md soak table: per-batch wall at {1, 50, 100,
     200} plus the invariant verdicts (see run_soak). ``media_tier``
     runs the round-12 SIX-tier form (phash tier + retouch plants +
-    textured vocab)."""
+    textured vocab); ``phash_cells`` selects the perceptual grid width
+    (the round-13 birthday-mass segment passes 64)."""
     res = run_soak(
-        spark, n_batches=n_batches, batch_n=batch_n, media_tier=media_tier
+        spark,
+        n_batches=n_batches,
+        batch_n=batch_n,
+        media_tier=media_tier,
+        phash_cells=phash_cells,
     )
     walls = res["walls"]
     print("| batch | wall (s) |")
