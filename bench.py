@@ -109,15 +109,19 @@ def main() -> None:
 
     specs = all_queries()
     builders = {n: specs[n].builder for n in HEADLINE if n in specs}
-    # q34 (round 8) and q30 (round 9) were RETIRED from the registry (their
-    # driver slots funded q105/q106), but the r1-subset like-for-like series
-    # keeps timing them — the retirement policy keeps every retired builder
-    # in the repo permanently
+    # q34 (round 8), q30 (round 9) and q36 (round 13) were RETIRED from the
+    # registry (their driver slots funded q105/q106/q110), but the
+    # like-for-like bench series keeps timing them — the retirement policy
+    # keeps every retired builder in the repo permanently
     from mapreduce_framework_spark.pipeline.dedup import q30_ngram_jaccard_neardup
-    from mapreduce_framework_spark.pipeline.similarity import q34_ann_bruteforce
+    from mapreduce_framework_spark.pipeline.similarity import (
+        q34_ann_bruteforce,
+        q36_embedding_neardup,
+    )
 
     builders["q34_ann_bruteforce"] = q34_ann_bruteforce
     builders["q30_ngram_jaccard_neardup"] = q30_ngram_jaccard_neardup
+    builders["q36_embedding_neardup"] = q36_embedding_neardup
     # warm the session (JVM/codegen/FS init) so q01 doesn't absorb startup
     spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
 

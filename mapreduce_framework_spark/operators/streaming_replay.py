@@ -1500,8 +1500,8 @@ def q108_quality_gated_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _decon_replay(spark, sf_dir, quality_gate=True)
 
 
-# --- q110 (round-12 LIBRARY-FIRST — the ROUND-13 HANDOFF newcomer;
-# registry.py names q36 as the scheduled retiree whose slot funds it) ----------
+# --- q110 (staged library-first round 12; REGISTERED round 13 into the
+# retired q36's window slot — registry.py ROUND-13 EXECUTED) -------------------
 # The MEDIA-GATED decontaminating cascade: q108's replay with the round-11
 # multimodal 'media_dup' tier ON — the SIX-tier admission shape (quality →
 # exact → media/phash → MinHash → semantic → span-decontamination), the
@@ -1519,6 +1519,14 @@ def q108_quality_gated_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_queries_oracle.py::test_q110_candidate_matches_oracle.
 
 
+@register(
+    "q110_media_gated_admission",
+    oracle=_q110_oracle(),
+    tags=(
+        "ext", "streaming", "dedup", "quality", "multimodal",
+        "decontamination", "replay",
+    ),
+)
 def q110_media_gated_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q108's replay with the round-11 MEDIA tier on — the six-tier
     admission cascade (quality → exact → media/phash → MinHash →
@@ -1531,8 +1539,8 @@ def q110_media_gated_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexical sink's round-12 phash support). Rejects carry tier
     'media_dup', matched_id = the lowest phash-matching index doc_id,
     score = (32 − hamming)/32 ≥ 0.875. Same degenerate-corpus policies
-    as q107/q108 (shared _decon_replay body). LIBRARY-FIRST (round 12,
-    NOT registered): the registry is at capacity and the scheduled
-    retiree q36 rotates into the window in r13 (registry.py ROUND-13
-    HANDOFF)."""
+    as q107/q108 (shared _decon_replay body). Staged library-first in
+    round 12 with the oracle proven at two SFs + a NULLs variant + the
+    no-centroid degradation path; REGISTERED round 13 by retiring q36
+    (the scheduled swap — registry.py ROUND-13 EXECUTED)."""
     return _decon_replay(spark, sf_dir, quality_gate=True, media_tier=True)

@@ -368,9 +368,13 @@ def _pair_cos_batches(sf_dir: str, threshold: float, chunk_rows: int = CORPUS_CH
     return gen
 
 
-@register(
-    "q36_embedding_neardup",
-    oracle=f"""
+# RETIRED from the registry in round 13 (registry.py policy item 4; its
+# slot funded q110_media_gated_admission). Builder + oracle stay
+# permanently: the dedicated differential is
+# tests/test_queries_oracle.py::test_retired_q36_matches_oracle, it
+# remains the exact near-dup baseline the scale paths q35/q56 are
+# measured against, and bench.py still times it directly.
+_EMBEDDING_NEARDUP_ORACLE = f"""
     WITH {_E_CTE_DUCK}
     SELECT a.vec_id AS id1, b.vec_id AS id2,
            {_dot_duck('a.embedding', 'b.embedding')} / (a.norm * b.norm) AS cos
@@ -378,9 +382,9 @@ def _pair_cos_batches(sf_dir: str, threshold: float, chunk_rows: int = CORPUS_CH
     WHERE a.vec_id < b.vec_id
       AND {_dot_duck('a.embedding', 'b.embedding')} / (a.norm * b.norm) >= {NEARDUP_COS}
     ORDER BY id1, id2
-    """,
-    tags=("ext", "similarity", "neardup"),
-)
+    """
+
+
 def q36_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold), brute force.
     The LSH bucketing of q35 is the scale path for this too.

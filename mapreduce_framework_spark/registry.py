@@ -163,33 +163,37 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # test_q109_candidate_matches_oracle). Retiring q29 also erases one of
 # the artifact's two permanent rows-only `err: no_oracle` rows.
 #
-# ROUND-13 HANDOFF: the timing-eligible retiree next round is
-# q36_embedding_neardup (it sits in the r11 window, so it rotates into
-# the r13 window). Rationale, per the preference order: q36 is a capped
-# exact-oracle twin (2b) — the sanctioned exact all-pairs cosine pass
-# whose banded/bucketed scale paths q35_ann_lsh and q56_ann_ivf stay
-# registered (both hash-green r10) and whose library form
-# (pipeline/similarity.py) plus oracle plus pytest differential remain
-# in the local sweep permanently, exactly like the retired q30/q34
-# twins; bench.py keeps timing it directly so the r1-subset series is
-# unbroken. The newcomer is staged library-first THIS round (the
-# q105..q109 playbook): operators/streaming_replay.py:
-# q110_media_gated_admission — the SIX-tier media-gated admission
-# replay (quality → exact → media/phash → MinHash → semantic → decon;
-# the full production sink shape with the r11 media_dup tier under
-# driver eyes), DuckDB oracle proven at two SFs via
-# tests/test_queries_oracle.py::test_q110_candidate_matches_oracle.
-# The OTHER permanent rows-only row, q69_approx_percentiles, rotates
-# into the r13 window too and is equally eligible (its exact gate q75
-# stays registered) — q36 is preferred because the six-tier replay is
-# a dedup-family newcomer and 2b twins outrank sketch rows in the
-# dry-run ranking; q69 remains the named r14 fallback.
-# R12 CLOSE: q110's pre-registration evidence exceeds the playbook —
-# two-SF + NULLs-variant + no-centroid-degradation differentials all
-# green, the registered q108 oracle text pinned byte-identical under
-# the shared _gated_oracle body, the six-tier form soaked 200 batches
-# (SCALING.md round-12, incl. the birthday-mass width finding and the
-# phash-config manifest stamp both sinks now enforce).
+# ROUND-13 EXECUTED exactly as the handoff scheduled: q36 → RETIRED in
+# its scheduled round (it rotated into the r13 window, satisfying the
+# timing rule; the exact-cosine contract stays carried by the registered
+# scale paths q35_ann_lsh and q56_ann_ivf, and q36's builder + oracle +
+# dedicated differential test_retired_q36_matches_oracle remain in the
+# local sweep permanently — the q30/q34 twin pattern; bench.py keeps
+# timing it via direct import so the r1-adjacent similarity series is
+# unbroken); q110_media_gated_admission registered into exactly q36's
+# window slot — the SIX-tier media-gated admission replay (quality →
+# exact → media/phash → MinHash → semantic → decon; the full production
+# sink shape with the r11 media_dup tier under driver eyes), oracle
+# proven in round 12 BEFORE registration at two SFs + a NULLs variant +
+# the no-centroid degradation path (tests/test_queries_oracle.py::
+# test_q110_candidate_matches_oracle and siblings), with the registered
+# q108 oracle text pinned byte-identical under the shared _gated_oracle
+# body and the six-tier form soaked 200 batches (SCALING.md round-12).
+#
+# ROUND-14 HANDOFF: the timing-eligible retiree next round is
+# q69_approx_percentiles (it sits in the r13 behind-window half, so it
+# rotates into the r14 window). Rationale: q69 is the registry's LAST
+# permanent rows-only row (`err: no_oracle` — by-design approximate
+# sketch); its exact hash-checked gate q75_percentile_sketch_bound stays
+# registered (this very r13 window) and its sibling exact gate q74 is
+# hash-green r12, so retiring it makes the driver artifact permanently
+# 50/50 hash-green with zero information loss — the builder + rsd/
+# tolerance differential remain in the local sweep (the q29 pattern,
+# executed r12). No newcomer is staged for r14 yet: if one emerges it
+# must follow the library-first playbook (oracle proven at two SFs
+# BEFORE registration); otherwise the swap may simply retire q69 and
+# promote the highest-value staged candidate available at curation time,
+# or leave the slot to the rotation if none meets the bar.
 #
 # The curated order below puts, inside the window: (a) every query new
 # or changed this round, (b) every query whose last driver row is a full
@@ -199,19 +203,73 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # WINDOW_HISTORY below — that no registered query goes more than one
 # round without a driver window slot.
 CURATED_ORDER = [
-    # --- round-12 window: the r11 behind-window half (the enforced
-    # rotation — every name here last had a driver row in r10, so max
+    # --- round-13 window: the r12 behind-window half (the enforced
+    # rotation — every name here last had a driver row in r11, so max
     # staleness stays one round) with ONE executed swap, scheduled by the
-    # round-11 handoff above:
-    #   * q29's slot now holds the round-12 newcomer
-    #     q109_multimodal_phash_neardup (retirement policy item 4;
-    #     q29 → RETIRED below — q29 rotated into this window, satisfying
-    #     the timing rule; its approx-distinct contract stays covered by
-    #     the exact hash-checked gate q74, in this very window, and its
-    #     builder + tolerance differential remain in the local sweep).
-    #     q109 puts the multimodal perceptual near-dup tier — the last
-    #     brief surface without a dedup family — under driver eyes with
-    #     the oracle proven at two SFs in r11.
+    # round-12 handoff above:
+    #   * q36's slot now holds the round-13 newcomer
+    #     q110_media_gated_admission (retirement policy item 4;
+    #     q36 → RETIRED below — q36 rotated into this window, satisfying
+    #     the timing rule; its exact-cosine contract stays covered by the
+    #     registered scale paths q35/q56 plus the permanent local
+    #     differential test_retired_q36_matches_oracle, and bench.py
+    #     keeps timing the builder for the r1-adjacent series).
+    #     q110 puts the SIX-tier media-gated admission replay — the full
+    #     production sink shape with the media_dup tier engaged — under
+    #     driver eyes with the oracle proven at two SFs + a NULLs
+    #     variant + the no-centroid degradation differential in r12.
+    "q101_span_dedup",
+    "q102_semantic_dedup",
+    "q89_denylist_scrub",
+    "q91_cross_snapshot_dedup",
+    "q01_wordcount",
+    "q06_kv_final_state",
+    "q31_minhash_lsh_neardup",
+    "q84_char_ngram_lsh_neardup",
+    "q85_shardctrler_replay",
+    "q86_boilerplate_ngrams",
+    "q87_boilerplate_doc_stats",
+    "q88_repetition_stats",
+    "q90_domain_mix_resample",
+    "q92_tfidf_topk",
+    "q110_media_gated_admission",
+    "q104_full_cascade_admission",
+    "q75_percentile_sketch_bound",
+    "q83_streaming_kv_replay",
+    "q28_kv_stateful_replay",
+    "q24_exact_dedup",
+    "q02_inverted_index",
+    "q11_filter_project",
+    "q106_admission_report",
+    "q49_neardup_components",
+    "q03_crash_emits",
+    "q04_per_doc_counts",
+    "q05_global_count",
+    "q09_fnv_bucket_histogram",
+    "q10_global_sort",
+    "q07_kv_point_in_time",
+    "q08_shard_histogram",
+    "q14_semi_join",
+    "q14_anti_join",
+    "q16_count_distinct",
+    "q18_window_topk_per_group",
+    "q20_global_topk",
+    "q21_set_ops",
+    "q23_array_functions",
+    "q25_tumbling_window",
+    "q26_sliding_window",
+    "q32_simhash",
+    "q33_exact_dedup_docs",
+    "q44_map_functions",
+    "q108_quality_gated_admission",
+    "q50_window_battery",
+    "q52_pandas_udf_path",
+    "q103_cascade_admission",
+    "q57_asof_join",
+    "q73_simhash_banded_neardup",
+    "q81_training_corpus",
+    # --- behind the window (driver rows recorded in round 12; swept by
+    # the local oracle suite every run) ---
     "q94_streaming_session_replay",
     "q95_incremental_ingest_dedup",
     "q96_incremental_rollup_replay",
@@ -262,58 +320,6 @@ CURATED_ORDER = [
     "q77_multimodal_resize",
     "q79_sequence_packing",
     "q80_contamination_check",
-    # --- behind the window (driver rows recorded in round 11; swept by
-    # the local oracle suite every run) ---
-    "q101_span_dedup",
-    "q102_semantic_dedup",
-    "q89_denylist_scrub",
-    "q91_cross_snapshot_dedup",
-    "q01_wordcount",
-    "q06_kv_final_state",
-    "q31_minhash_lsh_neardup",
-    "q84_char_ngram_lsh_neardup",
-    "q85_shardctrler_replay",
-    "q86_boilerplate_ngrams",
-    "q87_boilerplate_doc_stats",
-    "q88_repetition_stats",
-    "q90_domain_mix_resample",
-    "q92_tfidf_topk",
-    "q36_embedding_neardup",
-    "q104_full_cascade_admission",
-    "q75_percentile_sketch_bound",
-    "q83_streaming_kv_replay",
-    "q28_kv_stateful_replay",
-    "q24_exact_dedup",
-    "q02_inverted_index",
-    "q11_filter_project",
-    "q106_admission_report",
-    "q49_neardup_components",
-    "q03_crash_emits",
-    "q04_per_doc_counts",
-    "q05_global_count",
-    "q09_fnv_bucket_histogram",
-    "q10_global_sort",
-    "q07_kv_point_in_time",
-    "q08_shard_histogram",
-    "q14_semi_join",
-    "q14_anti_join",
-    "q16_count_distinct",
-    "q18_window_topk_per_group",
-    "q20_global_topk",
-    "q21_set_ops",
-    "q23_array_functions",
-    "q25_tumbling_window",
-    "q26_sliding_window",
-    "q32_simhash",
-    "q33_exact_dedup_docs",
-    "q44_map_functions",
-    "q108_quality_gated_admission",
-    "q50_window_battery",
-    "q52_pandas_udf_path",
-    "q103_cascade_admission",
-    "q57_asof_join",
-    "q73_simhash_banded_neardup",
-    "q81_training_corpus",
 ]
 
 
@@ -379,6 +385,18 @@ RETIRED: tuple[str, ...] = (
     # operators/relational.py; its tolerance differential vs the exact
     # q16 remains tests/test_probes.py::test_q29_within_rsd_bound.
     "q29_approx_count_distinct",
+    # round 13: the ROUND-13 HANDOFF retiree, spent IN ITS SCHEDULED
+    # ROUND (q36 rotated into the r13 window, satisfying the timing
+    # rule) to register q110_media_gated_admission (the six-tier
+    # media-gated streaming admission cascade, oracle proven at two SFs
+    # + NULLs variant + no-centroid degradation in r12). q36 is a capped
+    # exact-oracle twin (2b): its banded/bucketed scale paths q35_ann_lsh
+    # and q56_ann_ivf stay registered (both hash-green r12). Builder +
+    # oracle stay in pipeline/similarity.py; dedicated local
+    # differential:
+    # tests/test_queries_oracle.py::test_retired_q36_matches_oracle.
+    # bench.py keeps timing it via direct import.
+    "q36_embedding_neardup",
 )
 
 # Hard ceiling = 2 rounds × DRIVER_WINDOW (see capacity note).
@@ -391,7 +409,7 @@ DRIVER_WINDOW = 50
 # records the window actually exposed in each past round (= the keys of
 # CORRECTNESS_r{N}.json, verbatim). Each new round: append the previous
 # round's first-DRIVER_WINDOW names here, bump CURRENT_ROUND, re-curate.
-CURRENT_ROUND = 12
+CURRENT_ROUND = 13
 
 WINDOW_HISTORY: dict[int, tuple[str, ...]] = {
     1: (
@@ -965,6 +983,58 @@ WINDOW_HISTORY: dict[int, tuple[str, ...]] = {
         "q57_asof_join",
         "q73_simhash_banded_neardup",
         "q81_training_corpus",
+    ),
+    12: (
+        "q94_streaming_session_replay",
+        "q95_incremental_ingest_dedup",
+        "q96_incremental_rollup_replay",
+        "q97_session_funnel",
+        "q98_cohort_retention",
+        "q99_session_transitions",
+        "q100_token_chunking",
+        "q82_streaming_tumbling_replay",
+        "q93_embedding_quantize",
+        "q58_range_join_binned",
+        "q12_join_revenue_per_nation",
+        "q74_hll_error_bound",
+        "q61_correlated_subqueries",
+        "q40_lang_id",
+        "q35_ann_lsh",
+        "q37_multimodal_features",
+        "q56_ann_ivf",
+        "q78_stratified_hash_sample",
+        "q13_broadcast_join",
+        "q15_tpch_q1_shape",
+        "q17_rollup",
+        "q19_window_running_sum",
+        "q22_scalar_battery",
+        "q45_cube",
+        "q46_sql_frontend_join",
+        "q48_salted_skew_agg",
+        "q51_pivot",
+        "q53_null_handling",
+        "q64_summary_stats",
+        "q66_json_functions",
+        "q68_merge_upsert",
+        "q109_multimodal_phash_neardup",
+        "q69_approx_percentiles",
+        "q27_session_window",
+        "q65_hierarchical_rollup",
+        "q54_percentiles",
+        "q59_string_battery",
+        "q60_grouping_sets",
+        "q107_decontaminating_admission",
+        "q67_multiset_ops",
+        "q70_grouped_agg_pandas_udf",
+        "q71_dedup_corpus_output",
+        "q105_training_corpus_decontaminated",
+        "q41_quality_score",
+        "q42_token_stats",
+        "q43_fingerprint",
+        "q76_multimodal_frame_sample",
+        "q77_multimodal_resize",
+        "q79_sequence_packing",
+        "q80_contamination_check",
     ),
 }
 

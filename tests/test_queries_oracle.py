@@ -105,6 +105,24 @@ def test_retired_q30_matches_oracle(spark, sf_dir):
     compare(q30_ngram_jaccard_neardup(spark, sf_dir), _JACCARD_ORACLE, sf_dir)
 
 
+def test_retired_q36_matches_oracle(spark, sf_dir):
+    """q36_embedding_neardup was RETIRED from the registry in round 13
+    (registry.py policy item 4; its slot funded
+    q110_media_gated_admission). Per the policy, its builder and oracle
+    stay in the repo permanently and THIS dedicated differential replaces
+    its registry parametrization — it remains the exact-cosine near-dup
+    baseline the banded/bucketed scale paths q35/q56 carry forward, and
+    bench.py keeps timing it directly."""
+    from mapreduce_framework_spark.pipeline.similarity import (
+        _EMBEDDING_NEARDUP_ORACLE,
+        q36_embedding_neardup,
+    )
+
+    compare(
+        q36_embedding_neardup(spark, sf_dir), _EMBEDDING_NEARDUP_ORACLE, sf_dir
+    )
+
+
 def test_q107_candidate_matches_oracle(spark, sf_dir):
     """q107_decontaminating_admission — staged library-first in round 9,
     REGISTERED in round 10 (q63's retired slot, the scheduled swap). The

@@ -114,19 +114,19 @@ def test_retirement_dry_run_swap_preserves_invariants():
     from mapreduce_framework_spark.registry import REGISTRY
 
     all_queries()  # side-effect: operator modules register their builders
-    # The ROUND-13 HANDOFF target (registry.py): q36, the sanctioned
-    # exact all-pairs cosine twin (2b) whose banded/bucketed scale paths
-    # q35/q56 stay registered — the q30/q34 retirement shape exactly.
-    target = "q36_embedding_neardup"
+    # The ROUND-14 HANDOFF target (registry.py): q69, the last permanent
+    # rows-only sketch row, whose exact hash-checked gates q74/q75 stay
+    # registered — the q29 retirement shape exactly (executed r12).
+    target = "q69_approx_percentiles"
     assert target in REGISTRY and target in CURATED_ORDER
     newcomer = "q1xx_simulated_newcomer"
-    # the retiree's builder/oracle/differential stay in the repo for the
-    # local sweep; its scale paths must stay registered so the ANN
-    # family's driver evidence never drops to zero
+    # the retiree's builder/tolerance-differential stay in the repo for
+    # the local sweep; its exact gates must stay registered so the
+    # approx family's driver evidence never drops to zero
     assert REGISTRY[target].builder is not None
-    assert REGISTRY[target].oracle is not None  # exact twin keeps its oracle
-    assert "q35_ann_lsh" in CURATED_ORDER
-    assert "q56_ann_ivf" in CURATED_ORDER
+    assert REGISTRY[target].oracle is None  # by-design rows-only sketch
+    assert "q74_hll_error_bound" in CURATED_ORDER
+    assert "q75_percentile_sketch_bound" in CURATED_ORDER
 
     if target in CURATED_ORDER[:DRIVER_WINDOW]:
         # the target is timing-eligible THIS round: simulate the swap and
