@@ -415,12 +415,27 @@ def phash_match_batch(
 
 # --- q109: the registered query + its DuckDB oracle (registered r12) ---------
 
-def phash_duck(src: str, p: str = "") -> str:
+def phash_duck(src: str, p: str = "", cells: int | None = None) -> str:
     """The DuckDB phash CTE chain over any (doc_id, text) source CTE/
     table ``src``, names prefixed with ``p`` (so multiple instances
     compose in one oracle — the quality_reject_duck pattern): emits
     ``{p}v, {p}c, {p}ph`` with ``{p}ph`` = (doc_id, phash). Exactly the
-    integer arithmetic of _phash_cols (cross-engine bit-exact)."""
+    integer arithmetic of _phash_cols (cross-engine bit-exact).
+    ``cells`` selects the grid width per phash_params (round 13): at 64
+    cell 63 is the int64 sign bit, which DuckDB's ``<<`` refuses
+    (overflow error, unlike Spark's wrapping shiftleft), so its bit
+    value is inlined as the literal -2^63 — the two's-complement value
+    the numpy path's wrapping shift produces — and the list_sum runs
+    HUGEINT-wide before the final exact BIGINT cast. xor/bit_count and
+    the ``>> 8b & 255`` band extraction are sign-agnostic in both
+    engines (probed: bit_count(-2^63+1)=2, (-2^63)>>56&255=128)."""
+    g, _ = phash_params(cells)
+    bitval = (
+        "CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT) "
+        "ELSE (CAST(1 AS BIGINT) << j) END"
+        if g == 64
+        else "(CAST(1 AS BIGINT) << j)"
+    )
     return f"""
     {p}v AS (
       SELECT doc_id,
@@ -431,19 +446,19 @@ def phash_duck(src: str, p: str = "") -> str:
     ),
     {p}c AS (
       SELECT doc_id, L, list_sum(vals) AS T,
-             list_transform(range(0, {PHASH_CELLS}),
-                            j -> ((j + 1) * L) // {PHASH_CELLS} - (j * L) // {PHASH_CELLS}) AS ns,
-             list_transform(range(0, {PHASH_CELLS}),
+             list_transform(range(0, {g}),
+                            j -> ((j + 1) * L) // {g} - (j * L) // {g}) AS ns,
+             list_transform(range(0, {g}),
                             j -> coalesce(list_sum(list_slice(vals,
-                                 (j * L) // {PHASH_CELLS} + 1,
-                                 ((j + 1) * L) // {PHASH_CELLS})), 0)) AS ss
+                                 (j * L) // {g} + 1,
+                                 ((j + 1) * L) // {g})), 0)) AS ss
       FROM {p}v
     ),
     {p}ph AS (
       SELECT doc_id,
-             CAST(list_sum(list_transform(range(0, {PHASH_CELLS}), j ->
+             CAST(list_sum(list_transform(range(0, {g}), j ->
                CASE WHEN ns[j + 1] > 0 AND ss[j + 1] * L > T * ns[j + 1]
-                    THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))
+                    THEN {bitval} ELSE CAST(0 AS BIGINT) END))
                   AS BIGINT) AS phash
       FROM {p}c
     )

@@ -123,6 +123,56 @@ def test_retired_q36_matches_oracle(spark, sf_dir):
     )
 
 
+def test_phash_64_cells_matches_duckdb_oracle(spark, sf_dir):
+    """Round-13: CROSS-ENGINE proof of the production 64-cell width (the
+    SCALING.md birthday-mass lever). The 64-bit grid was proven against a
+    pure-python two's-complement model in r12; this closes the remaining
+    gap by running q109's shape at cells=64 against a real DuckDB oracle
+    on the corpus — phash_duck(cells=64) inlines the sign-bit value as
+    the literal -2^63 (DuckDB's << hard-errors on 1<<63 where Spark's
+    wrapping shiftleft and numpy's wrapping << agree), so Spark's banded
+    join and DuckDB's all-pairs filter must produce identical pair sets
+    and Hamming distances over genuinely sign-bit-bearing hashes. The
+    registered q109 stays at 32; this is the permanent local gate for
+    the width a 100 TB deployment selects."""
+    from mapreduce_framework_spark.pipeline.multimodal_dedup import (
+        PHASH_HAMMING_MAX,
+        phash_banded_pairs,
+        phash_duck,
+    )
+
+    oracle64 = f"""
+    WITH {phash_duck("documents", cells=64)}
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
+    ORDER BY id1, id2
+    """
+    from mapreduce_framework_spark.catalog import table
+
+    compare(
+        phash_banded_pairs(table(spark, "documents", sf_dir), cells=64),
+        oracle64,
+        sf_dir,
+    )
+
+    # the equality above proves nothing about the sign bit unless the
+    # corpus actually sets it — assert some hashes are negative int64
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')"
+    )
+    neg = con.execute(
+        f"WITH {phash_duck('documents', cells=64)} "
+        "SELECT count(*) FROM ph WHERE phash < 0"
+    ).fetchone()[0]
+    assert neg > 0, "corpus never sets cell 63 — sign-bit path unexercised"
+
+
 def test_q107_candidate_matches_oracle(spark, sf_dir):
     """q107_decontaminating_admission — staged library-first in round 9,
     REGISTERED in round 10 (q63's retired slot, the scheduled swap). The
