@@ -501,9 +501,21 @@ def main() -> None:
     # "queries_exec" for it, silently redefining the r1-r9 series (the
     # exact mid-stream rename the round-2 note above warns against), so
     # r10's compact "queries_exec" values are warm, not cold. The cold
-    # per-query series stays in the full record (key unchanged there);
-    # keeping only the warm dict here preserves the compact-line size the
-    # driver's tail capture requires.
+    # per-query series stays in the full record (key unchanged there).
+    # Round 13 (measurement-bug fix, OPTIMIZATION_r13.md): the driver's
+    # tail capture is 2000 bytes and parses the LAST line only — r11's
+    # compact line measured 1998 bytes and r12's (two new cascade6 keys)
+    # overflowed, so BENCH_r12.json has "parsed": null. steady_state
+    # therefore moves OUT of the compact line into its own labeled line
+    # just above it (still inside the full record too, key unchanged, so
+    # no published series is renamed or dropped); the compact line is back
+    # to ~1.6 kB with room for future suite growth.
+    print(
+        json.dumps(
+            {"metric": "steady_state", "steady_state": steady},
+            separators=(",", ":"),
+        )
+    )
     print(
         json.dumps(
             {
@@ -519,7 +531,6 @@ def main() -> None:
                 "r1_subset_sec": r1_sum,
                 "r1_subset_exec_sec": r1_exec,
                 "r1_subset_exec_warm_sec": r1_exec_warm,
-                "steady_state": steady,
                 "loadavg": loadavg,
             },
             separators=(",", ":"),

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_framework_spark.catalog import EVENTS_US_SQL, table
@@ -123,22 +123,34 @@ def _fold_spark(ops: DataFrame) -> DataFrame:
 
     No applyInPandas, no global sort — one shuffle on key; the per-key
     history is folded with JVM-side array functions.
-    """
-    wk = Window.partitionBy("key").orderBy("ts", "event_id")
-    w = ops.where(F.col("op") != "get").withColumn("ord", F.row_number().over(wk))
+
+    Round 13 (guide §2.4 — remove a pass): the fold IS the reference's
+    imperative replay (src/models/kv.go:40-54 — put resets the state,
+    append concatenates), so it is expressed directly as one
+    ``aggregate()`` over the (ts, event_id)-sorted op array. The previous
+    form assigned a row_number over a per-key window (an extra sort pass
+    + projection between the exchange and the aggregate), derived
+    ``last_put``, and filter/joined the array — same result, one more
+    whole-stage pass (plans/r13/q06_kv_final_state_{before,after}.txt:
+    Window+Filter stage removed). Equivalence: the concat of (value at
+    the last put) + (appends after it) in order is exactly the left fold
+    with put replacing the accumulator. NULL values behave as '' in both
+    forms (array_join skips NULL elements; the fold coalesces — the
+    oracle's string_agg skips NULLs identically)."""
+    w = ops.where(F.col("op") != "get")
     grouped = w.groupBy("key").agg(
-        F.max(F.when(F.col("op") == "put", F.col("ord")).otherwise(0)).alias("last_put"),
-        F.array_sort(F.collect_list(F.struct("ord", "op", "value"))).alias("items"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "op", "value"))
+        ).alias("items"),
     )
-    applied = F.filter(
+    folded = F.aggregate(
         F.col("items"),
-        lambda x: ((x.op == "put") & (x.ord == F.col("last_put")))
-        | ((x.op == "append") & (x.ord > F.col("last_put"))),
+        F.lit(""),
+        lambda acc, x: F.when(x.op == "put", F.coalesce(x.value, F.lit(""))).otherwise(
+            F.concat(acc, F.coalesce(x.value, F.lit("")))
+        ),
     )
-    return grouped.select(
-        "key",
-        F.array_join(F.transform(applied, lambda x: x.value), "").alias("value"),
-    ).orderBy("key")
+    return grouped.select("key", folded.alias("value")).orderBy("key")
 
 
 @register(

@@ -68,16 +68,22 @@ def q02_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc id (the reference sorts values inside reduce, indexer.go:37)."""
     docs = table(spark, "documents", sf_dir)
     pairs = explode_tokens(docs, "text", keep=["doc_id"])
+    # count_distinct(doc_id) alongside collect_set(doc_id) triggers
+    # Catalyst's distinct-aggregate rewrite: a two-level aggregation with
+    # an extra hashpartitioning(word, doc_id) exchange of the exploded
+    # token stream BEFORE the per-word exchange (3 shuffles total;
+    # plans/r13/q02_inverted_index_before.txt). collect_set already
+    # deduplicates, so size(collect_set) is the same count (doc_id is the
+    # non-null PK) with a single plain aggregate — one partial-aggregated
+    # shuffle (guide §2.3/§2.4; after-plan: 2 shuffles).
     return (
         pairs.groupBy("word")
-        .agg(
-            F.count_distinct("doc_id").alias("doc_count"),
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("_ids"))
+        .select(
+            "word",
+            F.size("_ids").cast("long").alias("doc_count"),
             F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_set("doc_id")),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
+                F.transform(F.col("_ids"), lambda x: x.cast("string")), ","
             ).alias("docs"),
         )
         .orderBy("word")

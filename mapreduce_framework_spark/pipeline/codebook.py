@@ -150,12 +150,24 @@ def _lloyd_iterations(e: DataFrame, cents: DataFrame, dim: int, iters: int) -> D
     is the (cent_id, cent, cent_norm) init."""
     for _ in range(iters):
         # nearest-1 assignment WITHOUT the consumer-facing window shape
-        # (_nearest_cells sorts per vec_id then would need a join back to
-        # recover the embedding — two corpus shuffles per iteration): a
+        # (_nearest_cells' pre-r13 window form would shuffle n×K scored
+        # rows, then need a join back to recover the embedding): a
         # partial-aggregatable min_by over struct(-ccos, cent_id) picks
-        # the same cell with the same tie-break in ONE shuffle, carrying
-        # the member vector as the payload. Exact same argmin: negation
-        # is FP-exact and struct ordering is field-lexicographic.
+        # the same cell with the same tie-break in ONE shuffle of n
+        # partially-reduced rows, carrying the member vector as payload.
+        # Round 13 note (guide §1.2 — measure before keeping a rewrite):
+        # the per-row array-argmin form that r13 adopted for
+        # similarity._nearest_cells was tried here too and MEASURED
+        # SLOWER (alternating in-process A/B at sf0.1, k=64, iters=4,
+        # dim-sized fit sample: min_by 8.3/8.8/9.4 s vs array form
+        # 10.8/10.9/11.5 s): this loop's shuffle was already reduced to n
+        # partially-aggregated best-rows (nothing like the consumers'
+        # window exchange), so the rewrite only traded a tiny shuffle for
+        # strictly more interpreted per-row HOF work (a transform over K
+        # cells × aggregate(zip_with) per cell vs one codegen-framed dot
+        # per crossJoined row + codegen'd partial min_by). Kept min_by.
+        # Exact same argmin either way: negation is FP-exact and struct
+        # ordering is field-lexicographic.
         scored = e.crossJoin(F.broadcast(cents)).select(
             "vec_id",
             "embedding",

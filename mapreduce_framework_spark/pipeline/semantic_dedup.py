@@ -118,20 +118,16 @@ def assign_cells(
             )
     else:
         cents = prepare_centroids(centroids, op="semantic dedup")
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cent_id",
-        (
-            F.expr(_DOT_SPARK.format(a="embedding", b="cent"))
-            / (F.col("norm") * F.col("cent_norm"))
-        ).alias("ccos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
-    return (
-        scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= probes)
-        .select("vec_id", "cent_id")
-    )
+    # round 13 (guide §2.4): the top-``probes`` selection is computed
+    # per row by similarity._nearest_cells' array form — the former
+    # crossJoin + row_number window shuffled n×probes×K scored rows
+    # through a hashpartitioning(vec_id) Exchange (corpus×K at 100 TB);
+    # now the assignment pass has NO shuffle at all. Same ccos fold,
+    # same (ccos desc, cent_id asc) tie-break — bit-exact drop lists
+    # (oracle-pinned by q102 and the two-SF differentials).
+    from mapreduce_framework_spark.pipeline.similarity import _nearest_cells
+
+    return _nearest_cells(e, cents, "vec_id", probes).select("vec_id", "cent_id")
 
 
 def semantic_dedup(

@@ -509,27 +509,70 @@ def ivf_stride_centroids(embs: DataFrame) -> DataFrame:
     )
 
 
-def _nearest_cells(df: DataFrame, cents: DataFrame, id_col: str, k: int) -> DataFrame:
+def _nearest_cells(
+    df: DataFrame, cents: DataFrame, id_col: str, k: int, carry: tuple = ()
+) -> DataFrame:
     """Each vector's k nearest cells by cosine (ties -> smaller cent_id):
-    one broadcast pass over ``df`` (which must carry ``norm``)."""
-    scored = df.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col),
-        "cent_id",
-        (
-            F.expr(_DOT_SPARK.format(a="embedding", b="cent"))
-            / (F.col("norm") * F.col("cent_norm"))
-        ).alias("ccos"),
+    one broadcast pass over ``df`` (which must carry ``norm``), NO shuffle.
+
+    Round 13 (guide §2.4 — remove shuffles outright): the centroid table
+    is collapsed into ONE array row (collect_list of (cent_id, cent,
+    cent_norm) structs — bounded: K is a fitted-codebook constant at
+    scale) and broadcast; each vector row scores every centroid inside a
+    single ``transform``, sorts the K (ccos, cent_id) structs with an
+    explicit (ccos desc, cent_id asc) comparator, and explodes the top k.
+    The previous form crossJoined df with the broadcast centroids and
+    took ``row_number`` over a per-id window — whose hashpartitioning(id)
+    Exchange shuffled n×K scored rows (corpus×K at 100 TB) just to order
+    per id what the broadcast pass had already computed on one row.
+
+    Bit-exact equivalence with the window form: ccos is the identical
+    _DOT_SPARK fold per (vector, centroid); the comparator is the same
+    total order the window's (desc ccos, asc cent_id) ordering used —
+    ties fully broken by cent_id, so the result is also independent of
+    collect_list's nondeterministic array order; Spark's NaN-greatest
+    comparison semantics match its NaN-first descending sort order (NaN
+    ccos is unreachable anyway: both sides are norm-gated > 0). slice()
+    past the array end returns the whole array, exactly like r <= k on a
+    short window partition.
+
+    ``carry``: extra ``df`` columns to keep on the exploded rows —
+    consumers previously re-joined on ``id_col`` to recover them (an
+    entire join removed from _ivf_postings)."""
+    cent_arr = cents.agg(
+        F.collect_list(F.struct("cent_id", "cent", "cent_norm")).alias("_cells")
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cent_id"))
-    return scored.withColumn("r", F.row_number().over(w)).where(F.col("r") <= k)
+    dot = _DOT_SPARK.format(a="embedding", b="c.cent")
+    scored = F.expr(
+        f"transform(_cells, c -> struct({dot} / (norm * c.cent_norm) AS ccos, "
+        "c.cent_id AS cent_id))"
+    )
+    cmp = (
+        "(l, r) -> CASE WHEN l.ccos > r.ccos THEN -1 WHEN r.ccos > l.ccos THEN 1 "
+        "WHEN l.cent_id < r.cent_id THEN -1 WHEN l.cent_id > r.cent_id THEN 1 "
+        "ELSE 0 END"
+    )
+    top = F.expr(f"slice(array_sort(_scored, {cmp}), 1, {int(k)})")
+    return (
+        df.crossJoin(F.broadcast(cent_arr))
+        .withColumn("_scored", scored)
+        .select(F.col(id_col), *[F.col(c) for c in carry], F.explode(top).alias("_t"))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in carry],
+            F.col("_t.cent_id").alias("cent_id"),
+            F.col("_t.ccos").alias("ccos"),
+        )
+    )
 
 
 def _ivf_postings(e: DataFrame, cents: DataFrame) -> DataFrame:
     """(cent_id, cid, ce, cnorm): every corpus vector in its nearest cell,
     with the columns exact re-ranking needs. ``e`` must carry ``norm``."""
+    # round 13: the embedding/norm ride through the assignment pass
+    # (carry=) — the join back on vec_id the window form needed is gone
     return (
-        _nearest_cells(e, cents, "vec_id", 1)
-        .join(e, "vec_id")
+        _nearest_cells(e, cents, "vec_id", 1, carry=("embedding", "norm"))
         .select(
             "cent_id",
             F.col("vec_id").alias("cid"),

@@ -577,6 +577,45 @@ def _publish_delta(
     prune_superseded_index_dirs(index_root, man)
 
 
+def _run_publish_chains(*chains) -> None:
+    """Run independent per-root publish chains CONCURRENTLY (round 13,
+    guide §2.6: Spark actions are only sequential because driver code
+    calls them sequentially; independent jobs back-fill the tail of each
+    other's stages — and each publish here is a small write job whose
+    fixed cost the sequential form paid N times end-to-end).
+
+    Each chain is a callable (or None to skip) that touches exactly ONE
+    index root. Cross-root publish ORDER was never a correctness edge: a
+    crash between any subset of a batch's publishes just redelivers the
+    batch, and every manifest re-commit replaces rather than duplicates
+    (the _publish_delta contract), so the crash states reachable under
+    concurrency are the same redelivery-recoverable states the old fixed
+    order could leave. Orderings that DO carry an invariant stay inside
+    one chain: delta → config stamp → drift log share a root's manifest
+    (never written from two threads), and signatures → bands preserves
+    _check_bands_coverage's bands ⊆ sigs coverage rule. Fencing is
+    unchanged: every chain's publish re-checks the epoch before its
+    write and the manifest commit enforces it, so a fenced writer fails
+    on every chain without committing anything.
+
+    All chains are awaited; the first failure re-raises after the rest
+    settle (same error surface as the sequential form, minus the
+    prefix-only-published guarantee that redelivery never relied on)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    live = [c for c in chains if c is not None]
+    if len(live) <= 1:
+        for c in live:
+            c()
+        return
+    with ThreadPoolExecutor(max_workers=len(live)) as pool:
+        futures = [pool.submit(c) for c in live]
+        errors = [f.exception() for f in futures]
+    for ex in errors:
+        if ex is not None:
+            raise ex
+
+
 def delta_dir(index_root: str, batch_id: int) -> str:
     """The on-disk directory of one batch's (unfolded) delta, resolved
     through the manifest — the ONLY correct way to address a delta, since
@@ -702,23 +741,33 @@ def make_ingest_batch_fn(
                 F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
             )
             admitted_docs = batch.join(best, "doc_id", "left_anti")
-        _publish_delta(
-            spark, decisions_root, batch_id, decisions, compact_every, epoch=ep_dec
-        )
         sig_delta = index_signatures(admitted_docs, shingler)
         if bands_root is not None:
             # one materialization feeds both publishes (the band rows are a
             # projection of the signature delta, not a recompute)
             sig_delta = sig_delta.localCheckpoint(eager=True)
-        _publish_delta(
-            spark, index_root, batch_id, sig_delta, compact_every, epoch=ep_idx
-        )
-        if bands_root is not None:
+
+        # round 13: decisions and signatures(+bands) go to independent
+        # roots — publish the two chains concurrently (_run_publish_chains)
+        def _chain_decisions():
             _publish_delta(
-                spark, bands_root, batch_id, banded_signatures(sig_delta),
-                compact_every, epoch=ep_bands,
-                compact_transform=bands_transform,
+                spark, decisions_root, batch_id, decisions, compact_every,
+                epoch=ep_dec,
             )
+
+        def _chain_sig():
+            _publish_delta(
+                spark, index_root, batch_id, sig_delta, compact_every,
+                epoch=ep_idx,
+            )
+            if bands_root is not None:
+                _publish_delta(
+                    spark, bands_root, batch_id, banded_signatures(sig_delta),
+                    compact_every, epoch=ep_bands,
+                    compact_transform=bands_transform,
+                )
+
+        _run_publish_chains(_chain_decisions, _chain_sig)
 
     return apply_batch
 
@@ -870,22 +919,31 @@ def make_semantic_ingest_batch_fn(
                 F.coalesce("cos", F.lit(0.0)).alias("cos"),
             )
             admitted = batch.join(best, "vec_id", "left_anti")
-        _publish_delta(
-            spark, decisions_root, batch_id, decisions, compact_every, epoch=ep_dec
-        )
-        _publish_delta(
-            spark, index_root, batch_id, semantic_index(admitted, centroids),
-            compact_every, epoch=ep_idx,
-            compact_transform=cells_transform,
-        )
-        _stamp_codebook(index_root, cb_fp, epoch=ep_idx)
-        # drift trigger: log the WHOLE batch's quantization error under the
-        # held codebook (admitted + rejected — rejects carry drift signal
-        # too), so needs_refit() can read the trend
-        _log_drift(
-            index_root, batch_id, _batch_quantization_error(batch, centroids),
-            epoch=ep_idx,
-        )
+        # round 13: two independent roots — concurrent publish chains
+        # (_run_publish_chains); the index chain keeps its internal
+        # delta → stamp → drift order (one manifest, one thread)
+        def _chain_decisions():
+            _publish_delta(
+                spark, decisions_root, batch_id, decisions, compact_every,
+                epoch=ep_dec,
+            )
+
+        def _chain_sem():
+            _publish_delta(
+                spark, index_root, batch_id, semantic_index(admitted, centroids),
+                compact_every, epoch=ep_idx,
+                compact_transform=cells_transform,
+            )
+            _stamp_codebook(index_root, cb_fp, epoch=ep_idx)
+            # drift trigger: log the WHOLE batch's quantization error under
+            # the held codebook (admitted + rejected — rejects carry drift
+            # signal too), so needs_refit() can read the trend
+            _log_drift(
+                index_root, batch_id, _batch_quantization_error(batch, centroids),
+                epoch=ep_idx,
+            )
+
+        _run_publish_chains(_chain_decisions, _chain_sem)
 
     return apply_batch
 
@@ -1278,43 +1336,60 @@ def make_cascade_ingest_batch_fn(
             .when(F.col("ct_frac").isNotNull(), F.lit("contaminated"))
             .alias("tier"),
         )
-        _publish_delta(
-            spark, decisions_root, batch_id, decisions, compact_every, epoch=ep_dec
-        )
-        _publish_delta(
-            spark, fp_index_root, batch_id,
-            exact_fingerprint_index(admitted, distinct=fp_distinct),
-            compact_every, epoch=ep_fp,
-            compact_transform=fp_transform,
-        )
+        # round 13: one materialization of `admitted` feeds every index
+        # delta; the per-root publish chains run concurrently (see
+        # _run_publish_chains — same rationale as the full cascade)
+        admitted = admitted.localCheckpoint(eager=True)
         sig_delta = index_signatures(admitted, shingler)
         if sig_bands_root is not None:
             sig_delta = sig_delta.localCheckpoint(eager=True)
-        _publish_delta(
-            spark, sig_index_root, batch_id, sig_delta, compact_every, epoch=ep_sig
-        )
-        if sig_bands_root is not None:
+
+        def _chain_decisions():
             _publish_delta(
-                spark, sig_bands_root, batch_id, banded_signatures(sig_delta),
-                compact_every, epoch=ep_bands,
-                compact_transform=bands_transform,
+                spark, decisions_root, batch_id, decisions, compact_every,
+                epoch=ep_dec,
             )
+
+        def _chain_fp():
+            _publish_delta(
+                spark, fp_index_root, batch_id,
+                exact_fingerprint_index(admitted, distinct=fp_distinct),
+                compact_every, epoch=ep_fp,
+                compact_transform=fp_transform,
+            )
+
+        def _chain_sig():
+            _publish_delta(
+                spark, sig_index_root, batch_id, sig_delta, compact_every,
+                epoch=ep_sig,
+            )
+            if sig_bands_root is not None:
+                _publish_delta(
+                    spark, sig_bands_root, batch_id, banded_signatures(sig_delta),
+                    compact_every, epoch=ep_bands,
+                    compact_transform=bands_transform,
+                )
+
+        _chain_ph = None
         if phash_index_root is not None:
             from mapreduce_framework_spark.pipeline.multimodal_dedup import (
                 phash_index,
             )
 
-            _publish_delta(
-                spark,
-                phash_index_root,
-                batch_id,
-                phash_index(
-                    admitted.select("doc_id", "text"), cells=phash_cells
-                ),
-                compact_every,
-                epoch=ep_ph,
-            )
-            _stamp_phash_config(phash_index_root, ph_fp, epoch=ep_ph)
+            def _chain_ph():
+                _publish_delta(
+                    spark,
+                    phash_index_root,
+                    batch_id,
+                    phash_index(
+                        admitted.select("doc_id", "text"), cells=phash_cells
+                    ),
+                    compact_every,
+                    epoch=ep_ph,
+                )
+                _stamp_phash_config(phash_index_root, ph_fp, epoch=ep_ph)
+
+        _run_publish_chains(_chain_decisions, _chain_fp, _chain_sig, _chain_ph)
 
     return apply_batch
 
@@ -1769,60 +1844,85 @@ def make_full_cascade_ingest_batch_fn(
             .when(F.col("ct_frac").isNotNull(), F.lit("contaminated"))
             .alias("tier"),
         )
-        _publish_delta(
-            spark, decisions_root, batch_id, decisions, compact_every, epoch=ep_dec
-        )
-        _publish_delta(
-            spark, fp_index_root, batch_id,
-            exact_fingerprint_index(admitted, distinct=fp_distinct),
-            compact_every, epoch=ep_fp,
-            compact_transform=fp_transform,
-        )
+        # round 13 (guide §2.3/§2.6): `admitted` feeds FOUR index deltas
+        # (fp / signatures / phash / semantic) — materialize its anti-join
+        # chain once instead of re-executing it inside every publish, then
+        # run the five per-root publish chains concurrently (each is a
+        # small independent write job; see _run_publish_chains for why
+        # cross-root order carries no invariant).
+        admitted = admitted.localCheckpoint(eager=True)
         sig_delta = index_signatures(admitted, shingler)
         if sig_bands_root is not None:
             sig_delta = sig_delta.localCheckpoint(eager=True)
-        _publish_delta(
-            spark, sig_index_root, batch_id, sig_delta, compact_every, epoch=ep_sig
-        )
-        if sig_bands_root is not None:
+
+        def _chain_decisions():
             _publish_delta(
-                spark, sig_bands_root, batch_id, banded_signatures(sig_delta),
-                compact_every, epoch=ep_bands,
-                compact_transform=bands_transform,
+                spark, decisions_root, batch_id, decisions, compact_every,
+                epoch=ep_dec,
             )
+
+        def _chain_fp():
+            _publish_delta(
+                spark, fp_index_root, batch_id,
+                exact_fingerprint_index(admitted, distinct=fp_distinct),
+                compact_every, epoch=ep_fp,
+                compact_transform=fp_transform,
+            )
+
+        def _chain_sig():
+            _publish_delta(
+                spark, sig_index_root, batch_id, sig_delta, compact_every,
+                epoch=ep_sig,
+            )
+            if sig_bands_root is not None:
+                _publish_delta(
+                    spark, sig_bands_root, batch_id, banded_signatures(sig_delta),
+                    compact_every, epoch=ep_bands,
+                    compact_transform=bands_transform,
+                )
+
+        _chain_ph = None
         if phash_index_root is not None:
             from mapreduce_framework_spark.pipeline.multimodal_dedup import (
                 phash_index,
             )
 
+            def _chain_ph():
+                _publish_delta(
+                    spark,
+                    phash_index_root,
+                    batch_id,
+                    phash_index(
+                        admitted.select("doc_id", "text"), cells=phash_cells
+                    ),
+                    compact_every,
+                    epoch=ep_ph,
+                )
+                _stamp_phash_config(phash_index_root, ph_fp, epoch=ep_ph)
+
+        def _chain_sem():
             _publish_delta(
                 spark,
-                phash_index_root,
+                sem_index_root,
                 batch_id,
-                phash_index(
-                    admitted.select("doc_id", "text"), cells=phash_cells
-                ),
+                semantic_index(_sem_side(admitted), centroids),
                 compact_every,
-                epoch=ep_ph,
+                epoch=ep_sem,
+                compact_transform=cells_transform,
             )
-            _stamp_phash_config(phash_index_root, ph_fp, epoch=ep_ph)
-        _publish_delta(
-            spark,
-            sem_index_root,
-            batch_id,
-            semantic_index(_sem_side(admitted), centroids),
-            compact_every,
-            epoch=ep_sem,
-            compact_transform=cells_transform,
-        )
-        _stamp_codebook(sem_index_root, cb_fp, epoch=ep_sem)
-        # drift trigger (see make_semantic_ingest_batch_fn): the statistic
-        # is over every embedded doc of the batch, regardless of tier
-        _log_drift(
-            sem_index_root,
-            batch_id,
-            _batch_quantization_error(_sem_side(batch), centroids),
-            epoch=ep_sem,
+            _stamp_codebook(sem_index_root, cb_fp, epoch=ep_sem)
+            # drift trigger (see make_semantic_ingest_batch_fn): the
+            # statistic is over every embedded doc of the batch,
+            # regardless of tier
+            _log_drift(
+                sem_index_root,
+                batch_id,
+                _batch_quantization_error(_sem_side(batch), centroids),
+                epoch=ep_sem,
+            )
+
+        _run_publish_chains(
+            _chain_decisions, _chain_fp, _chain_sig, _chain_ph, _chain_sem
         )
 
     return apply_batch

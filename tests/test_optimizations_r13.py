@@ -1,0 +1,190 @@
+"""Round-13 optimization pins: each test freezes the EQUIVALENCE argument
+of one plan rewrite (OPTIMIZATION_r13.md) against an in-test reference
+implementation, so a later regression of the optimized form is caught by
+its own differential, not only by the end-to-end oracles."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+
+def _window_nearest_cells(df, cents, id_col, k):
+    """The pre-r13 reference form of similarity._nearest_cells: crossJoin
+    + row_number over a per-id window (kept verbatim as the differential
+    reference)."""
+    from mapreduce_framework_spark.pipeline.similarity import _DOT_SPARK
+
+    scored = df.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        "cent_id",
+        (
+            F.expr(_DOT_SPARK.format(a="embedding", b="cent"))
+            / (F.col("norm") * F.col("cent_norm"))
+        ).alias("ccos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    return scored.withColumn("r", F.row_number().over(w)).where(F.col("r") <= k)
+
+
+def test_nearest_cells_matches_window_reference(spark):
+    """The r13 array-form top-k (one broadcast array row, per-row
+    transform + comparator sort + slice) must match the window form
+    row-for-row — including exact-tie cases (duplicate centroids with
+    distinct cent_ids → tie broken by smaller cent_id) and k larger than
+    the centroid count."""
+    from mapreduce_framework_spark.pipeline.similarity import (
+        _nearest_cells,
+        _norms_spark,
+    )
+
+    rng = random.Random(13)
+    dim = 4
+    vecs = [
+        [round(rng.uniform(-2, 2), 3) for _ in range(dim)] for _ in range(37)
+    ]
+    # duplicate vectors → identical rows must get identical assignments
+    vecs += vecs[:5]
+    cents_raw = [[round(rng.uniform(-2, 2), 3) for _ in range(dim)] for _ in range(7)]
+    # duplicate centroid under a different cent_id → exact ccos tie
+    cents_raw.append(list(cents_raw[0]))
+    embs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in enumerate(vecs)]
+    )
+    cents = _norms_spark(
+        spark.createDataFrame(
+            [Row(vec_id=i, embedding=v) for i, v in enumerate(cents_raw)]
+        )
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent"),
+        F.col("norm").alias("cent_norm"),
+    )
+    e = _norms_spark(embs)
+    for k in (1, 2, 3, len(cents_raw) + 5):
+        got = sorted(
+            (r["vec_id"], r["cent_id"], r["ccos"])
+            for r in _nearest_cells(e, cents, "vec_id", k).collect()
+        )
+        want = sorted(
+            (r["vec_id"], r["cent_id"], r["ccos"])
+            for r in _window_nearest_cells(e, cents, "vec_id", k).collect()
+        )
+        assert got == want, f"k={k}"
+
+
+def test_nearest_cells_carry_columns_match_join_back(spark):
+    """carry= must reproduce exactly what the old join-back on id
+    recovered (the _ivf_postings rewrite)."""
+    from mapreduce_framework_spark.pipeline.similarity import (
+        _nearest_cells,
+        _norms_spark,
+    )
+
+    rng = random.Random(7)
+    embs = spark.createDataFrame(
+        [
+            Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(3)])
+            for i in range(20)
+        ]
+    )
+    cents = _norms_spark(embs.where(F.col("vec_id") % 5 == 0)).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent"),
+        F.col("norm").alias("cent_norm"),
+    )
+    e = _norms_spark(embs)
+    carried = {
+        (r["vec_id"], r["cent_id"], tuple(r["embedding"]), r["norm"])
+        for r in _nearest_cells(
+            e, cents, "vec_id", 1, carry=("embedding", "norm")
+        ).collect()
+    }
+    joined = {
+        (r["vec_id"], r["cent_id"], tuple(r["embedding"]), r["norm"])
+        for r in _nearest_cells(e, cents, "vec_id", 1)
+        .join(e, "vec_id")
+        .select("vec_id", "cent_id", "embedding", "norm")
+        .collect()
+    }
+    assert carried == joined
+
+
+def _model_fold(ops_rows):
+    """Sequential reference of the KV fold (src/models/kv.go:40-54)."""
+    state: dict[str, str] = {}
+    for _, key, op, value in sorted(ops_rows):
+        if op == "get":
+            continue
+        prev = state.get(key, "")
+        if op == "put":
+            state[key] = value if value is not None else ""
+        else:
+            state[key] = prev + (value if value is not None else "")
+    return state
+
+
+def test_fold_spark_matches_sequential_model(spark):
+    """The r13 aggregate()-fold form of kv._fold_spark must equal the
+    imperative replay — including keys with no put, puts after appends,
+    NULL values (behave as ''), and a key whose ops are only gets
+    (dropped)."""
+    from mapreduce_framework_spark.operators.kv import _fold_spark
+
+    rng = random.Random(3)
+    rows = []
+    eid = 0
+    for key in ["a", "b", "c", "noput", "getonly"]:
+        for _ in range(rng.randint(1, 12)):
+            eid += 1
+            if key == "getonly":
+                op = "get"
+            elif key == "noput":
+                op = rng.choice(["append", "get"])
+            else:
+                op = rng.choice(["put", "append", "get"])
+            val = rng.choice([None, "x", "yz", f"v{eid}"])
+            rows.append((eid, key, op, val))
+    df = spark.createDataFrame(
+        [
+            Row(ts=float(eid_), event_id=eid_, key=k, op=o, value=v)
+            for eid_, k, o, v in rows
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["key"]: r["value"] for r in _fold_spark(df).collect()}
+    model = _model_fold([(r[0], r[1], r[2], r[3]) for r in rows])
+    want = {
+        k: v
+        for k, v in model.items()
+        if any(r[1] == k and r[2] != "get" for r in rows)
+    }
+    assert got == want
+
+
+def test_run_publish_chains_runs_all_and_raises_first(tmp_path):
+    """_run_publish_chains must execute every chain (no short-circuit)
+    and surface a failure as an exception after all chains settle."""
+    from mapreduce_framework_spark.streaming.ingest import _run_publish_chains
+
+    ran = []
+
+    def ok_a():
+        ran.append("a")
+
+    def boom():
+        ran.append("boom")
+        raise RuntimeError("chain failed")
+
+    def ok_b():
+        ran.append("b")
+
+    with pytest.raises(RuntimeError, match="chain failed"):
+        _run_publish_chains(ok_a, None, boom, ok_b)
+    assert sorted(ran) == ["a", "b", "boom"]
+    # the degenerate single-chain path runs inline
+    ran.clear()
+    _run_publish_chains(None, ok_a, None)
+    assert ran == ["a"]
