@@ -156,7 +156,15 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _exact_jaccard_pairs(sh: DataFrame) -> DataFrame:
-    """All-pairs exact Jaccard over shingle sets (id1 < id2)."""
+    """All-pairs exact Jaccard over shingle sets (id1 < id2).
+
+    The shingle frame is materialized once (r13, guide §5; the q84
+    precedent at char_ngram's builder): it feeds BOTH self-join sides and
+    the per-doc size aggregate — lazy, each consumer re-tokenizes the
+    corpus (4 scans in plans/r13/q30_ngram_jaccard_neardup_before.txt).
+    The exact all-pairs candidate join itself is deliberately untouched:
+    this builder IS the brute-force oracle pinning q31/q84."""
+    sh = sh.localCheckpoint(eager=True)
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

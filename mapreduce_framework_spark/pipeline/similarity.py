@@ -228,7 +228,14 @@ def q35_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall vs the exact q34 is asserted in tests/test_pipeline.py; the
     DuckDB oracle replays the identical deterministic pipeline."""
     e = _norms_spark(table(spark, "embeddings", sf_dir))
-    buckets = lsh_buckets(e)
+    # materialize the bucket frame once (r13, guide §5): it feeds BOTH
+    # join sides (queries + corpus) and lazy each side re-computes the
+    # 8-table x 4-plane projection pass over the whole corpus (2 of the
+    # 4 scans in plans/r13/q35_ann_lsh_before.txt). Rows are (vec_id,
+    # tbl, bucket) — ~20 B x 8 per vector, far smaller than the
+    # embeddings they replace. In-process alternating A/B at sf0.1:
+    # 1.54 s vs 1.91 s warm (-19%), cold 6.5 s vs 18.5 s.
+    buckets = lsh_buckets(e).localCheckpoint(eager=True)
     qb = buckets.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), "tbl", "bucket"
     )

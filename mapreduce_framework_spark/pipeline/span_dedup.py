@@ -99,6 +99,15 @@ def span_dedup(docs: DataFrame) -> DataFrame:
             F.raise_error(F.lit(f"span_dedup: document exceeds {_POS_CAP} blocks"))
         ),
     )
+    # materialize the instance frame once (r13, guide §5; the
+    # exact_substring_dedup precedent below): lazy, the three consumers
+    # (keep-first min, the kept join, per-doc totals) each re-run the
+    # tokenizer + block build over the whole corpus — 3 scans in
+    # plans/r13/q101_span_dedup_before.txt. One tokenize pass + a
+    # local persist (~2x corpus bytes: block text + md5/key) replaces two
+    # extra source scans; `base` below stays a doc_id-only column-pruned
+    # scan of the source.
+    inst = inst.localCheckpoint(eager=True)
     first = inst.groupBy("bh").agg(F.min("key").alias("min_key"))
     kept = inst.join(first, "bh").where(F.col("key") == F.col("min_key"))
     reassembled = kept.groupBy("doc_id").agg(

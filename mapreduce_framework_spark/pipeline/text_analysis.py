@@ -259,14 +259,27 @@ def tfidf_topk(docs: DataFrame, top_k: int = TFIDF_TOP_K) -> DataFrame:
     cross-engine bit-exact, not just the ranking); ties break by word
     ascending. The term-frequency and document-frequency aggregates are
     both map-side partial; the tf⋈df join is keyed on word, where both
-    sides are already co-partitioned after their aggregates."""
+    sides are already co-partitioned after their aggregates.
+
+    Single-scan shape (r13, guide §2.3/§2.4): df is derived FROM tf, but
+    Catalyst's column pruning rewrites the df branch's partial aggregate
+    to a count-free distinct — making its shuffle differ from tf's, so
+    exchange reuse never fires and the corpus is scanned and tokenized
+    TWICE (plans/r13/q92_tfidf_topk_before.txt operators (1)-(6) vs
+    (7)-(15)). The ``tf >= 1`` filter below is a provable no-op
+    (count(1) of a group is >= 1 by construction — same on both engines,
+    the oracle is unchanged) whose only effect is to keep the count in
+    the df branch's aggregate, making the two (doc_id, word) exchanges
+    canonically identical so AQE's stage cache reuses the materialized
+    shuffle: ONE scan+tokenize+partial-aggregate feeds both branches
+    (ReusedQueryStage in plans/r13/q92_tfidf_topk_after_final.txt)."""
     from pyspark.sql.window import Window
 
     from mapreduce_framework_spark.functions.text import explode_tokens
 
     tok = explode_tokens(docs, F.lower(F.col("text")), out="word", keep=["doc_id"])
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    df = tf.where(F.col("tf") >= 1).groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     s = tf.join(df, "word").select(
         "doc_id",
         "word",

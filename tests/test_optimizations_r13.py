@@ -164,6 +164,105 @@ def test_fold_spark_matches_sequential_model(spark):
     assert got == want
 
 
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_tfidf_df_barrier_is_noop_and_reuses_exchange(spark):
+    """The r13 q92 single-scan rewrite hangs on two claims: (1) the
+    ``tf >= 1`` filter keeps every row (count(1) of a group is >= 1), so
+    results are identical to the unfiltered form; (2) it stops column
+    pruning from rewriting the df branch's aggregate, making the two
+    (doc_id, word) exchanges canonically identical so AQE's stage cache
+    materializes the tokenize+partial-aggregate ONCE (ReusedExchange in
+    the executed plan)."""
+    from pyspark.sql import Row
+
+    from mapreduce_framework_spark.pipeline.text_analysis import (
+        _IDF_SCALE,
+        tfidf_topk,
+    )
+
+    rng = random.Random(92)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    docs = spark.createDataFrame(
+        [
+            Row(
+                doc_id=i,
+                text=" ".join(rng.choice(words) for _ in range(rng.randint(3, 30))),
+            )
+            for i in range(40)
+        ]
+    )
+    # reference = the pre-r13 form without the barrier filter
+    from mapreduce_framework_spark.functions.text import explode_tokens
+
+    tok = explode_tokens(docs, F.lower(F.col("text")), out="word", keep=["doc_id"])
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    s = tf.join(dfr, "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        "df",
+        F.expr(f"CAST(tf * {_IDF_SCALE} div df AS BIGINT)").alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("word").asc())
+    ref = (
+        s.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+    )
+    got = tfidf_topk(docs)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    got.collect()  # force execution so the AQE final plan exists
+    final = got._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, final
+
+
+def test_span_dedup_single_tokenize_pass(spark, sf_dir):
+    """The r13 q101 rewrite materializes the block-instance frame once:
+    the built plan must read the checkpointed RDD (ExistingRDD) for the
+    keep-first / kept / totals consumers, and the only remaining source
+    scan is the column-pruned doc_id base scan. Result equivalence is
+    carried by test_span_dedup's DuckDB differential + property model."""
+    from mapreduce_framework_spark.pipeline.span_dedup import q101_span_dedup
+
+    plan = _formatted_plan(q101_span_dedup(spark, sf_dir))
+    assert plan.count(") Scan ExistingRDD") == 3, plan
+    assert plan.count(") Scan parquet") == 1, plan  # doc_id-only base scan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
+
+
+def test_exact_jaccard_single_tokenize_pass(spark, sf_dir):
+    """The r13 q30 rewrite materializes the shingle frame once: the built
+    plan must read the checkpointed RDD for all four consumers (both
+    self-join sides + the two size projections) and contain NO source
+    scan (the one corpus scan runs at checkpoint build). Exactness is
+    carried by test_queries_oracle's retired-q30/q72 differentials."""
+    from mapreduce_framework_spark.pipeline.dedup import (
+        q30_ngram_jaccard_neardup,
+    )
+
+    plan = _formatted_plan(q30_ngram_jaccard_neardup(spark, sf_dir))
+    assert plan.count(") Scan ExistingRDD") == 4, plan
+    assert plan.count(") Scan parquet") == 0, plan
+
+
+def test_ann_lsh_single_bucket_pass(spark, sf_dir):
+    """The r13 q35 rewrite materializes the LSH bucket frame once: both
+    candidate-join sides must read the checkpointed RDD, and the only
+    remaining embeddings scans are the two exact-re-rank sides.
+    Correctness is carried by the registered oracle differential."""
+    from mapreduce_framework_spark.pipeline.similarity import q35_ann_lsh
+
+    plan = _formatted_plan(q35_ann_lsh(spark, sf_dir))
+    assert plan.count(") Scan ExistingRDD") == 2, plan
+    assert plan.count(") Scan parquet") == 2, plan
+
+
 def test_run_publish_chains_runs_all_and_raises_first(tmp_path):
     """_run_publish_chains must execute every chain (no short-circuit)
     and surface a failure as an exception after all chains settle."""
