@@ -706,9 +706,25 @@ def ann_ivf(
     executor, independent of corpus size. Default: the stride-derived
     deterministic codebook (cardinality n/stride; test/oracle form only).
     An explicitly-passed empty codebook raises."""
-    e = _norms_spark(embs)
+    # materialize the normed frame once (r13, guide §5): it feeds the
+    # assignment pass, the query filter, and the exact re-rank side — and
+    # with stride centroids, BOTH _nearest_cells centroid aggregations —
+    # lazy, each consumer re-scanned + re-normed the embeddings (6 scans
+    # in plans/r13/q56_ann_ivf_before.txt). The stride-centroid frame is
+    # derived from the SAME checkpointed rows (identical expression
+    # pipeline as ivf_stride_centroids, so values are bit-identical).
+    # In-process alternating A/B at sf0.1: warm unchanged (2.02 s both —
+    # the repeated subtrees were page-cache-cheap locally), cold 3.3 s vs
+    # 8.8 s (-63%); at scale this is 1 corpus pass instead of 6.
+    e = _norms_spark(embs).localCheckpoint(eager=True)
     cents = (
-        ivf_stride_centroids(embs) if centroids is None else prepare_centroids(centroids)
+        e.where((F.col("vec_id") % IVF_CENTROID_STRIDE) == 0).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent"),
+            F.col("norm").alias("cent_norm"),
+        )
+        if centroids is None
+        else prepare_centroids(centroids)
     )
     return _ivf_probe(
         _ivf_postings(e, cents),

@@ -263,6 +263,20 @@ def test_ann_lsh_single_bucket_pass(spark, sf_dir):
     assert plan.count(") Scan parquet") == 2, plan
 
 
+def test_ann_ivf_single_norms_pass(spark, sf_dir):
+    """The r13 q56 rewrite materializes the normed-embeddings frame once
+    and derives the stride centroids from it: the built plan must contain
+    NO source scan (one scan runs at checkpoint build) — assignment,
+    queries, re-rank, and both centroid aggregations all read the
+    checkpointed RDD. Correctness is carried by the registered oracle
+    differential + test_pipeline's default-vs-explicit-centroid identity."""
+    from mapreduce_framework_spark.pipeline.similarity import q56_ann_ivf
+
+    plan = _formatted_plan(q56_ann_ivf(spark, sf_dir))
+    assert plan.count(") Scan parquet") == 0, plan
+    assert plan.count(") Scan ExistingRDD") >= 5, plan
+
+
 def test_run_publish_chains_runs_all_and_raises_first(tmp_path):
     """_run_publish_chains must execute every chain (no short-circuit)
     and surface a failure as an exception after all chains settle."""
