@@ -959,6 +959,48 @@ def banded_signatures(
     return bands if band_cap is None else cap_banded(bands, band_cap)
 
 
+def publish_banded_bucketed(
+    bands: DataFrame,
+    name: str,
+    path: str,
+    n_buckets: int | None = None,
+) -> None:
+    """Persist a ``banded_signatures`` artifact as a BUCKETED external
+    table on the candidate-join key (round 14, guide §6 / VERDICT r13
+    item 3): ``bucketBy(n, band, bsig)`` pre-shuffles the index ONCE at
+    write time, so every later ``match_batch`` candidate join reads the
+    index side already hash-partitioned — the per-batch probe pays an
+    Exchange only on the (small) batch side. This matters exactly when
+    the batch is too large for a broadcast: below the broadcast
+    threshold the planner ships the batch side and the index never
+    shuffles anyway; above it, the plain-parquet layout re-exchanges the
+    ENTIRE band index on every batch while this layout never does
+    (pinned by tests/test_optimizations_r14.py::
+    test_bucketed_bands_probe_side_has_no_exchange; row identity by
+    ::test_bucketed_bands_match_identity — the layout is physical, the
+    band frame's contents are byte-identical).
+
+    ``n_buckets`` sizes the probe stage's parallelism and per-bucket
+    bytes: target the 100 MB–1 GB/bucket band (guide §2.2) — a band
+    frame is ~17 raw B/row × 16 rows/doc, so ~4 billion docs/TB of band
+    rows wants thousands of buckets at 100 TB; the local default
+    (SPARK_GRAFT_BAND_BUCKETS, 32) matches the test-scale core count.
+    Shingle-agnostic like the rest of the lifecycle: the same call
+    publishes the word-shingle (q91) and char-shingle (q84 tier) band
+    indexes. Catalog note: ``saveAsTable`` registers ``name`` in the
+    session catalog with the bucket spec; readers in a NEW session must
+    re-register the table (same DDL) — reading the bare parquet path
+    still works but degrades to the unbucketed plan."""
+    import os as _os
+
+    from mapreduce_framework_spark.storage import write_bucketed
+
+    n = n_buckets or int(_os.environ.get("SPARK_GRAFT_BAND_BUCKETS", "32"))
+    write_bucketed(
+        bands, name, path, ["band", "bsig"], n, sort_cols=["band", "bsig", "doc_id"]
+    )
+
+
 def match_batch(
     index_sigs: DataFrame,
     new_docs: DataFrame,
