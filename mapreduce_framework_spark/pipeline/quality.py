@@ -43,35 +43,48 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     """Per-doc repetition signals over any (doc_id, text, ...) frame.
 
     Adds n_tokens, n_distinct, dup_frac, top2_count, top2_frac, and the
-    is_repetitive flag. The top-2-gram mode is computed distributively
-    (explode → count per (doc, gram) → max per doc), so per-task memory is
-    independent of document count and document length.
+    is_repetitive flag. The top-2-gram mode is computed PER ROW — run
+    length over the lexicographically sorted gram array (equal grams are
+    adjacent after array_sort, so the longest equal run IS the max
+    multiplicity) — instead of the pre-r14 distributed shape (explode →
+    count per (doc, gram) shuffle → max per doc → join back on doc_id):
+    one corpus scan, ZERO shuffles, where the old plan scanned the corpus
+    twice and shipped every distinct (doc, gram) pair through an exchange
+    plus a doc_id join (A/B at a 30× corpus: 2.1× faster, and at 100 TB
+    the removed exchange is corpus-sized — OPTIMIZATION_r14.md §5).
+    Per-task memory is O(longest document) — the same class as the token
+    array both shapes already materialize per row (the old gram branch
+    built the full transform() array before exploding it); the sort adds
+    a transient second copy of that row's grams. Equivalence on clean,
+    empty, NULL-text and tie-heavy inputs is pinned by
+    tests/test_optimizations_r14.py::test_repetition_stats_rowwise_matches_distributed.
+    """
+    # NULL toks (NULL text) must land in ELSE (top2 = 0, matching the old
+    # left-join miss + coalesce), so the guard is >= 2, not < 2 inverted.
+    top2_rowwise = """
+    CASE WHEN size(toks) >= 2 THEN
+      aggregate(
+        array_sort(transform(sequence(0, size(toks) - 2),
+                             i -> concat(toks[i], ' ', toks[i + 1]))),
+        named_struct('best', CAST(0 AS BIGINT), 'run', CAST(0 AS BIGINT),
+                     'prev', CAST(NULL AS STRING)),
+        (acc, g) -> named_struct(
+            'best', greatest(acc.best,
+                             IF(acc.prev IS NOT NULL AND g = acc.prev,
+                                acc.run + 1, CAST(1 AS BIGINT))),
+            'run', IF(acc.prev IS NOT NULL AND g = acc.prev,
+                      acc.run + 1, CAST(1 AS BIGINT)),
+            'prev', g),
+        acc -> acc.best)
+    ELSE CAST(0 AS BIGINT) END
     """
     t = docs.select("doc_id", tokenize("text").alias("toks"))
-    base = t.select(
+    j = t.select(
         "doc_id",
         F.size("toks").cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
-    )
-    grams = (
-        t.where(F.size("toks") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(toks) - 2),"
-                    " i -> concat(toks[i], ' ', toks[i + 1]))"
-                )
-            ).alias("gram"),
-        )
-    )
-    top = (
-        grams.groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.max("cnt").alias("top2_count"))
-    )
-    j = base.join(top, "doc_id", "left").select(
+        F.expr(top2_rowwise).alias("top2_count"),
+    ).select(
         "doc_id",
         "n_tokens",
         "n_distinct",
@@ -81,11 +94,10 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
-        F.coalesce(F.col("top2_count"), F.lit(0)).cast("bigint").alias("top2_count"),
+        "top2_count",
         F.when(
             F.col("n_tokens") > 1,
-            F.coalesce(F.col("top2_count"), F.lit(0)).cast("double")
-            / (F.col("n_tokens") - 1),
+            F.col("top2_count").cast("double") / (F.col("n_tokens") - 1),
         )
         .otherwise(F.lit(0.0))
         .alias("top2_frac"),

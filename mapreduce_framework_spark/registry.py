@@ -195,6 +195,15 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 # promote the highest-value staged candidate available at curation time,
 # or leave the slot to the rotation if none meets the bar.
 #
+# ROUND-14 DECISION (2026-08-18, optimization round 2 of 2): DEFERRED to
+# the next build round. Round 14 is an optimization round whose brief
+# forbids registry/feature changes ("a query that disappeared makes the
+# round a REGRESSION regardless of speed"), no newcomer is staged to fund
+# the slot, and retiring q69 has zero performance value — it is purely a
+# correctness-artifact curation. Everything above stays true and ready:
+# q69 rotates into the r14 window as scheduled (rows-only, by design),
+# and the next BUILD round should execute the swap per the q29 pattern.
+#
 # The curated order below puts, inside the window: (a) every query new
 # or changed this round, (b) every query whose last driver row is a full
 # round old (rotation). Long-stable queries rotate behind position 50

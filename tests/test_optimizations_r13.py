@@ -214,6 +214,13 @@ def test_tfidf_df_barrier_is_noop_and_reuses_exchange(spark):
         s.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= 3)
     )
+    # The single-scan shape depends on AQE + exchange reuse being ON
+    # (ADVICE r13): assert the session configs so a config drift fails
+    # HERE, loudly, instead of surfacing as a silent 2x-scan perf
+    # regression. (Correctness never depends on them — the filter is a
+    # provable no-op either way, as the row comparison above shows.)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.exchange.reuse", "true") == "true"
     got = tfidf_topk(docs)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
     got.collect()  # force execution so the AQE final plan exists

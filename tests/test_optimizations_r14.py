@@ -2,7 +2,10 @@
 
 Focused tests for the operator internals this round touched:
 - the publish-chain pool-width knob (SPARK_GRAFT_PUBLISH_CONCURRENCY),
-- the bucketed banded-index layout (publish/match identity + plan shape).
+- the bucketed banded-index layout (publish/match identity + plan shape),
+- q88's per-row top-2-gram rewrite (equivalence vs the pre-r14
+  distributed shape on clean/empty/NULL/tie-heavy inputs + plan shape),
+- q90's materialized narrow tok frame (plan shape: one corpus scan).
 """
 
 from __future__ import annotations
@@ -191,3 +194,115 @@ def test_bucketed_bands_probe_side_has_no_exchange(spark, banded_fixture):
     assert n_plain >= 2  # both candidate-join sides shuffled
     assert 1 <= n_bucketed <= n_plain // 2  # every index side exchange-free
     assert "Bucketed: true" in plan_b
+
+
+def _repetition_stats_distributed(docs):
+    """The pre-r14 distributed shape of repetition_stats (explode ->
+    (doc, gram) count -> max -> join back), kept verbatim as the
+    equivalence oracle for the per-row rewrite."""
+    from mapreduce_framework_spark.functions.text import tokenize
+    from mapreduce_framework_spark.pipeline.quality import (
+        DUP_FRAC_MAX,
+        TOP2_FRAC_MAX,
+    )
+
+    t = docs.select("doc_id", tokenize("text").alias("toks"))
+    base = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+    )
+    grams = t.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat(toks[i], ' ', toks[i + 1]))"
+            )
+        ).alias("gram"),
+    )
+    top = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top2_count"))
+    )
+    j = base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.when(
+            F.col("n_tokens") > 0,
+            1 - F.col("n_distinct").cast("double") / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+        F.coalesce(F.col("top2_count"), F.lit(0)).cast("bigint").alias("top2_count"),
+        F.when(
+            F.col("n_tokens") > 1,
+            F.coalesce(F.col("top2_count"), F.lit(0)).cast("double")
+            / (F.col("n_tokens") - 1),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top2_frac"),
+    )
+    return j.withColumn(
+        "is_repetitive",
+        (F.col("dup_frac") > DUP_FRAC_MAX) | (F.col("top2_frac") > TOP2_FRAC_MAX),
+    )
+
+
+def test_repetition_stats_rowwise_matches_distributed(spark, sf_dir):
+    """The per-row top-2 rewrite returns row-identical results to the
+    pre-r14 distributed shape — on the real corpus AND on adversarial
+    rows (NULL text, empty, one token, all-identical grams, ties between
+    two gram runs, separator-only text)."""
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.quality import repetition_stats
+
+    docs = table(spark, "documents", sf_dir).select("doc_id", "text")
+    dirty = spark.createDataFrame(
+        [
+            (10_000_001, None),
+            (10_000_002, ""),
+            (10_000_003, "one"),
+            (10_000_004, "a a a a a a"),          # single dominant 2-gram run
+            (10_000_005, "a b a b a b"),          # alternating: 'a b' vs 'b a' tie
+            (10_000_006, "x y x y z z z z"),      # tie broken by a later run
+            (10_000_007, "..., !!! ???"),         # separator-only -> 0 tokens
+            (10_000_008, "Case case CASE case"),  # case-sensitive tokens
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(dirty)
+    new = sorted(map(tuple, repetition_stats(both).collect()))
+    old = sorted(map(tuple, _repetition_stats_distributed(both).collect()))
+    assert new == old
+    assert len(new) == both.count()
+
+
+def test_repetition_stats_plan_has_no_exchange(spark, sf_dir):
+    """q88's frame is now one scan, zero shuffles: no Exchange, no join,
+    and exactly one parquet scan in the plan (the old shape had two scans,
+    a gram exchange and a doc_id join)."""
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.quality import repetition_stats
+
+    df = repetition_stats(table(spark, "documents", sf_dir))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"Scan parquet|FileScan parquet", plan)) == 1
+
+
+def test_domain_mix_sample_single_scan(spark, sf_dir):
+    """domain_mix_sample materializes the narrow tok frame once: the plan
+    shows ExistingRDD consumers and at most one parquet scan (pre-r14 it
+    tokenized the corpus twice)."""
+    from mapreduce_framework_spark.catalog import table
+    from mapreduce_framework_spark.pipeline.sampling import domain_mix_sample
+
+    df = domain_mix_sample(table(spark, "documents", sf_dir))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Scan parquet|FileScan parquet", plan)) == 0
+    assert "ExistingRDD" in plan
