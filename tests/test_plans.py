@@ -196,15 +196,20 @@ def test_whole_stage_codegen_on_scan_paths(spark, sf_dir):
     assert re.search(r"\* (Filter|Project|ColumnarToRow|Sort)", plan), plan
 
 
-def test_q88_repetition_mode_uses_partial_aggregation(spark, sf_dir):
-    """The per-doc top-2-gram mode must plan map-side partial aggregates
-    (count per (doc, gram), then max per doc) — the distributed-mode shape
-    whose per-task memory is independent of document length — and must
-    never fall back to a cross join."""
+def test_q88_repetition_mode_is_single_pass(spark, sf_dir):
+    """The per-doc top-2-gram mode is computed per row since round 14
+    (run length over the sorted gram array — OPTIMIZATION_r14.md §5):
+    ONE corpus scan, no aggregate exchange, no join; the only exchange
+    allowed is the presentation sort's range partitioning. Still never a
+    cross join."""
+    import re
+
     from mapreduce_framework_spark.pipeline.quality import q88_repetition_stats
 
     plan = _plan(q88_repetition_stats(spark, sf_dir))
-    assert "partial_max" in plan or "Partial" in plan, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -220,9 +225,11 @@ def test_q89_scrub_is_shuffle_free(spark, sf_dir):
 
 def test_q90_rates_broadcast_back_onto_the_scan(spark, sf_dir):
     """Domain mixing: the per-source rate table (20 rows) must broadcast
-    onto the corpus scan, and the corpus must be read exactly twice (the
-    per-source aggregate pass + the join pass) — deriving the global
-    totals must not trigger a third scan."""
+    back onto the narrow tok frame, which since round 14 is materialized
+    ONCE (localCheckpoint — OPTIMIZATION_r14.md §5): the plan reads the
+    checkpointed RDD for both consumers and contains NO parquet re-scan
+    (pre-r14 it tokenized the corpus twice; the totals window must still
+    not add a third pass)."""
     from mapreduce_framework_spark.pipeline.sampling import q90_domain_mix_resample
 
     import re
@@ -231,7 +238,8 @@ def test_q90_rates_broadcast_back_onto_the_scan(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     # formatted explain lists each operator twice (tree + detail section);
     # count the numbered detail headers
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0, plan
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) >= 2, plan
 
 
 def test_q91_cross_snapshot_band_join_is_equi(spark, sf_dir):
