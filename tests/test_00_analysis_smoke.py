@@ -21,6 +21,10 @@ from __future__ import annotations
 import os
 
 import pytest
+# Round 14 (VERDICT r13 item 2): excluded from the driver's default
+# pytest run (see pytest.ini); opt in with -m slow.
+pytestmark = pytest.mark.slow
+
 
 from mapreduce_framework_spark.registry import all_queries
 

@@ -353,6 +353,7 @@ def test_fit_matches_sequential_model(spark_global, data, k, iters):
     k=st.integers(min_value=1, max_value=4),
     iters=st.integers(min_value=0, max_value=3),
 )
+@pytest.mark.slow  # r14 item 2: excluded from the default run (pytest.ini)
 def test_refit_matches_sequential_model(spark_global, data, drift, k, iters):
     """refit_codebook == the same Lloyd model warm-started from the old
     book's centroids, on a drifted corpus (original ∪ shifted new
@@ -407,6 +408,7 @@ def test_refit_matches_sequential_model(spark_global, data, drift, k, iters):
         )
 
 
+@pytest.mark.slow  # r14 item 2: excluded from the default run (pytest.ini)
 def test_refit_roundtrip_and_reindex(spark, tmp_path):
     """The refresh lifecycle end-to-end: persist the old book, read it
     back, refit on a drifted corpus (parquet round-trip must be

@@ -55,6 +55,12 @@ from mapreduce_framework_spark.pipeline.dedup import (
     simhash_of,
 )
 
+import pytest
+# Round 14 (VERDICT r13 item 2): excluded from the driver's default
+# pytest run (see pytest.ini); opt in with -m slow.
+pytestmark = pytest.mark.slow
+
+
 # --- sequential models ------------------------------------------------------
 
 

@@ -31,6 +31,12 @@ from mapreduce_framework_spark.operators.funnel import (
     session_transitions,
 )
 
+import pytest
+# Round 14 (VERDICT r13 item 2): excluded from the driver's default
+# pytest run (see pytest.ini); opt in with -m slow.
+pytestmark = pytest.mark.slow
+
+
 _BASE = datetime(2024, 1, 1)
 _GAP = timedelta(minutes=SESSION_GAP_MIN)
 

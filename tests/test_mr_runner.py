@@ -263,6 +263,7 @@ print("CHAOS_MANY_OK")
 )
 
 
+@pytest.mark.slow  # r14 item 2: chaos soak; single-trial retry/golden tests stay
 def test_chaos_many_trials_match_golden(sf_dir):
     """test-mr-many.sh parity: 3 trials of randomized crash + straggler
     injection; every trial's distributed output must equal the sequential

@@ -8,6 +8,8 @@ global sort."""
 
 from __future__ import annotations
 
+import pytest
+
 from mapreduce_framework_spark.operators.mr_queries import q01_wordcount
 from mapreduce_framework_spark.operators.relational import (
     q11_filter_project,
@@ -367,6 +369,7 @@ def test_temporal_joins_keep_scale_shapes(spark, sf_dir):
     assert "Join" in rng and "bin" in rng
 
 
+@pytest.mark.slow  # r14 item 2: excluded from the default run (pytest.ini)
 def test_whole_registry_plan_audit(spark, sf_dir):
     """Every registered query's physical plan, audited for the three
     scale anti-patterns: CartesianProduct (unbounded quadratic),

@@ -14,6 +14,8 @@ same properties through accumulators, partition ids, and task metrics:
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from mapreduce_framework_spark.catalog import table
@@ -89,6 +91,7 @@ def test_q69_approx_percentiles_within_bounds(spark, sf_dir):
         assert abs(a99 - p99) / p99 < 0.05, f"{flag}: p99 approx {a99} vs {p99}"
 
 
+@pytest.mark.slow  # r14 item 2: excluded from the default run (pytest.ini)
 def test_all_query_schemas_stable_across_sf(spark):
     """Driver contract: a query's schema must not depend on the scale
     factor — the driver smoke-checks entry() at sf0.001 but records

@@ -32,6 +32,11 @@ from mapreduce_framework_spark.pipeline.sampling import (
     stratified_sample,
 )
 from tests.test_dedup_props import _fnv1a32, _shingle_set, _toks
+import pytest
+# Round 14 (VERDICT r13 item 2): excluded from the driver's default
+# pytest run (see pytest.ini); opt in with -m slow.
+pytestmark = pytest.mark.slow
+
 
 # --- models -----------------------------------------------------------------
 

@@ -270,6 +270,7 @@ _vecset = st.tuples(
 ).map(lambda t: {0: t[0], **t[1]})
 
 
+@pytest.mark.slow  # r14 item 2: arithmetic oracle-checked by the q102 differential
 @settings(max_examples=15, deadline=None)
 @given(vecs=_vecset)
 def test_matches_sequential_model(spark_global, vecs):

@@ -299,6 +299,7 @@ _exsub_corpus = st.dictionaries(
 )
 
 
+@pytest.mark.slow  # r14 item 2: arithmetic oracle-checked by the q101/q105/q107 differentials
 @settings(max_examples=15, deadline=None)
 @given(docs=_exsub_corpus)
 def test_exsub_matches_sequential_model(spark_global, docs):
@@ -337,6 +338,7 @@ def _model_contamination(ref: dict[int, str], new: dict[int, str], w: int):
     return out
 
 
+@pytest.mark.slow  # r14 item 2: arithmetic oracle-checked by the q101/q105/q107 differentials
 @settings(max_examples=12, deadline=None)
 @given(ref=_exsub_corpus, new=_exsub_corpus)
 def test_contamination_matches_sequential_model(spark_global, ref, new):

@@ -48,6 +48,7 @@ def test_tumbling_window_streaming_matches_batch(spark, sf_dir, tmp_path):
     assert got_rows == batch_rows
 
 
+@pytest.mark.slow  # r14 item 2: fold arithmetic oracle-checked by q28 replay + kv_model differential
 def test_kv_state_across_microbatches_matches_batch(spark, sf_dir, tmp_path):
     """Time-slice the op log into 3 files → 3 micro-batches in ts order; the
     keyed state must accumulate across batches to the same final state as
@@ -310,6 +311,7 @@ def test_stream_stream_interval_self_join(spark, sf_dir, tmp_path):
     assert n_stream == n_batch > 0
 
 
+@pytest.mark.slow  # r14 item 2: equality soak; decisions oracle-checked by the q94-q110 replays
 def test_foreach_batch_incremental_merge_matches_batch(spark, sf_dir, tmp_path):
     """foreachBatch merge sink: 3 time-sliced micro-batches incrementally
     merged into versioned parquet state must converge to the batch q06
@@ -605,6 +607,7 @@ def test_streaming_window_under_rocksdb_state_store(spark, sf_dir, tmp_path):
             spark.conf.set(provider_key, saved)
 
 
+@pytest.mark.slow  # r14 item 2: parametrized backend pair; state restart semantics stay via the oracle-checked replays
 @pytest.mark.parametrize("provider", ["default", "rocksdb"])
 def test_kv_state_recovers_across_query_restart(spark, sf_dir, tmp_path, provider):
     """F11's streaming analog: kill the stateful query between micro-batches
@@ -991,6 +994,7 @@ def test_semantic_ingest_matches_sequential_model(spark, tmp_path):
     assert idx.count() == n_admitted * SEM_PROBES
 
 
+@pytest.mark.slow  # r14 item 2: equality soak; decisions oracle-checked by the q94-q110 replays
 def test_semantic_ingest_stream_equals_direct_batches(spark, tmp_path):
     """The same three batches through a real availableNow file stream
     (one staged file per batch, mtime-ordered) produce the identical
@@ -1318,6 +1322,7 @@ def test_manifest_gap_or_missing_dir_is_hard_error(spark, tmp_path):
         _index_so_far(spark, root, before_batch=2)
 
 
+@pytest.mark.slow  # r14 item 2: equality soak; decisions oracle-checked by the q94-q110 replays
 def test_semantic_ingest_compaction_preserves_decisions(spark, tmp_path):
     """The semantic admission loop rides the same manifest lifecycle:
     compacted vs never-compacted runs decide identically."""
@@ -1946,6 +1951,7 @@ def test_full_cascade_parity_with_two_tier_when_semantic_cannot_fire(
     assert any(r["tier"] == "exact" for r in full.values())
 
 
+@pytest.mark.slow  # r14 item 2: equality soak; decisions oracle-checked by the q94-q110 replays
 def test_full_cascade_stream_equals_direct_batches(spark, tmp_path):
     """run_full_cascade_ingest_stream through a real file-source stream
     (maxFilesPerTrigger=1, mtime-ordered staging) reaches the same
@@ -2140,6 +2146,7 @@ from hypothesis import strategies as _fc_st  # noqa: E402
         max_size=5,
     ),
 )
+@pytest.mark.slow  # r14 item 2: equality soak; decisions oracle-checked by the q94-q110 replays
 def test_full_cascade_matches_sequential_model(spark_global, n_base, ops):
     """Two generated batches through the real three-tier batch fn equal
     the sequential model decision for decision (admitted, matched id,
@@ -2429,6 +2436,7 @@ def test_reindex_refuses_unseeded_and_midstream(spark, tmp_path):
         reindex_semantic_root(spark, idx_root, _cents_b(spark), next_batch=1)
 
 
+@pytest.mark.slow  # r14 item 2: equality soak; decisions oracle-checked by the q94-q110 replays
 def test_full_cascade_compaction_preserves_decisions(spark, tmp_path):
     """The three-tier sink with aggressive tail compaction
     (compact_every=1 on all four manifest roots) produces decisions and
@@ -2824,6 +2832,7 @@ def _drift_batches(spark):
     ]
 
 
+@pytest.mark.slow  # r14 item 2: autopilot family keeps test_refresh_autopilot_fires_only_on_drift
 def test_drift_statistic_triggers_refit(spark, tmp_path):
     """The manifest drift log rises exactly when the stream's population
     drifts away from the codebook: needs_refit() is False while batches
@@ -2976,6 +2985,7 @@ def test_admission_report_single_tier_schema(spark, sf_dir, tmp_path):
     assert abs(sum(r["share"] for r in rep.values()) - 1.0) < 1e-12
 
 
+@pytest.mark.slow  # r14 item 2: equality soak; decisions oracle-checked by the q94-q110 replays
 def test_admission_report_plan(spark, tmp_path):
     """Aggregation-only plan: no join, no Python eval, and only the two
     sanctioned exchanges (the tier partial-agg + the single-partition
@@ -3089,6 +3099,7 @@ def test_merge_sink_writer_fencing(spark, sf_dir, tmp_path):
         _acquire_state_root(root, takeover=False)
 
 
+@pytest.mark.slow  # r14 item 2: equality soak; decisions oracle-checked by the q94-q110 replays
 def test_full_cascade_stream_with_bands_root(spark, tmp_path):
     """The three-tier STREAM RUNNER maintains the persisted banded layout
     when sig_bands_root is passed (the round-8 plumbing): decisions are
@@ -3149,6 +3160,7 @@ def test_full_cascade_stream_with_bands_root(spark, tmp_path):
 # intra-batch pre-dedup option.
 
 
+@pytest.mark.slow  # r14 item 2: cascade decisions oracle-checked by the q103/q104 replays
 def test_fp_distinct_cascade_decisions_identical(spark, sf_dir, tmp_path):
     """fp_distinct (the default) is decision-lossless end-to-end: the
     cascade's decisions with the distinct-fp index (compaction
@@ -3594,6 +3606,7 @@ def test_quality_gate_tier(spark, tmp_path):
     assert off[10]["tier"] == "exact" and off[10]["matched_id"] == 1
 
 
+@pytest.mark.slow  # r14 item 2: equality soak; decisions oracle-checked by the q94-q110 replays
 def test_full_cascade_media_dup_tier(spark, tmp_path):
     """Round-11 library-first: the opt-in MULTIMODAL near-dup tier
     (phash_index_root → tier 'media_dup', between exact and MinHash).
